@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, the most recent right row with
+  * `right.time <= left.time` on the same key (SURVEY.md §2c Q9 — the
+  * time-series operator the reference's data model implies but never
+  * implements).
+  *
+  * Implemented as union + tag + windowed last-ignore-nulls rather than a
+  * range join: one shuffle on the key, O(n log n) within-partition sort,
+  * no pairwise blow-up — this is the formulation that survives 100 TB
+  * (a range join is O(left × right-per-key); this is linear after sort).
+  * Right rows sort BEFORE left rows at equal timestamps, giving inclusive
+  * (<=) semantics, matching the reference's inclusive bounds
+  * (ChronoBase tablet.go:366-367).
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns to carry (forward-filled).
+    * @param rightTieBreak column ordering right rows at equal ts so the
+    *   winner among same-ts right rows is deterministic (max wins).
+    * @return left rows (all original columns) + value columns; left rows
+    *   with no prior right row carry nulls (left-outer as-of).
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      valueCols: Seq[(String, String)], // (rightCol, outputName)
+      rightTieBreak: Option[String] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val outNames = valueCols.map(_._2)
+
+    val l2 = left.select(
+      (Seq(
+        col(leftKey).cast("long").as("__k"),
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast("long").as("__tb")) ++
+        leftCols.map(c => col(c)) ++
+        outNames.zip(valueCols.map(_._1)).map { case (o, rc) =>
+          lit(null).cast(right.schema(rc).dataType).as(o)
+        }): _*)
+
+    val r2 = right.select(
+      (Seq(
+        col(rightKey).cast("long").as("__k"),
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        rightTieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tb")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map { case (rc, o) => col(rc).as(o) }): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = l2.unionByName(r2)
+      .select((Seq(col("__k"), col("__t"), col("__side"), col("__tb")) ++
+        leftCols.map(col) ++
+        outNames.map(o => last(col(o), ignoreNulls = true).over(w).as(o))): _*)
+
+    filled.filter(col("__side") === 1)
+      .select((leftCols ++ outNames).map(col): _*)
+  }
+
+  /** Inner-as-of: drop left rows with no prior right row. */
+  def asOfInner(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      valueCols: Seq[(String, String)],
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val out = asOf(left, right, leftKey, leftTime, rightKey, rightTime,
+      valueCols, rightTieBreak)
+    out.filter(valueCols.map(v => col(v._2).isNotNull).reduce(_ && _))
+  }
+}

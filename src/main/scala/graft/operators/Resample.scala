@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series resample: bucket by a calendar unit, aggregate, and
+  * gap-fill empty buckets (SURVEY.md §2c Q26). The reference stores
+  * time-bucketed tablets but has no downsampling; this is the analytic
+  * form of its layout.
+  *
+  * Scale notes: the aggregate is a plain hash agg on the bucket; the
+  * gap grid is generated from the global [min,max] bucket with
+  * `sequence` (one row → explode), so grid size is bounded by the time
+  * span / unit, independent of input row count. The grid side of the
+  * join is tiny → broadcast.
+  */
+object Resample {
+
+  /** @param unit date_trunc unit, e.g. "hour", "day"
+    * @param step matching interval expression, e.g. "INTERVAL 1 HOUR"
+    * @param aggs aggregates over each bucket (must tolerate absent rows
+    *   via the fill values)
+    * @param fills per-output-column fill value for empty buckets
+    */
+  def resample(
+      df: DataFrame,
+      timeCol: String,
+      unit: String,
+      step: String,
+      aggs: Seq[(Column, String)],
+      fills: Map[String, Column]): DataFrame = {
+
+    val agg = df
+      .groupBy(date_trunc(unit, col(timeCol)).as("bucket"))
+      .agg(aggs.head._1.as(aggs.head._2),
+        aggs.tail.map { case (c, n) => c.as(n) }: _*)
+
+    val grid = agg
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr(step))).as("bucket"))
+
+    grid.join(agg, Seq("bucket"), "left_outer")
+      .select(col("bucket") +: aggs.map { case (_, n) =>
+        fills.get(n).map(f => coalesce(col(n), f).as(n)).getOrElse(col(n))
+      }: _*)
+      .orderBy(col("bucket"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (SURVEY.md §2c D3).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
+  *    the full corpus, cosine per pair, per-query top-k via window. The
+  *    corpus side streams: no shuffle of the corpus, work is
+  *    O(|corpus| × |queries|) but embarrassingly parallel; per-partition
+  *    ranking would replace the window if |queries| × k grew large.
+  *  - [[lshTopK]]: approximate scale path — random-hyperplane LSH buckets
+  *    (SimHash-style signature over sign(dot(v, plane))); only vectors
+  *    sharing a bucket in some band are compared. Planes are derived from
+  *    a seeded deterministic hash, not Math.random, so plans are
+  *    reproducible.
+  */
+object Similarity {
+
+  /** Exact top-k neighbours per query vector.
+    *
+    * @param corpus  (id, embedding) rows
+    * @param queries (id, embedding) rows — expected small; broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val joined = c.crossJoin(broadcast(q))
+    val filtered =
+      if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+      else joined
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    filtered
+      .withColumn("cos", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a hash-derived value in [-1, 1). Pure column expression → codegen. */
+  private def planeComponent(plane: Column, dimIdx: Column, seed: Int): Column =
+    (pmod(hash(plane, dimIdx, lit(seed)).cast("long"), lit(2000001L))
+      .cast("double") / 1000000.0) - 1.0
+
+  /** All signature bits in ONE nested-lambda expression (per-bit
+    * expression duplication blows up codegen — see Dedup.simHash). */
+  private def signature(vec: Column, numBits: Int, seed: Int): Column =
+    transform(
+      sequence(lit(0), lit(numBits - 1)),
+      b => (aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(b, i, seed)),
+        lit(0.0), (a, x) => a + x) >= 0.0).cast("int"))
+
+  /** Bucketed approximate top-k: `bands` independent signatures of
+    * `bitsPerBand` hyperplane bits each; candidates = pairs sharing any
+    * band bucket; exact cosine re-rank of candidates.
+    */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, bands: Int = 8, bitsPerBand: Int = 8, seed: Int = 42): DataFrame = {
+
+    val base = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      signature(col(vecCol), bands * bitsPerBand, seed).as("sig"))
+
+    // band bucket = the band's bit-slice folded into an int
+    def bandKey(b: Int): Column =
+      aggregate(
+        zip_with(
+          slice(col("sig"), b * bitsPerBand + 1, bitsPerBand),
+          array((0 until bitsPerBand).map(i => lit(1 << i)): _*),
+          (bit, w) => bit * w),
+        lit(0), (a, x) => a + x)
+
+    // (band, bucket, id, vec) — explode over bands
+    val buckets = (0 until bands).map { b =>
+      base.select(lit(b).as("band"), bandKey(b).as("bucket"), col("id"), col("vec"))
+    }.reduce(_ unionByName _)
+
+    val a = buckets.select(col("band"), col("bucket"),
+      col("id").as("qid"), col("vec").as("qv"))
+    val bside = buckets.select(col("band"), col("bucket"),
+      col("id").as("nid"), col("vec").as("nv"))
+
+    val candidates = a.join(bside, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qv"), col("nv"))
+      .dropDuplicates("qid", "nid")
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    candidates
+      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("cos"))
+  }
+}

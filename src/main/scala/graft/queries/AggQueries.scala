@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, QueryDef, Tables}
+
+/** Aggregation — absent from the reference beyond GetStats counts
+  * (table.go:390-414); SURVEY.md §2c Q17–Q22.
+  *
+  * Scale notes: all groupBys are hash aggregates with map-side partial
+  * aggregation (Catalyst inserts partial/final automatically), so the
+  * shuffle carries one row per (partition, group), not per input row.
+  * Group-by cardinalities here are low; for high-cardinality keys AQE
+  * coalesces/splits post-shuffle partitions.
+  */
+object AggQueries {
+  import Tables.t
+
+  /** Q17/Q1-TPC-H-style: multi-measure group-by aggregate. */
+  def groupByAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q18: distinct. */
+  def distinctQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q18b: exact count-distinct (expands to two-phase distinct agg). */
+  def countDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_distinct(col("l_partkey")).as("nd_part"),
+        count_distinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q19: approximate distinct (HLL++). No SQL oracle — the estimate is
+    * engine-specific; the driver records a rows-only check. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_part"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q20a: rollup with grouping id. */
+  def rollupQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("qty"),
+        grouping_id().cast("int").as("gid"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"), col("n"), col("qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Q20b: cube. */
+  def cubeQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"), col("n"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Q21: exact percentiles (linear interpolation at p*(n-1) — identical
+    * definition in DuckDB quantile_cont). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q22: conditional aggregation. */
+  def condAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") > 50, 1).otherwise(0)).as("n_high"),
+        Det.dsum(when(col("user_id") % 2 === 0, col("value")).otherwise(lit(0.0))).as("even_user_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q19_groupby_agg", groupByAgg, Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Det.dsumSql("l_quantity")} AS sum_qty,
+         |  ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${Det.dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS sum_disc_price,
+         |  ${Det.davgSql("l_quantity")} AS avg_qty,
+         |  ${Det.davgSql("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+    QueryDef("q20_distinct", distinctQ, Some(
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    QueryDef("q21_count_distinct", countDistinct, Some(
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        |       COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q22_approx_distinct", approxDistinct, None),
+    QueryDef("q23_rollup", rollupQ, Some(
+      s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+         |       l_returnflag, l_linestatus, COUNT(*) AS n, ${Det.dsumSql("l_quantity")} AS qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+    QueryDef("q24_cube", cubeQ, Some(
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        |       o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+    QueryDef("q25_percentiles", percentiles, Some(
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5)  AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q26_cond_agg", condAgg, Some(
+      s"""SELECT event_type,
+         |  CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         |  ${Det.dsumSql("CASE WHEN user_id % 2 = 0 THEN value ELSE CAST(0.0 AS DOUBLE) END")} AS even_user_value,
+         |  COUNT(*) AS n
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

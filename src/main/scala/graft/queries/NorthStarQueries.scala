@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-data-pipeline operators (SURVEY.md §2c D1–D5): dedup family,
+  * similarity search, text analysis, multimodal plumbing. */
+object NorthStarQueries {
+  import Tables.t
+
+  /** D1: exact dedup by content hash (hash-partitioned aggregate). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  /** D2: MinHash+LSH near-dup pairs, exact-Jaccard verified. No SQL
+    * oracle (hash-family specific) → driver rows-only check; correctness
+    * is covered by the ScalaTest suite against brute-force Jaccard. */
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(t(spark, dir, "documents"), "doc_id", "text",
+        shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D2b: SimHash near-dup pairs (rows-only check; unit-tested). */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D2c: exact n-gram (3-shingle) Jaccard between consecutive doc pairs
+    * — SQL-oracle-able exact similarity (the verify step of near-dup). */
+  def ngramJaccardQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"),
+      col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, Seq("id_a"))
+      .withColumn("jaccard",
+        round(Dedup.shingleJaccard(col("text_a"), col("text_b"), 3), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"))
+  }
+
+  /** D3: brute-force exact cosine top-k (query set = vec_id < 8).
+    * Bit-exact oracle parity via explicit left-fold dot/norm. */
+  def similarityTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** D3b: LSH-bucketed approximate ANN (scale path; rows-only check —
+    * recall vs exact is asserted in the ScalaTest suite). */
+  def similarityLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, bands = 8, bitsPerBand = 8)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** D4: text statistics — token/char/punct/stopword measures. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(txt).as("n_tokens"),
+        TextFunctions.charCount(txt).as("n_chars2"),
+        TextFunctions.stopwordCount(txt).as("n_stop"),
+        round(TextFunctions.stopwordRatio(txt), 6).as("stop_ratio"),
+        round(TextFunctions.meanTokenLen(txt), 6).as("mean_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D4b: language ID + quality score + fingerprint (heuristics;
+    * rows-only check, unit-tested). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.langId(txt).as("lang_guess"),
+        TextFunctions.qualityScore(txt).as("quality"),
+        TextFunctions.approxBpeTokenCount(txt).as("bpe_tokens"),
+        TextFunctions.fingerprint(txt).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D5: multimodal metadata — binary payload byte length + fake-decoded
+    * dimensions (see Multimodal stub). Oracle covers the byte-length
+    * (real) part. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      t(spark, dir, "documents"), "doc_id", "text", "text/plain")
+    media.select(
+        col("media_id"),
+        col("media_type"),
+        octet_length(col("payload")).as("byte_len"))
+      .orderBy(col("media_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d1_dedup_exact", dedupExact, Some(
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin),
+      headline = true),
+    QueryDef("d2_minhash_neardup", minhashNearDup, None, headline = true),
+    QueryDef("d2b_simhash_neardup", simhashNearDup, None),
+    QueryDef("d2c_ngram_jaccard", ngramJaccardQ, None),
+    QueryDef("d3_similarity_topk", similarityTopK, Some(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.qe, e.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(q.qe,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      headline = true),
+    QueryDef("d3b_similarity_lsh", similarityLsh, None),
+    QueryDef("d4_text_stats", textStats, Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars2,
+        |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |       t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS INTEGER) AS n_stop,
+        |  round(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |       t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+        |    / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 1.0), 6) AS stop_ratio,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                        t -> CAST(length(t) AS DOUBLE))), (a,b) -> a + b)
+        |    / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 1.0), 6) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("d4b_text_quality", textQuality, None),
+    QueryDef("d5_multimodal_meta", multimodalMeta, Some(
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin))
+  )
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Scalar functions — string / date / math / array / json / case-null
+  * (SURVEY.md §2c Q30–Q35). The reference's payload is opaque bytes
+  * (row.go:9) so none of these exist there; they are table stakes for the
+  * analytic layer.
+  *
+  * Determinism notes: math is restricted to IEEE-correctly-rounded ops
+  * (+ - * / sqrt, abs, floor, ceil) so Spark (JVM) and DuckDB (libm)
+  * agree bitwise; transcendentals (log/exp/pow) are only 1-ulp-accurate
+  * and engine-dependent, so they are exercised in unit tests, not in the
+  * hash-matched oracle set. Array folds use explicit left-to-right
+  * `aggregate`, mirrored by DuckDB `list_reduce`, so double accumulation
+  * order is identical.
+  */
+object ScalarFnQueries {
+  import Tables.t
+
+  /** Q30: string functions. */
+  def stringFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 10, 9).as("id_digits"),
+        concat(col("c_mktsegment"), lit("/"), col("c_name")).as("seg_name"),
+        length(col("c_name")).as("name_len"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+        split(col("c_name"), "#").getItem(0).as("prefix"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        trim(lit("  x  ")).as("trimmed"))
+      .orderBy(col("c_custkey"))
+
+  /** Q31: date/time functions. */
+  def datetimeFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("int").as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q32: math functions (correctly-rounded subset — see class doc). */
+  def mathFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        abs(col("value") - 50.0).as("dev"),
+        sqrt(col("value")).as("root"),
+        floor(col("value")).cast("long").as("flr"),
+        ceil(col("value")).cast("long").as("cl"),
+        round(col("value"), 2).as("rounded"),
+        (col("value") * col("value")).as("squared"),
+        (col("value") / 7.0).as("sevenths"),
+        pmod(col("user_id"), lit(7)).as("bucket7"))
+      .orderBy(col("event_id"))
+
+  /** Q33: array functions on the embedding column — size, indexing,
+    * slice, explicit-order fold (dot with itself = squared L2 norm). */
+  def arrayFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_v"),
+        element_at(col("embedding"), -1).cast("double").as("last_v"),
+        sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("l2_norm"),
+        aggregate(
+          transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("head8_sum"))
+      .orderBy(col("vec_id"))
+
+  /** Q34: JSON extraction from events.props. */
+  def jsonFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_str_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_struct"))
+      .orderBy(col("event_id"))
+
+  /** Q35: CASE / null handling. */
+  def caseNull(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("low").as("price_band"),
+        nullif(col("o_orderstatus"), lit("O")).as("nn_status"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status2"),
+        when(col("o_orderstatus") === "P", col("o_totalprice")).as("pending_price"))
+      .orderBy(col("o_orderkey"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q35_string_fns", stringFns, Some(
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  substring(c_name, 10, 9) AS id_digits,
+        |  c_mktsegment || '/' || c_name AS seg_name,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+        |  string_split(c_name, '#')[1] AS prefix,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  trim('  x  ') AS trimmed
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+    QueryDef("q36_datetime_fns", datetimeFns, Some(
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 90 DAY AS due_date,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("q37_math_fns", mathFns, Some(
+      """SELECT event_id,
+        |  abs(value - 50.0) AS dev,
+        |  sqrt(value) AS root,
+        |  CAST(floor(value) AS BIGINT) AS flr,
+        |  CAST(ceil(value) AS BIGINT) AS cl,
+        |  round(value, 2) AS rounded,
+        |  value * value AS squared,
+        |  value / 7.0 AS sevenths,
+        |  CAST(user_id % 7 AS BIGINT) AS bucket7
+        |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("q38_array_fns", arrayFns, Some(
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_v,
+        |  CAST(embedding[-1] AS DOUBLE) AS last_v,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS l2_norm,
+        |  list_reduce(list_transform(embedding[1:8],
+        |       x -> CAST(x AS DOUBLE)), (a,b) -> a + b) AS head8_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+    QueryDef("q39_json_fns", jsonFns, Some(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str_path,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+        |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("q40_case_null", caseNull, Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'low' END AS price_band,
+        |  nullif(o_orderstatus, 'O') AS nn_status,
+        |  COALESCE(nullif(o_orderstatus, 'O'), 'open') AS status2,
+        |  CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS pending_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin))
+  )
+}

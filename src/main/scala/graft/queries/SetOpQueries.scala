@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{QueryDef, Tables}
+
+/** Set operations and key-dedup (SURVEY.md §2c Q27–Q29). The reference
+  * implicitly UNION ALLs memtable + tablets (table.go:140-156) and its
+  * dead `PrimaryKeys` option (types.go:12) implies latest-wins dedup —
+  * implemented here properly. */
+object SetOpQueries {
+  import Tables.t
+
+  private def users(spark: SparkSession, dir: String, typ: String): DataFrame =
+    t(spark, dir, "events").filter(col("event_type") === typ)
+      .select(col("user_id"))
+
+  /** Q27: UNION (distinct) of two projections. */
+  def unionQ(spark: SparkSession, dir: String): DataFrame =
+    users(spark, dir, "click").union(users(spark, dir, "purchase"))
+      .distinct().orderBy(col("user_id"))
+
+  /** Q28a: INTERSECT. */
+  def intersectQ(spark: SparkSession, dir: String): DataFrame =
+    users(spark, dir, "click").intersect(users(spark, dir, "error"))
+      .orderBy(col("user_id"))
+
+  /** Q28b: EXCEPT. */
+  def exceptQ(spark: SparkSession, dir: String): DataFrame =
+    users(spark, dir, "view").except(users(spark, dir, "signup"))
+      .orderBy(col("user_id"))
+
+  /** Q29: latest-wins dedup by key — deterministic (window + full
+    * tiebreak), unlike dropDuplicates. This is the honest implementation
+    * of the reference's ignored PrimaryKeys option. */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q31_union", unionQ, Some(
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin)),
+    QueryDef("q32_intersect", intersectQ, Some(
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin)),
+    QueryDef("q33_except", exceptQ, Some(
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin)),
+    QueryDef("q34_dedup_latest", dedupLatest, Some(
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, QueryDef, Tables}
+import graft.operators.{AsOfJoin, Resample}
+
+/** Time-series operators: as-of join and gap-filled resample
+  * (SURVEY.md §2c Q9, Q26). */
+object TimeSeriesQueries {
+  import Tables.t
+
+  /** Q9: as-of join — for each click, the user's most recent purchase at
+    * or before the click (inclusive, per the reference's inclusive time
+    * semantics). Inner form: clicks with no prior purchase are dropped so
+    * the oracle is a plain SQL argmax. */
+  def asOfQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+    AsOfJoin.asOfInner(
+        clicks, purchases,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "user_id", rightTime = "ts",
+        valueCols = Seq("ts" -> "last_purchase_ts"),
+        rightTieBreak = Some("p_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q26: hourly resample of events with gap fill. */
+  def resampleQ(spark: SparkSession, dir: String): DataFrame =
+    Resample.resample(
+      t(spark, dir, "events"),
+      timeCol = "ts", unit = "hour", step = "INTERVAL 1 HOUR",
+      aggs = Seq(
+        (count(lit(1)), "n"),
+        (Det.dsum(col("value")), "sum_value")),
+      fills = Map("n" -> lit(0L), "sum_value" -> lit(0.0)))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q08_asof_join", asOfQ, Some(
+      """SELECT c.event_id, c.user_id, c.ts, MAX(p.ts) AS last_purchase_ts
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts <= c.ts
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id, c.user_id, c.ts
+        |ORDER BY c.event_id""".stripMargin),
+      headline = true),
+    QueryDef("q30_resample", resampleQ, Some(
+      s"""WITH agg AS (
+         |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         |         ${Det.dsumSql("value")} AS sum_value
+         |  FROM events GROUP BY 1),
+         |bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg),
+         |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds)
+         |SELECT g.bucket, COALESCE(a.n, 0) AS n, COALESCE(a.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
+         |FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket
+         |ORDER BY g.bucket""".stripMargin))
+  )
+}

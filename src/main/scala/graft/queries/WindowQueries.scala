@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{QueryDef, Tables}
+
+/** Window functions — absent from the reference (SURVEY.md §2b);
+  * SURVEY.md §2c Q23–Q25.
+  *
+  * Scale notes: each window spec is one shuffle on its partition keys and
+  * a within-partition sort. Per-user / per-customer partitions are small
+  * and uniform in this schema; windows with skewed keys would get a
+  * two-level (salted prefix + merge) treatment instead.
+  *
+  * Determinism: frame sums over doubles go through DECIMAL(25,10) —
+  * DuckDB evaluates moving frames with a segment tree whose FP
+  * association differs from Spark's running accumulation, so exact
+  * decimal arithmetic is the only bit-stable formulation.
+  */
+object WindowQueries {
+  import Tables.t
+
+  /** Q23: ranking functions. rank/dense_rank ordered by a tie-having key
+    * (well-defined under ties); row selection via a fully tie-broken
+    * row_number so output rows are deterministic. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val byQty = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc)
+    val total = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .withColumn("rnk", rank().over(byQty))
+      .withColumn("drnk", dense_rank().over(byQty))
+      .withColumn("rn", row_number().over(total))
+      .filter(col("rn") <= 10)
+      .select(col("l_returnflag"), col("rn"), col("rnk"), col("drnk"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  /** Q24: analytic functions — lag/lead/first/last with explicit frames. */
+  def windowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("first_date", first(col("o_orderdate")).over(full))
+      .withColumn("last_date", last(col("o_orderdate")).over(full))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q25: frame specs — running sum and a 4-row moving average. */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dec = col("value").cast(DecimalType(25, 10))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("running_sum",
+        graft.core.Det.dec2dbl(
+          sum(dec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("moving_avg",
+        (graft.core.Det.dec2dbl(sum(dec).over(w.rowsBetween(-3, Window.currentRow))) /
+          count(lit(1)).over(w.rowsBetween(-3, Window.currentRow)).cast("double")))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q27_window_rank", windowRank, Some(
+      """SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+        |       CAST(drnk AS INTEGER) AS drnk, l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 10 ORDER BY l_returnflag, rn""".stripMargin),
+      headline = true),
+    QueryDef("q28_window_analytic", windowAnalytic, Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1)  OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_date,
+        |  last_value(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_date
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    QueryDef("q29_window_frames", windowFrames, Some(
+      """SELECT user_id, event_id, ts, value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_sum,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+        |  / CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin))
+  )
+}
