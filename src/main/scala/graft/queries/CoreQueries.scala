@@ -35,7 +35,7 @@ object CoreQueries {
     * findBlockForKey (index.go:231-236). */
   def pointLookup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .filter(col("user_id") === 42 &&
+      .filter(col("user_id") === 3 &&
         col("ts").between(lit("2024-01-01 00:00:00").cast("timestamp"),
           lit("2024-01-31 00:00:00").cast("timestamp")))
       .orderBy(col("ts"), col("event_id"))
@@ -94,7 +94,7 @@ object CoreQueries {
          |ORDER BY ts, event_id""".stripMargin), headline = true),
     QueryDef("q02_point_lookup", pointLookup, Some(
       """SELECT * FROM events
-        |WHERE user_id = 42
+        |WHERE user_id = 3
         |  AND ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-31 00:00:00'
         |ORDER BY ts, event_id""".stripMargin)),
     QueryDef("q03_projection", projection, Some(

@@ -26,10 +26,16 @@ object SetOpQueries {
     users(spark, dir, "click").intersect(users(spark, dir, "error"))
       .orderBy(col("user_id"))
 
-  /** Q28b: EXCEPT. */
-  def exceptQ(spark: SparkSession, dir: String): DataFrame =
-    users(spark, dir, "view").except(users(spark, dir, "signup"))
-      .orderBy(col("user_id"))
+  /** Q28b: EXCEPT — on (user, day) pairs; plain user_id EXCEPT is empty
+    * at every SF (all users have all event types). */
+  def exceptQ(spark: SparkSession, dir: String): DataFrame = {
+    def userDays(typ: String) =
+      t(spark, dir, "events").filter(col("event_type") === typ)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+    userDays("view").except(userDays("purchase"))
+      .orderBy(col("user_id"), col("day"))
+  }
 
   /** Q29: latest-wins dedup by key — deterministic (window + full
     * tiebreak), unlike dropDuplicates. This is the honest implementation
@@ -56,10 +62,12 @@ object SetOpQueries {
         |SELECT user_id FROM events WHERE event_type = 'error'
         |ORDER BY user_id""".stripMargin)),
     QueryDef("q33_except", exceptQ, Some(
-      """SELECT user_id FROM events WHERE event_type = 'view'
+      """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |FROM events WHERE event_type = 'view'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'signup'
-        |ORDER BY user_id""".stripMargin)),
+        |SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin)),
     QueryDef("q34_dedup_latest", dedupLatest, Some(
       """SELECT user_id, event_id, ts, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id

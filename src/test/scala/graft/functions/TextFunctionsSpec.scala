@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String)(implicit
+      enc: org.apache.spark.sql.Encoder[T]): T =
+    Seq(text).toDF("t").select(c.as("out")).as[T](enc).head()
+
+  test("tokens and counts") {
+    val df = Seq("The quick brown fox, the fox!").toDF("t")
+    assert(df.select(TextFunctions.tokenCount(col("t"))).as[Int].head() === 6)
+    assert(df.select(TextFunctions.punctCount(col("t"))).as[Int].head() === 2)
+    assert(df.select(TextFunctions.stopwordCount(col("t"))).as[Int].head() === 2)
+  }
+
+  test("mean token length") {
+    val df = Seq("ab abcd").toDF("t")
+    assert(df.select(TextFunctions.meanTokenLen(col("t"))).as[Double].head() === 3.0)
+  }
+
+  test("shingles produce k-grams in order") {
+    val df = Seq("a b c d").toDF("t")
+    val sh = df.select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(sh === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short === Seq.empty)
+  }
+
+  test("fingerprint is whitespace-insensitive but order-sensitive") {
+    val fp = (s: String) =>
+      Seq(s).toDF("t").select(TextFunctions.fingerprint(col("t"))).as[Long].head()
+    assert(fp("hello  world") === fp("hello world"))
+    assert(fp("hello world") !== fp("world hello"))
+  }
+
+  test("langId picks marker-heavy language") {
+    val en = "the cat and the dog went to the park with that man"
+    val de = "der hund und die katze sind nicht mit der maus"
+    val fr = "le chat et la souris sont pour les enfants une surprise"
+    val df = Seq(en, de, fr).toDF("t")
+      .select(TextFunctions.langId(col("t"))).as[String].collect()
+    assert(df.toSeq === Seq("en", "de", "fr"))
+  }
+
+  test("quality score in [0,1], penalizes junk") {
+    val good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val junk = "!!! ??? ,,, ;;; ... ((( ))) [[[ ]]] {{{ }}}"
+    val out = Seq(good, junk).toDF("t")
+      .select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
+    assert(out.forall(v => v >= 0.0 && v <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("approx BPE token count scales with length") {
+    val df = Seq("short text", "a considerably longer and more elaborate sentence with many words").toDF("t")
+    val out = df.select(TextFunctions.approxBpeTokenCount(col("t"))).as[Long].collect()
+    assert(out(1) > out(0))
+  }
+}

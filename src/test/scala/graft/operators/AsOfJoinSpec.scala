@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSuite
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "a"),
+    (1L, ts("2024-01-01 12:00:00"), "b"),
+    (2L, ts("2024-01-01 09:00:00"), "c"), // no prior right row
+    (3L, ts("2024-01-01 10:00:00"), "d")  // equal-ts right row (inclusive)
+  ).toDF("k", "t", "tag")
+
+  private lazy val right = Seq(
+    (1L, ts("2024-01-01 09:30:00"), 100.0),
+    (1L, ts("2024-01-01 11:00:00"), 200.0),
+    (2L, ts("2024-01-01 09:30:00"), 300.0), // after left's 09:00
+    (3L, ts("2024-01-01 10:00:00"), 400.0)  // exactly at left ts
+  ).toDF("k", "t", "v")
+
+  test("as-of picks most recent right row at or before left time") {
+    val out = AsOfJoin.asOf(left, right, "k", "t", "k", "t",
+      Seq("v" -> "last_v"))
+      .select($"tag", $"last_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("a") === Some(100.0)) // 09:30 <= 10:00
+    assert(out("b") === Some(200.0)) // 11:00 <= 12:00
+    assert(out("c") === None)        // nothing at or before 09:00
+    assert(out("d") === Some(400.0)) // equal ts is INCLUSIVE
+  }
+
+  test("inner as-of drops rows with no prior right row") {
+    val out = AsOfJoin.asOfInner(left, right, "k", "t", "k", "t",
+      Seq("v" -> "last_v"))
+    assert(out.count() === 3)
+    assert(!out.select("tag").as[String].collect().contains("c"))
+  }
+
+  test("tie on right timestamp resolved by tiebreak column (max wins)") {
+    val r2 = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0, 10L),
+      (1L, ts("2024-01-01 09:00:00"), 2.0, 20L)
+    ).toDF("k", "t", "v", "seq")
+    val out = AsOfJoin.asOf(
+      left.filter($"tag" === "a"), r2, "k", "t", "k", "t",
+      Seq("v" -> "last_v"), rightTieBreak = Some("seq"))
+    assert(out.select("last_v").as[Double].head() === 2.0)
+  }
+}

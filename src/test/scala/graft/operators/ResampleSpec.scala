@@ -1,0 +1,27 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.core.Det
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class ResampleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("resample fills interior gaps with fill values") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 10:15:00"), 1.0),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), 2.0),
+      // 11:00 hour missing entirely
+      (Timestamp.valueOf("2024-01-01 12:05:00"), 4.0)
+    ).toDF("ts", "v")
+    val out = Resample.resample(df, "ts", "hour", "INTERVAL 1 HOUR",
+        aggs = Seq((count(lit(1)), "n"), (Det.dsum(col("v")), "s")),
+        fills = Map("n" -> lit(0L), "s" -> lit(0.0)))
+      .as[(Timestamp, Long, Double)].collect()
+    assert(out.length === 3)
+    assert(out(0) === ((Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 3.0)))
+    assert(out(1) === ((Timestamp.valueOf("2024-01-01 11:00:00"), 0L, 0.0)))
+    assert(out(2) === ((Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 4.0)))
+  }
+}

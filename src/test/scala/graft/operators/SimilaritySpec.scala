@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f)),
+    (1L, Seq(0.9f, 0.1f, 0f)), // closest to 0
+    (2L, Seq(0f, 1f, 0f)),     // orthogonal to 0
+    (3L, Seq(-1f, 0f, 0f))     // opposite to 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine") {
+    val out = Similarity.bruteForceTopK(
+        vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .orderBy($"rank")
+      .select("neighbor_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("LSH ANN achieves reasonable recall@5 vs exact on fixtures") {
+    val emb = Tables.t(spark, sf(), "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+        bands = 16, bitsPerBand = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // deterministic given fixed seed/data; measured 0.90 on the fixture
+    assert(recall > 0.8, s"recall@5 = $recall")
+  }
+}
