@@ -1,0 +1,264 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's row: opaque key + indexed timestamp + opaque payload
+  * (ChronoBase internal/storage/row.go:6-10). The engine never interprets
+  * `data`; the analytic layer (typed DataFrames) lives beside this
+  * fidelity layer. */
+final case class ChronoRow(key: String, ts: Timestamp, data: Array[Byte])
+
+/** Engine config — the surviving intent of the reference's 17-knob JSON
+  * config (internal/config/config.go:12-42): storage root, time-bucket
+  * granularity (the tablet analog), TTL, and codec. Spark-level knobs
+  * (memory, parallelism, concurrency) belong to SparkConf, where the
+  * reference's dead MaxMemoryUsage/QueryConcurrency/... knobs map. */
+final case class ChronoConfig(
+    dataDir: String,
+    bucket: String = "hour",           // tablet time-bucket granularity
+    ttl: Option[Long] = None,          // seconds; None = keep forever
+    compression: String = "zstd",      // reference hardcodes gzip (compression.go:45)
+    compactFileThreshold: Int = 4)     // compact buckets with more files
+
+/** Table statistics — reference GetStats (table.go:390-414). */
+final case class TableStats(
+    name: String, numFiles: Long, numRows: Long, sizeBytes: Long,
+    minTs: Option[Timestamp], maxTs: Option[Timestamp])
+
+/** Spark-native re-expression of the reference's DB facade
+  * (ChronoBase pkg/db/db.go): tables are time-bucket-partitioned parquet
+  * directories; the memtable/flush path becomes append writes (batch) or
+  * Structured Streaming (graft.streaming); merge/compaction and TTL
+  * cleanup are partition-targeted batch jobs.
+  *
+  * Semantics kept from the reference:
+  *  - inclusive [start,end] range query (tablet.go:366-387);
+  *  - insert-time TTL drop, silent (table.go:93-96);
+  *  - retention at bucket granularity — expired rows inside a young
+  *    bucket survive until the whole bucket ages out (table.go:334-369);
+  *  - duplicate (key, ts) rows permitted (PrimaryKeys ignored,
+  *    types.go:12);
+  *  - no result-order guarantee on query (table.go:132-162) — callers
+  *    order explicitly.
+  *
+  * Scale notes: every operation is pure DataFrame lineage over the
+  * partitioned layout. Range queries prune on the bucket partition
+  * column (the reference's manual tablet min/max skip, table.go:146-150,
+  * for free); compaction touches only over-fragmented buckets via
+  * dynamic partition overwrite; retention drops whole partition dirs.
+  */
+final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
+  import spark.implicits._
+
+  private val root = Paths.get(config.dataDir)
+  Files.createDirectories(root)
+
+  private def tablePath(name: String): Path = root.resolve(name)
+
+  private def bucketExpr = date_format(
+    date_trunc(config.bucket, col("ts")),
+    if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
+
+  // --- DDL (db.go:80-142) ---
+
+  def createTable(name: String): Unit = {
+    val p = tablePath(name)
+    if (Files.exists(p))
+      throw new IllegalArgumentException(s"table exists: $name")
+    Files.createDirectories(p)
+  }
+
+  def dropTable(name: String): Unit = deleteRecursively(tablePath(name))
+
+  def listTables(): Seq[String] = {
+    if (!Files.exists(root)) return Seq.empty
+    val s = Files.list(root)
+    try s.filter(Files.isDirectory(_)).map[String](_.getFileName.toString)
+      .sorted().toArray.toSeq.map(_.toString)
+    finally s.close()
+  }
+
+  private def requireTable(name: String): Path = {
+    val p = tablePath(name)
+    if (!Files.exists(p)) throw new NoSuchElementException(s"no such table: $name")
+    p
+  }
+
+  private def hasData(name: String): Boolean = {
+    val s = Files.walk(requireTable(name))
+    try s.anyMatch(f => f.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  // --- Write path (db.go:145-152, table.go:78-119) ---
+
+  /** Batch insert = one memtable flush. Rows older than TTL are silently
+    * dropped (reference insert-time TTL gate, table.go:93-96). */
+  def insert(name: String, rows: Dataset[ChronoRow],
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
+    requireTable(name)
+    val fresh = config.ttl match {
+      case Some(ttlSec) =>
+        rows.filter(col("ts") > lit(new Timestamp(now.getTime - ttlSec * 1000L)))
+      case None => rows.toDF()
+    }
+    fresh
+      .withColumn("bucket", bucketExpr)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("ts"), col("key")) // tablet (ts,key) clustering
+      .write.mode(SaveMode.Append)
+      .option("compression", config.compression)
+      .partitionBy("bucket")
+      .parquet(tablePath(name).toString)
+  }
+
+  def insertSeq(name: String, rows: Seq[ChronoRow],
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit =
+    insert(name, spark.createDataset(rows), now)
+
+  // --- Read path (db.go:155-162 → table.go:122-163) ---
+
+  /** Full-table frame (no time filter). */
+  def table(name: String): DataFrame = {
+    requireTable(name)
+    if (!hasData(name))
+      return spark.createDataset(Seq.empty[ChronoRow]).toDF()
+        .withColumn("bucket", lit(null).cast("string"))
+        .select("key", "ts", "data", "bucket")
+    spark.read.parquet(tablePath(name).toString)
+      .select(col("key"), col("ts"), col("data"), col("bucket"))
+  }
+
+  /** Inclusive [start,end] time-range scan — the reference's only query.
+    * Adds a derived bucket predicate so partition pruning applies even
+    * before parquet row-group stats are consulted. */
+  def query(name: String, start: Timestamp, end: Timestamp): DataFrame = {
+    val fmt = new java.text.SimpleDateFormat(
+      if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    table(name)
+      .filter(col("bucket").isNull ||
+        (col("bucket") >= fmt.format(start) && col("bucket") <= fmt.format(end)))
+      .filter(col("ts") >= lit(start) && col("ts") <= lit(end))
+      .select(col("key"), col("ts"), col("data"))
+  }
+
+  // --- Maintenance (table.go:240-369, 517-552) ---
+
+  /** Compaction (reference Merge/CompactAll): rewrite buckets holding
+    * more than `compactFileThreshold` files into one sorted file each,
+    * via dynamic partition overwrite — untouched buckets keep their
+    * files (the reference merges only adjacent small tablets). */
+  def compact(name: String): Int = {
+    requireTable(name)
+    if (!hasData(name)) return 0
+    val perBucket = fileCountByBucket(name)
+    val victims = perBucket.filter(_._2 > config.compactFileThreshold).keys.toSeq
+    if (victims.isEmpty) return 0
+    val df = table(name)
+      .filter(col("bucket").isin(victims: _*))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("ts"), col("key"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .option("compression", config.compression)
+      .partitionBy("bucket")
+      .parquet(tablePath(name).toString)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    victims.size
+  }
+
+  /** TTL cleanup (reference Cleanup, table.go:334-369): drops whole
+    * buckets entirely older than the cutoff — bucket granularity, so
+    * expired rows in a young bucket survive, exactly like the
+    * reference's tablet-granularity deletion. Returns dropped buckets. */
+  def cleanup(name: String,
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Seq[String] = {
+    val ttlSec = config.ttl.getOrElse(return Seq.empty)
+    val p = requireTable(name)
+    val fmt = new java.text.SimpleDateFormat(
+      if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    // a bucket is wholly expired iff its END (bucket start + width) <= cutoff
+    val widthMs = if (config.bucket == "hour") 3600000L else 86400000L
+    val cutoff = now.getTime - ttlSec * 1000L
+    val dropped = listBuckets(name).filter { b =>
+      fmt.parse(b).getTime + widthMs <= cutoff
+    }
+    dropped.foreach(b => deleteRecursively(p.resolve(s"bucket=$b")))
+    dropped
+  }
+
+  // --- Stats / backup / restore (table.go:390-414, db.go:353-419) ---
+
+  def stats(name: String): TableStats = {
+    val p = requireTable(name)
+    var files = 0L; var bytes = 0L
+    val s = Files.walk(p)
+    try s.forEach { f =>
+      if (f.toString.endsWith(".parquet")) { files += 1; bytes += Files.size(f) }
+    } finally s.close()
+    if (files == 0) return TableStats(name, 0, 0, 0, None, None)
+    val r = table(name).agg(
+      count(lit(1)), min(col("ts")), max(col("ts"))).head()
+    TableStats(name, files, r.getLong(0), bytes,
+      Option(r.getTimestamp(1)), Option(r.getTimestamp(2)))
+  }
+
+  def backup(name: String, dst: String): Unit =
+    copyRecursively(requireTable(name), Paths.get(dst))
+
+  def restore(name: String, src: String): Unit = {
+    val p = tablePath(name)
+    deleteRecursively(p)
+    copyRecursively(Paths.get(src), p)
+  }
+
+  // --- helpers ---
+
+  private def listBuckets(name: String): Seq[String] = {
+    val p = requireTable(name)
+    val s = Files.list(p)
+    try s.filter(f => Files.isDirectory(f) &&
+        f.getFileName.toString.startsWith("bucket="))
+      .map[String](_.getFileName.toString.stripPrefix("bucket="))
+      .toArray.toSeq.map(_.toString)
+    finally s.close()
+  }
+
+  private def fileCountByBucket(name: String): Map[String, Int] =
+    listBuckets(name).map { b =>
+      val d = requireTable(name).resolve(s"bucket=$b")
+      val s = Files.list(d)
+      try b -> s.filter(_.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }.toMap
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    finally s.close()
+  }
+
+  private def copyRecursively(src: Path, dst: Path): Unit = {
+    val s = Files.walk(src)
+    try s.forEach { f =>
+      val target = dst.resolve(src.relativize(f))
+      if (Files.isDirectory(f)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally s.close()
+  }
+}

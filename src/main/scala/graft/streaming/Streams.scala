@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface (SURVEY.md §2c S1–S5) — the idiomatic
+  * replacement for the reference's memtable/flush ingest loop
+  * (ChronoBase table.go:78-119, db.go:199-213):
+  *
+  *  - micro-batch  = memtable epoch; sink file commit = flush;
+  *  - trigger interval = the reference's `flush_interval` ticker;
+  *  - watermark late-drop = the principled version of the reference's
+  *    insert-time TTL drop (table.go:93-96) — bounded lateness instead
+  *    of wall-clock age, so results are deterministic under replay;
+  *  - checkpoint dir = WAL/recovery (the reference re-reads .tab files,
+  *    db.go:291-350).
+  *
+  * All functions take/return streaming DataFrames, so they compose with
+  * the batch operators — same DataFrame lineage, same 100 TB design.
+  */
+object Streams {
+
+  /** S1: ingest a stream of (key, ts, data)-shaped rows into a
+    * time-bucketed parquet table (same layout as graft.core.ChronoDB, so
+    * batch queries read what streams wrote). Caller starts the returned
+    * writer (`.start().processAllAvailable()` in tests). */
+  def ingestWriter(
+      rows: DataFrame,
+      tablePath: String,
+      checkpointDir: String,
+      bucket: String = "hour",
+      lateness: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] = {
+    val bucketed = rows
+      .withWatermark("ts", lateness)
+      .withColumn("bucket", date_format(date_trunc(bucket, col("ts")),
+        if (bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd"))
+    bucketed.writeStream
+      .format("parquet")
+      .option("path", tablePath)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("bucket")
+      .trigger(trigger)
+      .outputMode("append")
+  }
+
+  /** S2 + S3: watermarked tumbling (slide = None) or sliding window
+    * aggregate. Late rows beyond `lateness` are dropped and finalized
+    * windows are emitted exactly once (append mode). */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      windowDur: String,
+      slide: Option[String],
+      lateness: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None => window(col(tsCol), windowDur)
+    }
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(win +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** S4: session windows — activity islands separated by `gap` idle. */
+  def sessionAgg(
+      events: DataFrame,
+      tsCol: String,
+      gap: String,
+      lateness: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** S5: streaming dedup on (key cols) with watermark-bounded state —
+    * the streaming form of the reference's ignored PrimaryKeys intent. */
+  def dedup(
+      events: DataFrame,
+      tsCol: String,
+      lateness: String,
+      keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicates(keys :+ tsCol)
+}

@@ -1,0 +1,121 @@
+package graft.core
+
+import graft.SparkSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class ChronoDBSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def row(k: String, t: String, d: String = "x") =
+    ChronoRow(k, ts(t), d.getBytes("UTF-8"))
+
+  private def freshDb(ttl: Option[Long] = None): ChronoDB = {
+    val dir = Files.createTempDirectory("chronodb").toString
+    new ChronoDB(spark, ChronoConfig(dir, bucket = "hour", ttl = ttl,
+      compactFileThreshold = 2))
+  }
+
+  test("create/list/drop table") {
+    val db = freshDb()
+    db.createTable("t1"); db.createTable("t2")
+    assert(db.listTables() === Seq("t1", "t2"))
+    intercept[IllegalArgumentException](db.createTable("t1"))
+    db.dropTable("t1")
+    assert(db.listTables() === Seq("t2"))
+    intercept[NoSuchElementException](db.query("t1", ts("2024-01-01 00:00:00"),
+      ts("2024-01-02 00:00:00")).count())
+  }
+
+  test("query range is inclusive on both ends; duplicates preserved") {
+    val db = freshDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 09:59:59"),
+      row("b", "2024-01-01 10:00:00"), // == start (kept)
+      row("c", "2024-01-01 11:30:00"),
+      row("c", "2024-01-01 11:30:00"), // duplicate (key, ts) — permitted
+      row("d", "2024-01-01 12:00:00"), // == end (kept)
+      row("e", "2024-01-01 12:00:01")))
+    val out = db.query("t", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))
+      .select("key").as[String].collect().sorted
+    assert(out.toSeq === Seq("b", "c", "c", "d"))
+  }
+
+  test("insert-time TTL drop is silent") {
+    val db = freshDb(ttl = Some(3600))
+    db.createTable("t")
+    val now = ts("2024-01-02 12:00:00")
+    db.insertSeq("t", Seq(
+      row("old", "2024-01-02 10:00:00"),  // 2h old > 1h ttl → dropped
+      row("new", "2024-01-02 11:30:01")), now)
+    assert(db.table("t").count() === 1)
+  }
+
+  test("cleanup drops whole expired buckets only (bucket granularity)") {
+    val db = freshDb(ttl = Some(7200)) // 2h
+    db.createTable("t")
+    val now = ts("2024-01-01 13:00:00")
+    // insert "at" 11:14 so the TTL insert-gate keeps all four rows
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 09:15:00"),  // bucket 09 (ends 10:00 <= 11:00 cutoff)
+      row("b", "2024-01-01 10:30:00"),  // bucket 10 (ends 11:00 <= cutoff) — dropped
+      row("c", "2024-01-01 10:59:00"),  // bucket 10
+      row("d", "2024-01-01 11:10:00")), // bucket 11 — survives
+      ts("2024-01-01 11:14:00"))
+    val dropped = db.cleanup("t", now)
+    assert(dropped.sorted === Seq("2024-01-01-09", "2024-01-01-10"))
+    assert(db.table("t").select("key").as[String].collect().toSeq === Seq("d"))
+  }
+
+  test("compact merges over-fragmented buckets, preserves rows") {
+    val db = freshDb()
+    db.createTable("t")
+    // 4 separate inserts into the same bucket → 4+ files
+    (1 to 4).foreach { i =>
+      db.insertSeq("t", Seq(row(s"k$i", s"2024-01-01 10:0$i:00")))
+    }
+    val before = db.stats("t")
+    assert(before.numFiles >= 4)
+    val nCompacted = db.compact("t")
+    assert(nCompacted === 1)
+    val after = db.stats("t")
+    assert(after.numRows === before.numRows)
+    assert(after.numFiles < before.numFiles)
+    // untouched second compact is a no-op
+    assert(db.compact("t") === 0)
+  }
+
+  test("stats reports rows, files, ts range") {
+    val db = freshDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 08:00:00"), row("b", "2024-01-01 09:30:00")))
+    val s = db.stats("t")
+    assert(s.numRows === 2)
+    assert(s.minTs === Some(ts("2024-01-01 08:00:00")))
+    assert(s.maxTs === Some(ts("2024-01-01 09:30:00")))
+    assert(s.sizeBytes > 0)
+  }
+
+  test("backup and restore roundtrip") {
+    val db = freshDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(row("a", "2024-01-01 08:00:00")))
+    val bak = Files.createTempDirectory("bak").toString + "/t"
+    db.backup("t", bak)
+    db.insertSeq("t", Seq(row("b", "2024-01-01 09:00:00")))
+    assert(db.table("t").count() === 2)
+    db.restore("t", bak)
+    assert(db.table("t").select("key").as[String].collect().toSeq === Seq("a"))
+  }
+
+  test("empty table queries cleanly") {
+    val db = freshDb()
+    db.createTable("t")
+    assert(db.query("t", ts("2024-01-01 00:00:00"),
+      ts("2024-01-02 00:00:00")).count() === 0)
+    assert(db.stats("t").numRows === 0)
+  }
+}

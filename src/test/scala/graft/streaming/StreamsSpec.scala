@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.SparkSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+case class Ev(key: String, ts: Timestamp, value: Double)
+
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("S1 ingest: streamed rows land in bucketed parquet; batch read equals input (replay equivalence)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dir = Files.createTempDirectory("ingest").toString
+    val cp = Files.createTempDirectory("cp").toString
+    val q = Streams.ingestWriter(
+        mem.toDF(), s"$dir/t", cp, lateness = "1 minute",
+        trigger = Trigger.ProcessingTime(0)).start()
+    val batch1 = Seq(
+      Ev("a", ts("2024-01-01 10:00:01"), 1.0),
+      Ev("b", ts("2024-01-01 11:00:02"), 2.0))
+    val batch2 = Seq(Ev("c", ts("2024-01-01 11:59:59"), 3.0))
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/t")
+    assert(out.count() === 3)
+    // bucket layout matches the batch engine's
+    assert(out.select("bucket").distinct().as[String].collect().sorted.toSeq ===
+      Seq("2024-01-01-10", "2024-01-01-11"))
+    // replay equivalence: streamed content == the batch of all inputs
+    val streamed = out.select("key", "ts", "value").as[Ev].collect().sortBy(_.key)
+    assert(streamed.toSeq === (batch1 ++ batch2).sortBy(_.key))
+  }
+
+  test("S2/S3 windowed agg emits finalized windows and drops late data") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = Streams.windowedAgg(mem.toDF(), "ts", "5 minutes", None,
+      lateness = "5 minutes", keys = Seq(col("key")),
+      aggs = Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    // fill window [10:00,10:05)
+    mem.addData(Ev("a", ts("2024-01-01 10:00:30"), 1),
+      Ev("a", ts("2024-01-01 10:03:00"), 1))
+    q.processAllAvailable()
+    // advance watermark past window end: 10:20 - 5m = 10:15 > 10:05
+    mem.addData(Ev("a", ts("2024-01-01 10:20:00"), 1))
+    q.processAllAvailable()
+    val afterFinalize = spark.table("win_out")
+      .where("window.start = timestamp'2024-01-01 10:00:00'")
+      .select("n").as[Long].collect()
+    assert(afterFinalize.toSeq === Seq(2L)) // window emitted once, n=2
+    // a late row for the finalized window is DROPPED (no new emission)
+    mem.addData(Ev("a", ts("2024-01-01 10:01:00"), 1))
+    q.processAllAvailable()
+    val afterLate = spark.table("win_out")
+      .where("window.start = timestamp'2024-01-01 10:00:00'")
+      .select("n").as[Long].collect()
+    assert(afterLate.toSeq === Seq(2L))
+    q.stop()
+  }
+
+  test("S4 session windows split on gap") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = Streams.sessionAgg(mem.toDF(), "ts", gap = "5 minutes",
+      lateness = "1 minute", keys = Seq(col("key")),
+      aggs = Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    mem.addData(
+      Ev("a", ts("2024-01-01 10:00:00"), 1),
+      Ev("a", ts("2024-01-01 10:03:00"), 1), // same session (gap 3m < 5m)
+      Ev("a", ts("2024-01-01 10:20:00"), 1)) // new session (gap 17m)
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out").select("n").as[Long].collect().sorted
+    assert(sessions.toSeq === Seq(1L, 2L))
+    q.stop()
+  }
+
+  test("S5 streaming dedup removes exact (key, ts) duplicates across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dd = Streams.dedup(mem.toDF(), "ts", "10 minutes", Seq("key"))
+    val q = dd.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    mem.addData(Ev("a", ts("2024-01-01 10:00:00"), 1),
+      Ev("a", ts("2024-01-01 10:00:00"), 1)) // dup within batch
+    q.processAllAvailable()
+    mem.addData(Ev("a", ts("2024-01-01 10:00:00"), 1)) // dup across batches
+    q.processAllAvailable()
+    assert(spark.table("dd_out").count() === 1)
+    q.stop()
+  }
+}
