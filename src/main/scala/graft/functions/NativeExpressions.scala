@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot sketching paths.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * evaluate interpreted (CodegenFallback) with per-element boxing; a
+  * MinHash signature expressed through them costs ~1 ms/row. These
+  * expressions do the same math in one tight eval loop — measured ~10×
+  * faster — while staying pure expressions (distributed, no UDF
+  * registration, usable in any DataFrame).
+  *
+  * (The reference has no sketching at all — SURVEY.md §2b — these back
+  * the north-star near-dup operators D2/D2b.)
+  */
+object NativeExpressions {
+
+  /** Tokenize per TextFunctions.tokens semantics: maximal [a-z0-9]+ runs
+    * of the lowercased text. Tight char loop, no regex. */
+  private[functions] def tokenizeLower(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = s.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  private def xxh64(bytes: Array[Byte], seed: Long): Long =
+    XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, seed)
+
+  /** MinHash signature: sig[i] = min over word-k-shingles of
+    * xxhash64(shingle, seed = i). Same estimator as the HOF formulation
+    * (a shingle set's signature agreement rate estimates Jaccard). */
+  case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenizeLower(input.asInstanceOf[UTF8String].toString)
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (i + shingleK <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleK) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var h = 0
+        while (h < numHashes) {
+          val v = xxh64(bytes, h.toLong)
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  /** 64-bit SimHash over word tokens: bit j set iff the sum over tokens
+    * of ±1 (bit j of xxhash64(token, 0)) is positive. */
+  case class SimHashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenizeLower(input.asInstanceOf[UTF8String].toString)
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val h = xxh64(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        if (counts(j) > 0) sig |= (1L << j)
+        j += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** Random-hyperplane signature for cosine LSH: bit b = sign of
+    * dot(vec, plane_b), plane components derived from xxhash64 of
+    * (b, dim, seed) → uniform in [-1, 1). */
+  case class HyperplaneSigExpr(child: Expression, numBits: Int, seed: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private def component(plane: Int, dim: Int): Double = {
+      val buf = java.nio.ByteBuffer.allocate(12)
+        .putInt(plane).putInt(dim).putInt(seed).array()
+      val h = xxh64(buf, 7L)
+      (math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val dim = arr.numElements()
+      val vec = new Array[Double](dim)
+      var d = 0
+      while (d < dim) { vec(d) = arr.getFloat(d).toDouble; d += 1 }
+      val bits = new Array[Int](numBits)
+      var b = 0
+      while (b < numBits) {
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += vec(i) * component(b, i); i += 1 }
+        bits(b) = if (dot >= 0.0) 1 else 0
+        b += 1
+      }
+      new GenericArrayData(bits)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "hyperplane_sig"
+  }
+
+  // Spark 4 Column is ColumnNode-backed; the bridge exposes the
+  // sql-private Expression<->Column conversions.
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
+    column(MinHashSigExpr(expression(text), shingleK, numHashes))
+
+  def simhash64(text: Column): Column = column(SimHashExpr(expression(text)))
+
+  def hyperplaneSig(vec: Column, numBits: Int, seed: Int): Column =
+    column(HyperplaneSigExpr(expression(vec), numBits, seed))
+}

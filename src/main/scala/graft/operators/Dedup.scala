@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{NativeExpressions, TextFunctions, VectorFunctions}
 
 /** Deduplication family for the LLM-data-pipeline surface
   * (SURVEY.md §2c D1/D2): exact, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -24,22 +24,13 @@ object Dedup {
         count(lit(1)).as("n_copies"))
 
   /** MinHash signature: `numHashes` permutations approximated by
-    * xxhash64(shingle, seed_i); minhash_i = min over shingles. Pure
-    * column expressions (array fold), codegen'd.
+    * xxhash64(shingle, seed_i); minhash_i = min over shingles. Native
+    * Catalyst expression (NativeExpressions.MinHashSigExpr) — the HOF
+    * formulation (array fold with array-of-mins accumulator) evaluates
+    * interpreted and measured ~10× slower.
     */
-  def minHashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val sh = TextFunctions.shingles(text, shingleK)
-    // ONE fold over the shingle array with an array-of-mins accumulator:
-    // sig[i] = min over shingles of xxhash64(s, i). Folding per-hash (or
-    // transforming per-hash with the fold inside) re-evaluates the
-    // shingle/tokenize subtree once per hash — lambdas get no CSE —
-    // which measured ~100× slower.
-    val idxs = sequence(lit(0), lit(numHashes - 1))
-    aggregate(
-      sh,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc, idxs, (a, i) => least(a, xxhash64(s, i))))
-  }
+  def minHashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    NativeExpressions.minhashSig(text, shingleK, numHashes)
 
   /** D2 — MinHash + LSH near-dup candidate pairs, verified with exact
     * shingle-set Jaccard. `bands × rowsPerBand` hashes; a pair is a
@@ -59,14 +50,16 @@ object Dedup {
       col(textCol).as("text"),
       minHashSignature(col(textCol), shingleK, numHashes).as("sig"))
 
-    // band key = hash of that band's slice of the signature
-    val banded = (0 until bands).map { b =>
-      base.select(
-        lit(b).as("band"),
-        xxhash64(to_json(struct(
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("s")))).as("bucket"),
-        col("id"), col("text"))
-    }.reduce(_ unionByName _)
+    // Band buckets via ONE posexplode over the signature — a per-band
+    // union would recompute the (expensive) signature once per band.
+    val banded = base
+      .select(col("id"), col("text"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(to_json(struct(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("s")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
 
     val lhs = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("text").as("text_a"))
@@ -96,23 +89,9 @@ object Dedup {
 
   /** SimHash: 64-bit signature where bit j = sign of the sum over tokens
     * of (+1 / -1 from bit j of xxhash64(token)). Near-dups differ in few
-    * bits (Hamming distance).
+    * bits (Hamming distance). Native expression — see minHashSignature.
     */
-  def simHash(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
-    // Single pass over tokens with a 64-counter array accumulator; then
-    // fold sign bits into the signature. One tokenization, no per-bit
-    // expression duplication.
-    val counters = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, masks,
-        (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(counters, masks, (c, m) => when(c > 0, m).otherwise(0L)),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-  }
+  def simHash(text: Column): Column = NativeExpressions.simhash64(text)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -126,12 +105,12 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
 
     val base = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-    val chunked = (0 until 4).map { c =>
-      base.select(
-        lit(c).as("chunk"),
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("key"),
-        col("id"), col("sig"))
-    }.reduce(_ unionByName _)
+    val chunked = base
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "key")
 
     val lhs = chunked.select(col("chunk"), col("key"),
       col("id").as("id_a"), col("sig").as("sig_a"))

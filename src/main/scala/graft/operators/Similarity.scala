@@ -46,21 +46,12 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a hash-derived value in [-1, 1). Pure column expression → codegen. */
-  private def planeComponent(plane: Column, dimIdx: Column, seed: Int): Column =
-    (pmod(hash(plane, dimIdx, lit(seed)).cast("long"), lit(2000001L))
-      .cast("double") / 1000000.0) - 1.0
-
-  /** All signature bits in ONE nested-lambda expression (per-bit
-    * expression duplication blows up codegen — see Dedup.simHash). */
+  /** Random-hyperplane signature — native Catalyst expression (tight
+    * eval loop; the HOF formulation evaluates interpreted, ~10× slower).
+    * Plane components are hash-derived from (bit, dim, seed), so plans
+    * are deterministic and reproducible. */
   private def signature(vec: Column, numBits: Int, seed: Int): Column =
-    transform(
-      sequence(lit(0), lit(numBits - 1)),
-      b => (aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(b, i, seed)),
-        lit(0.0), (a, x) => a + x) >= 0.0).cast("int"))
+    graft.functions.NativeExpressions.hyperplaneSig(vec, numBits, seed)
 
   /** Bucketed approximate top-k: `bands` independent signatures of
     * `bitsPerBand` hyperplane bits each; candidates = pairs sharing any
@@ -74,19 +65,20 @@ object Similarity {
       col(idCol).as("id"), col(vecCol).as("vec"),
       signature(col(vecCol), bands * bitsPerBand, seed).as("sig"))
 
-    // band bucket = the band's bit-slice folded into an int
-    def bandKey(b: Int): Column =
-      aggregate(
-        zip_with(
-          slice(col("sig"), b * bitsPerBand + 1, bitsPerBand),
-          array((0 until bitsPerBand).map(i => lit(1 << i)): _*),
-          (bit, w) => bit * w),
-        lit(0), (a, x) => a + x)
-
-    // (band, bucket, id, vec) — explode over bands
-    val buckets = (0 until bands).map { b =>
-      base.select(lit(b).as("band"), bandKey(b).as("bucket"), col("id"), col("vec"))
-    }.reduce(_ unionByName _)
+    // (band, bucket, id, vec) via one posexplode — per-band unions would
+    // recompute the signature once per band
+    val weights = array((0 until bitsPerBand).map(i => lit(1 << i)): _*)
+    val buckets = base
+      .select(col("id"), col("vec"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => aggregate(
+            zip_with(
+              slice(col("sig"), b * bitsPerBand + 1, lit(bitsPerBand)),
+              weights, (bit, w) => bit * w),
+            lit(0), (a, x) => a + x))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
 
     val a = buckets.select(col("band"), col("bucket"),
       col("id").as("qid"), col("vec").as("qv"))
