@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints the formatted physical plan of each headline
+  * query (or the names passed as args). Used to keep pushdown, pruning,
+  * and join strategies honest — see PLANS.md for the audited findings. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wanted = if (args.nonEmpty) args.toSet else null
+    SparkEntry.all
+      .filter(q => if (wanted != null) wanted(q.name) else q.headline)
+      .foreach { q =>
+        println(s"\n===== ${q.name} =====")
+        try q.build(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"EXPLAIN FAILED: $e") }
+      }
+    spark.stop()
+  }
+}

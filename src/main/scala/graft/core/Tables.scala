@@ -26,4 +26,26 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
+
+  /** events with an inclusive [lo, hi] time-range predicate applied on
+    * the RAW ns long BEFORE the µs conversion. A predicate on
+    * `timestamp_micros(ts DIV 1000)` cannot be pushed to parquet (no
+    * row-group skipping — fatal at 100 TB); the equivalent raw-domain
+    * range `ns ∈ [lo_us*1000, hi_us*1000 + 999]` pushes down and is
+    * exact under the µs-truncation semantics. */
+  def eventsRange(spark: SparkSession, dir: String,
+      lo: java.sql.Timestamp, hi: java.sql.Timestamp): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    // interpret the naive timestamp as UTC regardless of JVM default TZ
+    // (file ns values are naive; session TZ is pinned UTC)
+    def us(t: java.sql.Timestamp): Long =
+      t.toLocalDateTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNanos / 1000L
+    if (df.schema("ts").dataType == LongType)
+      df.filter(col("ts") >= us(lo) * 1000L && col("ts") <= us(hi) * 1000L + 999L)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      df.filter(col("ts").between(lit(lo), lit(hi)))
+  }
 }

@@ -27,17 +27,17 @@ object CoreQueries {
     * Canonical (ts, event_id) output order for stable hashing.
     */
   def timeRange(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .filter(col("ts").between(lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+    Tables.eventsRange(spark, dir,
+        java.sql.Timestamp.valueOf(lo), java.sql.Timestamp.valueOf(hi))
       .orderBy(col("ts"), col("event_id"))
 
   /** Q3: key + time point lookup — the intent of the reference's dead
     * findBlockForKey (index.go:231-236). */
   def pointLookup(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .filter(col("user_id") === 3 &&
-        col("ts").between(lit("2024-01-01 00:00:00").cast("timestamp"),
-          lit("2024-01-31 00:00:00").cast("timestamp")))
+    Tables.eventsRange(spark, dir,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-31 00:00:00"))
+      .filter(col("user_id") === 3)
       .orderBy(col("ts"), col("event_id"))
 
   /** Q4: projection (column pruning reaches the scan). */
