@@ -1,0 +1,69 @@
+package graft.core
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY.md §5): range-scan equivalence to a
+  * brute-force filter, and flush transparency — querying after one bulk
+  * insert equals querying after the same rows split across inserts (the
+  * reference's memtable/tablet transparency, table.go:132-162). */
+object ChronoProps extends Properties("chrono") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private val genRow: Gen[ChronoRow] = for {
+    key <- Gen.alphaLowerStr.map(_.take(4)).suchThat(_.nonEmpty)
+    offMin <- Gen.choose(0L, 60L * 24 * 3) // 3 days of minutes
+  } yield ChronoRow(key, new Timestamp(base + offMin * 60000L), Array[Byte](1))
+
+  private val genRows: Gen[List[ChronoRow]] = Gen.listOfN(30, genRow)
+
+  private val genRange: Gen[(Timestamp, Timestamp)] = for {
+    a <- Gen.choose(0L, 60L * 24 * 3)
+    b <- Gen.choose(a, 60L * 24 * 3)
+  } yield (new Timestamp(base + a * 60000L), new Timestamp(base + b * 60000L))
+
+  property("rangeQuery == brute-force inclusive filter") =
+    forAll(genRows, genRange) { case (rows, (s, e)) =>
+      val db = new ChronoDB(spark,
+        ChronoConfig(Files.createTempDirectory("prop1").toString))
+      db.createTable("t")
+      db.insertSeq("t", rows)
+      val got = db.query("t", s, e).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1))).sorted.toSeq
+      val want = rows.filter(r => !r.ts.before(s) && !r.ts.after(e))
+        .map(r => (r.key, r.ts)).sorted
+      got == want
+    }
+
+  property("flush transparency: one insert == split inserts") =
+    forAll(genRows, Gen.choose(0, 30), genRange) {
+      case (rows, splitAt, (s, e)) =>
+        val db1 = new ChronoDB(spark,
+          ChronoConfig(Files.createTempDirectory("prop2a").toString))
+        val db2 = new ChronoDB(spark,
+          ChronoConfig(Files.createTempDirectory("prop2b").toString))
+        db1.createTable("t"); db2.createTable("t")
+        db1.insertSeq("t", rows)
+        val (h, t2) = rows.splitAt(math.min(splitAt, rows.length))
+        if (h.nonEmpty) db2.insertSeq("t", h)
+        if (t2.nonEmpty) db2.insertSeq("t", t2)
+        def res(db: ChronoDB) = db.query("t", s, e).collect()
+          .map(r => (r.getString(0), r.getTimestamp(1))).sorted.toSeq
+        res(db1) == res(db2)
+    }
+}
