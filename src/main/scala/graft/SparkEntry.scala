@@ -25,10 +25,9 @@ object SparkEntry {
     * The reference's one live query: inclusive time-range scan
     * (ChronoBase db.go:155-162 → tablet.go:366-387). */
   def entry(spark: SparkSession): DataFrame =
-    graft.core.Tables.t(spark, "/root/testdata/sf0.001", "events")
-      .filter(col("ts").between(
-        lit("2024-01-01 00:00:00").cast("timestamp"),
-        lit("2024-01-31 00:00:00").cast("timestamp")))
+    graft.core.Tables.eventsRange(spark, "/root/testdata/sf0.001",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-31 00:00:00"))
       .orderBy(col("ts"), col("event_id"))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -64,6 +64,15 @@ object NorthStarQueries {
         k = 5, bands = 16, bitsPerBand = 4)
       .orderBy(col("query_id"), col("rank"))
 
+  /** D2d: embedding-cosine near-dup pairs (LSH candidates + threshold);
+    * rows-only check, recall covered by SimilaritySpec. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    // fixture vectors are near-uniform (max pairwise cos ≈ 0.48); 0.4
+    // marks the "near-dup" tail there — a real corpus would use 0.95+
+    Dedup.embeddingNearDup(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bands = 16, bitsPerBand = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D4: text statistics — token/char/punct/stopword measures. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
@@ -113,6 +122,7 @@ object NorthStarQueries {
     QueryDef("d2_minhash_neardup", minhashNearDup, None, headline = true),
     QueryDef("d2b_simhash_neardup", simhashNearDup, None),
     QueryDef("d2c_ngram_jaccard", ngramJaccardQ, None),
+    QueryDef("d2d_embedding_neardup", embeddingNearDup, None),
     QueryDef("d3_similarity_topk", similarityTopK, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |pairs AS (

@@ -50,6 +50,33 @@ object ChronoProps extends Properties("chrono") {
       got == want
     }
 
+  property("asOf == brute-force argmax over t' <= t") = {
+    import spark.implicits._
+    val genKT: Gen[(Long, Long)] = for {
+      k <- Gen.choose(1L, 4L)
+      m <- Gen.choose(0L, 500L)
+    } yield (k, m)
+    val genLeft = Gen.listOfN(20, genKT)
+    val genRight = Gen.listOfN(20, genKT)
+    forAll(genLeft, genRight) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, m), i) => (i.toLong, k, new Timestamp(base + m * 60000L)) }
+        .toDF("lid", "k", "t")
+      val right = rs.zipWithIndex
+        .map { case ((k, m), i) => (i.toLong, k, new Timestamp(base + m * 60000L), i * 10.0) }
+        .toDF("seq", "k", "t", "v")
+      val got = graft.operators.AsOfJoin.asOf(left, right, "k", "t", "k", "t",
+          Seq("v" -> "last_v"), rightTieBreak = Some("seq"))
+        .select("lid", "last_v").as[(Long, Option[Double])].collect().toMap
+      val want = ls.zipWithIndex.map { case ((k, m), i) =>
+        val cands = rs.zipWithIndex.filter { case ((rk, rm), _) => rk == k && rm <= m }
+        i.toLong -> (if (cands.isEmpty) None
+          else Some(cands.maxBy { case ((_, rm), ri) => (rm, ri) }._2 * 10.0))
+      }.toMap
+      got == want
+    }
+  }
+
   property("flush transparency: one insert == split inserts") =
     forAll(genRows, Gen.choose(0, 30), genRange) {
       case (rows, splitAt, (s, e)) =>
