@@ -26,11 +26,16 @@ object Bench {
       try q.build(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // Median of 3 timed runs per query (BASELINE.md protocol) — single
+    // local runs vary ±15% from JIT/GC noise.
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try q.build(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try q.build(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> times(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

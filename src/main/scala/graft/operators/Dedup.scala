@@ -61,21 +61,39 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    val lhs = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("text").as("text_a"))
-    val rhs = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("text").as("text_b"))
-
-    val candidates = lhs.join(rhs, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    candidates
-      .withColumn("jaccard",
-        shingleJaccard(col("text_a"), col("text_b"), shingleK))
+    // pair extraction without a self-join — signatures evaluated once,
+    // texts carried through as the pair payload for the exact verify
+    bucketPairs(banded.select(col("band"), col("bucket"), col("id"),
+        col("text").as("pl")))
+      .withColumn("jaccard", shingleJaccard(col("pl_a"), col("pl_b"), shingleK))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) from bucketed rows, WITHOUT a
+    * self-join: collect ids per (band, bucket) and emit in-bucket pairs.
+    * A self-join would re-evaluate the (expensive) signature lineage on
+    * both sides; this evaluates it exactly once. Bucket sizes are small
+    * by construction (that's what banding is for), so the per-bucket
+    * pair expansion is bounded; a pathological giant bucket would hurt
+    * either formulation equally.
+    */
+  private[operators] def bucketPairs(banded: DataFrame): DataFrame = {
+    // input cols: band, bucket, id, pl (payload carried to both sides).
+    // collect (id, payload) per bucket sorted by id, expand in-bucket
+    // pairs, dedup across bands.
+    val items = array_sort(collect_list(struct(col("id"), col("pl"))))
+    banded.groupBy(col("band"), col("bucket")).agg(items.as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("xs")) - 2),
+        i => transform(
+          slice(col("xs"), i + 2, size(col("xs")) - i - 1),
+          b => struct(element_at(col("xs"), i + 1).as("a"), b.as("b")))
+      ))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.a.pl").as("pl_a"),
+        col("p.b.id").as("id_b"), col("p.b.pl").as("pl_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact Jaccard similarity of two texts' k-shingle sets. */
@@ -112,16 +130,9 @@ object Dedup {
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "key")
 
-    val lhs = chunked.select(col("chunk"), col("key"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val rhs = chunked.select(col("chunk"), col("key"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-
-    lhs.join(rhs, Seq("chunk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+    bucketPairs(chunked.select(col("chunk").as("band"), col("key").as("bucket"),
+        col("id"), col("sig").as("pl")))
+      .withColumn("hamming", hamming64(col("pl_a"), col("pl_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

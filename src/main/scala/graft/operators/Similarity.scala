@@ -80,19 +80,25 @@ object Similarity {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    val a = buckets.select(col("band"), col("bucket"),
-      col("id").as("qid"), col("vec").as("qv"))
-    val bside = buckets.select(col("band"), col("bucket"),
-      col("id").as("nid"), col("vec").as("nv"))
-
-    val candidates = a.join(bside, Seq("band", "bucket"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qv"), col("nv"))
-      .dropDuplicates("qid", "nid")
+    // candidate pairs without a self-join (signature evaluated once —
+    // see Dedup.bucketPairs), vectors carried as pair payload; cosine
+    // computed once per unordered pair, then fanned to both directions
+    val pairs = Dedup.bucketPairs(
+        buckets.select(col("band"), col("bucket"), col("id"),
+          col("vec").as("pl")))
+      .withColumn("cos", VectorFunctions.cosine(col("pl_a"), col("pl_b")))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    // fan each unordered pair to both directions via explode, NOT a
+    // union of two selects — union branches would re-evaluate the whole
+    // candidate lineage (signatures included) once per branch
+    val sym = pairs
+      .select(explode(array(
+        struct(col("id_a").as("qid"), col("id_b").as("nid"), col("cos")),
+        struct(col("id_b").as("qid"), col("id_a").as("nid"), col("cos")))).as("e"))
+      .select(col("e.qid"), col("e.nid"), col("e.cos").as("cos"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    candidates
-      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("nv")))
+    sym
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),

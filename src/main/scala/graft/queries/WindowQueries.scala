@@ -31,9 +31,12 @@ object WindowQueries {
     val total = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
     t(spark, dir, "lineitem")
+      // stricter-ordered window FIRST: its sort (qty desc, okey, ln) is a
+      // superset ordering of byQty's (qty desc), so the second Window
+      // node reuses it instead of re-sorting 600 k rows
+      .withColumn("rn", row_number().over(total))
       .withColumn("rnk", rank().over(byQty))
       .withColumn("drnk", dense_rank().over(byQty))
-      .withColumn("rn", row_number().over(total))
       .filter(col("rn") <= 10)
       .select(col("l_returnflag"), col("rn"), col("rnk"), col("drnk"),
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
