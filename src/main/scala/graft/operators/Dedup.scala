@@ -52,8 +52,10 @@ object Dedup {
 
     // Band buckets via ONE posexplode over the signature — a per-band
     // union would recompute the (expensive) signature once per band.
+    // Only (band, bucket, id) enters the shuffle: carrying text would
+    // shuffle every document `bands` times (measured: dominates runtime).
     val banded = base
-      .select(col("id"), col("text"),
+      .select(col("id"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(to_json(struct(
@@ -61,11 +63,14 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    // pair extraction without a self-join — signatures evaluated once,
-    // texts carried through as the pair payload for the exact verify
+    // pair extraction without a self-join (signatures evaluated once),
+    // then texts joined back ONLY for the surviving candidate pairs
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     bucketPairs(banded.select(col("band"), col("bucket"), col("id"),
-        col("text").as("pl")))
-      .withColumn("jaccard", shingleJaccard(col("pl_a"), col("pl_b"), shingleK))
+        lit(0).as("pl")))
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("jaccard", shingleJaccard(col("text_a"), col("text_b"), shingleK))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

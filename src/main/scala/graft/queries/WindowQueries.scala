@@ -31,13 +31,17 @@ object WindowQueries {
     val total = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
     t(spark, dir, "lineitem")
-      // stricter-ordered window FIRST: its sort (qty desc, okey, ln) is a
-      // superset ordering of byQty's (qty desc), so the second Window
-      // node reuses it instead of re-sorting 600 k rows
+      // row_number + filter FIRST: the rank-filter sits directly above
+      // its window, so Spark's WindowGroupLimit maintains a per-partition
+      // top-10 heap instead of fully sorting 600 k rows; rank/dense_rank
+      // then run over ≤10 rows per partition. Equivalent semantics:
+      // strictly-greater-qty rows (all that rank/dense_rank count) always
+      // sort into the kept prefix, and equal-qty rows don't affect each
+      // other's rank.
       .withColumn("rn", row_number().over(total))
+      .filter(col("rn") <= 10)
       .withColumn("rnk", rank().over(byQty))
       .withColumn("drnk", dense_rank().over(byQty))
-      .filter(col("rn") <= 10)
       .select(col("l_returnflag"), col("rn"), col("rnk"), col("drnk"),
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_returnflag"), col("rn"))
