@@ -11,9 +11,18 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 class BucketingSpec extends SparkSuite with AdaptiveSparkPlanHelper {
 
   test("bucketed fact-fact join plans with zero shuffle exchanges") {
-    // default warehouse dir (static conf); just ensure clean table slots
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // default warehouse dir (static conf); ensure clean table slots —
+    // drop catalog entries AND any stale managed-table directories left
+    // by interrupted runs
+    Seq("li_b", "ord_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(java.nio.file.Files.delete(_))
+      }
+    }
 
     graft.core.Tables.t(spark, sf(), "lineitem")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
