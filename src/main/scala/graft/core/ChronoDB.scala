@@ -3,6 +3,7 @@ package graft.core
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.sql.Timestamp
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -146,6 +147,25 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         (col("bucket") >= fmt.format(start) && col("bucket") <= fmt.format(end)))
       .filter(col("ts") >= lit(start) && col("ts") <= lit(end))
       .select(col("key"), col("ts"), col("data"))
+  }
+
+  /** Cursor over a range query — the reference's declared-but-never-
+    * implemented RowIterator (types.go:24-29). Streams partitions to the
+    * driver one at a time (no full collect). */
+  def rowIterator(name: String, start: Timestamp, end: Timestamp): Iterator[ChronoRow] =
+    query(name, start, end).as[ChronoRow].toLocalIterator().asScala
+
+  /** Latest-wins dedup by key — the honest implementation of the
+    * reference's accepted-but-ignored PrimaryKeys option (types.go:12).
+    * Deterministic: ties on ts broken by max data hash. */
+  def queryDeduped(name: String, start: Timestamp, end: Timestamp): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, xxhash64(col("data")).desc)
+    query(name, start, end)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   // --- Maintenance (table.go:240-369, 517-552) ---

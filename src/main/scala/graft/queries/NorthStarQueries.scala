@@ -121,7 +121,22 @@ object NorthStarQueries {
       headline = true),
     QueryDef("d2_minhash_neardup", minhashNearDup, None, headline = true),
     QueryDef("d2b_simhash_neardup", simhashNearDup, None),
-    QueryDef("d2c_ngram_jaccard", ngramJaccardQ, None),
+    QueryDef("d2c_ngram_jaccard", ngramJaccardQ, Some(
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(generate_series(1, len(w) - 2),
+        |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.sh, b.sh)) AS inter,
+        |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
+        |SELECT id_a, id_b,
+        |       round(CASE WHEN uni = 0 THEN 0.0
+        |                  ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END, 6) AS jaccard
+        |FROM pairs ORDER BY id_a""".stripMargin)),
     QueryDef("d2d_embedding_neardup", embeddingNearDup, None),
     QueryDef("d3_similarity_topk", similarityTopK, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

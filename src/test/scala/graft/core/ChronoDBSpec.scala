@@ -118,4 +118,26 @@ class ChronoDBSpec extends SparkSuite {
       ts("2024-01-02 00:00:00")).count() === 0)
     assert(db.stats("t").numRows === 0)
   }
+
+  test("rowIterator streams the range (dead RowIterator intent)") {
+    val db = freshDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 08:00:00"), row("b", "2024-01-01 09:00:00"),
+      row("c", "2024-01-01 10:00:00")))
+    val it = db.rowIterator("t", ts("2024-01-01 08:30:00"), ts("2024-01-01 10:00:00"))
+    assert(it.map(_.key).toSeq.sorted === Seq("b", "c"))
+  }
+
+  test("queryDeduped keeps latest row per key (PrimaryKeys intent)") {
+    val db = freshDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("k", "2024-01-01 08:00:00", "old"),
+      row("k", "2024-01-01 09:00:00", "new"),
+      row("j", "2024-01-01 08:30:00", "only")))
+    val out = db.queryDeduped("t", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+      .collect().map(r => r.getString(0) -> new String(r.getAs[Array[Byte]]("data"), "UTF-8")).toMap
+    assert(out === Map("k" -> "new", "j" -> "only"))
+  }
 }
