@@ -87,8 +87,9 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** D4b: language ID + quality score + fingerprint (heuristics;
-    * rows-only check, unit-tested). */
+  /** D4b: language ID + quality score + BPE-ish token count — all
+    * deterministic column math, hash-checked against a DuckDB oracle
+    * replicating the same heuristics. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
     t(spark, dir, "documents")
@@ -96,10 +97,16 @@ object NorthStarQueries {
         col("doc_id"),
         TextFunctions.langId(txt).as("lang_guess"),
         TextFunctions.qualityScore(txt).as("quality"),
-        TextFunctions.approxBpeTokenCount(txt).as("bpe_tokens"),
-        TextFunctions.fingerprint(txt).as("fingerprint"))
+        TextFunctions.approxBpeTokenCount(txt).as("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** D4c: rolling document fingerprint (xxhash chain — hash-family
+    * specific, no cross-engine oracle; unit-tested). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
 
   /** D5: multimodal metadata — binary payload byte length + fake-decoded
     * dimensions (see Multimodal stub). Oracle covers the byte-length
@@ -171,7 +178,47 @@ object NorthStarQueries {
         |                        t -> CAST(length(t) AS DOUBLE))), (a,b) -> a + b)
         |    / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 1.0), 6) AS mean_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
-    QueryDef("d4b_text_quality", textQuality, None),
+    QueryDef("d4b_text_quality", textQuality, Some(
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text, toks,
+        |    greatest(CAST(len(toks) AS DOUBLE), 1.0) AS n,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is','with','that','for'))) AS DOUBLE) AS h_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))) AS DOUBLE) AS h_de,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','pas','pour','une'))) AS DOUBLE) AS h_fr,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','los','las','es','por','para','una','que'))) AS DOUBLE) AS h_es,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0 AS s_zh,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
+        |  FROM base),
+        |langed AS (
+        |  SELECT doc_id, text, toks, n, n_stop, punct_ratio,
+        |    h_en / n AS s_en, h_de / n AS s_de, h_fr / n AS s_fr, h_es / n AS s_es, s_zh,
+        |    greatest(h_en / n, h_de / n, h_fr / n, h_es / n, s_zh) AS best
+        |  FROM scored)
+        |SELECT doc_id,
+        |  CASE WHEN best <= 0 THEN 'und'
+        |       WHEN s_en = best THEN 'en'
+        |       WHEN s_de = best THEN 'de'
+        |       WHEN s_fr = best THEN 'fr'
+        |       WHEN s_es = best THEN 'es'
+        |       WHEN s_zh = best THEN 'zh'
+        |       ELSE 'und' END AS lang_guess,
+        |  round(
+        |    (CASE WHEN CAST(len(toks) AS DOUBLE) < 5 THEN CAST(len(toks) AS DOUBLE) / 5.0
+        |          WHEN CAST(len(toks) AS DOUBLE) > 5000 THEN 0.2 ELSE 1.0 END)
+        |    * (CASE WHEN punct_ratio > 0.2 THEN 0.3 ELSE 1.0 END)
+        |    * (CASE WHEN n_stop / n < 0.005 THEN 0.5 ELSE 1.0 END), 6) AS quality,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
+        |                   t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))),
+        |    (a, b) -> a + b) AS BIGINT) AS bpe_tokens
+        |FROM langed ORDER BY doc_id""".stripMargin)),
+    QueryDef("d4c_fingerprint", textFingerprint, None),
     QueryDef("d5_multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len

@@ -90,4 +90,26 @@ object Streams {
     events
       .withWatermark(tsCol, lateness)
       .dropDuplicates(keys :+ tsCol)
+
+  /** Custom keyed state (flatMapGroupsWithState): per-key lifetime
+    * counters emitted on every update — the pattern for state the
+    * built-in windows can't express (the reference keeps no state at
+    * all beyond the memtable; this is the Spark-native extension point
+    * for e.g. per-device sequence tracking). */
+  def runningCounts[K: org.apache.spark.sql.Encoder, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V])(implicit
+      outEnc: org.apache.spark.sql.Encoder[(K, Long)])
+      : org.apache.spark.sql.Dataset[(K, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    grouped.flatMapGroupsWithState[Long, (K, Long)](
+      OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+      (key: K, values: Iterator[V], state: GroupState[Long]) =>
+        val prev = state.getOption.getOrElse(0L)
+        val next = prev + values.size
+        state.update(next)
+        Iterator((key, next))
+    }
+  }
 }

@@ -100,4 +100,26 @@ class StreamsSpec extends SparkSuite {
     assert(spark.table("dd_out").count() === 1)
     q.stop()
   }
+
+  test("custom keyed state: running counts across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[Ev]
+    val counts = Streams.runningCounts(
+      mem.toDS().groupByKey(_.key))
+    val q = counts.toDF("key", "n").writeStream.format("memory")
+      .queryName("state_out").outputMode("update").start()
+    mem.addData(Ev("a", ts("2024-01-01 10:00:00"), 1),
+      Ev("a", ts("2024-01-01 10:01:00"), 1),
+      Ev("b", ts("2024-01-01 10:00:30"), 1))
+    q.processAllAvailable()
+    mem.addData(Ev("a", ts("2024-01-01 10:05:00"), 1))
+    q.processAllAvailable()
+    // last emitted count per key reflects lifetime totals
+    val last = spark.table("state_out").groupBy("key")
+      .agg(org.apache.spark.sql.functions.max(col("n")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(last === Map("a" -> 3L, "b" -> 1L))
+    q.stop()
+  }
 }
