@@ -56,6 +56,8 @@ final case class TableStats(
 final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   import spark.implicits._
 
+  ChronoConfigValidation.validate(config)
+
   private val root = Paths.get(config.dataDir)
   Files.createDirectories(root)
 
@@ -70,7 +72,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def createTable(name: String): Unit = {
     val p = tablePath(name)
     if (Files.exists(p))
-      throw new IllegalArgumentException(s"table exists: $name")
+      throw new TableAlreadyExistsException(name)
     Files.createDirectories(p)
   }
 
@@ -86,7 +88,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   private def requireTable(name: String): Path = {
     val p = tablePath(name)
-    if (!Files.exists(p)) throw new NoSuchElementException(s"no such table: $name")
+    if (!Files.exists(p)) throw new TableNotFoundException(name)
     p
   }
 

@@ -21,11 +21,21 @@ class ChronoDBSpec extends SparkSuite {
     val db = freshDb()
     db.createTable("t1"); db.createTable("t2")
     assert(db.listTables() === Seq("t1", "t2"))
-    intercept[IllegalArgumentException](db.createTable("t1"))
+    intercept[TableAlreadyExistsException](db.createTable("t1"))
     db.dropTable("t1")
     assert(db.listTables() === Seq("t2"))
-    intercept[NoSuchElementException](db.query("t1", ts("2024-01-01 00:00:00"),
+    intercept[TableNotFoundException](db.query("t1", ts("2024-01-01 00:00:00"),
       ts("2024-01-02 00:00:00")).count())
+  }
+
+  test("config validation rejects unusable knobs (reference config.go parity)") {
+    val dir = Files.createTempDirectory("cfg").toString
+    intercept[InvalidConfigException](
+      new ChronoDB(spark, ChronoConfig(dir, bucket = "minute")))
+    intercept[InvalidConfigException](
+      new ChronoDB(spark, ChronoConfig(dir, ttl = Some(-5))))
+    intercept[InvalidConfigException](
+      new ChronoDB(spark, ChronoConfig(dir, compression = "lzw")))
   }
 
   test("query range is inclusive on both ends; duplicates preserved") {
