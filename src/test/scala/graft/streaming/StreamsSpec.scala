@@ -122,4 +122,25 @@ class StreamsSpec extends SparkSuite {
     assert(last === Map("a" -> 3L, "b" -> 1L))
     q.stop()
   }
+
+  test("streaming ingest lands in a ChronoDB table readable by the batch query path") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("sdb").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "hour"))
+    db.createTable("stream_t")
+    val mem = MemoryStream[ChronoRow]
+    val q = Streams.ingestWriter(mem.toDF(), s"$root/stream_t",
+      Files.createTempDirectory("sdb_cp").toString,
+      lateness = "1 minute", trigger = Trigger.ProcessingTime(0)).start()
+    mem.addData(
+      ChronoRow("a", ts("2024-01-01 10:00:01"), Array[Byte](1)),
+      ChronoRow("b", ts("2024-01-01 11:00:02"), Array[Byte](2)))
+    q.processAllAvailable(); q.stop()
+    // the batch facade reads what the stream wrote (memtable flush -> query)
+    val out = db.query("stream_t",
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:59:59"))
+    assert(out.select("key").as[String].collect().toSeq === Seq("a"))
+    assert(db.stats("stream_t").numRows === 2)
+  }
 }
