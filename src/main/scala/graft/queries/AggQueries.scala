@@ -97,6 +97,24 @@ object AggQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Q22b: pivot — one column per event_type with counts (explicit value
+    * list so the schema is deterministic). */
+  def pivotQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Q22c: unpivot/melt — the inverse reshape. */
+  def unpivotQ(spark: SparkSession, dir: String): DataFrame =
+    pivotQ(spark, dir)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n")
+      .orderBy(col("user_id"), col("event_type"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q19_groupby_agg", groupByAgg, Some(
       s"""SELECT l_returnflag, l_linestatus,
@@ -119,6 +137,23 @@ object AggQueries {
         |       COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     QueryDef("q22_approx_distinct", approxDistinct, None),
+    QueryDef("q22b_pivot", pivotQ, Some(
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS "click",
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS "error",
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS "purchase",
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS "signup",
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    QueryDef("q22c_unpivot", unpivotQ, Some(
+      """WITH p AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT g.user_id, t.event_type, COALESCE(p.n, 0) AS n
+        |FROM (SELECT DISTINCT user_id FROM events) g
+        |CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t
+        |LEFT JOIN p ON p.user_id = g.user_id AND p.event_type = t.event_type
+        |ORDER BY g.user_id, t.event_type""".stripMargin)),
     QueryDef("q23_rollup", rollupQ, Some(
       s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
          |       l_returnflag, l_linestatus, COUNT(*) AS n, ${Det.dsumSql("l_quantity")} AS qty
