@@ -91,6 +91,35 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Spark 4 transformWithState processor: per-key latest row — the
+    * reference's key → most-recent-value semantics (its dead PrimaryKeys
+    * intent) held as streaming state. Requires the RocksDB state store
+    * (set spark.sql.streaming.stateStore.providerClass). Emits the
+    * current latest (key, ts, value) whenever a key receives input. */
+  class LatestValueProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp, Double),
+        (String, java.sql.Timestamp, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var latest: ValueState[(java.sql.Timestamp, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState("latest",
+        Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[(String, java.sql.Timestamp, Double)] = {
+      var cur = if (latest.exists()) Some(latest.get()) else None
+      rows.foreach { r =>
+        if (cur.isEmpty || !r._2.before(cur.get._1)) cur = Some((r._2, r._3))
+      }
+      cur.foreach(latest.update)
+      cur.map(c => (key, c._1, c._2)).iterator
+    }
+  }
+
   /** Custom keyed state (flatMapGroupsWithState): per-key lifetime
     * counters emitted on every update — the pattern for state the
     * built-in windows can't express (the reference keeps no state at

@@ -143,4 +143,36 @@ class StreamsSpec extends SparkSuite {
     assert(out.select("key").as[String].collect().toSeq === Seq("a"))
     assert(db.stats("stream_t").numRows === 2)
   }
+
+  test("transformWithState: per-key latest value with RocksDB state store") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val out = mem.toDS().map(e => (e.key, e.ts, e.value))
+        .groupByKey(_._1)
+        .transformWithState(new Streams.LatestValueProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("key", "ts", "value").writeStream.format("memory")
+        .queryName("tws_out").outputMode("update").start()
+      mem.addData(Ev("a", ts("2024-01-01 10:00:00"), 1.0),
+        Ev("a", ts("2024-01-01 10:02:00"), 2.0))
+      q.processAllAvailable()
+      // older row arrives later -> state keeps the newer value
+      mem.addData(Ev("a", ts("2024-01-01 09:00:00"), 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").as[(String, Timestamp, Double)]
+        .collect().sortBy(_._2.getTime)
+      assert(rows.last === (("a", ts("2024-01-01 10:02:00"), 2.0)))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
