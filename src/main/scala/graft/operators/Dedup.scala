@@ -140,6 +140,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs — min-label propagation
+    * to fixpoint. Pairwise matches alone don't dedup a corpus: A~B and
+    * B~C must collapse into one group even when A~C was never emitted.
+    * Iterations are bounded by component diameter (near-dup clusters
+    * are shallow); lineage is truncated per iteration with
+    * localCheckpoint so plans don't grow unboundedly. Returns
+    * (id, component) with component = min id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint(true)
+    var labels = edges.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val viaA = edges.join(labels, edges("a") === labels("id"))
+        .select(col("b").as("id"), col("component"))
+      val viaB = edges.join(labels, edges("b") === labels("id"))
+        .select(col("a").as("id"), col("component"))
+      val next = viaA.unionByName(viaB)
+        .unionByName(labels.select(col("id"), col("component")))
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.component") =!= col("l.component"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Full dedup: everything from `df` minus non-keeper members of
+    * near-dup clusters (keeper = min id per component). */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** D2c — embedding-cosine near-dup pairs via the LSH candidate path
     * (reuses Similarity's bucketing through a self top-k, then filters by
     * similarity threshold). For corpora where near-dup = same content

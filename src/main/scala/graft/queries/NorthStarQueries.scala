@@ -73,6 +73,18 @@ object NorthStarQueries {
         threshold = 0.4, bands = 16, bitsPerBand = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D2e: the full near-dup dedup pipeline — MinHash-LSH pairs →
+    * connected components → keeper selection (rows-only; pieces are
+    * individually unit-tested). */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    Dedup.dedupByClusters(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D4: text statistics — token/char/punct/stopword measures. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
@@ -145,6 +157,7 @@ object NorthStarQueries {
         |                  ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END, 6) AS jaccard
         |FROM pairs ORDER BY id_a""".stripMargin)),
     QueryDef("d2d_embedding_neardup", embeddingNearDup, None),
+    QueryDef("d2e_dedup_pipeline", dedupPipeline, None),
     QueryDef("d3_similarity_topk", similarityTopK, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |pairs AS (

@@ -70,4 +70,21 @@ class DedupSpec extends SparkSuite {
     assert(pairs.contains((1L, 4L)))
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("connected components collapse transitive near-dup chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L && cc(9L) === 1L)
+    assert(cc(5L) === 5L && cc(6L) === 5L)
+  }
+
+  test("dedupByClusters keeps min-id per cluster and all singletons") {
+    val corpus = Seq((1L, "x"), (2L, "x2"), (3L, "x3"), (5L, "y"),
+      (6L, "y2"), (7L, "solo")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(corpus, "id", pairs)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 5L, 7L))
+  }
 }
