@@ -69,6 +69,27 @@ object AsOfJoin {
       .select((leftCols ++ outNames).map(col): _*)
   }
 
+  /** As-of with tolerance: like [[asOf]], but a matched right row must
+    * also satisfy `left.time - right.time <= tolerance` — the bounded-
+    * lookback form real time-series joins need (a quote from last week
+    * shouldn't fill today's trade). Matches outside tolerance become
+    * nulls. */
+  def asOfTolerance(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      valueCols: Seq[(String, String)],
+      tolerance: String,
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val withT = asOf(left, right, leftKey, leftTime, rightKey, rightTime,
+      valueCols :+ (rightTime -> "__rt"), rightTieBreak)
+    val inWindow = col("__rt").isNotNull &&
+      col("__rt") >= col(leftTime) - expr(s"INTERVAL $tolerance")
+    valueCols.foldLeft(withT) { case (df, (_, o)) =>
+      df.withColumn(o, when(inWindow, col(o)))
+    }.drop("__rt")
+  }
+
   /** Inner-as-of: drop left rows with no prior right row. */
   def asOfInner(
       left: DataFrame, right: DataFrame,

@@ -45,4 +45,29 @@ object Resample {
       }: _*)
       .orderBy(col("bucket"))
   }
+
+  /** Resample with last-observation-carried-forward gap fill: empty
+    * buckets inherit the most recent non-empty bucket's value (per
+    * optional partition key) — the standard time-series fill for
+    * sampled metrics. One window pass over the gap grid. */
+  def resampleLocf(
+      df: DataFrame,
+      timeCol: String,
+      unit: String,
+      step: String,
+      valueAgg: Column,
+      valueName: String): DataFrame = {
+    val filled = resample(df, timeCol, unit, step,
+      aggs = Seq((count(lit(1)), "__n"), (valueAgg, valueName)),
+      fills = Map("__n" -> lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    filled
+      .withColumn(valueName,
+        last(when(col("__n") > 0, col(valueName)), ignoreNulls = true).over(w))
+      .withColumn("was_gap", (col("__n") === 0).as("was_gap"))
+      .drop("__n")
+      .orderBy(col("bucket"))
+  }
 }

@@ -49,6 +49,58 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * queries probe only the `nprobe` nearest cells — the classic
+    * clustered-index alternative to LSH. At 100 TB the assignment is one
+    * map over the corpus (centroids broadcast), and each query touches
+    * ~nprobe/nlist of the data. Deterministic via fixed seed.
+    *
+    * @param queries expected small (broadcast against probed cells)
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(c.select(col("features")))
+
+    val assigned = model.transform(c)
+      .select(col("id"), col("vec"), col("prediction").as("cell"))
+
+    // per-query nprobe nearest cells, via the same cosine expression
+    val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val centersDf = corpus.sparkSession.createDataFrame(centers)
+      .toDF("cell", "center")
+
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centersDf))
+      .withColumn("cdist",
+        graft.functions.NativeExpressions.cosineNative(col("qv"), col("center")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos",
+        graft.functions.NativeExpressions.cosineNative(col("qv"), col("vec")))
+      .withColumnRenamed("id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Random-hyperplane signature — native Catalyst expression (tight
     * eval loop; the HOF formulation evaluates interpreted, ~10× slower).
     * Plane components are hash-derived from (bit, dim, seed), so plans

@@ -53,6 +53,15 @@ object NorthStarQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** D3c: IVF (k-means coarse quantizer) ANN — the clustered-index scale
+    * path; rows-only check, recall asserted in SimilaritySpec. */
+  def similarityIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** D3b: LSH-bucketed approximate ANN (scale path; rows-only check —
     * recall vs exact is asserted in the ScalaTest suite). */
   def similarityLsh(spark: SparkSession, dir: String): DataFrame =
@@ -177,6 +186,7 @@ object NorthStarQueries {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       headline = true),
     QueryDef("d3b_similarity_lsh", similarityLsh, None),
+    QueryDef("d3c_similarity_ivf", similarityIvf, None),
     QueryDef("d4_text_stats", textStats, Some(
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,

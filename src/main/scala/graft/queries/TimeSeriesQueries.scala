@@ -29,6 +29,30 @@ object TimeSeriesQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q9b: as-of join with a 2-hour lookback tolerance (inner form). */
+  def asOfToleranceQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+    AsOfJoin.asOfTolerance(
+        clicks, purchases,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "user_id", rightTime = "ts",
+        valueCols = Seq("ts" -> "last_purchase_ts"),
+        tolerance = "2 HOURS",
+        rightTieBreak = Some("p_event_id"))
+      .filter(col("last_purchase_ts").isNotNull)
+      .orderBy(col("event_id"))
+  }
+
+  /** Q26b: LOCF resample — gaps carry the last observed value. */
+  def resampleLocfQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.resampleLocf(
+      t(spark, dir, "events"), "ts", "hour", "INTERVAL 1 HOUR",
+      Det.dsum(col("value")), "v")
+
   /** Q26: hourly resample of events with gap fill. */
   def resampleQ(spark: SparkSession, dir: String): DataFrame =
     Resample.resample(
@@ -48,6 +72,28 @@ object TimeSeriesQueries {
         |GROUP BY c.event_id, c.user_id, c.ts
         |ORDER BY c.event_id""".stripMargin),
       headline = true),
+    QueryDef("q09b_asof_tolerance", asOfToleranceQ, Some(
+      """SELECT c.event_id, c.user_id, c.ts, MAX(p.ts) AS last_purchase_ts
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 2 HOUR
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id, c.user_id, c.ts
+        |ORDER BY c.event_id""".stripMargin)),
+    QueryDef("q30b_resample_locf", resampleLocfQ, Some(
+      s"""WITH agg AS (
+         |  SELECT date_trunc('hour', ts) AS b, COUNT(*) AS n,
+         |         ${Det.dsumSql("value")} AS v
+         |  FROM events GROUP BY 1),
+         |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM agg),
+         |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM bounds),
+         |j AS (SELECT g.b AS bucket, COALESCE(a.n, 0) AS n, a.v
+         |      FROM grid g LEFT JOIN agg a ON g.b = a.b)
+         |SELECT bucket,
+         |  last_value(CASE WHEN n > 0 THEN v END IGNORE NULLS)
+         |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+         |  n = 0 AS was_gap
+         |FROM j ORDER BY bucket""".stripMargin)),
     QueryDef("q30_resample", resampleQ, Some(
       s"""WITH agg AS (
          |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,

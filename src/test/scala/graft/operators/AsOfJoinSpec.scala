@@ -50,4 +50,16 @@ class AsOfJoinSpec extends SparkSuite {
       Seq("v" -> "last_v"), rightTieBreak = Some("seq"))
     assert(out.select("last_v").as[Double].head() === 2.0)
   }
+
+  test("as-of with tolerance nulls out matches older than the window") {
+    val l = Seq((1L, ts("2024-01-01 12:00:00"), "x"),
+      (2L, ts("2024-01-01 12:00:00"), "y")).toDF("k", "t", "tag")
+    val r = Seq((1L, ts("2024-01-01 09:30:00"), 1.0),   // 2.5h old
+      (2L, ts("2024-01-01 11:30:00"), 2.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.asOfTolerance(l, r, "k", "t", "k", "t",
+        Seq("v" -> "last_v"), tolerance = "1 HOUR")
+      .select($"tag", $"last_v").as[(String, Option[Double])].collect().toMap
+    assert(out("x") === None)       // match exists but outside tolerance
+    assert(out("y") === Some(2.0))  // within tolerance
+  }
 }

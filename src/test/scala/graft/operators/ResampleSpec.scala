@@ -24,4 +24,18 @@ class ResampleSpec extends SparkSuite {
     assert(out(1) === ((Timestamp.valueOf("2024-01-01 11:00:00"), 0L, 0.0)))
     assert(out(2) === ((Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 4.0)))
   }
+
+  test("LOCF resample carries last value across gaps") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 10:15:00"), 1.0),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), 2.0),
+      (Timestamp.valueOf("2024-01-01 12:05:00"), 4.0)
+    ).toDF("ts", "v")
+    val out = Resample.resampleLocf(df, "ts", "hour", "INTERVAL 1 HOUR",
+        Det.dsum(col("v")), "v")
+      .as[(Timestamp, Double, Boolean)].collect()
+    assert(out(0) === ((Timestamp.valueOf("2024-01-01 10:00:00"), 3.0, false)))
+    assert(out(1) === ((Timestamp.valueOf("2024-01-01 11:00:00"), 3.0, true))) // carried
+    assert(out(2) === ((Timestamp.valueOf("2024-01-01 12:00:00"), 4.0, false)))
+  }
 }

@@ -33,4 +33,16 @@ class SimilaritySpec extends SparkSuite {
     // deterministic given fixed seed/data; measured 0.90 on the fixture
     assert(recall > 0.8, s"recall@5 = $recall")
   }
+
+  test("IVF ANN achieves reasonable recall@5 vs exact on fixtures") {
+    val emb = Tables.t(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 32)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 6)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"IVF recall@5 = $recall")
+  }
 }
