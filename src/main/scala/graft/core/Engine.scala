@@ -8,14 +8,26 @@ object Engine {
 
   /** Recommended session settings (mirrors Bench/Verify): AQE on, small
     * shuffle fan-out for local mode, UTC for oracle parity. */
-  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    SparkSession.builder()
+  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    installOptimizations(spark)
+    spark
+  }
+
+  /** Install the engine's optimizer rules (idempotent) — currently the
+    * raw-ns range-pushdown rewrite (graft.plans.NsEpochRangeRule). */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val cur = spark.sessionState.experimentalMethods.extraOptimizations
+    if (!cur.contains(graft.plans.NsEpochRangeRule))
+      spark.sessionState.experimentalMethods.extraOptimizations =
+        cur :+ graft.plans.NsEpochRangeRule
+  }
 
   /** Register every fixture table as a temp view so the full engine
     * surface is reachable through plain SQL. */
