@@ -35,4 +35,30 @@ object Engine {
     Tables.all.foreach { name =>
       Tables.t(spark, dir, name).createOrReplaceTempView(name)
     }
+
+  /** Expose the native expressions to SQL:
+    * minhash_sig(text, k, n), simhash64(text), hyperplane_sig(vec, bits,
+    * seed), cosine_native(a, b), shingle_jaccard(a, b, k). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import graft.functions.NativeExpressions._
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def intArg(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSigExpr(es.head, intArg(es(1), "shingleK"), intArg(es(2), "numHashes")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHashExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_sig",
+      es => HyperplaneSigExpr(es.head, intArg(es(1), "numBits"), intArg(es(2), "seed")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_native",
+      es => CosineExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_jaccard",
+      es => ShingleJaccardExpr(es.head, es(1), intArg(es(2), "k")), "scala_udf")
+  }
 }

@@ -55,6 +55,18 @@ object AggQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_part"))
       .orderBy(col("l_returnflag"))
 
+  /** Q19b: approximate percentiles (t-digest-style sketch; estimate is
+    * engine-specific → rows-only check, exact bounds sanity in tests). */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+        .as("apx"))
+      .select(col("l_returnflag"),
+        element_at(col("apx"), 1).as("p50"),
+        element_at(col("apx"), 2).as("p95"))
+      .orderBy(col("l_returnflag"))
+
   /** Q20a: rollup with grouping id. */
   def rollupQ(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -137,6 +149,7 @@ object AggQueries {
         |       COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     QueryDef("q22_approx_distinct", approxDistinct, None),
+    QueryDef("q25b_approx_percentile", approxPercentile, None),
     QueryDef("q22b_pivot", pivotQ, Some(
       """SELECT user_id,
         |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS "click",

@@ -20,4 +20,22 @@ class EngineSpec extends SparkSuite {
         |GROUP BY r_name ORDER BY r_name""".stripMargin)
     assert(joined.as[(String, Long)].collect().map(_._2).sum === 150L)
   }
+
+  test("registerFunctions exposes native expressions to SQL") {
+    Engine.registerTables(spark, sf())
+    Engine.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT doc_id,
+        |       simhash64(text) AS sig,
+        |       shingle_jaccard(text, text, 3) AS self_j,
+        |       size(minhash_sig(text, 3, 16)) AS n_hashes
+        |FROM documents ORDER BY doc_id LIMIT 1""".stripMargin).head()
+    assert(row.getAs[Double]("self_j") === 1.0)
+    assert(row.getAs[Int]("n_hashes") === 16)
+    val cos = spark.sql(
+      """SELECT cosine_native(embedding, embedding) AS c
+        |FROM embeddings ORDER BY vec_id LIMIT 1""".stripMargin)
+      .head().getAs[Double]("c")
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
 }
