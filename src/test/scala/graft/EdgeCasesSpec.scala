@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.Det
+import graft.operators.{AsOfJoin, Dedup, Resample, Similarity}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Degenerate-input behavior: empty/singleton frames through every
+  * operator family — the shapes that show up at the edges of real
+  * partitions (empty time ranges, single-document sources, corpora with
+  * no near-dups). */
+class EdgeCasesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String)].toDF("id", "text")
+  private lazy val oneDoc =
+    Seq((1L, "just one document here")).toDF("id", "text")
+
+  test("as-of join with empty right side yields all-null values") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "tag")
+    val right = Seq.empty[(Long, Timestamp, Double)].toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "k", "t", Seq("v" -> "lv"))
+    assert(out.count() === 1)
+    assert(out.select("lv").as[Option[Double]].head() === None)
+    assert(AsOfJoin.asOfInner(left, right, "k", "t", "k", "t",
+      Seq("v" -> "lv")).count() === 0)
+  }
+
+  test("dedup family on empty and singleton corpora") {
+    assert(Dedup.exact(emptyDocs, "id", "text").count() === 0)
+    assert(Dedup.exact(oneDoc, "id", "text").count() === 1)
+    assert(Dedup.minHashLsh(emptyDocs, "id", "text").count() === 0)
+    assert(Dedup.minHashLsh(oneDoc, "id", "text").count() === 0)
+    assert(Dedup.simHashPairs(oneDoc, "id", "text").count() === 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noPairs).count() === 0)
+    assert(Dedup.dedupByClusters(oneDoc, "id", noPairs).count() === 1)
+  }
+
+  test("similarity on singleton corpus excludes self and returns empty") {
+    val one = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(one, one, "vec_id", "embedding", 5)
+      .count() === 0)
+    assert(Similarity.lshTopK(one, "vec_id", "embedding", 5).count() === 0)
+  }
+
+  test("resample of a single row is that row's bucket") {
+    val df = Seq((ts("2024-01-01 10:30:00"), 2.5)).toDF("ts", "v")
+    val out = Resample.resample(df, "ts", "hour", "INTERVAL 1 HOUR",
+      Seq((count(lit(1)), "n"), (Det.dsum(col("v")), "s")),
+      Map("n" -> lit(0L), "s" -> lit(0.0)))
+    assert(out.as[(Timestamp, Long, Double)].collect().toSeq ===
+      Seq((ts("2024-01-01 10:00:00"), 1L, 2.5)))
+  }
+
+  test("empty time range through the reference query path") {
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(java.nio.file.Files
+        .createTempDirectory("edge").toString))
+    db.createTable("t")
+    db.insertSeq("t", Seq(graft.core.ChronoRow("k",
+      ts("2024-01-01 10:00:00"), Array[Byte](1))))
+    // start > end → empty, no error (matches filtering semantics)
+    assert(db.query("t", ts("2024-01-02 00:00:00"),
+      ts("2024-01-01 00:00:00")).count() === 0)
+  }
+}
