@@ -141,26 +141,19 @@ object NativeExpressions {
     override def prettyName: String = "hyperplane_sig"
   }
 
-  /** Cosine similarity over two float arrays, computed with the exact
-    * same operation order as the fold formulation in VectorFunctions
-    * (left-to-right double accumulation, sqrt/division IEEE ops) — so it
-    * is bit-identical to the DuckDB oracle's list_reduce formulation,
-    * just ~20× faster than interpreted HOF evaluation. Null on zero
-    * vectors, like VectorFunctions.cosine. */
-  case class CosineExpr(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
-    override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** Static kernel shared by interpreted eval and generated code.
+    * Returns NaN as the "undefined" sentinel (zero-norm input — or NaN
+    * elements, which are equally undefined), mapped to SQL NULL by the
+    * expression. */
+  object Kernels {
+    def cosine(ad: Any, bd: Any): Double = {
+      val a = ad.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val b = bd.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val n = math.min(a.numElements(), b.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
-        val x = a.getFloat(i).toDouble
-        val y = b.getFloat(i).toDouble
-        dot += x * y
+        dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
         i += 1
       }
       i = 0
@@ -168,9 +161,35 @@ object NativeExpressions {
       i = 0
       while (i < b.numElements()) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
       val sa = math.sqrt(na); val sb = math.sqrt(nb)
-      if (sa == 0.0 || sb == 0.0) null
-      else java.lang.Double.valueOf(dot / (sa * sb))
+      if (sa == 0.0 || sb == 0.0) Double.NaN
+      else dot / (sa * sb)
     }
+  }
+
+  /** Cosine similarity over two float arrays, computed with the exact
+    * same operation order as the fold formulation in VectorFunctions
+    * (left-to-right double accumulation, sqrt/division IEEE ops) — so it
+    * is bit-identical to the DuckDB oracle's list_reduce formulation,
+    * just ~20× faster than interpreted HOF evaluation. Null on zero
+    * vectors, like VectorFunctions.cosine. Implements doGenCode (a call
+    * into the static kernel) so surrounding operators stay inside
+    * whole-stage codegen. */
+  case class CosineExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val v = Kernels.cosine(l, r)
+      if (java.lang.Double.isNaN(v)) null else java.lang.Double.valueOf(v)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |${ev.value} = graft.functions.NativeExpressions.Kernels$$.MODULE$$.cosine($a, $b);
+           |if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+         """.stripMargin)
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
