@@ -91,6 +91,23 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicates(keys :+ tsCol)
 
+  /** S6: watermarked stream-stream interval join — right rows within
+    * `[left.ts - lookback, left.ts + lookahead]` on the same key. Both
+    * sides need watermarks so the join state is bounded (Spark evicts
+    * right-side state once the watermark passes the interval). The
+    * streaming analog of the batch range join (Q14/q16). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      lateness: String, lookback: String, lookahead: String): DataFrame = {
+    val l = left.withWatermark(tsCol, lateness).alias("l")
+    val r = right.withWatermark(tsCol, lateness).alias("r")
+    l.join(r,
+      expr(s"""l.$keyCol = r.$keyCol
+              | AND r.$tsCol >= l.$tsCol - INTERVAL $lookback
+              | AND r.$tsCol <= l.$tsCol + INTERVAL $lookahead""".stripMargin))
+  }
+
   /** Spark 4 transformWithState processor: per-key latest row — the
     * reference's key → most-recent-value semantics (its dead PrimaryKeys
     * intent) held as streaming state. Requires the RocksDB state store

@@ -175,4 +175,29 @@ class StreamsSpec extends SparkSuite {
       }
     }
   }
+
+  test("S6 stream-stream interval join matches rows within the window") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = Streams.intervalJoin(
+        clicks.toDF().withColumnRenamed("value", "click_v"),
+        buys.toDF().withColumnRenamed("value", "buy_v"),
+        keyCol = "key", tsCol = "ts",
+        lateness = "1 minute", lookback = "10 MINUTES", lookahead = "0 SECONDS")
+      .select(col("l.key").as("key"), col("l.ts").as("click_ts"),
+        col("r.ts").as("buy_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    clicks.addData(Ev("u1", ts("2024-01-01 10:20:00"), 1))
+    buys.addData(
+      Ev("u1", ts("2024-01-01 10:15:00"), 1),  // within 10m lookback
+      Ev("u1", ts("2024-01-01 09:00:00"), 1),  // too old
+      Ev("u2", ts("2024-01-01 10:16:00"), 1))  // wrong key
+    q.processAllAvailable()
+    val rows = spark.table("ssj_out")
+      .select("key", "buy_ts").as[(String, Timestamp)].collect()
+    assert(rows.toSeq === Seq(("u1", ts("2024-01-01 10:15:00"))))
+    q.stop()
+  }
 }
