@@ -36,6 +36,37 @@ object ScalarFnQueries {
         trim(lit("  x  ")).as("trimmed"))
       .orderBy(col("c_custkey"))
 
+  /** Q30b: second string batch — reverse/repeat/translate/position/
+    * left/ascii/prefix tests. */
+  def stringFns2(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .select(
+        col("s_suppkey"),
+        reverse(col("s_name")).as("rev"),
+        repeat(col("s_name"), 2).as("doubled"),
+        translate(col("s_name"), "S#", "Z_").as("translated"),
+        instr(col("s_name"), "plier").cast("int").as("pos"),
+        substring(col("s_name"), 1, 3).as("left3"),
+        ascii(col("s_name")).cast("int").as("first_code"),
+        col("s_name").startsWith("Supplier").as("is_supp"),
+        col("s_name").endsWith("0").as("ends_zero"),
+        col("s_name").contains("#").as("has_hash"))
+      .orderBy(col("s_suppkey"))
+
+  /** Q31b: second date batch — quarter/last_day/day arithmetic. */
+  def datetimeFns2(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("int").as("qtr"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("int").as("days_to_2002"),
+        (col("o_orderdate") - expr("INTERVAL 1 DAY")).as("prev_day"),
+        greatest(col("o_orderdate"), lit("1998-01-01 00:00:00").cast("timestamp"))
+          .as("clamped"))
+      .orderBy(col("o_orderkey"))
+
   /** Q31: date/time functions. */
   def datetimeFns(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -121,6 +152,26 @@ object ScalarFnQueries {
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
         |  trim('  x  ') AS trimmed
         |FROM customer ORDER BY c_custkey""".stripMargin)),
+    QueryDef("q35b_string_fns2", stringFns2, Some(
+      """SELECT s_suppkey,
+        |  reverse(s_name) AS rev,
+        |  repeat(s_name, 2) AS doubled,
+        |  translate(s_name, 'S#', 'Z_') AS translated,
+        |  CAST(strpos(s_name, 'plier') AS INTEGER) AS pos,
+        |  substring(s_name, 1, 3) AS left3,
+        |  CAST(ascii(s_name) AS INTEGER) AS first_code,
+        |  starts_with(s_name, 'Supplier') AS is_supp,
+        |  ends_with(s_name, '0') AS ends_zero,
+        |  contains(s_name, '#') AS has_hash
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+    QueryDef("q36b_datetime_fns2", datetimeFns2, Some(
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        |  o_orderdate - INTERVAL 1 DAY AS prev_day,
+        |  greatest(o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS clamped
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("q36_datetime_fns", datetimeFns, Some(
       """SELECT o_orderkey, o_orderdate,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,
