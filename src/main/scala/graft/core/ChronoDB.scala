@@ -63,8 +63,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   private def tablePath(name: String): Path = root.resolve(name)
 
+  /** Bucket label pinned to UTC wall-clock: query() and cleanup() parse
+    * labels with a UTC SimpleDateFormat, so the label computation must
+    * not depend on spark.sql.session.timeZone. convert_timezone renders
+    * the instant as UTC wall-clock (TIMESTAMP_NTZ); date_trunc +
+    * date_format on NTZ are then timezone-independent. */
   private def bucketExpr = date_format(
-    date_trunc(config.bucket, col("ts")),
+    date_trunc(config.bucket, convert_timezone(lit("UTC"), col("ts"))),
     if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
 
   // --- DDL (db.go:80-142) ---
@@ -105,9 +110,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def insert(name: String, rows: Dataset[ChronoRow],
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     requireTable(name)
+    // >= keeps a row aged exactly ttl — the reference drops only when
+    // age strictly exceeds TTL (table.go:93).
     val fresh = config.ttl match {
       case Some(ttlSec) =>
-        rows.filter(col("ts") > lit(new Timestamp(now.getTime - ttlSec * 1000L)))
+        rows.filter(col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
       case None => rows.toDF()
     }
     fresh

@@ -9,6 +9,42 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Static kernels shared by interpreted eval and whole-stage-generated
+  * code. MUST stay a TOP-LEVEL object: Scala then emits a plain class
+  * `graft.functions.Kernels` with static forwarder methods, which Janino
+  * can resolve as `graft.functions.Kernels.cosine(a, b)`. A nested
+  * object compiles to `Outer$Kernels$`, which Janino cannot reach via a
+  * dotted path — generated code fails to compile and Spark silently
+  * falls back to interpreted execution (~5× slower on the d2/d3 paths).
+  *
+  * Returns NaN as the "undefined" sentinel (zero-norm input,
+  * length-mismatched vectors, or NaN elements), mapped to SQL NULL by
+  * the expression — matching the zip_with/fold formulation in
+  * VectorFunctions and the DuckDB oracle, which also yield NULL on
+  * malformed input.
+  */
+object Kernels {
+  def cosine(ad: Any, bd: Any): Double = {
+    val a = ad.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = bd.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    i = 0
+    while (i < n) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
+    val sa = math.sqrt(na); val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) Double.NaN
+    else dot / (sa * sb)
+  }
+}
+
 /** Native Catalyst expressions for the hot sketching paths.
   *
   * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
@@ -141,31 +177,6 @@ object NativeExpressions {
     override def prettyName: String = "hyperplane_sig"
   }
 
-  /** Static kernel shared by interpreted eval and generated code.
-    * Returns NaN as the "undefined" sentinel (zero-norm input — or NaN
-    * elements, which are equally undefined), mapped to SQL NULL by the
-    * expression. */
-  object Kernels {
-    def cosine(ad: Any, bd: Any): Double = {
-      val a = ad.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val b = bd.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
-        i += 1
-      }
-      i = 0
-      while (i < a.numElements()) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
-      i = 0
-      while (i < b.numElements()) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
-      val sa = math.sqrt(na); val sb = math.sqrt(nb)
-      if (sa == 0.0 || sb == 0.0) Double.NaN
-      else dot / (sa * sb)
-    }
-  }
-
   /** Cosine similarity over two float arrays, computed with the exact
     * same operation order as the fold formulation in VectorFunctions
     * (left-to-right double accumulation, sqrt/division IEEE ops) — so it
@@ -187,7 +198,7 @@ object NativeExpressions {
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""
-           |${ev.value} = graft.functions.NativeExpressions.Kernels$$.MODULE$$.cosine($a, $b);
+           |${ev.value} = graft.functions.Kernels.cosine($a, $b);
            |if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
          """.stripMargin)
     override protected def withNewChildrenInternal(

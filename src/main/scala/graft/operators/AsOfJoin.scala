@@ -36,12 +36,29 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val outNames = valueCols.map(_._2)
 
+    // Keys keep their native type: a lossy cast (e.g. string → long)
+    // would null out every key and silently forward-fill right values
+    // across unrelated keys. Sides must agree on the key type up front;
+    // integral widening is the only implicit alignment performed.
+    val lkType = left.schema(leftKey).dataType
+    val rkType = right.schema(rightKey).dataType
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val (lk, rk) =
+      if (lkType == rkType) (col(leftKey), col(rightKey))
+      else if (integral.contains(lkType) && integral.contains(rkType))
+        (col(leftKey).cast("long"), col(rightKey).cast("long"))
+      else throw new IllegalArgumentException(
+        s"as-of join key types must match: left $leftKey is $lkType, right $rightKey is $rkType")
+
+    val tbType = rightTieBreak.map(c => right.schema(c).dataType).getOrElse(LongType)
+
     val l2 = left.select(
       (Seq(
-        col(leftKey).cast("long").as("__k"),
+        lk.as("__k"),
         col(leftTime).as("__t"),
         lit(1).as("__side"),
-        lit(null).cast("long").as("__tb")) ++
+        lit(null).cast(tbType).as("__tb")) ++
         leftCols.map(c => col(c)) ++
         outNames.zip(valueCols.map(_._1)).map { case (o, rc) =>
           lit(null).cast(right.schema(rc).dataType).as(o)
@@ -49,10 +66,10 @@ object AsOfJoin {
 
     val r2 = right.select(
       (Seq(
-        col(rightKey).cast("long").as("__k"),
+        rk.as("__k"),
         col(rightTime).as("__t"),
         lit(0).as("__side"),
-        rightTieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tb")) ++
+        rightTieBreak.map(c => col(c)).getOrElse(lit(0L).cast(tbType)).as("__tb")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map { case (rc, o) => col(rc).as(o) }): _*)
 

@@ -16,12 +16,17 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * does the rewrite by hand for the engine's own scans; this rule does
   * it for ANY user filter, automatically.
   *
-  * For u ≥ 0 and x the raw ns long:
-  *   trunc(x/1000) >= u  ⟹  x >= u*1000
-  *   trunc(x/1000) <= u  ⟹  x <= u*1000 + 999
-  *   trunc(x/1000) >  u  ⟹  x >= (u+1)*1000
-  *   trunc(x/1000) <  u  ⟹  x <= u*1000 - 1
-  *   trunc(x/1000) =  u  ⟹  u*1000 <= x <= u*1000 + 999
+  * For u ≥ 0 and x the raw ns long. `DIV` truncates toward zero, so for
+  * pre-epoch x < 0 the quotient rounds UP (-500 DIV 1000 = 0) — the
+  * derived bounds must account for negative ns or they would wrongly
+  * filter pre-1970 rows. With t = trunc(x/1000):
+  *   t >= u  ⟹  x >= u*1000            (u ≥ 1; x<0 gives t ≤ 0 < u)
+  *   t >= 0  ⟹  x >= -999              (t ≥ 0 ⟺ x > -1000)
+  *   t <= u  ⟹  x <= u*1000 + 999      (x<0 satisfies both sides)
+  *   t >  u  ⟹  x >= (u+1)*1000        (u+1 ≥ 1 case of >=)
+  *   t <  u  ⟹  x <= u*1000 - 1 (u ≥ 1);  t < 0 ⟹ x <= -1000
+  *   t =  u  ⟹  u*1000 <= x <= u*1000 + 999 (u ≥ 1)
+  *   t =  0  ⟹  -999 <= x <= 999
   *
   * The derived predicate is ADDED as a conjunct (the original comparison
   * stays), so this is safe even at the truncation edges: the addition
@@ -48,24 +53,27 @@ object NsEpochRangeRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def geBound(u: Long): Long = if (u == 0L) -999L else u * 1000L
+  private def ltBound(u: Long): Long = if (u == 0L) -1000L else u * 1000L - 1L
+
   private def derived(cmp: Expression): Option[Expression] = cmp match {
     case GreaterThanOrEqual(MicrosOfNs(x), l: Literal) =>
-      usOf(l).map(u => GreaterThanOrEqual(x, Literal(u * 1000L)))
+      usOf(l).map(u => GreaterThanOrEqual(x, Literal(geBound(u))))
     case LessThanOrEqual(MicrosOfNs(x), l: Literal) =>
       usOf(l).map(u => LessThanOrEqual(x, Literal(u * 1000L + 999L)))
     case GreaterThan(MicrosOfNs(x), l: Literal) =>
       usOf(l).map(u => GreaterThanOrEqual(x, Literal((u + 1) * 1000L)))
     case LessThan(MicrosOfNs(x), l: Literal) =>
-      usOf(l).map(u => LessThanOrEqual(x, Literal(u * 1000L - 1L)))
+      usOf(l).map(u => LessThanOrEqual(x, Literal(ltBound(u))))
     case EqualTo(MicrosOfNs(x), l: Literal) =>
       usOf(l).map(u => And(
-        GreaterThanOrEqual(x, Literal(u * 1000L)),
+        GreaterThanOrEqual(x, Literal(geBound(u))),
         LessThanOrEqual(x, Literal(u * 1000L + 999L))))
     // literal-on-the-left forms
     case GreaterThanOrEqual(l: Literal, MicrosOfNs(x)) =>
       usOf(l).map(u => LessThanOrEqual(x, Literal(u * 1000L + 999L)))
     case LessThanOrEqual(l: Literal, MicrosOfNs(x)) =>
-      usOf(l).map(u => GreaterThanOrEqual(x, Literal(u * 1000L)))
+      usOf(l).map(u => GreaterThanOrEqual(x, Literal(geBound(u))))
     case _ => None
   }
 

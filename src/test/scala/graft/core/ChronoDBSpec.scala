@@ -63,6 +63,42 @@ class ChronoDBSpec extends SparkSuite {
     assert(db.table("t").count() === 1)
   }
 
+  test("TTL keeps a row aged exactly ttl (reference table.go:93 boundary)") {
+    val db = freshDb(ttl = Some(3600))
+    db.createTable("t")
+    val now = ts("2024-01-02 12:00:00")
+    db.insertSeq("t", Seq(
+      row("exact", "2024-01-02 11:00:00"),   // age == ttl → kept
+      row("over", "2024-01-02 10:59:59")),   // age > ttl → dropped
+      now)
+    assert(db.table("t").select("key").as[String].collect().toSeq === Seq("exact"))
+  }
+
+  test("bucket labels pinned to UTC: query and cleanup correct under non-UTC session TZ") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val db = freshDb(ttl = Some(7200))
+      db.createTable("t")
+      db.insertSeq("t", Seq(
+        row("a", "2024-01-01 09:15:00"),
+        row("b", "2024-01-01 10:30:00"),
+        row("c", "2024-01-01 11:10:00")),
+        ts("2024-01-01 11:14:00"))
+      // with session-TZ bucket labels these rows would land in buckets
+      // 2024-01-01-01..03 and the UTC-formatted bucket predicate in
+      // query() would silently drop them all
+      val out = db.query("t", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))
+        .select("key").as[String].collect().sorted.toSeq
+      assert(out === Seq("b", "c"))
+      // cleanup must not delete young buckets (TZ-shifted labels would
+      // parse 8h older than they are and get reaped early)
+      assert(db.cleanup("t", ts("2024-01-01 11:30:00")) === Seq.empty)
+      val dropped = db.cleanup("t", ts("2024-01-01 13:00:00"))
+      assert(dropped.sorted === Seq("2024-01-01-09", "2024-01-01-10"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("cleanup drops whole expired buckets only (bucket granularity)") {
     val db = freshDb(ttl = Some(7200)) // 2h
     db.createTable("t")

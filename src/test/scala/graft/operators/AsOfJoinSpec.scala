@@ -51,6 +51,40 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.select("last_v").as[Double].head() === 2.0)
   }
 
+  test("string keys keep their native type (no lossy cast collapsing keys)") {
+    val l = Seq(
+      ("AAPL", ts("2024-01-01 10:00:00"), "x"),
+      ("MSFT", ts("2024-01-01 10:00:00"), "y"),
+      ("GOOG", ts("2024-01-01 10:00:00"), "z") // no right row for GOOG
+    ).toDF("sym", "t", "tag")
+    val r = Seq(
+      ("AAPL", ts("2024-01-01 09:00:00"), 1.0),
+      ("MSFT", ts("2024-01-01 09:30:00"), 2.0)
+    ).toDF("sym", "t", "px")
+    val out = AsOfJoin.asOf(l, r, "sym", "t", "sym", "t", Seq("px" -> "last_px"))
+      .select($"tag", $"last_px").as[(String, Option[Double])].collect().toMap
+    // a cast-to-long key would null all three into one partition and
+    // forward-fill MSFT's price into GOOG's row
+    assert(out("x") === Some(1.0))
+    assert(out("y") === Some(2.0))
+    assert(out("z") === None)
+  }
+
+  test("mismatched non-numeric key types fail fast") {
+    val l = Seq(("1", ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val r = Seq((1.5, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, "k", "t", "k", "t", Seq("v" -> "last_v"))
+    }
+  }
+
+  test("mixed integral key widths widen to long") {
+    val l = Seq((1, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "tag")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(l, r, "k", "t", "k", "t", Seq("v" -> "last_v"))
+    assert(out.select("last_v").as[Option[Double]].head() === Some(7.0))
+  }
+
   test("as-of with tolerance nulls out matches older than the window") {
     val l = Seq((1L, ts("2024-01-01 12:00:00"), "x"),
       (2L, ts("2024-01-01 12:00:00"), "y")).toDF("k", "t", "tag")
