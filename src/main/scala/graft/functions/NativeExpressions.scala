@@ -177,6 +177,36 @@ object NativeExpressions {
     override def prettyName: String = "hyperplane_sig"
   }
 
+  /** 64-bit-safe rolling document fingerprint, portable across engines:
+    * h = (h * 131 + codepoint) mod (2^31 - 1) folded over the characters
+    * of the space-joined token stream (same tokenizer as MinHashSigExpr:
+    * maximal [a-z0-9]+ runs of the lowercased text). Order-sensitive and
+    * whitespace-insensitive; intermediates stay < 2^39 so plain long
+    * arithmetic never wraps. Chosen over an xxhash chain so the DuckDB
+    * oracle can replicate it with list_reduce (CORRECTNESS gate). */
+  case class FingerprintExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenizeLower(input.asInstanceOf[UTF8String].toString)
+      var h = 0L
+      var i = 0
+      while (i < toks.length) {
+        if (i > 0) h = (h * 131L + 32L) % 2147483647L // ' ' separator
+        val t = toks(i)
+        var j = 0
+        while (j < t.length) {
+          h = (h * 131L + t.charAt(j).toLong) % 2147483647L
+          j += 1
+        }
+        i += 1
+      }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "doc_fingerprint"
+  }
+
   /** Cosine similarity over two float arrays, computed with the exact
     * same operation order as the fold formulation in VectorFunctions
     * (left-to-right double accumulation, sqrt/division IEEE ops) — so it
@@ -257,6 +287,9 @@ object NativeExpressions {
     column(MinHashSigExpr(expression(text), shingleK, numHashes))
 
   def simhash64(text: Column): Column = column(SimHashExpr(expression(text)))
+
+  def docFingerprint(text: Column): Column =
+    column(FingerprintExpr(expression(text)))
 
   def hyperplaneSig(vec: Column, numBits: Int, seed: Int): Column =
     column(HyperplaneSigExpr(expression(vec), numBits, seed))

@@ -103,10 +103,11 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** 64-bit rolling document fingerprint: hash-chain over tokens,
-    * h = xxhash64(token, h) — order-sensitive, whitespace-insensitive,
-    * and overflow-free under ANSI mode (no wrapping arithmetic). */
+  /** Rolling document fingerprint: polynomial hash-chain
+    * h = (h*131 + codepoint) mod 2^31-1 over the space-joined token
+    * stream — order-sensitive, whitespace-insensitive, overflow-free,
+    * and portable (the DuckDB oracle replicates it exactly). Native
+    * expression: one tight char loop per document. */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => xxhash64(t, acc))
+    NativeExpressions.docFingerprint(text)
 }

@@ -122,8 +122,8 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** D4c: rolling document fingerprint (xxhash chain — hash-family
-    * specific, no cross-engine oracle; unit-tested). */
+  /** D4c: rolling document fingerprint — portable polynomial hash chain
+    * (mod 2^31-1), hash-checked against a DuckDB list_reduce oracle. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
@@ -241,7 +241,15 @@ object NorthStarQueries {
         |                   t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))),
         |    (a, b) -> a + b) AS BIGINT) AS bpe_tokens
         |FROM langed ORDER BY doc_id""".stripMargin)),
-    QueryDef("d4c_fingerprint", textFingerprint, None),
+    QueryDef("d4c_fingerprint", textFingerprint, Some(
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(split(array_to_string(
+        |          regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("d5_multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len

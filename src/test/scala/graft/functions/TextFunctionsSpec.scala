@@ -36,6 +36,14 @@ class TextFunctionsSpec extends SparkSuite {
       Seq(s).toDF("t").select(TextFunctions.fingerprint(col("t"))).as[Long].head()
     assert(fp("hello  world") === fp("hello world"))
     assert(fp("hello world") !== fp("world hello"))
+    // pinned value of the portable polynomial formulation
+    // (h*131 + codepoint) mod 2^31-1 over "hello world" — must agree
+    // with the DuckDB oracle's list_reduce replication
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 131L + c.toLong) % 2147483647L)
+    assert(fp("Hello,  World! 42") === ref("hello world 42"))
+    assert(fp("") === 0L)
+    assert(fp("   --- !!!") === 0L)
   }
 
   test("langId picks marker-heavy language") {
