@@ -16,9 +16,12 @@ object NorthStarQueries {
     Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("content_hash"))
 
-  /** D2: MinHash+LSH near-dup pairs, exact-Jaccard verified. No SQL
-    * oracle (hash-family specific) → driver rows-only check; correctness
-    * is covered by the ScalaTest suite against brute-force Jaccard. */
+  /** D2: MinHash+LSH near-dup pairs, exact-Jaccard verified. The oracle
+    * is brute-force all-pairs Jaccard ≥ τ: valid because the LSH stage
+    * only prunes CANDIDATES and the final filter is the exact Jaccard —
+    * on the fixture every qualifying pair has j ≥ 0.89, where the
+    * 16-band/4-row banding's miss probability is (1-j⁴)¹⁶ < 1e-7, so
+    * candidate recall is 1.0 and LSH+verify ≡ brute force+verify. */
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(t(spark, dir, "documents"), "doc_id", "text",
         shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
@@ -83,8 +86,8 @@ object NorthStarQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** D2e: the full near-dup dedup pipeline — MinHash-LSH pairs →
-    * connected components → keeper selection (rows-only; pieces are
-    * individually unit-tested). */
+    * connected components → keeper selection. Oracle: brute-force pairs
+    * (see d2 recall argument) + recursive-CTE min-label reachability. */
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
@@ -147,7 +150,22 @@ object NorthStarQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin),
       headline = true),
-    QueryDef("d2_minhash_neardup", minhashNearDup, None, headline = true),
+    QueryDef("d2_minhash_neardup", minhashNearDup, Some(
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(generate_series(1, len(w) - 2),
+        |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.sh, b.sh)) AS inter,
+        |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
+        |FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+      headline = true),
     QueryDef("d2b_simhash_neardup", simhashNearDup, None),
     QueryDef("d2c_ngram_jaccard", ngramJaccardQ, Some(
       """WITH d AS (
@@ -166,7 +184,28 @@ object NorthStarQueries {
         |                  ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END, 6) AS jaccard
         |FROM pairs ORDER BY id_a""".stripMargin)),
     QueryDef("d2d_embedding_neardup", embeddingNearDup, None),
-    QueryDef("d2e_dedup_pipeline", dedupPipeline, None),
+    QueryDef("d2e_dedup_pipeline", dedupPipeline, Some(
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(generate_series(1, len(w) - 2),
+        |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("d3_similarity_topk", similarityTopK, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |pairs AS (
