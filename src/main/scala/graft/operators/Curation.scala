@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: deterministic sampling and sequence packing.
+  * (The reference has no sampling or batching surface at all —
+  * SURVEY.md §2b; these extend the north-star D-family.)
+  *
+  * Everything here is DETERMINISTIC — sampling decisions derive from a
+  * content/id hash, never from an RNG — so runs are reproducible,
+  * resumable after failure, and cross-engine verifiable (the DuckDB
+  * oracle replicates md5 exactly). That is the property a 100 TB curation
+  * job actually needs: re-running a failed partition must select the
+  * same rows.
+  */
+object Curation {
+
+  /** Uniform deterministic sample predicate: keep a row iff the first 8
+    * hex chars of md5(id) — a uniform 32-bit draw derived from the row
+    * itself — fall under `fraction`. The comparison is done on the hex
+    * STRING against a precomputed threshold (lowercase hex sorts in
+    * numeric order), so any engine with md5 reproduces the exact same
+    * sample. No shuffle, no sort, no RNG state: a pure filter that
+    * scales embarrassingly.
+    */
+  def hashSample(idCol: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val threshold = f"${(fraction * 4294967296.0).toLong min 0xFFFFFFFFL}%08x"
+    substring(md5(idCol.cast("string")), 1, 8) < lit(threshold)
+  }
+
+  /** Stratified sample: exactly `perGroup` rows from each group, chosen
+    * by md5(id) order (deterministic, uniform within group). One shuffle
+    * on the group key + per-group top-k.
+    *
+    * Scale note: row_number needs a per-group sort, but WindowGroupLimit
+    * pushes the k-limit into the sort (partial top-k per map task), so
+    * the full group is never materialized — the same plan shape as the
+    * q07/q27 top-k queries. For quota ≪ group size on skewed groups,
+    * pre-filter with [[hashSample]] at a safely-larger percent first.
+    */
+  def stratifiedSample(
+      df: DataFrame, groupCol: String, idCol: String, perGroup: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perGroup)
+      .drop("__rn")
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins by cumulative offset — bin = floor(exclusive-prefix-sum of
+    * token counts / budget) within each `groupCol` partition, in `idCol`
+    * order. This is offset-based chunking (documents may straddle a
+    * boundary and get split at tokenization time), the formulation used
+    * when bins must be computable in one distributed pass: a window
+    * prefix-sum, no sequential scan, no driver loop.
+    */
+  def packByTokenBudget(
+      df: DataFrame, groupCol: String, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(
+        col(idCol), col(groupCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("offset") / budget).cast("long"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 
 /** LLM-data-pipeline operators (SURVEY.md §2c D1–D5): dedup family,
   * similarity search, text analysis, multimodal plumbing. */
@@ -144,6 +144,28 @@ object NorthStarQueries {
         octet_length(col("payload")).as("byte_len"))
       .orderBy(col("media_id"))
   }
+
+  /** D6: deterministic uniform hash sample (~30% of documents) — the
+    * reproducible, resumable form of corpus subsampling. */
+  def hashSampleQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(Curation.hashSample(col("doc_id"), 0.30))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** D6b: stratified sample — exactly 5 docs per source, md5-ordered. */
+  def stratifiedSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(t(spark, dir, "documents"),
+        "source", "doc_id", perGroup = 5)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** D7: sequence packing — documents assigned to 2048-token training
+    * bins by cumulative offset within each language. */
+  def tokenPackingQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.packByTokenBudget(t(spark, dir, "documents"),
+        "lang", "doc_id", "text", budget = 2048L)
+      .orderBy(col("lang"), col("doc_id"))
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_dedup_exact", dedupExact, Some(
@@ -292,6 +314,28 @@ object NorthStarQueries {
     QueryDef("d5_multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin))
+        |FROM documents ORDER BY media_id""".stripMargin)),
+    QueryDef("d6_hash_sample", hashSampleQ, Some(
+      // 0.30 * 2^32 = 1288490188 = 0x4ccccccc
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("d6b_stratified_sample", stratifiedSampleQ, Some(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin)),
+    QueryDef("d7_token_packing", tokenPackingQ, Some(
+      """SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT))
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(floor(CAST(coalesce(sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT))
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 2048.0) AS BIGINT) AS bin
+        |FROM documents ORDER BY lang, doc_id""".stripMargin))
   )
 }

@@ -33,9 +33,13 @@ object Streams {
       bucket: String = "hour",
       lateness: String = "10 minutes",
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] = {
+    // UTC-pinned labels, matching ChronoDB.bucketExpr exactly — batch
+    // query()/cleanup() parse labels as UTC, so a session-TZ label here
+    // would make stream-written buckets invisible to them.
     val bucketed = rows
       .withWatermark("ts", lateness)
-      .withColumn("bucket", date_format(date_trunc(bucket, col("ts")),
+      .withColumn("bucket", date_format(
+        date_trunc(bucket, convert_timezone(lit("UTC"), col("ts"))),
         if (bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd"))
     bucketed.writeStream
       .format("parquet")

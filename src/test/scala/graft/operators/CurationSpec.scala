@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.t(spark, sf(), "documents")
+
+  test("hashSample is deterministic and near the requested fraction") {
+    val n = docs.count()
+    val sampled = docs.filter(Curation.hashSample(col("doc_id"), 0.30))
+    val k = sampled.count()
+    // binomial(500, 0.3): mean 150, sd ~10 — wide bounds, zero flake
+    assert(k > n * 0.15 && k < n * 0.45, s"sample size $k of $n")
+    // rerun selects the identical set
+    val again = docs.filter(Curation.hashSample(col("doc_id"), 0.30))
+    assert(sampled.select("doc_id").except(again.select("doc_id")).isEmpty)
+    // fraction 0 and 1 are exact
+    assert(docs.filter(Curation.hashSample(col("doc_id"), 0.0)).count() === 0)
+    assert(docs.filter(Curation.hashSample(col("doc_id"), 1.0)).count() === n)
+  }
+
+  test("hashSample nests: a 10% sample is a subset of the 30% sample") {
+    val p10 = docs.filter(Curation.hashSample(col("doc_id"), 0.10)).select("doc_id")
+    val p30 = docs.filter(Curation.hashSample(col("doc_id"), 0.30)).select("doc_id")
+    assert(p10.except(p30).isEmpty)
+  }
+
+  test("stratifiedSample returns exactly perGroup rows per group, deterministically") {
+    val s = Curation.stratifiedSample(docs, "source", "doc_id", perGroup = 3)
+    val counts = s.groupBy("source").count().select("count").as[Long].collect()
+    assert(counts.forall(_ === 3L))
+    val a = s.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Curation.stratifiedSample(docs, "source", "doc_id", 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("packByTokenBudget: offsets are exclusive prefix sums and bins bounded by budget") {
+    val packed = Curation.packByTokenBudget(docs, "lang", "doc_id", "text", 2048L)
+      .orderBy(col("lang"), col("doc_id"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var run = 0L
+      rows.foreach { case (_, _, nTok, offset, bin) =>
+        assert(offset === run, "offset must equal tokens before this doc")
+        assert(bin === offset / 2048L)
+        run += nTok
+      }
+      // bins are non-decreasing and contiguous from 0
+      val bins = rows.map(_._5)
+      assert(bins.head === 0L)
+      assert(bins.zip(bins.tail).forall { case (x, y) => y == x || y == x + 1 || y > x })
+    }
+  }
+}
