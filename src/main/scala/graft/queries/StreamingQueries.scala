@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.core.{QueryDef, Tables}
+import graft.core.{Det, QueryDef, Tables}
 import graft.streaming.Streams
 
 /** Streaming surface entries that are batch-verifiable (SURVEY.md §2c
@@ -41,9 +41,41 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** S4 (batch-checkable form): per-user session windows with a 1-hour
+    * idle gap — the exact merge logic `session_window($"ts","1 hour")`
+    * applies in the streaming path (Streams.sessionAgg), verified
+    * against a gaps-and-islands DuckDB formulation. Session end = last
+    * event + gap; sessions are half-open, so an event exactly `gap`
+    * after the previous one opens a NEW session. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("sess_start"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s1_stream_ingest", streamIngest, Some(
       """SELECT event_id, ts, user_id, event_type, value, props
-        |FROM events ORDER BY event_id""".stripMargin))
+        |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("s3_session_window", sessionWindows, Some(
+      s"""WITH o AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM o)
+         |SELECT min(ts) AS sess_start,
+         |       max(ts) + INTERVAL 1 HOUR AS sess_end,
+         |       user_id, COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
+         |FROM s GROUP BY user_id, sess
+         |ORDER BY user_id, sess_start""".stripMargin))
   )
 }
