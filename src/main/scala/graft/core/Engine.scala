@@ -38,7 +38,8 @@ object Engine {
 
   /** Expose the native expressions to SQL:
     * minhash_sig(text, k, n), simhash64(text), hyperplane_sig(vec, bits,
-    * seed), cosine_native(a, b), shingle_jaccard(a, b, k). */
+    * seed), cosine_native(a, b), shingle_jaccard(a, b, k),
+    * doc_fingerprint(text). */
   def registerFunctions(spark: SparkSession): Unit = {
     import graft.functions.NativeExpressions._
     import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -60,5 +61,7 @@ object Engine {
       es => CosineExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_jaccard",
       es => ShingleJaccardExpr(es.head, es(1), intArg(es(2), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction("doc_fingerprint",
+      es => FingerprintExpr(es.head), "scala_udf")
   }
 }

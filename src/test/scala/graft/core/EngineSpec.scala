@@ -37,5 +37,8 @@ class EngineSpec extends SparkSuite {
         |FROM embeddings ORDER BY vec_id LIMIT 1""".stripMargin)
       .head().getAs[Double]("c")
     assert(math.abs(cos - 1.0) < 1e-12)
+    val fp = spark.sql("SELECT doc_fingerprint('hello world') AS f").head()
+    assert(fp.getAs[Long]("f") ===
+      "hello world".foldLeft(0L)((h, c) => (h * 131L + c.toLong) % 2147483647L))
   }
 }
