@@ -52,6 +52,28 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Dataset mixing by per-group repetition weight: each row of group g
+    * appears `weights(g)` times (default 1), tagged with an `epoch`
+    * index — the deterministic form of "oversample source X 3:1" in a
+    * training mix. The weight table broadcasts; the fan-out is a
+    * partition-local explode, so the mix costs no shuffle at any scale.
+    */
+  def mixByWeight(
+      df: DataFrame, groupCol: String, weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.forall(_._2 >= 0), "weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(groupCol, "__w")
+    val n = coalesce(col("__w"), lit(1))
+    // sequence(0, -1) yields a DESCENDING [0,-1], not empty — weight 0
+    // must map to an empty array so explode drops the group
+    df.join(broadcast(w), Seq(groupCol), "left")
+      .withColumn("epoch",
+        explode(when(n > 0, sequence(lit(0), n - 1))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__w")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * bins by cumulative offset — bin = floor(exclusive-prefix-sum of
     * token counts / budget) within each `groupCol` partition, in `idCol`

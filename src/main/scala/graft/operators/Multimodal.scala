@@ -80,4 +80,58 @@ object Multimodal {
     meta.select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1,
           lit(stride))).as("frame_idx"))
+
+  /** Feature-extraction stub: payload → fixed-`dim` float vector
+    * (deterministic pseudo-embedding from payload bytes; a real pipeline
+    * swaps in a vision/audio encoder). Output column `embedding` is
+    * `ArrayType(FloatType)` — the exact shape the Similarity/Dedup
+    * operators consume, so media rows flow straight into ANN search and
+    * embedding near-dup with no schema glue. Partition-parallel, no
+    * shuffle. */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          var h = 1125899906842597L
+          var i = 0
+          while (i < math.min(payload.length, 256)) { h = 31 * h + payload(i); i += 1 }
+          val vec = Array.tabulate(dim) { d =>
+            val hd = h * (d * 2 + 1) + d
+            (math.floorMod(hd, 2001L).toFloat / 1000.0f) - 1.0f
+          }
+          Row(r.getAs[Long]("media_id"), vec.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Resize stub: the plan shape of image resizing — a partition-local
+    * payload → payload transform plus updated metadata dims. The fake
+    * "resize" truncates the payload proportionally to the area ratio so
+    * output sizes are deterministic and assertable; a real pipeline swaps
+    * the body for an actual scaler. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"), col("media_type"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (_, ow, oh, _) = FakeDecoder.decode(payload)
+          val ratio = math.min(1.0, (w.toDouble * h) / (ow.toDouble * oh))
+          val newLen = math.max(1, (payload.length * ratio).toInt)
+          Row(r.getAs[Long]("media_id"), payload.take(newLen),
+            r.getAs[String]("media_type"), w, h)
+        }
+      }(enc)
+  }
 }

@@ -167,6 +167,14 @@ object NorthStarQueries {
         "lang", "doc_id", "text", budget = 2048L)
       .orderBy(col("lang"), col("doc_id"))
 
+  /** D8: weighted dataset mixing — src0 oversampled 3×, src1 2×,
+    * everything else 1×, each copy tagged with its epoch. */
+  def datasetMixQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixByWeight(t(spark, dir, "documents"),
+        "source", Seq("src0" -> 3, "src1" -> 2))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_dedup_exact", dedupExact, Some(
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -327,6 +335,12 @@ object NorthStarQueries {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin)),
+    QueryDef("d8_dataset_mix", datasetMixQ, Some(
+      """SELECT doc_id, source,
+        |       CAST(unnest(generate_series(0, coalesce(n, 1) - 1)) AS INTEGER) AS epoch
+        |FROM documents
+        |LEFT JOIN (VALUES ('src0', 3), ('src1', 2)) w(source, n) USING (source)
+        |ORDER BY doc_id, epoch""".stripMargin)),
     QueryDef("d7_token_packing", tokenPackingQ, Some(
       """SELECT doc_id, lang,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,

@@ -39,6 +39,18 @@ class CurationSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("mixByWeight repeats rows per group weight with epoch tags; unlisted groups pass once") {
+    val mixed = Curation.mixByWeight(docs, "source", Seq("src0" -> 3, "src1" -> 0))
+    val bySource = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    val orig = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource("src0") === orig("src0") * 3)
+    assert(!bySource.contains("src1")) // weight 0 drops the group
+    assert(bySource("src2") === orig("src2"))
+    val epochs = mixed.filter($"source" === "src0")
+      .select("epoch").distinct().as[Int].collect().sorted.toSeq
+    assert(epochs === Seq(0, 1, 2))
+  }
+
   test("packByTokenBudget: offsets are exclusive prefix sums and bins bounded by budget") {
     val packed = Curation.packByTokenBudget(docs, "lang", "doc_id", "text", 2048L)
       .orderBy(col("lang"), col("doc_id"))

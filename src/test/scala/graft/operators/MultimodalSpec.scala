@@ -26,6 +26,31 @@ class MultimodalSpec extends SparkSuite {
     assert(meta.getAs[Int]("width") >= 16)
   }
 
+  test("extractFeatures emits fixed-dim float vectors consumable by Similarity") {
+    val feats = Multimodal.extractFeatures(spark, media, dim = 8)
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.forall(_.getAs[Seq[Float]]("embedding").length === 8))
+    // deterministic across repartition (partition-parallel, no state)
+    val again = Multimodal.extractFeatures(spark, media.repartition(3), dim = 8)
+      .orderBy("media_id").collect()
+    assert(rows === again)
+    // flows straight into the ANN operator with no schema glue
+    val topk = Similarity.bruteForceTopK(feats, feats.limit(1),
+      "media_id", "embedding", k = 1)
+    assert(topk.count() === 1)
+  }
+
+  test("resize shrinks payload by area ratio and stamps new dims") {
+    val out = Multimodal.resize(spark, media, 16, 16).orderBy("media_id").collect()
+    val orig = media.orderBy("media_id").collect()
+    out.zip(orig).foreach { case (r, o) =>
+      assert(r.getAs[Int]("width") === 16)
+      assert(r.getAs[Int]("height") === 16)
+      assert(r.getAs[Array[Byte]]("payload").length <=
+        o.getAs[Array[Byte]]("payload").length)
+    }
+  }
+
   test("sampleFrames explodes frame indices with stride") {
     val meta = Multimodal.decodeMeta(spark, media)
     val frames = Multimodal.sampleFrames(meta, stride = 4)
