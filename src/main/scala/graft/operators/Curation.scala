@@ -52,6 +52,33 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct k-shingles with ANY benchmark document — the
+    * standard n-gram train/test contamination check. The benchmark's
+    * shingle set is small (benchmarks are), so it broadcasts; the corpus
+    * side explodes shingles and semi-aggregates per doc. Returns
+    * (id, n_overlap) for contaminated docs.
+    *
+    * Scale note: the corpus-side explode is the cost — at 100 TB replace
+    * the broadcast DataFrame with a broadcast Bloom filter of benchmark
+    * shingle hashes and pre-filter before the exact join; the plan shape
+    * (no corpus shuffle until the per-doc count) is unchanged.
+    */
+  def contaminationByShingle(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, minOverlap: Long): DataFrame = {
+    val bsh = benchmark
+      .select(explode(TextFunctions.shingles(col(textCol), k)).as("sh"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), k)).as("sh"))
+      .join(broadcast(bsh), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Dataset mixing by per-group repetition weight: each row of group g
     * appears `weights(g)` times (default 1), tagged with an `epoch`
     * index — the deterministic form of "oversample source X 3:1" in a

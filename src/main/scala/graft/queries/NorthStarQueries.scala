@@ -167,6 +167,16 @@ object NorthStarQueries {
         "lang", "doc_id", "text", budget = 2048L)
       .orderBy(col("lang"), col("doc_id"))
 
+  /** D9: benchmark decontamination — corpus docs (doc_id ≥ 25) sharing
+    * ≥ 3 distinct 5-shingles with the "benchmark" (doc_id < 25). */
+  def contaminationQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Curation.contaminationByShingle(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", k = 5, minOverlap = 3L)
+      .orderBy(col("doc_id"))
+  }
+
   /** D8: weighted dataset mixing — src0 oversampled 3×, src1 2×,
     * everything else 1×, each copy tagged with its epoch. */
   def datasetMixQ(spark: SparkSession, dir: String): DataFrame =
@@ -335,6 +345,19 @@ object NorthStarQueries {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin)),
+    QueryDef("d9_contamination", contaminationQ, Some(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 5 THEN []
+        |    ELSE list_transform(generate_series(1, len(w) - 4),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents)),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 25),
+        |c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 25)
+        |SELECT doc_id, COUNT(DISTINCT g) AS n_overlap
+        |FROM c JOIN b USING (g)
+        |GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 3
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("d8_dataset_mix", datasetMixQ, Some(
       """SELECT doc_id, source,
         |       CAST(unnest(generate_series(0, coalesce(n, 1) - 1)) AS INTEGER) AS epoch

@@ -39,6 +39,31 @@ class CurationSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("contaminationByShingle flags docs overlapping the benchmark set") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "she saw the quick brown fox jumps over the fence"),
+      (2L, "completely unrelated words about spark and parquet files"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight again")) // near-copy
+      .toDF("doc_id", "text")
+    val out = Curation.contaminationByShingle(corpus, bench, "doc_id", "text",
+        k = 5, minOverlap = 3L)
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    // doc 3 contains the full benchmark text → shares all 6 of its
+    // 5-shingles; doc 1 shares exactly 3 ("the quick brown fox jumps",
+    // "quick brown fox jumps over", "brown fox jumps over the");
+    // doc 2 shares none and is absent
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L) === 3L)
+    assert(out(3L) === 6L)
+    // raising the threshold excludes the marginal doc
+    val strict = Curation.contaminationByShingle(corpus, bench, "doc_id", "text",
+        k = 5, minOverlap = 4L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(strict === Seq(3L))
+  }
+
   test("mixByWeight repeats rows per group weight with epoch tags; unlisted groups pass once") {
     val mixed = Curation.mixByWeight(docs, "source", Seq("src0" -> 3, "src1" -> 0))
     val bySource = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
