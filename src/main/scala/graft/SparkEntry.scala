@@ -15,9 +15,9 @@ object SparkEntry {
 
   val all: Seq[QueryDef] =
     CoreQueries.defs ++ TimeSeriesQueries.defs ++ JoinQueries.defs ++
-      AggQueries.defs ++ WindowQueries.defs ++ SetOpQueries.defs ++
-      ScalarFnQueries.defs ++ NorthStarQueries.defs ++ StreamingQueries.defs ++
-      SourceQueries.defs
+      SubqueryQueries.defs ++ AggQueries.defs ++ WindowQueries.defs ++
+      SetOpQueries.defs ++ ScalarFnQueries.defs ++ NorthStarQueries.defs ++
+      StreamingQueries.defs ++ SourceQueries.defs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

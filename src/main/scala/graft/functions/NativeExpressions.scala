@@ -114,19 +114,41 @@ object NativeExpressions {
     override def prettyName: String = "minhash_sig"
   }
 
-  /** 64-bit SimHash over word tokens: bit j set iff the sum over tokens
-    * of ±1 (bit j of xxhash64(token, 0)) is positive. */
+  /** Portable 62-bit token hash backing SimHashExpr: two independent
+    * polynomial hashes over the token's characters —
+    * h1 = fold((h*131 + c) mod (2^31-1)), h2 = fold((h*137 + c) mod
+    * (2^31-19)) — packed as (h1 << 31) | h2. Bits 62-63 are always
+    * zero. Like FingerprintExpr, chosen over xxhash64 so the DuckDB
+    * oracle can recompute the identical hash with list_reduce
+    * (CORRECTNESS gate); intermediates stay < 2^39, no wrap. */
+  private[functions] def portableTokenHash(t: String): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var j = 0
+    while (j < t.length) {
+      val c = t.charAt(j).toLong
+      h1 = (h1 * 131L + c) % 2147483647L
+      h2 = (h2 * 137L + c) % 2147483629L
+      j += 1
+    }
+    (h1 << 31) | h2
+  }
+
+  /** SimHash over word tokens: bit j (j < 62) set iff the sum over
+    * tokens of ±1 (bit j of portableTokenHash(token)) is positive; bits
+    * 62-63 always zero, so 16-bit chunk banding still applies (the top
+    * chunk just carries 14 informative bits). */
   case class SimHashExpr(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenizeLower(input.asInstanceOf[UTF8String].toString)
-      val counts = new Array[Int](64)
+      val counts = new Array[Int](62)
       var i = 0
       while (i < toks.length) {
-        val h = xxh64(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L)
+        val h = portableTokenHash(toks(i))
         var j = 0
-        while (j < 64) {
+        while (j < 62) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
           j += 1
         }
@@ -134,7 +156,7 @@ object NativeExpressions {
       }
       var sig = 0L
       var j = 0
-      while (j < 64) {
+      while (j < 62) {
         if (counts(j) > 0) sig |= (1L << j)
         j += 1
       }
@@ -144,18 +166,27 @@ object NativeExpressions {
     override def prettyName: String = "simhash64"
   }
 
+  /** Plane-component generator for HyperplaneSigExpr: xxhash64 of
+    * (plane, dim, seed) → uniform in [-1, 1). Public because the
+    * hyperplane matrix is a data-independent deterministic constant:
+    * the DuckDB oracle for the LSH queries embeds the identical matrix
+    * as SQL literals (NorthStarQueries.planesLiteral), making the
+    * banding predicate exactly replicable cross-engine. */
+  def hyperplaneComponent(plane: Int, dim: Int, seed: Int): Double = {
+    val buf = java.nio.ByteBuffer.allocate(12)
+      .putInt(plane).putInt(dim).putInt(seed).array()
+    val h = xxh64(buf, 7L)
+    (math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
+  }
+
   /** Random-hyperplane signature for cosine LSH: bit b = sign of
     * dot(vec, plane_b), plane components derived from xxhash64 of
     * (b, dim, seed) → uniform in [-1, 1). */
   case class HyperplaneSigExpr(child: Expression, numBits: Int, seed: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    private def component(plane: Int, dim: Int): Double = {
-      val buf = java.nio.ByteBuffer.allocate(12)
-        .putInt(plane).putInt(dim).putInt(seed).array()
-      val h = xxh64(buf, 7L)
-      (math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
-    }
+    private def component(plane: Int, dim: Int): Double =
+      hyperplaneComponent(plane, dim, seed)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val dim = arr.numElements()

@@ -108,9 +108,11 @@ object Dedup {
   def shingleJaccard(a: Column, b: Column, k: Int): Column =
     NativeExpressions.shingleJaccardNative(a, b, k)
 
-  /** SimHash: 64-bit signature where bit j = sign of the sum over tokens
-    * of (+1 / -1 from bit j of xxhash64(token)). Near-dups differ in few
-    * bits (Hamming distance). Native expression — see minHashSignature.
+  /** SimHash: signature where bit j = sign of the sum over tokens of
+    * (+1 / -1 from bit j of a portable polynomial token hash — see
+    * NativeExpressions.portableTokenHash; 62 informative bits). Near-dups
+    * differ in few bits (Hamming distance). Native expression — see
+    * minHashSignature.
     */
   def simHash(text: Column): Column = NativeExpressions.simhash64(text)
 

@@ -27,7 +27,12 @@ object NorthStarQueries {
         shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** D2b: SimHash near-dup pairs (rows-only check; unit-tested). */
+  /** D2b: SimHash near-dup pairs. Exactly oracle-checkable: the token
+    * hash is a portable polynomial pair (NativeExpressions
+    * .portableTokenHash), so DuckDB recomputes identical signatures, and
+    * the oracle replicates the candidate condition (some 16-bit chunk
+    * equal) verbatim — the check covers the banding itself, not just the
+    * verify step. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
         maxHamming = 8)
@@ -65,8 +70,12 @@ object NorthStarQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** D3b: LSH-bucketed approximate ANN (scale path; rows-only check —
-    * recall vs exact is asserted in the ScalaTest suite). */
+  /** D3b: LSH-bucketed approximate ANN (scale path). Exactly
+    * oracle-checked even though it is approximate: the plane matrix is a
+    * deterministic constant embedded in the oracle SQL (planesLiteral),
+    * so DuckDB reproduces the same candidate buckets, cosines, and
+    * ranking — recall vs exact is additionally asserted in
+    * SimilaritySpec. */
   def similarityLsh(spark: SparkSession, dir: String): DataFrame =
     // 16 bands x 4 bits: measured recall@5 = 0.90 on the fixture
     // embeddings (near-uniform vectors — the hard case for LSH). Larger
@@ -77,7 +86,8 @@ object NorthStarQueries {
       .orderBy(col("query_id"), col("rank"))
 
   /** D2d: embedding-cosine near-dup pairs (LSH candidates + threshold);
-    * rows-only check, recall covered by SimilaritySpec. */
+    * oracle replicates the LSH bucketing exactly (see planesLiteral) —
+    * including the top-20-per-query truncation before the threshold. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     // fixture vectors are near-uniform (max pairwise cos ≈ 0.48); 0.4
     // marks the "near-dup" tail there — a real corpus would use 0.95+
@@ -185,6 +195,67 @@ object NorthStarQueries {
       .select(col("doc_id"), col("source"), col("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
 
+  /** The hyperplane matrix used by the LSH queries (bands=16 ×
+    * bitsPerBand=4 → 64 planes, seed=42, dim=64) rendered as a DuckDB
+    * list-of-lists literal. The matrix is data-independent and
+    * deterministic (NativeExpressions.hyperplaneComponent), so the
+    * oracle can evaluate the exact banding predicate the Spark side
+    * uses. Double.toString emits the shortest round-trip decimal, so
+    * DuckDB parses back the bit-identical double. */
+  private lazy val planesLiteral: String =
+    (0 until 64).map { b =>
+      (0 until 64).map(d =>
+        graft.functions.NativeExpressions.hyperplaneComponent(b, d, 42).toString)
+        .mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+
+  /** Bit-identical cosine in DuckDB SQL — the same formulation the d3
+    * oracle hash-matches against Kernels.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x,y) -> x + y)
+       |    / (sqrt(list_reduce(list_transform($a,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x,y) -> x + y))
+       |     * sqrt(list_reduce(list_transform($b,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x,y) -> x + y)))""".stripMargin
+
+  /** Shared oracle skeleton for the hyperplane-LSH queries: recompute
+    * signatures from the embedded plane matrix (sign-dot left fold in
+    * the same order as HyperplaneSigExpr), join on (band, bucket) —
+    * exactly the Spark candidate condition — then exact cosine, fan to
+    * both directions, rank. `tail` selects from `ranked`. */
+  private def lshOracle(tail: String): String =
+    s"""WITH m AS (SELECT $planesLiteral AS pl),
+       |sg AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(generate_series(1, 64), b ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(list_zip(embedding, pl[b]),
+       |            p -> CAST(p[1] AS DOUBLE) * p[2])), (x,y) -> x + y) >= 0
+       |      THEN 1 ELSE 0 END) AS sig
+       |  FROM embeddings, m),
+       |bnd AS (
+       |  SELECT vec_id, band,
+       |         array_to_string(sig[(band-1)*4+1:(band-1)*4+4], '') AS bucket
+       |  FROM sg, generate_series(1, 16) g(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pc AS (
+       |  SELECT id_a, id_b, ${cosSql("x.embedding", "y.embedding")} AS cos
+       |  FROM cand JOIN embeddings x ON x.vec_id = cand.id_a
+       |            JOIN embeddings y ON y.vec_id = cand.id_b),
+       |sym AS (
+       |  SELECT id_a AS qid, id_b AS nid, cos FROM pc
+       |  UNION ALL SELECT id_b, id_a, cos FROM pc),
+       |ranked AS (
+       |  SELECT qid AS query_id, nid AS neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY cos DESC, nid) AS INTEGER) AS rank
+       |  FROM sym)
+       |$tail""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_dedup_exact", dedupExact, Some(
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -206,7 +277,38 @@ object NorthStarQueries {
         |FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
       headline = true),
-    QueryDef("d2b_simhash_neardup", simhashNearDup, None),
+    QueryDef("d2b_simhash_neardup", simhashNearDup, Some(
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(toks, tk ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |        (a, c) -> (a * 131 + c) % 2147483647) * 2147483648
+        |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |        (a, c) -> (a * 137 + c) % 2147483629)) AS hs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 61), j ->
+        |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(hs, x -> CAST(2 * ((x >> j) & 1) - 1 AS BIGINT))),
+        |             (a, b) -> a + b) > 0
+        |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+        |    (a, b) -> a | b) AS sig
+        |  FROM h),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE ((a.sig >> 0)  & 65535) = ((b.sig >> 0)  & 65535)
+        |     OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+        |     OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+        |     OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535))
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
+        |ORDER BY id_a, id_b""".stripMargin)),
     QueryDef("d2c_ngram_jaccard", ngramJaccardQ, Some(
       """WITH d AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
@@ -223,7 +325,10 @@ object NorthStarQueries {
         |       round(CASE WHEN uni = 0 THEN 0.0
         |                  ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END, 6) AS jaccard
         |FROM pairs ORDER BY id_a""".stripMargin)),
-    QueryDef("d2d_embedding_neardup", embeddingNearDup, None),
+    QueryDef("d2d_embedding_neardup", embeddingNearDup, Some(lshOracle(
+      """SELECT query_id AS id_a, neighbor_id AS id_b, cos FROM ranked
+        |WHERE rank <= 20 AND cos >= 0.4 AND query_id < neighbor_id
+        |ORDER BY id_a, id_b""".stripMargin))),
     QueryDef("d2e_dedup_pipeline", dedupPipeline, Some(
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
@@ -264,7 +369,9 @@ object NorthStarQueries {
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       headline = true),
-    QueryDef("d3b_similarity_lsh", similarityLsh, None),
+    QueryDef("d3b_similarity_lsh", similarityLsh, Some(lshOracle(
+      """SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))),
     QueryDef("d3c_similarity_ivf", similarityIvf, None),
     QueryDef("d4_text_stats", textStats, Some(
       """SELECT doc_id,

@@ -112,6 +112,45 @@ object Streams {
               | AND r.$tsCol <= l.$tsCol + INTERVAL $lookahead""".stripMargin))
   }
 
+  /** S7: the closed ingest→maintenance loop — a streaming sink writing
+    * through the ChronoDB lifecycle. Each micro-batch is one memtable
+    * flush (`db.insert`, which applies the insert-time TTL gate,
+    * reference table.go:93-96), and every `compactEvery` batches one
+    * maintenance pass runs inline (compact over-fragmented buckets +
+    * drop expired ones) — the reference's flush/merge/cleanup tickers
+    * (db.go:195-249) driven by the streaming clock instead of wall
+    * timers, so tests and replays are deterministic.
+    *
+    * Delivery is at-least-once (foreachBatch re-runs a failed batch and
+    * ChronoDB appends); the reference permits duplicate rows, and the
+    * exactly-once path is [[ingestWriter]]'s transactional file sink.
+    * Input schema: (key STRING, ts TIMESTAMP, data BINARY).
+    */
+  def chronoSink(
+      rows: DataFrame,
+      db: graft.core.ChronoDB,
+      tableName: String,
+      checkpointDir: String,
+      compactEvery: Int = 5,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] = {
+    require(compactEvery > 0, "compactEvery must be positive")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        db.insert(tableName,
+          batch.select(col("key"), col("ts"), col("data")).as[graft.core.ChronoRow])
+        if (batchId % compactEvery == (compactEvery - 1)) {
+          db.compact(tableName)
+          db.cleanup(tableName)
+        }
+        ()
+      }
+  }
+
   /** Spark 4 transformWithState processor: per-key latest row — the
     * reference's key → most-recent-value semantics (its dead PrimaryKeys
     * intent) held as streaming state. Requires the RocksDB state store

@@ -144,6 +144,39 @@ class StreamsSpec extends SparkSuite {
     assert(db.stats("stream_t").numRows === 2)
   }
 
+  test("S7 chronoSink: foreachBatch drives insert + inline compaction/cleanup") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("csink").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "hour",
+      ttl = Some(7 * 24 * 3600L), compactFileThreshold = 1))
+    db.createTable("s7")
+    val mem = MemoryStream[ChronoRow]
+    // pin both kept rows inside ONE hour bucket regardless of wall clock
+    val now = System.currentTimeMillis()
+    val hourStart = now - (now % 3600000L)
+    val t1 = new Timestamp(hourStart + 2 * 60000L)
+    val t2 = new Timestamp(hourStart + 3 * 60000L)
+    val ancient = new Timestamp(now - 30L * 24 * 3600 * 1000L) // older than TTL
+    val q = Streams.chronoSink(mem.toDF(), db, "s7",
+      Files.createTempDirectory("csink_cp").toString,
+      compactEvery = 2, trigger = Trigger.ProcessingTime(0)).start()
+    mem.addData(ChronoRow("a", t1, Array[Byte](1)),
+      ChronoRow("old", ancient, Array[Byte](9)))
+    q.processAllAvailable() // batch 0: insert (TTL gate drops "old")
+    mem.addData(ChronoRow("b", t2, Array[Byte](2)))
+    q.processAllAvailable() // batch 1: insert, then compact + cleanup
+    q.stop()
+    val stats = db.stats("s7")
+    assert(stats.numRows === 2) // ancient row dropped by the insert gate
+    // both batches appended to the same bucket (2 files); the inline
+    // maintenance pass rewrote it into one sorted file
+    assert(stats.numFiles === 1)
+    val keys = db.query("s7", new Timestamp(hourStart), new Timestamp(hourStart + 3599999L))
+      .select("key").as[String].collect().sorted
+    assert(keys.toSeq === Seq("a", "b"))
+  }
+
   test("transformWithState: per-key latest value with RocksDB state store") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
