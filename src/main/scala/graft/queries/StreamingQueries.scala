@@ -56,10 +56,32 @@ object StreamingQueries {
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** S2 (sliding form, batch-checkable): 2-hour windows sliding by
+    * 1 hour — each event lands in exactly 2 windows, the same assignment
+    * `window(ts, "2 hours", "1 hour")` makes in the streaming path
+    * (Streams.windowedAgg with slide). Oracle: explode each event to its
+    * two hour-aligned window starts. */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s1_stream_ingest", streamIngest, Some(
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("s2b_sliding_window", slidingWindows, Some(
+      s"""WITH x AS (
+         |  SELECT event_type, value,
+         |         date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start
+         |  FROM events, generate_series(0, 1) g(k))
+         |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,
+         |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
+         |FROM x GROUP BY win_start, event_type
+         |ORDER BY win_start, event_type""".stripMargin)),
     QueryDef("s3_session_window", sessionWindows, Some(
       s"""WITH o AS (
          |  SELECT user_id, ts, value,

@@ -47,6 +47,23 @@ object WindowQueries {
       .orderBy(col("l_returnflag"), col("rn"))
   }
 
+  /** Q23b: distribution ranking functions — ntile / percent_rank /
+    * cume_dist. Cross-engine exact: both are single IEEE divisions of
+    * exact integers ((rank-1)/(n-1), peers/n), so no Det framing needed;
+    * the order-by includes the unique o_orderkey so peer groups are
+    * singletons and ranks are well-defined. */
+  def windowDistFns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("nt4", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Q24: analytic functions — lag/lead/first/last with explicit frames. */
   def windowAnalytic(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -89,6 +106,14 @@ object WindowQueries {
         |  FROM lineitem)
         |WHERE rn <= 10 ORDER BY l_returnflag, rn""".stripMargin),
       headline = true),
+    QueryDef("q27b_window_dist_fns", windowDistFns, Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS nt4,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
     QueryDef("q28_window_analytic", windowAnalytic, Some(
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  lag(o_totalprice, 1)  OVER w AS prev_price,

@@ -100,6 +100,21 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(hamming <= 16, s"near-duplicate texts should have small hamming distance, got $hamming")
   }
 
+  test("simhash64 pins the portable token-hash definition (oracle SQL depends on it)") {
+    // For a single-token document every bit count is ±1 directly from
+    // the token hash, so simhash64(doc) == portableTokenHash(token).
+    // These values are hand-computed from the documented definition
+    // (h1 = poly-131 mod 2^31-1, h2 = poly-137 mod 2^31-19, (h1<<31)|h2);
+    // the d2b DuckDB oracle hardcodes the same constants — if this test
+    // breaks, that oracle SQL is stale too.
+    assert(NativeExpressions.portableTokenHash("abc") === 3602519785471110L)
+    assert(NativeExpressions.portableTokenHash("hello") === 1701119645916901935L)
+    val out = Seq("abc", "HELLO!").toDF("x")
+      .select(NativeExpressions.simhash64(col("x"))).as[Long].collect()
+    assert(out(0) === 3602519785471110L)
+    assert(out(1) === 1701119645916901935L) // lowercased, '!' stripped by tokenizer
+  }
+
   test("hyperplane signature is deterministic and separates opposite vectors") {
     val df = Seq(
       (Seq(1f, 2f, 3f, 4f), Seq(-1f, -2f, -3f, -4f))
