@@ -135,6 +135,29 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D4d: repetition stats (Gopher-style quality rule) — per-document
+    * top-bigram fraction: a high max-bigram share marks boilerplate /
+    * degenerate repetition. Exact cross-engine: counts are ints, the
+    * fraction is one IEEE division. Docs with <2 tokens have no bigrams
+    * and drop out (both engines agree). */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks.select(col("doc_id"), explode(
+      zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("max_bg"),
+        (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D4c: rolling document fingerprint — portable polynomial hash chain
     * (mod 2^31-1), hash-checked against a DuckDB list_reduce oracle. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -427,6 +450,19 @@ object NorthStarQueries {
         |                   t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))),
         |    (a, b) -> a + b) AS BIGINT) AS bpe_tokens
         |FROM langed ORDER BY doc_id""".stripMargin)),
+    QueryDef("d4d_repetition", repetitionStats, Some(
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM tk WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |       CAST(MAX(c) AS BIGINT) AS max_bg,
+        |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     QueryDef("d4c_fingerprint", textFingerprint, Some(
       """SELECT doc_id,
         |  list_reduce(

@@ -126,6 +126,25 @@ object ScalarFnQueries {
           .getField("k").as("k_struct"))
       .orderBy(col("event_id"))
 
+  /** Q34 (map form): MapType construction and HOF map operations —
+    * map from columns, map_keys/size/element_at, transform_values. The
+    * oracle verifies the resulting values (the MapType plumbing is
+    * Spark-side; DuckDB computes the same outputs from the source
+    * columns directly). */
+  def mapFns(spark: SparkSession, dir: String): DataFrame = {
+    val m = map(
+      lit("et"), col("event_type"),
+      lit("k"), get_json_object(col("props"), "$.k"))
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        size(m).as("n_keys"),
+        array_join(array_sort(map_keys(m)), ",").as("keys_csv"),
+        element_at(m, "k").cast("int").as("k_val"),
+        element_at(transform_values(m, (_, v) => upper(v)), "et").as("et_upper"))
+      .orderBy(col("event_id"))
+  }
+
   /** Q35: CASE / null handling. */
   def caseNull(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -206,6 +225,13 @@ object ScalarFnQueries {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str_path,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+        |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("q39b_map_fns", mapFns, Some(
+      """SELECT event_id,
+        |  CAST(2 AS INTEGER) AS n_keys,
+        |  'et,k' AS keys_csv,
+        |  CAST(props->>'k' AS INTEGER) AS k_val,
+        |  upper(event_type) AS et_upper
         |FROM events ORDER BY event_id""".stripMargin)),
     QueryDef("q40_case_null", caseNull, Some(
       """SELECT o_orderkey,

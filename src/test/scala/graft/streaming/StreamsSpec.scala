@@ -68,6 +68,24 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("S2 sliding windows assign each event to windowDur/slide windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = Streams.windowedAgg(mem.toDF(), "ts", "10 minutes", Some("5 minutes"),
+      lateness = "1 minute", keys = Seq(col("key")),
+      aggs = Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    mem.addData(Ev("a", ts("2024-01-01 10:07:00"), 1))
+    q.processAllAvailable()
+    // one event, two overlapping 10m/5m windows — same assignment the
+    // batch-checkable s2b_sliding_window query verifies against DuckDB
+    val wins = spark.table("slide_out")
+      .select("window.start").as[Timestamp].collect().map(_.toString).sorted
+    assert(wins.toSeq === Seq("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+    q.stop()
+  }
+
   test("S4 session windows split on gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
