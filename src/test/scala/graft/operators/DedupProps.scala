@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property check for the candidate-generation primitive every LSH
+  * operator shares (d2/d2b/d2d/d3b): bucketPairs must emit exactly the
+  * distinct in-bucket unordered pairs a naive self-join would — the
+  * whole point of the formulation is evaluating the expensive signature
+  * lineage once, so its pair semantics must be provably identical.
+  * Contract: one row per (band, id) with that id's bucket (posexplode
+  * output) — the generator dedups triples accordingly. */
+object DedupProps extends Properties("dedup") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val genRow: Gen[(Int, Int, Long)] = for {
+    band <- Gen.choose(0, 2)
+    bucket <- Gen.choose(0, 3)
+    id <- Gen.choose(0L, 9L)
+  } yield (band, bucket, id)
+
+  property("bucketPairs == brute-force distinct in-bucket pairs") =
+    forAll(Gen.listOfN(25, genRow)) { raw =>
+      import spark.implicits._
+      // one bucket per (band, id): keep the first occurrence
+      val rows = raw.groupBy(r => (r._1, r._3)).values.map(_.head).toList
+      val df = rows.toDF("band", "bucket", "id").withColumn("pl", lit(0))
+      val got = Dedup.bucketPairs(df)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = rows.groupBy(r => (r._1, r._2)).values.flatMap { grp =>
+        val ids = grp.map(_._3).sorted
+        for { i <- ids; j <- ids if i < j } yield (i, j)
+      }.toSet
+      got == want
+    }
+}
