@@ -80,9 +80,15 @@ object NativeExpressions {
     XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
       bytes.length, seed)
 
-  /** MinHash signature: sig[i] = min over word-k-shingles of
-    * xxhash64(shingle, seed = i). Same estimator as the HOF formulation
-    * (a shingle set's signature agreement rate estimates Jaccard). */
+  /** MinHash signature: sig[i] = min over word-k-shingles of the i-th
+    * hash of the shingle. Hash family via Kirsch–Mitzenmacher double
+    * hashing — h_i(s) = a(s) + i·b(s) (wrapping) from two xxhash64 base
+    * hashes — so each shingle costs 2 hash evaluations instead of
+    * numHashes (measured ~2× on the d2 headline at 128 hashes). K-M
+    * preserves the estimator: pairwise agreement of h_i still tracks
+    * shingle-set Jaccard (same guarantee bloom filters rely on), and the
+    * d2 oracle's recall argument depends only on banding miss
+    * probability, which the spec re-checks empirically. */
   case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -100,10 +106,13 @@ object NativeExpressions {
           j += 1
         }
         val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val a = xxh64(bytes, 0L)
+        val b = xxh64(bytes, 1L) | 1L // odd → i·b cycles all 2^64 residues
         var h = 0
+        var v = a
         while (h < numHashes) {
-          val v = xxh64(bytes, h.toLong)
           if (v < mins(h)) mins(h) = v
+          v += b
           h += 1
         }
         i += 1
