@@ -277,6 +277,66 @@ object NativeExpressions {
     override def prettyName: String = "cosine_native"
   }
 
+  /** Distinct k-shingle hashes of a text, sorted ascending — the
+    * pre-computed form of a shingle set for pairwise verification.
+    * Computing this ONCE per document and verifying pairs with
+    * [[SortedJaccardExpr]] replaces per-pair re-tokenization/re-hashing
+    * (O(pairs × doclen) string work) with a per-pair merge walk over
+    * long arrays (O(pairs × shingles) comparisons) — the verify-stage
+    * design that holds at corpus scale. 64-bit hashing makes hashed-set
+    * Jaccard equal string-set Jaccard barring ~2^-64 collisions. */
+  case class ShingleHashesExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenizeLower(input.asInstanceOf[UTF8String].toString)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (i + k <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        set.add(xxh64(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L))
+        i += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var n = 0
+      while (it.hasNext) { out(n) = it.next(); n += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  /** Jaccard of two ascending-sorted distinct long arrays via a single
+    * merge walk. Both empty → 0.0 (matching ShingleJaccardExpr). */
+  case class SortedJaccardExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      if (na == 0 && nb == 0) return java.lang.Double.valueOf(0.0)
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "sorted_jaccard"
+  }
+
   /** Exact k-shingle Jaccard of two texts — native form of
     * Dedup.shingleJaccard (same tokenizer as MinHashSigExpr). */
   case class ShingleJaccardExpr(left: Expression, right: Expression, k: Int)
@@ -322,6 +382,12 @@ object NativeExpressions {
 
   def shingleJaccardNative(a: Column, b: Column, k: Int): Column =
     column(ShingleJaccardExpr(expression(a), expression(b), k))
+
+  def shingleHashes(text: Column, k: Int): Column =
+    column(ShingleHashesExpr(expression(text), k))
+
+  def sortedJaccard(a: Column, b: Column): Column =
+    column(SortedJaccardExpr(expression(a), expression(b)))
 
   def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
     column(MinHashSigExpr(expression(text), shingleK, numHashes))

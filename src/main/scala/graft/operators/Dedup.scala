@@ -63,14 +63,21 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    // pair extraction without a self-join (signatures evaluated once),
-    // then texts joined back ONLY for the surviving candidate pairs
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // pair extraction without a self-join (signatures evaluated once).
+    // Verify: per-doc sorted shingle-hash arrays joined back ONLY for
+    // surviving candidates, intersected with one merge walk per pair —
+    // re-tokenizing both full texts per pair would pay O(pairs × doclen)
+    // string/hash work; this pays O(doc) once per side plus
+    // O(pairs × shingles) long comparisons (NativeExpressions
+    // .ShingleHashesExpr scaladoc). Hashed-set Jaccard ≡ string-set
+    // Jaccard barring ~2^-64 collisions.
+    val hashes = df.select(col(idCol).as("id"),
+      NativeExpressions.shingleHashes(col(textCol), shingleK).as("hs"))
     bucketPairs(banded.select(col("band"), col("bucket"), col("id"),
         lit(0).as("pl")))
-      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("jaccard", shingleJaccard(col("text_a"), col("text_b"), shingleK))
+      .join(hashes.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hashes.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", NativeExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -138,4 +138,31 @@ class NativeExpressionsSpec extends SparkSuite {
       .as[Double].head()
     assert(j === 0.5)
   }
+
+  test("sortedJaccard over shingleHashes equals string-set shingleJaccard") {
+    // The d2 verify stage computes Jaccard over pre-hashed sorted shingle
+    // sets; the DuckDB oracle recomputes it over string shingle sets. Pin
+    // the two formulations equal across assorted texts (incl. empty, short
+    // and duplicate-heavy docs) and shingle sizes.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumped over the lazy dog",
+      "a a a a a a a a", "a b a b a b a b",
+      "", "one", "one two", "one two three",
+      "Punctuation, CASE and   whitespace; should not matter!",
+      "punctuation case and whitespace should not matter")
+    val pairs = for (a <- texts; b <- texts) yield (a, b)
+    for (k <- Seq(2, 3)) {
+      val df = pairs.toDF("x", "y")
+      val out = df.select(
+        NativeExpressions.sortedJaccard(
+          NativeExpressions.shingleHashes(col("x"), k),
+          NativeExpressions.shingleHashes(col("y"), k)).as("hashed"),
+        NativeExpressions.shingleJaccardNative(col("x"), col("y"), k).as("str"))
+        .as[(Double, Double)].collect()
+      out.zip(pairs).foreach { case ((h, s), (a, b)) =>
+        assert(h === s, s"k=$k a='$a' b='$b'")
+      }
+    }
+  }
 }
