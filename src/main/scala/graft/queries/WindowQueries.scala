@@ -31,16 +31,27 @@ object WindowQueries {
     val total = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
     t(spark, dir, "lineitem")
-      // row_number + filter FIRST: the rank-filter sits directly above
-      // its window, so Spark's WindowGroupLimit maintains a per-partition
-      // top-10 heap instead of fully sorting 600 k rows; rank/dense_rank
-      // then run over ≤10 rows per partition. Equivalent semantics:
-      // strictly-greater-qty rows (all that rank/dense_rank count) always
-      // sort into the kept prefix, and equal-qty rows don't affect each
-      // other's rank.
+      // rank-prefilter FIRST: each rank/row_number filter sits directly
+      // above its window, so Spark plans a partial WindowGroupLimit
+      // before the shuffle — candidates are pruned per input partition,
+      // not after a full-table exchange. Ordering the FIRST window by
+      // (qty desc) alone matters: partitionBy(l_returnflag) has ~3
+      // distinct values, so sort prefixes never discriminate and every
+      // comparison falls through to the row comparator — a 4-column
+      // tie-broken comparator makes the big per-partition sort ~2×
+      // slower than the 2-column one. rank()≤10 keeps a tie-inclusive
+      // superset (every row that could be in any top-10 answer), and the
+      // fully tie-broken row_number then runs over survivors only.
+      // Trade-off vs row_number-first: that form shuffles a hard-capped
+      // 10 rows/group/partition but pays the expensive comparator on
+      // 100% of rows; rank-first pays the cheap sort always and shuffles
+      // a data-dependent tie superset (= rows at the boundary value) —
+      // the right default when the order key is selective, and AQE
+      // absorbs the variance when it is not.
+      .withColumn("rnk", rank().over(byQty))
+      .filter(col("rnk") <= 10)
       .withColumn("rn", row_number().over(total))
       .filter(col("rn") <= 10)
-      .withColumn("rnk", rank().over(byQty))
       .withColumn("drnk", dense_rank().over(byQty))
       .select(col("l_returnflag"), col("rn"), col("rnk"), col("drnk"),
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
