@@ -39,9 +39,11 @@ object Engine {
   /** Expose the native expressions to SQL:
     * minhash_sig(text, k, n), simhash64(text), hyperplane_sig(vec, bits,
     * seed), cosine_native(a, b), shingle_jaccard(a, b, k),
-    * doc_fingerprint(text). */
+    * doc_fingerprint(text), topk_by_score(score, id, k) (aggregate),
+    * ngrams_explode(text, n) (table-generating). */
   def registerFunctions(spark: SparkSession): Unit = {
     import graft.functions.NativeExpressions._
+    import graft.functions.TopKByScoreAgg
     import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
     def intArg(e: Expression, what: String): Int = e match {
       case Literal(v: Int, _) => v
@@ -63,5 +65,14 @@ object Engine {
       es => ShingleJaccardExpr(es.head, es(1), intArg(es(2), "k")), "scala_udf")
     reg.createOrReplaceTempFunction("doc_fingerprint",
       es => FingerprintExpr(es.head), "scala_udf")
+    // aggregate (UDAF surface): SELECT g, topk_by_score(score, id, 5) ...
+    reg.createOrReplaceTempFunction("topk_by_score",
+      es => TopKByScoreAgg(es.head, es(1), intArg(es(2), "k"))
+        .toAggregateExpression(),
+      "scala_udf")
+    // generator (UDTF surface): SELECT ngrams_explode(text, 3) FROM docs
+    // or LATERAL VIEW ngrams_explode(text, 3)
+    reg.createOrReplaceTempFunction("ngrams_explode",
+      es => NGramsExplodeExpr(es.head, intArg(es(1), "n")), "scala_udf")
   }
 }

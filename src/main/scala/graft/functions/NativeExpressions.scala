@@ -337,6 +337,39 @@ object NativeExpressions {
     override def prettyName: String = "sorted_jaccard"
   }
 
+  /** Table-generating function (UDTF surface): explode a text into its
+    * word n-grams as (pos, ngram) rows — same tokenizer as the sketch
+    * expressions, so generated grams line up with MinHash/SimHash
+    * shingles. A native Generator streams rows out of eval (no
+    * intermediate array column materialized per document, unlike
+    * explode(transform(...)) formulations).
+    */
+  case class NGramsExplodeExpr(child: Expression, n: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with CodegenFallback {
+    require(n > 0, s"ngrams_explode: n must be positive, got $n")
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("ngram", StringType, nullable = false)))
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = tokenizeLower(v.asInstanceOf[UTF8String].toString)
+      if (toks.length < n) return Nil
+      val sb = new java.lang.StringBuilder(64)
+      (0 to toks.length - n).iterator.map { i =>
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, UTF8String.fromString(sb.toString)))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "ngrams_explode"
+  }
+
   /** Exact k-shingle Jaccard of two texts — native form of
     * Dedup.shingleJaccard (same tokenizer as MinHashSigExpr). */
   case class ShingleJaccardExpr(left: Expression, right: Expression, k: Int)
@@ -399,4 +432,14 @@ object NativeExpressions {
 
   def hyperplaneSig(vec: Column, numBits: Int, seed: Int): Column =
     column(HyperplaneSigExpr(expression(vec), numBits, seed))
+
+  /** Generator (UDTF): word n-grams of a text as (pos, ngram) rows. */
+  def ngramsExplode(text: Column, n: Int): Column =
+    column(NGramsExplodeExpr(expression(text), n))
+
+  /** Aggregate: k best (score, id) pairs, strongest first — see
+    * [[TopKByScoreAgg]]. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    column(TopKByScoreAgg(expression(score), expression(id), k)
+      .toAggregateExpression())
 }

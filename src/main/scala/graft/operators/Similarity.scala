@@ -49,6 +49,38 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Exact top-k neighbours per query vector, aggregation-shaped: the
+    * per-query top-k is a [[graft.functions.TopKByScoreAgg]] bounded-heap
+    * aggregate instead of a window sort. Same rows as [[bruteForceTopK]]
+    * (ties broken by smaller neighbour id in both), but the declarative
+    * aggregate gets Spark's partial/final split: each map task reduces
+    * its corpus slice to ≤k pairs before the shuffle, so per-query
+    * shuffle volume is O(k × partitions) regardless of corpus size —
+    * the window formulation shuffles every (query, candidate) row to
+    * sort it. Prefer this form when |corpus| ≫ k.
+    */
+  def bruteForceTopKAgg(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val joined = c.crossJoin(broadcast(q))
+    val filtered =
+      if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+      else joined
+    filtered
+      .withColumn("cos",
+        graft.functions.NativeExpressions.cosineNative(col("__qv"), col("__cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.NativeExpressions.topKByScore(
+        col("cos"), col("neighbor_id").cast("long"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
     * queries probe only the `nprobe` nearest cells — the classic
     * clustered-index alternative to LSH. At 100 TB the assignment is one

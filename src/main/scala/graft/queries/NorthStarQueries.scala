@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
-import graft.functions.TextFunctions
+import graft.functions.{NativeExpressions, TextFunctions}
 import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 
 /** LLM-data-pipeline operators (SURVEY.md §2c D1–D5): dedup family,
@@ -57,6 +57,16 @@ object NorthStarQueries {
   def similarityTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** D3d: same exact top-k as D3 but through the bounded-heap UDAF
+    * (TopKByScoreAgg) — partial aggregation caps per-query shuffle
+    * volume at k×partitions; identical rows to the window form. */
+  def similarityTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopKAgg(
         emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -157,6 +167,18 @@ object NorthStarQueries {
         (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** D4e: corpus-wide top-20 trigrams through the native n-gram
+    * Generator (the UDTF leg of the custom-function surface; scalar =
+    * native expressions, aggregate = TopKByScoreAgg). Fully tie-broken
+    * (count desc, ngram) so the LIMIT is deterministic cross-engine. */
+  def ngramTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(NativeExpressions.ngramsExplode(col("text"), 3))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(20)
 
   /** D4c: rolling document fingerprint — portable polynomial hash chain
     * (mod 2^31-1), hash-checked against a DuckDB list_reduce oracle. */
@@ -392,6 +414,26 @@ object NorthStarQueries {
         |  FROM pairs)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       headline = true),
+    QueryDef("d3d_similarity_agg", similarityTopKAgg, Some(
+      // identical semantics (and oracle) to d3: exact top-5 by (cos desc,
+      // neighbor_id) — only the Spark-side physical shape differs
+      // (bounded-heap aggregate vs window sort)
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.qe, e.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(q.qe,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
     QueryDef("d3b_similarity_lsh", similarityLsh, Some(lshOracle(
       """SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))),
@@ -463,6 +505,15 @@ object NorthStarQueries {
         |       CAST(MAX(c) AS BIGINT) AS max_bg,
         |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QueryDef("d4e_ngram_topk", ngramTopK, Some(
+      """WITH tk AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |           i -> array_to_string(w[i:i+2], ' '))) AS ngram
+        |  FROM tk WHERE len(w) >= 3)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM grams
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)),
     QueryDef("d4c_fingerprint", textFingerprint, Some(
       """SELECT doc_id,
         |  list_reduce(

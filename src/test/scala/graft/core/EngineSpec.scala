@@ -41,4 +41,24 @@ class EngineSpec extends SparkSuite {
     assert(fp.getAs[Long]("f") ===
       "hello world".foldLeft(0L)((h, c) => (h * 131L + c.toLong) % 2147483647L))
   }
+
+  test("registerFunctions exposes the UDAF and UDTF surfaces to SQL") {
+    Engine.registerTables(spark, sf())
+    Engine.registerFunctions(spark)
+    // aggregate: 0.9 wins, then the 0.5-tie breaks to the smaller id
+    val tk = spark.sql(
+      """SELECT topk_by_score(score, id, 2) AS tk
+        |FROM VALUES (1L, 0.5D), (2L, 0.5D), (3L, 0.9D), (4L, 0.1D)
+        |  AS t(id, score)""".stripMargin)
+      .selectExpr("transform(tk, e -> e.id) AS ids")
+      .head().getAs[scala.collection.Seq[Long]]("ids")
+    assert(tk.toSeq === Seq(3L, 1L))
+    // generator: n-gram rows via LATERAL VIEW
+    val grams = spark.sql(
+      """SELECT pos, ngram FROM (SELECT 'The quick brown fox' AS s)
+        |LATERAL VIEW ngrams_explode(s, 2) AS pos, ngram
+        |ORDER BY pos""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(grams.toSeq === Seq((0, "the quick"), (1, "quick brown"), (2, "brown fox")))
+  }
 }

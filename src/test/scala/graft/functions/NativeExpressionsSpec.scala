@@ -139,6 +139,16 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(j === 0.5)
   }
 
+  test("ngramsExplode generates tokenizer-aligned n-grams") {
+    val df = Seq("The quick, QUICK fox!", "", "one").toDF("s")
+    val out = df.select(col("s"), NativeExpressions.ngramsExplode(col("s"), 2))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      ("The quick, QUICK fox!", 0, "the quick"),
+      ("The quick, QUICK fox!", 1, "quick quick"),
+      ("The quick, QUICK fox!", 2, "quick fox")))
+  }
+
   test("sortedJaccard over shingleHashes equals string-set shingleJaccard") {
     // The d2 verify stage computes Jaccard over pre-hashed sorted shingle
     // sets; the DuckDB oracle recomputes it over string shingle sets. Pin

@@ -45,4 +45,31 @@ class SimilaritySpec extends SparkSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall > 0.5, s"IVF recall@5 = $recall")
   }
+
+  test("bounded-heap aggregate top-k equals the window formulation") {
+    val emb = Tables.t(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 32)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val window = rows(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    // repartition the corpus so the aggregate really exercises
+    // partial-buffer serialize/merge across many map partitions
+    val agg = rows(Similarity.bruteForceTopKAgg(
+      emb.repartition(13), queries, "vec_id", "embedding", 5))
+    assert(agg === window)
+  }
+
+  test("top-k aggregate keeps the smaller id on score ties") {
+    val tied = Seq(
+      (1L, 10L, 0.5), (1L, 7L, 0.5), (1L, 9L, 0.5), (1L, 8L, 0.9),
+      (1L, 11L, Double.NaN)
+    ).toDF("g", "id", "score")
+    val out = tied.repartition(4).groupBy($"g")
+      .agg(graft.functions.NativeExpressions.topKByScore($"score", $"id", 3).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.id", $"e.score").as[(Long, Double)].collect().toSeq
+    // NaN skipped; 0.9 first; 0.5-ties broken by ascending id
+    assert(out === Seq((8L, 0.9), (7L, 0.5), (9L, 0.5)))
+  }
 }
