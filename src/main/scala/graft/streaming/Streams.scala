@@ -95,6 +95,28 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicates(keys :+ tsCol)
 
+  /** S5b: streaming NEAR-dup dedup — the streaming member of the D2
+    * family: keep only documents whose 64-bit SimHash fingerprint has
+    * not been seen, with state bounded by the watermark
+    * (dropDuplicatesWithinWatermark evicts fingerprints once the
+    * watermark passes their event time + delay). Signature-identical is
+    * the conservative streaming near-dup criterion: it catches
+    * case/punctuation/whitespace variants (the tokenizer normalizes
+    * them) with zero false positives, while pairwise Hamming verify —
+    * which needs candidate JOINS over accumulated state — stays a batch
+    * concern (Dedup.simHashPairs over the landed corpus).
+    */
+  def nearDupDedup(
+      docs: DataFrame,
+      tsCol: String,
+      lateness: String,
+      textCol: String): DataFrame =
+    docs
+      .withColumn("__simhash", graft.operators.Dedup.simHash(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__simhash")
+
   /** S6: watermarked stream-stream interval join — right rows within
     * `[left.ts - lookback, left.ts + lookahead]` on the same key. Both
     * sides need watermarks so the join state is bounded (Spark evicts

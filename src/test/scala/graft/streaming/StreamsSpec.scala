@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 case class Ev(key: String, ts: Timestamp, value: Double)
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 class StreamsSpec extends SparkSuite {
   import spark.implicits._
@@ -116,6 +117,25 @@ class StreamsSpec extends SparkSuite {
     mem.addData(Ev("a", ts("2024-01-01 10:00:00"), 1)) // dup across batches
     q.processAllAvailable()
     assert(spark.table("dd_out").count() === 1)
+    q.stop()
+  }
+
+  test("S5b streaming near-dup dedup drops fingerprint-identical variants") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val dd = Streams.nearDupDedup(mem.toDF(), "ts", "10 minutes", "text")
+    val q = dd.writeStream.format("memory").queryName("ndd_out")
+      .outputMode("append").start()
+    mem.addData(
+      Doc(1L, ts("2024-01-01 10:00:00"), "The quick brown fox!"),
+      Doc(2L, ts("2024-01-01 10:00:10"), "the QUICK   brown fox"), // variant
+      Doc(3L, ts("2024-01-01 10:00:20"), "an entirely different document"))
+    q.processAllAvailable()
+    // cross-batch variant of doc 3
+    mem.addData(Doc(4L, ts("2024-01-01 10:01:00"), "An entirely different document."))
+    q.processAllAvailable()
+    val kept = spark.table("ndd_out").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
     q.stop()
   }
 
