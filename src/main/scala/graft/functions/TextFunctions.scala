@@ -103,6 +103,31 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** PII patterns — deliberately RE2-compatible (no lookaround, no
+    * backreferences) so the same patterns run identically in Spark
+    * (java.util.regex) and the DuckDB oracle (RE2), and would port to
+    * vectorized engines. Conservative by design: high-precision shapes
+    * (emails, dotted quads, long digit runs), not a full PII model —
+    * redaction recall beyond these is a model concern, not an engine
+    * concern. */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longNumRe = "\\d{9,}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailRe))
+
+  /** Redact PII in-place: emails → [EMAIL], IPv4 → [IP], 9+-digit runs
+    * (account/card/phone-shaped) → [NUM]. Email first (it may contain
+    * digits/dots the later patterns would tear apart); the IP pass
+    * keeps long digit runs intact for the final pass. Pure codegen'd
+    * string expressions — a linear scan per document, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipv4Re, "[IP]"),
+      longNumRe, "[NUM]")
+
   /** Rolling document fingerprint: polynomial hash-chain
     * h = (h*131 + codepoint) mod 2^31-1 over the space-joined token
     * stream — order-sensitive, whitespace-insensitive, overflow-free,

@@ -168,6 +168,26 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D4f: PII redaction (emails / IPv4 / long digit runs). The fixture
+    * text contains no PII, so the query synthesizes a deterministic
+    * PII-bearing suffix from (doc_id, source) — both engines build the
+    * identical string, then apply the identical RE2-safe patterns, so
+    * the redacted output and match counts hash-match exactly. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".org"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".7 card 4111111111111111"))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.emailCount(synth).as("n_email"),
+        TextFunctions.redactPii(synth).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D4e: corpus-wide top-20 trigrams through the native n-gram
     * Generator (the UDTF leg of the custom-function surface; scalar =
     * native expressions, aggregate = TopKByScoreAgg). Fully tie-broken
@@ -505,6 +525,21 @@ object NorthStarQueries {
         |       CAST(MAX(c) AS BIGINT) AS max_bg,
         |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QueryDef("d4f_pii_redact", piiRedact, Some(
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@' || source || '.org from 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.7 card 4111111111111111' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_email,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\d{9,}', '[NUM]', 'g') AS redacted
+        |FROM synth ORDER BY doc_id""".stripMargin)),
     QueryDef("d4e_ngram_topk", ngramTopK, Some(
       """WITH tk AS (
         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),

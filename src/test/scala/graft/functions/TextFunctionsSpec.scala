@@ -69,4 +69,20 @@ class TextFunctionsSpec extends SparkSuite {
     val out = df.select(TextFunctions.approxBpeTokenCount(col("t"))).as[Long].collect()
     assert(out(1) > out(0))
   }
+
+  test("redactPii masks emails, IPv4s, and long digit runs") {
+    val cases = Seq(
+      "mail a.b+c@ex-ample.co.uk now" -> "mail [EMAIL] now",
+      "host 192.168.0.1 port 80" -> "host [IP] port 80",
+      "card 4111111111111111 ref 123456789" -> "card [NUM] ref [NUM]",
+      "version 1.2 build 3, untouched" -> "version 1.2 build 3, untouched")
+    val out = cases.map(_._1).toDF("t")
+      .select(col("t"), TextFunctions.redactPii(col("t")),
+        TextFunctions.emailCount(col("t")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    out.zip(cases).foreach { case ((in, got, nEmail), (_, want)) =>
+      assert(got === want, s"input '$in'")
+      assert(nEmail === (if (in.contains("@")) 1 else 0))
+    }
+  }
 }
