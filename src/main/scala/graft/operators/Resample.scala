@@ -46,6 +46,47 @@ object Resample {
       .orderBy(col("bucket"))
   }
 
+  /** Resample with linear-interpolation gap fill: an empty bucket gets
+    * the value interpolated between the nearest observed buckets on
+    * either side; a missing side falls back to the other (edge LOCF).
+    * Two window passes over the GRID (not the data), so like
+    * [[resampleLocf]] the window size is bounded by time span / step
+    * regardless of input row count. Cross-engine exact: the fraction is
+    * one IEEE division of exact µs integers and the blend keeps a fixed
+    * operation order. */
+  def resampleInterpolate(
+      df: DataFrame,
+      timeCol: String,
+      unit: String,
+      step: String,
+      valueAgg: Column,
+      valueName: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val filled = resample(df, timeCol, unit, step,
+      aggs = Seq((count(lit(1)), "__n"), (valueAgg, valueName)),
+      fills = Map("__n" -> lit(0L)))
+    val wPrev = W.orderBy(col("bucket")).rowsBetween(W.unboundedPreceding, 0)
+    val wNext = W.orderBy(col("bucket")).rowsBetween(0, W.unboundedFollowing)
+    val obs = when(col("__n") > 0, col(valueName))
+    val obsTs = when(col("__n") > 0, col("bucket"))
+    val frac =
+      (unix_micros(col("bucket")) - unix_micros(col("__pt"))).cast("double") /
+        (unix_micros(col("__nt")) - unix_micros(col("__pt"))).cast("double")
+    filled
+      .withColumn("__pv", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(obsTs, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(obs, ignoreNulls = true).over(wNext))
+      .withColumn("__nt", first(obsTs, ignoreNulls = true).over(wNext))
+      .withColumn(valueName,
+        when(col("__n") > 0, col(valueName))
+          .when(col("__pt").isNull, col("__nv"))
+          .when(col("__nt").isNull, col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) * frac))
+      .withColumn("was_gap", col("__n") === 0)
+      .select(col("bucket"), col(valueName), col("was_gap"))
+      .orderBy(col("bucket"))
+  }
+
   /** Resample with last-observation-carried-forward gap fill: empty
     * buckets inherit the most recent non-empty bucket's value (per
     * optional partition key) — the standard time-series fill for

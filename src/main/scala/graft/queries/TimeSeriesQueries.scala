@@ -53,6 +53,13 @@ object TimeSeriesQueries {
       t(spark, dir, "events"), "ts", "hour", "INTERVAL 1 HOUR",
       Det.dsum(col("value")), "v")
 
+  /** Q26c: linearly interpolated resample — gaps blend the neighbouring
+    * observations by time fraction. */
+  def resampleInterpQ(spark: SparkSession, dir: String): DataFrame =
+    Resample.resampleInterpolate(
+      t(spark, dir, "events"), "ts", "hour", "INTERVAL 1 HOUR",
+      Det.dsum(col("value")), "v")
+
   /** Q26: hourly resample of events with gap fill. */
   def resampleQ(spark: SparkSession, dir: String): DataFrame =
     Resample.resample(
@@ -94,6 +101,32 @@ object TimeSeriesQueries {
          |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
          |  n = 0 AS was_gap
          |FROM j ORDER BY bucket""".stripMargin)),
+    QueryDef("q30c_resample_interp", resampleInterpQ, Some(
+      s"""WITH agg AS (
+         |  SELECT date_trunc('hour', ts) AS b, COUNT(*) AS n,
+         |         ${Det.dsumSql("value")} AS v
+         |  FROM events GROUP BY 1),
+         |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM agg),
+         |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM bounds),
+         |j AS (SELECT g.b AS bucket, COALESCE(a.n, 0) AS n, a.v
+         |      FROM grid g LEFT JOIN agg a ON g.b = a.b),
+         |sel AS (
+         |  SELECT bucket, n, v,
+         |    last_value(CASE WHEN n > 0 THEN v END IGNORE NULLS) OVER wp AS pv,
+         |    last_value(CASE WHEN n > 0 THEN bucket END IGNORE NULLS) OVER wp AS pt,
+         |    first_value(CASE WHEN n > 0 THEN v END IGNORE NULLS) OVER wn AS nv,
+         |    first_value(CASE WHEN n > 0 THEN bucket END IGNORE NULLS) OVER wn AS nt
+         |  FROM j
+         |  WINDOW wp AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wn AS (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT bucket,
+         |  CASE WHEN n > 0 THEN v
+         |       WHEN pt IS NULL THEN nv
+         |       WHEN nt IS NULL THEN pv
+         |       ELSE pv + (nv - pv) * (CAST(epoch_us(bucket) - epoch_us(pt) AS DOUBLE)
+         |                              / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END AS v,
+         |  n = 0 AS was_gap
+         |FROM sel ORDER BY bucket""".stripMargin)),
     QueryDef("q30_resample", resampleQ, Some(
       s"""WITH agg AS (
          |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,

@@ -38,4 +38,20 @@ class ResampleSpec extends SparkSuite {
     assert(out(1) === ((Timestamp.valueOf("2024-01-01 11:00:00"), 3.0, true))) // carried
     assert(out(2) === ((Timestamp.valueOf("2024-01-01 12:00:00"), 4.0, false)))
   }
+
+  test("interpolated resample blends gap values by time fraction") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 3.0),
+      // 11:00 and 12:00 missing: expect 3 + (9-3)*1/3 = 5, 3 + (9-3)*2/3 = 7
+      (Timestamp.valueOf("2024-01-01 13:30:00"), 9.0)
+    ).toDF("ts", "v")
+    val out = Resample.resampleInterpolate(df, "ts", "hour", "INTERVAL 1 HOUR",
+        Det.dsum(col("v")), "v")
+      .as[(Timestamp, Double, Boolean)].collect()
+    assert(out.length === 4)
+    assert(out(0) === ((Timestamp.valueOf("2024-01-01 10:00:00"), 3.0, false)))
+    assert(out(1) === ((Timestamp.valueOf("2024-01-01 11:00:00"), 5.0, true)))
+    assert(out(2) === ((Timestamp.valueOf("2024-01-01 12:00:00"), 7.0, true)))
+    assert(out(3) === ((Timestamp.valueOf("2024-01-01 13:00:00"), 9.0, false)))
+  }
 }
