@@ -55,7 +55,31 @@ object SubqueryQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   }
 
+  /** Q-sub4: LATERAL correlated subquery with ORDER BY + LIMIT — the
+    * SQL spelling of per-group top-k. Catalyst decorrelates the limit
+    * into WindowGroupLimit (verified in SubqueryPlanSpec), i.e. the
+    * same physical shape as the q07 window formulation — no per-row
+    * subplan, no nation-by-nation loop. */
+  def lateralTopK(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("sq_nation")
+    t(spark, dir, "customer").createOrReplaceTempView("sq_customer")
+    spark.sql(
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM sq_nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM sq_customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q44_lateral_topk", lateralTopK, Some(
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)),
     QueryDef("q41_subquery_scalar", scalarSubquery, Some(
       """SELECT o_orderkey, o_totalprice
         |FROM orders

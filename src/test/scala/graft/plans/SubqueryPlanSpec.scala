@@ -26,6 +26,13 @@ class SubqueryPlanSpec extends SparkSuite {
       s"correlated scalar subquery survived decorrelation:\n$plan")
   }
 
+  test("LATERAL + LIMIT decorrelates to WindowGroupLimit, not a per-row subplan") {
+    val plan = SubqueryQueries.lateralTopK(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected decorrelated WindowGroupLimit top-k in:\n$plan")
+  }
+
   test("a scalar subquery referenced twice executes once (ReusedSubquery)") {
     Tables.t(spark, sf(), "orders").createOrReplaceTempView("sq_orders")
     val df = spark.sql(
