@@ -100,9 +100,13 @@ object Multimodal {
           var h = 1125899906842597L
           var i = 0
           while (i < math.min(payload.length, 256)) { h = 31 * h + payload(i); i += 1 }
+          // double math with ONE rounding point (the final float cast) —
+          // any engine replicating this (see the d5b oracle, which
+          // emulates the signed-64 wrap in HUGEINT) lands on the same
+          // float32 bits
           val vec = Array.tabulate(dim) { d =>
             val hd = h * (d * 2 + 1) + d
-            (math.floorMod(hd, 2001L).toFloat / 1000.0f) - 1.0f
+            ((math.floorMod(hd, 2001L).toDouble / 1000.0) - 1.0).toFloat
           }
           Row(r.getAs[Long]("media_id"), vec.toSeq)
         }

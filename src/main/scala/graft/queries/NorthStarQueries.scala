@@ -188,6 +188,17 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D5b: multimodal feature extraction — documents stand in for media
+    * payloads; the stub encoder's pseudo-embedding is deterministic, so
+    * the whole binary→vector path (schema, partition-parallel decode,
+    * ArrayType(FloatType) output) is hash-checked end to end. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      t(spark, dir, "documents"), "doc_id", "text", "text/plain")
+    Multimodal.extractFeatures(spark, media, dim = 16)
+      .orderBy(col("media_id"))
+  }
+
   /** D4e: corpus-wide top-20 trigrams through the native n-gram
     * Generator (the UDTF leg of the custom-function surface; scalar =
     * native expressions, aggregate = TopKByScoreAgg). Fully tie-broken
@@ -562,6 +573,32 @@ object NorthStarQueries {
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin)),
+    QueryDef("d5b_multimodal_features", multimodalFeatures, Some(
+      // replicates the stub encoder exactly: the signed-64 rolling byte
+      // hash is emulated with HUGEINT arithmetic (wrap = % 2^64, then
+      // reinterpret as signed), floorMod via ((x % m) + m) % m, and one
+      // float32 rounding point at the end — fixture text is pure ASCII
+      // so chars == UTF-8 bytes (verified at all SFs)
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(split(substr(text, 1, 256), ''),
+        |                   c -> CAST(unicode(c) AS HUGEINT)) AS bs
+        |  FROM documents),
+        |h AS (
+        |  SELECT media_id,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bs),
+        |      (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS h64
+        |  FROM b)
+        |SELECT media_id,
+        |  list_transform(range(0, 16), d -> CAST(
+        |    CAST((((h64 * (2*d+1) + d) % 18446744073709551616
+        |           - CASE WHEN (h64 * (2*d+1) + d) % 18446744073709551616
+        |                       >= 9223372036854775808
+        |                  THEN 18446744073709551616
+        |                  ELSE CAST(0 AS HUGEINT) END
+        |          ) % 2001 + 2001) % 2001 AS DOUBLE) / 1000.0 - 1.0
+        |    AS FLOAT4)) AS embedding
+        |FROM h ORDER BY media_id""".stripMargin)),
     QueryDef("d6_hash_sample", hashSampleQ, Some(
       // 0.30 * 2^32 = 1288490188 = 0x4ccccccc
       """SELECT doc_id, lang, source FROM documents
