@@ -105,7 +105,38 @@ object WindowQueries {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Q25b: EWMA over a bounded frame — exponential smoothing expressed
+    * as collect_list over a ROWS frame + an explicit left fold
+    * (y ← 0.75·y + 0.25·x, zero-initialized, oldest→newest). Windows
+    * cannot weight by in-frame offset, but the fold can — and because
+    * both engines fold the identically-ordered list with the identical
+    * double operations (0.25/0.75 are exact binary fractions), the
+    * result is bit-identical cross-engine with no Det framing. */
+  def windowEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    t(spark, dir, "events")
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ewma",
+        aggregate(collect_list(col("value")).over(w), lit(0.0),
+          (acc, x) => acc * lit(0.75) + x * lit(0.25)))
+      .drop("value")
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q29b_window_ewma", windowEwma, Some(
+      """SELECT user_id, event_id, ts,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+        |              (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events WHERE user_id < 200)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
     QueryDef("q27_window_rank", windowRank, Some(
       """SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
         |       CAST(drnk AS INTEGER) AS drnk, l_orderkey, l_linenumber, l_quantity FROM (
