@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.SparkEntry
+
+/** Plan regression guards: the load-bearing physical-plan properties
+  * documented in PLANS.md, asserted so a formulation change that
+  * silently loses pushdown, broadcast, partial aggregation, or a
+  * group-limit shows up as a test failure instead of a bench surprise.
+  * String-level checks on the default-config plan (same settings as
+  * Verify/Bench: AQE on, shuffle partitions small).
+  */
+class PlanGuardSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val q = SparkEntry.all.find(_.name == name)
+      .getOrElse(fail(s"no declared query $name"))
+    q.build(spark, sf()).queryExecution.executedPlan.toString
+  }
+
+  test("q01: ts range predicate is pushed to the parquet scan") {
+    val p = plan("q01_time_range")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"raw-ns range not in PushedFilters:\n$p")
+  }
+
+  test("q03: scan schema is pruned to the projected columns") {
+    val p = plan("q03_projection")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("props") && !read.contains("payload"),
+      s"unprojected columns read:\n$read")
+  }
+
+  test("q11: both dimension joins broadcast") {
+    val p = plan("q11_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+  }
+
+  test("q19: aggregation is partial before the exchange") {
+    val p = plan("q19_groupby_agg")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q27: group-limit runs below the window exchange") {
+    val p = plan("q27_window_rank")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("d3d: top-k aggregate is partial before the exchange") {
+    val p = plan("d3d_similarity_agg")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+
+  test("d2: minhash signature is evaluated exactly once in the plan") {
+    val p = plan("d2_minhash_neardup")
+    assert("minhash_sig".r.findAllIn(p).size === 1,
+      s"signature lineage duplicated:\n$p")
+  }
+}
