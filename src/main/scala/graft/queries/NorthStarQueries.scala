@@ -188,6 +188,26 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D10: two-phase salted aggregation (Skew.saltedGroupBy) declared as
+    * a query — event_type is exactly the hot-key shape (5 values over
+    * the whole table). Hash-checkable against a PLAIN GROUP BY because
+    * the salt only changes physical distribution: counts are integers
+    * and the sum is decimal-exact, so partial-then-merge equals the
+    * one-shot aggregate bit for bit (a double sum would NOT be salt-
+    * invariant — addition order changes with the salt). */
+  def saltedAggQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = col("value").cast(DecimalType(25, 10))
+    graft.operators.Skew.saltedGroupBy(
+        t(spark, dir, "events"), Seq("event_type"),
+        Seq(graft.operators.Skew.count_("n"),
+          graft.operators.Skew.SaltedAgg(sum(dec), "sv", "sum")),
+        saltBuckets = 16)
+      .select(col("event_type"), col("n"),
+        graft.core.Det.dec2dbl(col("sv")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** D5b: multimodal feature extraction — documents stand in for media
     * payloads; the stub encoder's pseudo-embedding is deterministic, so
     * the whole binary→vector path (schema, partition-parallel decode,
@@ -599,6 +619,9 @@ object NorthStarQueries {
         |          ) % 2001 + 2001) % 2001 AS DOUBLE) / 1000.0 - 1.0
         |    AS FLOAT4)) AS embedding
         |FROM h ORDER BY media_id""".stripMargin)),
+    QueryDef("d10_salted_agg", saltedAggQ, Some(
+      s"""SELECT event_type, COUNT(*) AS n, ${graft.core.Det.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("d6_hash_sample", hashSampleQ, Some(
       // 0.30 * 2^32 = 1288490188 = 0x4ccccccc
       """SELECT doc_id, lang, source FROM documents
