@@ -251,6 +251,23 @@ object NorthStarQueries {
       .orderBy(col("media_id"))
   }
 
+  /** D5c: the decode stage itself, hash-checked — media_id plus the
+    * full typed metadata struct (byte_len, width, height, n_frames)
+    * from the partition-parallel mapPartitions decode; the oracle
+    * replicates FakeDecoder's signed-64 rolling hash in HUGEINT the
+    * same way d5b does. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      t(spark, dir, "documents"), "doc_id", "text", "text/plain")
+    Multimodal.decodeMeta(spark, media)
+      .select(col("media_id"), col("media_type"),
+        col("meta.byte_len").as("byte_len"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"))
+      .orderBy(col("media_id"))
+  }
+
   /** D6: deterministic uniform hash sample (~30% of documents) — the
     * reproducible, resumable form of corpus subsampling. */
   def hashSampleQ(spark: SparkSession, dir: String): DataFrame =
@@ -593,6 +610,29 @@ object NorthStarQueries {
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin)),
+    QueryDef("d5c_multimodal_decode", multimodalDecode, Some(
+      // FakeDecoder in SQL: same HUGEINT wrap emulation as d5b; width
+      // needs the signed floorMod (h may be negative as a signed 64-bit
+      // value), height/frames shift first (>>> makes them non-negative)
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |    list_transform(split(substr(text, 1, 256), ''),
+        |                   c -> CAST(unicode(c) AS HUGEINT)) AS bs
+        |  FROM documents),
+        |h AS (
+        |  SELECT media_id, byte_len,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bs),
+        |      (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS h64
+        |  FROM b)
+        |SELECT media_id, 'text/plain' AS media_type, byte_len,
+        |  CAST(16 + ((((h64 - CASE WHEN h64 >= 9223372036854775808
+        |                           THEN 18446744073709551616
+        |                           ELSE CAST(0 AS HUGEINT) END)
+        |               % 240) + 240) % 240) AS INTEGER) AS width,
+        |  CAST(16 + (h64 // 256) % 240 AS INTEGER) AS height,
+        |  CAST(1 + (h64 // 65536) % 32 AS INTEGER) AS n_frames
+        |FROM h ORDER BY media_id""".stripMargin)),
     QueryDef("d5b_multimodal_features", multimodalFeatures, Some(
       // replicates the stub encoder exactly: the signed-64 rolling byte
       // hash is emulated with HUGEINT arithmetic (wrap = % 2^64, then
