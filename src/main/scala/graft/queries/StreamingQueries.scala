@@ -69,7 +69,31 @@ object StreamingQueries {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** S6 (batch-checkable form): the stream-stream interval join run on
+    * batch inputs — `withWatermark` is eliminated by the analyzer in
+    * batch mode, so this drives the EXACT library code path
+    * (Streams.intervalJoin) whose streaming behavior StreamsSpec
+    * checks, and the oracle verifies the join predicate itself. */
+  def intervalJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    Streams.intervalJoin(clicks, purchases, "user_id", "ts",
+        lateness = "10 minutes", lookback = "1 hour", lookahead = "1 hour")
+      .select(col("l.event_id").as("click_id"),
+        col("l.user_id").as("user_id"), col("l.ts").as("c_ts"),
+        col("r.event_id").as("purchase_id"), col("r.ts").as("p_ts"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s6_interval_join", intervalJoinBatch, Some(
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS c_ts,
+        |       p.event_id AS purchase_id, p.ts AS p_ts
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY click_id, purchase_id""".stripMargin)),
     QueryDef("s1_stream_ingest", streamIngest, Some(
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin)),
