@@ -21,18 +21,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.all.filter(_.headline)
-    // Warm-up: JVM/codegen/file listing (one pass, untimed).
-    headline.foreach { q =>
+    // A failing query must not silently time as "fast": failures are
+    // logged, counted, and reported in the JSON line.
+    var errors = 0
+    def run(q: graft.core.QueryDef): Unit =
       try q.build(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+      catch { case e: Throwable =>
+        errors += 1
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+    // Warm-up: JVM/codegen/file listing (one pass, untimed).
+    headline.foreach(run)
     // Median of 3 timed runs per query (BASELINE.md protocol) — single
     // local runs vary ±15% from JIT/GC noise.
     val results = headline.map { q =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try q.build(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        run(q)
         (System.nanoTime() - t0) / 1e9
       }.sorted
       q.name -> times(1)
@@ -40,7 +45,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
