@@ -158,6 +158,22 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .select(col("key"), col("ts"), col("data"))
   }
 
+  /** The reference's declared-but-dead `Query{Limit, Ascending}` intent
+    * (types.go:16-21 — the struct exists but DB.Query bypasses it,
+    * db.go:155-162), implemented honestly: globally (ts, key)-ordered
+    * results, optionally limited. With a limit, Spark plans
+    * TakeOrderedAndProject — a per-partition top-k heap merged on the
+    * driver side of the exchange, never a full global sort. */
+  def queryOrdered(
+      name: String, start: Timestamp, end: Timestamp,
+      ascending: Boolean = true, limit: Option[Int] = None): DataFrame = {
+    val base = query(name, start, end)
+    val ordered =
+      if (ascending) base.orderBy(col("ts").asc, col("key").asc)
+      else base.orderBy(col("ts").desc, col("key").desc)
+    limit.map(ordered.limit).getOrElse(ordered)
+  }
+
   /** Cursor over a range query — the reference's declared-but-never-
     * implemented RowIterator (types.go:24-29). Streams partitions to the
     * driver one at a time (no full collect). */

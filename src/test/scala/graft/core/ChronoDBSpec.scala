@@ -53,6 +53,24 @@ class ChronoDBSpec extends SparkSuite {
     assert(out.toSeq === Seq("b", "c", "c", "d"))
   }
 
+  test("queryOrdered implements the dead Query{Limit, Ascending} intent") {
+    val db = freshDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("b", "2024-01-01 10:00:00"),
+      row("a", "2024-01-01 10:00:00"), // ts tie → key order decides
+      row("c", "2024-01-01 11:00:00"),
+      row("d", "2024-01-01 12:00:00")))
+    val asc = db.queryOrdered("t", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+      .select("key").as[String].collect().toSeq
+    assert(asc === Seq("a", "b", "c", "d"))
+    val desc2 = db.queryOrdered("t", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"),
+        ascending = false, limit = Some(2))
+    assert(desc2.select("key").as[String].collect().toSeq === Seq("d", "c"))
+    // with a limit the plan is a top-k heap, not a global sort
+    assert(desc2.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("insert-time TTL drop is silent") {
     val db = freshDb(ttl = Some(3600))
     db.createTable("t")
