@@ -32,7 +32,11 @@ object NorthStarQueries {
     * .portableTokenHash), so DuckDB recomputes identical signatures, and
     * the oracle replicates the candidate condition (some 16-bit chunk
     * equal) verbatim — the check covers the banding itself, not just the
-    * verify step. */
+    * verify step. Recall semantics: the 4-chunk banding GUARANTEES
+    * candidates for Hamming ≤ 3 (pigeonhole); distances 4–8 are
+    * best-effort (missed only when all four chunks differ), and the
+    * oracle checks the operator AS DEFINED — banding misses identically
+    * on both engines. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
         maxHamming = 8)
