@@ -87,6 +87,41 @@ object Resample {
       .orderBy(col("bucket"))
   }
 
+  /** Per-key LOCF resample: each key gets its own gap grid spanning its
+    * own [min, max] bucket, and the carry-forward window is PARTITIONED
+    * by the key — the per-series form that parallelizes over keys at
+    * scale (the unkeyed [[resampleLocf]] runs its bounded grid through
+    * one task, fine for a single global series only). Grid size is
+    * Σ per-key span/step; the grid join broadcasts nothing — it is
+    * generated from the aggregate itself. */
+  def resampleLocfByKey(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      unit: String,
+      step: String,
+      valueAgg: Column,
+      valueName: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val agg = df
+      .groupBy(col(keyCol), date_trunc(unit, col(timeCol)).as("bucket"))
+      .agg(count(lit(1)).as("__n"), valueAgg.as(valueName))
+    val grid = agg
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), expr(step))).as("bucket"))
+    val w = W.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    grid.join(agg, Seq(keyCol, "bucket"), "left_outer")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .withColumn(valueName,
+        last(when(col("__n") > 0, col(valueName)), ignoreNulls = true).over(w))
+      .withColumn("was_gap", col("__n") === 0)
+      .select(col(keyCol), col("bucket"), col(valueName), col("was_gap"))
+      .orderBy(col(keyCol), col("bucket"))
+  }
+
   /** Resample with last-observation-carried-forward gap fill: empty
     * buckets inherit the most recent non-empty bucket's value (per
     * optional partition key) — the standard time-series fill for

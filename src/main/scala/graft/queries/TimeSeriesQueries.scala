@@ -53,6 +53,14 @@ object TimeSeriesQueries {
       t(spark, dir, "events"), "ts", "hour", "INTERVAL 1 HOUR",
       Det.dsum(col("value")), "v")
 
+  /** Q26d: per-key LOCF resample — each user gets its own hourly grid
+    * and carry-forward window (partitioned, parallel over keys). */
+  def resampleLocfKeyQ(spark: SparkSession, dir: String): DataFrame =
+    Resample.resampleLocfByKey(
+      t(spark, dir, "events").filter(col("user_id") < 40),
+      "user_id", "ts", "hour", "INTERVAL 1 HOUR",
+      Det.dsum(col("value")), "v")
+
   /** Q26c: linearly interpolated resample — gaps blend the neighbouring
     * observations by time fraction. */
   def resampleInterpQ(spark: SparkSession, dir: String): DataFrame =
@@ -101,6 +109,22 @@ object TimeSeriesQueries {
          |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
          |  n = 0 AS was_gap
          |FROM j ORDER BY bucket""".stripMargin)),
+    QueryDef("q30d_resample_locf_key", resampleLocfKeyQ, Some(
+      s"""WITH agg AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS b, COUNT(*) AS n,
+         |         ${Det.dsumSql("value")} AS v
+         |  FROM events WHERE user_id < 40 GROUP BY 1, 2),
+         |bounds AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM agg GROUP BY user_id),
+         |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+         |         FROM bounds),
+         |j AS (SELECT g.user_id, g.b AS bucket, COALESCE(a.n, 0) AS n, a.v
+         |      FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
+         |SELECT user_id, bucket,
+         |  last_value(CASE WHEN n > 0 THEN v END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY bucket
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+         |  n = 0 AS was_gap
+         |FROM j ORDER BY user_id, bucket""".stripMargin)),
     QueryDef("q30c_resample_interp", resampleInterpQ, Some(
       s"""WITH agg AS (
          |  SELECT date_trunc('hour', ts) AS b, COUNT(*) AS n,

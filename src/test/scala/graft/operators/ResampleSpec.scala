@@ -39,6 +39,22 @@ class ResampleSpec extends SparkSuite {
     assert(out(2) === ((Timestamp.valueOf("2024-01-01 12:00:00"), 4.0, false)))
   }
 
+  test("per-key LOCF resample grids and fills each key independently") {
+    val df = Seq(
+      ("u1", Timestamp.valueOf("2024-01-01 10:30:00"), 1.0),
+      ("u1", Timestamp.valueOf("2024-01-01 12:30:00"), 3.0), // u1 gap at 11
+      ("u2", Timestamp.valueOf("2024-01-01 20:00:00"), 9.0)  // disjoint span
+    ).toDF("k", "ts", "v")
+    val out = Resample.resampleLocfByKey(df, "k", "ts", "hour",
+        "INTERVAL 1 HOUR", Det.dsum(col("v")), "v")
+      .as[(String, Timestamp, Double, Boolean)].collect()
+    assert(out.toSeq === Seq(
+      ("u1", Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, false),
+      ("u1", Timestamp.valueOf("2024-01-01 11:00:00"), 1.0, true),
+      ("u1", Timestamp.valueOf("2024-01-01 12:00:00"), 3.0, false),
+      ("u2", Timestamp.valueOf("2024-01-01 20:00:00"), 9.0, false)))
+  }
+
   test("interpolated resample blends gap values by time fraction") {
     val df = Seq(
       (Timestamp.valueOf("2024-01-01 10:30:00"), 3.0),
