@@ -68,6 +68,31 @@ object TimeSeriesQueries {
       t(spark, dir, "events"), "ts", "hour", "INTERVAL 1 HOUR",
       Det.dsum(col("value")), "v")
 
+  /** Q26e: counter delta per bucket — last minus first observation per
+    * (user, hour), the PromQL-style rate/delta downsample. Exact
+    * cross-engine: both values are raw reads (fully tie-broken
+    * row_number picks), and the delta is one double subtraction. */
+  def counterDeltaQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withBucket = t(spark, dir, "events")
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"),
+        col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    withBucket
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .filter(col("rna") === 1 || col("rnd") === 1)
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(max(when(col("rna") === 1, col("value"))).as("first_v"),
+        max(when(col("rnd") === 1, col("value"))).as("last_v"))
+      .withColumn("delta", col("last_v") - col("first_v"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
   /** Q26: hourly resample of events with gap fill. */
   def resampleQ(spark: SparkSession, dir: String): DataFrame =
     Resample.resample(
@@ -109,6 +134,21 @@ object TimeSeriesQueries {
          |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
          |  n = 0 AS was_gap
          |FROM j ORDER BY bucket""".stripMargin)),
+    QueryDef("q30e_counter_delta", counterDeltaQ, Some(
+      """WITH x AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts, event_id) AS rna,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM events WHERE user_id < 40)
+        |SELECT user_id, bucket,
+        |  MAX(CASE WHEN rna = 1 THEN value END) AS first_v,
+        |  MAX(CASE WHEN rnd = 1 THEN value END) AS last_v,
+        |  MAX(CASE WHEN rnd = 1 THEN value END)
+        |    - MAX(CASE WHEN rna = 1 THEN value END) AS delta
+        |FROM x WHERE rna = 1 OR rnd = 1
+        |GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin)),
     QueryDef("q30d_resample_locf_key", resampleLocfKeyQ, Some(
       s"""WITH agg AS (
          |  SELECT user_id, date_trunc('hour', ts) AS b, COUNT(*) AS n,
