@@ -215,12 +215,17 @@ object NorthStarQueries {
   /** D5b: multimodal feature extraction — documents stand in for media
     * payloads; the stub encoder's pseudo-embedding is deterministic, so
     * the whole binary→vector path (schema, partition-parallel decode,
-    * ArrayType(FloatType) output) is hash-checked end to end. */
+    * ArrayType(FloatType) output) is hash-checked end to end. The
+    * declared output is posexploded to scalar cells (media_id, dim,
+    * value) because the driver's hash compare cannot lexsort array
+    * cells; the library API ([[Multimodal.extractFeatures]]) keeps the
+    * ArrayType(FloatType) shape the Similarity/Dedup operators consume. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(
       t(spark, dir, "documents"), "doc_id", "text", "text/plain")
     Multimodal.extractFeatures(spark, media, dim = 16)
-      .orderBy(col("media_id"))
+      .select(col("media_id"), posexplode(col("embedding")).as(Seq("dim", "value")))
+      .orderBy(col("media_id"), col("dim"))
   }
 
   /** D4e: corpus-wide top-20 trigrams through the native n-gram
@@ -642,7 +647,8 @@ object NorthStarQueries {
       // hash is emulated with HUGEINT arithmetic (wrap = % 2^64, then
       // reinterpret as signed), floorMod via ((x % m) + m) % m, and one
       // float32 rounding point at the end — fixture text is pure ASCII
-      // so chars == UTF-8 bytes (verified at all SFs)
+      // so chars == UTF-8 bytes (verified at all SFs). Output is scalar
+      // cells (media_id, dim, value) matching the posexploded Spark form.
       """WITH b AS (
         |  SELECT doc_id AS media_id,
         |    list_transform(split(substr(text, 1, 256), ''),
@@ -653,16 +659,17 @@ object NorthStarQueries {
         |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bs),
         |      (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS h64
         |  FROM b)
-        |SELECT media_id,
-        |  list_transform(range(0, 16), d -> CAST(
+        |SELECT media_id, CAST(d AS INTEGER) AS dim,
+        |  CAST(
         |    CAST((((h64 * (2*d+1) + d) % 18446744073709551616
         |           - CASE WHEN (h64 * (2*d+1) + d) % 18446744073709551616
         |                       >= 9223372036854775808
         |                  THEN 18446744073709551616
         |                  ELSE CAST(0 AS HUGEINT) END
         |          ) % 2001 + 2001) % 2001 AS DOUBLE) / 1000.0 - 1.0
-        |    AS FLOAT4)) AS embedding
-        |FROM h ORDER BY media_id""".stripMargin)),
+        |    AS FLOAT4) AS value
+        |FROM h, generate_series(0, 15) g(d)
+        |ORDER BY media_id, dim""".stripMargin)),
     QueryDef("d10_salted_agg", saltedAggQ, Some(
       s"""SELECT event_type, COUNT(*) AS n, ${graft.core.Det.dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
