@@ -42,7 +42,8 @@ object Dedup {
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 1024,
+      chainWidth: Int = 4): DataFrame = {
 
     val numHashes = bands * rowsPerBand
     val base = df.select(
@@ -74,7 +75,7 @@ object Dedup {
     val hashes = df.select(col(idCol).as("id"),
       NativeExpressions.shingleHashes(col(textCol), shingleK).as("hs"))
     bucketPairs(banded.select(col("band"), col("bucket"), col("id"),
-        lit(0).as("pl")))
+        lit(0).as("pl")), maxBucket, chainWidth)
       .join(hashes.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(hashes.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("jaccard", NativeExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
@@ -83,29 +84,74 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (id_a < id_b) from bucketed rows, WITHOUT a
-    * self-join: collect ids per (band, bucket) and emit in-bucket pairs.
-    * A self-join would re-evaluate the (expensive) signature lineage on
-    * both sides; this evaluates it exactly once. Bucket sizes are small
-    * by construction (that's what banding is for), so the per-bucket
-    * pair expansion is bounded; a pathological giant bucket would hurt
-    * either formulation equally.
+    * self-join: each row pairs with its in-bucket predecessors (id order)
+    * via a bounded sliding window, so the (expensive) signature lineage
+    * upstream is evaluated exactly once and no aggregation buffer ever
+    * holds more than `maxBucket` payloads.
+    *
+    * Skew guard (the 100 TB case): real corpora concentrate boilerplate
+    * clusters into single buckets, and full in-bucket expansion is
+    * quadratic — one degenerate bucket of 10⁶ near-identical docs would
+    * emit 5·10¹¹ pairs from one task. Members beyond `maxBucket` per
+    * bucket therefore pair with only (a) their nearest `chainWidth`
+    * predecessors and (b) the bucket's FIRST member (anchor). This keeps
+    * the pair set linear in bucket size while keeping every oversized
+    * bucket fully connected with ≤2-hop diameter, so
+    * [[connectedComponents]] still collapses the whole cluster in a
+    * couple of label-propagation rounds — degraded candidate RECALL for
+    * ranking uses (documented in [[Similarity.lshTopK]]), but no silent
+    * loss of dedup connectivity and no quadratic blow-up. Buckets at or
+    * under `maxBucket` (everything in the fixtures: measured max 477 at
+    * sf0.1) expand exactly as the uncapped formulation did; use
+    * [[lshBucketStats]] to monitor how much a corpus gets capped.
     */
-  private[operators] def bucketPairs(banded: DataFrame): DataFrame = {
+  private[operators] def bucketPairs(
+      banded: DataFrame, maxBucket: Int = 1024, chainWidth: Int = 4): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    require(chainWidth >= 1 && chainWidth < maxBucket,
+      s"chainWidth must be in [1, maxBucket), got $chainWidth")
     // input cols: band, bucket, id, pl (payload carried to both sides).
-    // collect (id, payload) per bucket sorted by id, expand in-bucket
-    // pairs, dedup across bands.
-    val items = array_sort(collect_list(struct(col("id"), col("pl"))))
-    banded.groupBy(col("band"), col("bucket")).agg(items.as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("xs")) - 2),
-        i => transform(
-          slice(col("xs"), i + 2, size(col("xs")) - i - 1),
-          b => struct(element_at(col("xs"), i + 1).as("a"), b.as("b")))
-      ))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.a.pl").as("pl_a"),
-        col("p.b.id").as("id_b"), col("p.b.pl").as("pl_b"))
+    val byId = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    // sliding frame bounds the per-row predecessor buffer at maxBucket-1
+    // rows — a running unbounded collect_list would rebuild the giant-
+    // bucket buffer this guard exists to avoid
+    val predFrame = byId.rowsBetween(-(maxBucket - 1).toLong, -1L)
+    val anchorFrame = byId.rowsBetween(Window.unboundedPreceding, -1L)
+    banded
+      .withColumn("rn", row_number().over(byId))
+      .withColumn("preds",
+        collect_list(struct(col("id"), col("pl"))).over(predFrame))
+      .withColumn("anchor",
+        first(struct(col("id"), col("pl"))).over(anchorFrame))
+      .withColumn("preds",
+        when(col("rn") <= maxBucket, col("preds"))
+          .otherwise(concat(
+            slice(col("preds"), -chainWidth, chainWidth),
+            array(col("anchor")))))
+      .select(explode(col("preds")).as("p"), col("id"), col("pl"))
+      .select(col("p.id").as("id_a"), col("p.pl").as("pl_a"),
+        col("id").as("id_b"), col("pl").as("pl_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Per-bucket cap accounting for [[bucketPairs]]: bucket sizes with the
+    * uncapped vs emitted pair counts, largest first — the "dropped mass"
+    * observability the cap needs (no silent truncation). Run it on the
+    * same banded frame a caller feeds bucketPairs. */
+  def lshBucketStats(
+      banded: DataFrame, maxBucket: Int = 1024, chainWidth: Int = 4): DataFrame = {
+    val m = lit(maxBucket.toLong)
+    val full = (col("size") * (col("size") - 1) / 2).cast("long")
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > 1)
+      .select(col("band"), col("bucket"), col("size"),
+        full.as("pairs_uncapped"),
+        when(col("size") <= m, full)
+          .otherwise(m * (m - 1) / 2 +
+            (col("size") - m) * (chainWidth + 1)).cast("long")
+          .as("pairs_emitted"))
+      .orderBy(col("size").desc, col("band"), col("bucket"))
   }
 
   /** Exact Jaccard similarity of two texts' k-shingle sets (native
@@ -132,7 +178,8 @@ object Dedup {
     */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1024,
+      chainWidth: Int = 4): DataFrame = {
 
     val base = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
     val chunked = base
@@ -143,7 +190,7 @@ object Dedup {
       .withColumnRenamed("col", "key")
 
     bucketPairs(chunked.select(col("chunk").as("band"), col("key").as("bucket"),
-        col("id"), col("sig").as("pl")))
+        col("id"), col("sig").as("pl")), maxBucket, chainWidth)
       .withColumn("hamming", hamming64(col("pl_a"), col("pl_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -202,9 +249,10 @@ object Dedup {
     */
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 8, bitsPerBand: Int = 8): DataFrame =
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
+      maxBucket: Int = 1024): DataFrame =
     Similarity.lshTopK(df, idCol, vecCol, k = 20, bands = bands,
-        bitsPerBand = bitsPerBand)
+        bitsPerBand = bitsPerBand, maxBucket = maxBucket)
       .filter(col("cos") >= threshold && col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("cos"))
 }

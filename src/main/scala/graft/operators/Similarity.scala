@@ -143,10 +143,20 @@ object Similarity {
   /** Bucketed approximate top-k: `bands` independent signatures of
     * `bitsPerBand` hyperplane bits each; candidates = pairs sharing any
     * band bucket; exact cosine re-rank of candidates.
+    *
+    * Skew guard: buckets beyond `maxBucket` members switch from full
+    * quadratic expansion to chain+anchor pairing (see
+    * [[Dedup.bucketPairs]]) — candidates for the capped tail degrade to
+    * near-id neighbours, i.e. recall inside a degenerate bucket drops,
+    * which is the right trade at corpus scale (a bucket that big means
+    * the band's bits don't discriminate; raise bitsPerBand rather than
+    * pay |bucket|² pairs). The cap also bounds the window buffer that
+    * carries embedding payloads at maxBucket vectors per bucket.
     */
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, bands: Int = 8, bitsPerBand: Int = 8, seed: Int = 42): DataFrame = {
+      k: Int, bands: Int = 8, bitsPerBand: Int = 8, seed: Int = 42,
+      maxBucket: Int = 1024, chainWidth: Int = 4): DataFrame = {
 
     val base = corpus.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
@@ -172,7 +182,7 @@ object Similarity {
     // computed once per unordered pair, then fanned to both directions
     val pairs = Dedup.bucketPairs(
         buckets.select(col("band"), col("bucket"), col("id"),
-          col("vec").as("pl")))
+          col("vec").as("pl")), maxBucket, chainWidth)
       .withColumn("cos",
         graft.functions.NativeExpressions.cosineNative(col("pl_a"), col("pl_b")))
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -71,6 +71,45 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("bucketPairs caps a degenerate bucket: linear pairs, connectivity kept") {
+    // one giant bucket of 300 members — the boilerplate-cluster shape
+    // that is quadratic (44 850 pairs) without the cap
+    val banded = (1L to 300L).toDF("id")
+      .select(lit(0).as("band"), lit(7L).as("bucket"), $"id", lit(0).as("pl"))
+    val pairs = Dedup.bucketPairs(banded, maxBucket = 16, chainWidth = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // head: C(16,2)=120 full pairs; tail: 284 members × (2 chain + 1 anchor)
+    assert(pairs.length === 120 + 284 * 3)
+    assert(pairs.forall { case (a, b) => a < b })
+    // anchor keeps the capped bucket 1-hop connected to the head
+    assert((17L to 300L).forall(i => pairs.contains((1L, i))))
+    // stats report the capped vs uncapped mass — no silent truncation
+    val st = Dedup.lshBucketStats(banded, maxBucket = 16, chainWidth = 2)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(st.toSeq === Seq((0, 7L, 300L, 44850L, (120 + 284 * 3).toLong)))
+  }
+
+  test("bucketPairs is unchanged for buckets at or under the cap") {
+    val banded = (1L to 16L).toDF("id")
+      .select(lit(0).as("band"), lit(7L).as("bucket"), $"id", lit(0).as("pl"))
+    val capped = Dedup.bucketPairs(banded, maxBucket = 16, chainWidth = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = (1L to 16L).flatMap(a => (a + 1 to 16L).map(a -> _)).toSet
+    assert(capped === full)
+  }
+
+  test("degenerate 300-identical-doc corpus dedups to one keeper, capped") {
+    val dup = (1L to 300L).map(i => (i, base)).toDF("id", "text")
+    val pairs = Dedup.minHashLsh(dup, "id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+      maxBucket = 16, chainWidth = 2)
+    // identical docs share every band bucket; capped pair set is linear
+    assert(pairs.count() === (120 + 284 * 3).toLong)
+    val kept = Dedup.dedupByClusters(dup, "id", pairs)
+      .select("id").as[Long].collect()
+    assert(kept.toSeq === Seq(1L))
+  }
+
   test("connected components collapse transitive near-dup chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)
