@@ -53,7 +53,10 @@ object Resample {
     * [[resampleLocf]] the window size is bounded by time span / step
     * regardless of input row count. Cross-engine exact: the fraction is
     * one IEEE division of exact µs integers and the blend keeps a fixed
-    * operation order. */
+    * operation order.
+    *
+    * SINGLE-SERIES utility (unpartitioned windows = one task); the
+    * canonical per-key form is [[resampleInterpolateByKey]]. */
   def resampleInterpolate(
       df: DataFrame,
       timeCol: String,
@@ -122,10 +125,65 @@ object Resample {
       .orderBy(col(keyCol), col("bucket"))
   }
 
+  /** Per-key linear-interpolation resample — the keyed sibling of
+    * [[resampleInterpolate]] and the CANONICAL interpolation form: each
+    * key gets its own gap grid over its own [min, max] bucket and both
+    * neighbour-scan windows are PARTITIONED by the key, so the work
+    * parallelizes over series instead of funnelling the whole grid
+    * through one task. Same exact-fraction semantics as the global form
+    * (one IEEE division of exact µs integers, fixed blend order). */
+  def resampleInterpolateByKey(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      unit: String,
+      step: String,
+      valueAgg: Column,
+      valueName: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val agg = df
+      .groupBy(col(keyCol), date_trunc(unit, col(timeCol)).as("bucket"))
+      .agg(count(lit(1)).as("__n"), valueAgg.as(valueName))
+    val grid = agg
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), expr(step))).as("bucket"))
+    val wPrev = W.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wNext = W.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(0, W.unboundedFollowing)
+    val filled = grid.join(agg, Seq(keyCol, "bucket"), "left_outer")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val obs = when(col("__n") > 0, col(valueName))
+    val obsTs = when(col("__n") > 0, col("bucket"))
+    val frac =
+      (unix_micros(col("bucket")) - unix_micros(col("__pt"))).cast("double") /
+        (unix_micros(col("__nt")) - unix_micros(col("__pt"))).cast("double")
+    filled
+      .withColumn("__pv", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(obsTs, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(obs, ignoreNulls = true).over(wNext))
+      .withColumn("__nt", first(obsTs, ignoreNulls = true).over(wNext))
+      .withColumn(valueName,
+        when(col("__n") > 0, col(valueName))
+          .when(col("__pt").isNull, col("__nv"))
+          .when(col("__nt").isNull, col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) * frac))
+      .withColumn("was_gap", col("__n") === 0)
+      .select(col(keyCol), col("bucket"), col(valueName), col("was_gap"))
+      .orderBy(col(keyCol), col("bucket"))
+  }
+
   /** Resample with last-observation-carried-forward gap fill: empty
     * buckets inherit the most recent non-empty bucket's value (per
     * optional partition key) — the standard time-series fill for
-    * sampled metrics. One window pass over the gap grid. */
+    * sampled metrics. One window pass over the gap grid.
+    *
+    * SINGLE-SERIES utility: the unpartitioned window runs the whole
+    * grid through one task — fine for one global series (grid size is
+    * bounded by time span / step, not row count), wrong for per-key
+    * fills. The canonical per-key form is [[resampleLocfByKey]]. */
   def resampleLocf(
       df: DataFrame,
       timeCol: String,

@@ -47,10 +47,14 @@ object TimeSeriesQueries {
       .orderBy(col("event_id"))
   }
 
-  /** Q26b: LOCF resample — gaps carry the last observed value. */
+  /** Q26b: LOCF resample, canonical KEYED form — each event_type series
+    * gets its own hourly grid and a key-partitioned carry-forward
+    * window, so the fill parallelizes over series (the unpartitioned
+    * [[Resample.resampleLocf]] single-series utility would run the
+    * whole grid through one task). */
   def resampleLocfQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Resample.resampleLocf(
-      t(spark, dir, "events"), "ts", "hour", "INTERVAL 1 HOUR",
+    Resample.resampleLocfByKey(
+      t(spark, dir, "events"), "event_type", "ts", "hour", "INTERVAL 1 HOUR",
       Det.dsum(col("value")), "v")
 
   /** Q26d: per-key LOCF resample — each user gets its own hourly grid
@@ -61,11 +65,12 @@ object TimeSeriesQueries {
       "user_id", "ts", "hour", "INTERVAL 1 HOUR",
       Det.dsum(col("value")), "v")
 
-  /** Q26c: linearly interpolated resample — gaps blend the neighbouring
-    * observations by time fraction. */
+  /** Q26c: linearly interpolated resample, canonical KEYED form — gaps
+    * blend the neighbouring observations by time fraction, per
+    * event_type series with key-partitioned neighbour windows. */
   def resampleInterpQ(spark: SparkSession, dir: String): DataFrame =
-    Resample.resampleInterpolate(
-      t(spark, dir, "events"), "ts", "hour", "INTERVAL 1 HOUR",
+    Resample.resampleInterpolateByKey(
+      t(spark, dir, "events"), "event_type", "ts", "hour", "INTERVAL 1 HOUR",
       Det.dsum(col("value")), "v")
 
   /** Q26e: counter delta per bucket — last minus first observation per
@@ -122,18 +127,20 @@ object TimeSeriesQueries {
         |ORDER BY c.event_id""".stripMargin)),
     QueryDef("q30b_resample_locf", resampleLocfQ, Some(
       s"""WITH agg AS (
-         |  SELECT date_trunc('hour', ts) AS b, COUNT(*) AS n,
+         |  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n,
          |         ${Det.dsumSql("value")} AS v
-         |  FROM events GROUP BY 1),
-         |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM agg),
-         |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM bounds),
-         |j AS (SELECT g.b AS bucket, COALESCE(a.n, 0) AS n, a.v
-         |      FROM grid g LEFT JOIN agg a ON g.b = a.b)
-         |SELECT bucket,
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM agg GROUP BY event_type),
+         |grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+         |         FROM bounds),
+         |j AS (SELECT g.event_type, g.b AS bucket, COALESCE(a.n, 0) AS n, a.v
+         |      FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b)
+         |SELECT event_type, bucket,
          |  last_value(CASE WHEN n > 0 THEN v END IGNORE NULLS)
-         |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+         |    OVER (PARTITION BY event_type ORDER BY bucket
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
          |  n = 0 AS was_gap
-         |FROM j ORDER BY bucket""".stripMargin)),
+         |FROM j ORDER BY event_type, bucket""".stripMargin)),
     QueryDef("q30e_counter_delta", counterDeltaQ, Some(
       """WITH x AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
@@ -167,30 +174,33 @@ object TimeSeriesQueries {
          |FROM j ORDER BY user_id, bucket""".stripMargin)),
     QueryDef("q30c_resample_interp", resampleInterpQ, Some(
       s"""WITH agg AS (
-         |  SELECT date_trunc('hour', ts) AS b, COUNT(*) AS n,
+         |  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n,
          |         ${Det.dsumSql("value")} AS v
-         |  FROM events GROUP BY 1),
-         |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM agg),
-         |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM bounds),
-         |j AS (SELECT g.b AS bucket, COALESCE(a.n, 0) AS n, a.v
-         |      FROM grid g LEFT JOIN agg a ON g.b = a.b),
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM agg GROUP BY event_type),
+         |grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+         |         FROM bounds),
+         |j AS (SELECT g.event_type, g.b AS bucket, COALESCE(a.n, 0) AS n, a.v
+         |      FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b),
          |sel AS (
-         |  SELECT bucket, n, v,
+         |  SELECT event_type, bucket, n, v,
          |    last_value(CASE WHEN n > 0 THEN v END IGNORE NULLS) OVER wp AS pv,
          |    last_value(CASE WHEN n > 0 THEN bucket END IGNORE NULLS) OVER wp AS pt,
          |    first_value(CASE WHEN n > 0 THEN v END IGNORE NULLS) OVER wn AS nv,
          |    first_value(CASE WHEN n > 0 THEN bucket END IGNORE NULLS) OVER wn AS nt
          |  FROM j
-         |  WINDOW wp AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         |         wn AS (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-         |SELECT bucket,
+         |  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wn AS (PARTITION BY event_type ORDER BY bucket
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, bucket,
          |  CASE WHEN n > 0 THEN v
          |       WHEN pt IS NULL THEN nv
          |       WHEN nt IS NULL THEN pv
          |       ELSE pv + (nv - pv) * (CAST(epoch_us(bucket) - epoch_us(pt) AS DOUBLE)
          |                              / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END AS v,
          |  n = 0 AS was_gap
-         |FROM sel ORDER BY bucket""".stripMargin)),
+         |FROM sel ORDER BY event_type, bucket""".stripMargin)),
     QueryDef("q30_resample", resampleQ, Some(
       s"""WITH agg AS (
          |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,

@@ -82,4 +82,28 @@ object ResampleProps extends Properties("resample") {
         v >= lo && v <= hi
       }
     }
+
+  private val genKeyedEvents: Gen[List[(String, Int, Int, Double)]] =
+    Gen.nonEmptyListOf(for {
+      key <- Gen.oneOf("k1", "k2", "k3")
+      e <- genEvent
+    } yield (key, e._1, e._2, e._3))
+
+  property("per-key interpolation equals global interpolation of each key") =
+    forAll(genKeyedEvents) { events =>
+      import spark.implicits._
+      val df = events.map { case (k, h, m, v) =>
+        (k, Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00"), v)
+      }.toDF("k", "ts", "v")
+      val keyed = Resample.resampleInterpolateByKey(df, "k", "ts", "hour",
+          "INTERVAL 1 HOUR", Det.dsum(col("v")), "v")
+        .as[(String, Timestamp, Double, Boolean)].collect().toSeq
+      val perKey = events.map(_._1).distinct.sorted.flatMap { k =>
+        Resample.resampleInterpolate(df.filter(col("k") === k), "ts", "hour",
+            "INTERVAL 1 HOUR", Det.dsum(col("v")), "v")
+          .as[(Timestamp, Double, Boolean)].collect().toSeq
+          .map { case (t, v, g) => (k, t, v, g) }
+      }
+      keyed == perKey
+    }
 }

@@ -55,6 +55,28 @@ class ResampleSpec extends SparkSuite {
       ("u2", Timestamp.valueOf("2024-01-01 20:00:00"), 9.0, false)))
   }
 
+  test("per-key interpolated resample blends within each key only") {
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 10:30:00"), 3.0),
+      // a: 11:00, 12:00 missing → 5.0, 7.0
+      ("a", Timestamp.valueOf("2024-01-01 13:30:00"), 9.0),
+      ("b", Timestamp.valueOf("2024-01-01 11:30:00"), 100.0),
+      // b: 12:00 missing → 100 + (200-100)/2 = 150; never sees a's values
+      ("b", Timestamp.valueOf("2024-01-01 13:00:00"), 200.0)
+    ).toDF("k", "ts", "v")
+    val out = Resample.resampleInterpolateByKey(df, "k", "ts", "hour",
+        "INTERVAL 1 HOUR", Det.dsum(col("v")), "v")
+      .as[(String, Timestamp, Double, Boolean)].collect()
+    assert(out.toSeq === Seq(
+      ("a", Timestamp.valueOf("2024-01-01 10:00:00"), 3.0, false),
+      ("a", Timestamp.valueOf("2024-01-01 11:00:00"), 5.0, true),
+      ("a", Timestamp.valueOf("2024-01-01 12:00:00"), 7.0, true),
+      ("a", Timestamp.valueOf("2024-01-01 13:00:00"), 9.0, false),
+      ("b", Timestamp.valueOf("2024-01-01 11:00:00"), 100.0, false),
+      ("b", Timestamp.valueOf("2024-01-01 12:00:00"), 150.0, true),
+      ("b", Timestamp.valueOf("2024-01-01 13:00:00"), 200.0, false)))
+  }
+
   test("interpolated resample blends gap values by time fraction") {
     val df = Seq(
       (Timestamp.valueOf("2024-01-01 10:30:00"), 3.0),
