@@ -133,6 +133,65 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF ANN with a deterministic SAMPLED coarse quantizer: the cells
+    * are the corpus vectors with id < nlist (a standard IVF variant —
+    * any fixed coarse quantizer works; sampling the corpus gives one
+    * that is reproducible and, unlike fitted k-means centroids,
+    * expressible in oracle SQL, which is why this is the DECLARED d3c
+    * form while [[ivfTopK]] keeps the fitted-k-means path).
+    *
+    * Scale shape: the centroid set is collapsed to ONE broadcast row
+    * holding an array of (cell, vector) structs, so both assignment and
+    * probe selection are map-only passes (an argmax/sort over the
+    * in-row array — no shuffle, no window over the corpus); only the
+    * ~|corpus|·nprobe/nlist candidate rows shuffle for the per-query
+    * ranking. Ties break toward the smaller cell id, mirrored exactly
+    * in the oracle.
+    */
+  def ivfTopKSeeded(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cos = graft.functions.NativeExpressions.cosineNative _
+
+    val cents = corpus.filter(col(idCol) < nlist)
+      .agg(collect_list(struct(col(idCol).cast("int").as("cell"),
+        col(vecCol).as("cv"))).as("cents"))
+      .select(array_sort(col("cents")).as("cents"))
+
+    // assignment: argmax cosine over the broadcast centroid array —
+    // struct ordering (cos, -cell) makes array_max pick max cos with
+    // ties toward the smaller cell
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", array_max(transform(col("cents"), ct => struct(
+        cos(col("vec"), ct.getField("cv")).as("cos"),
+        (-ct.getField("cell")).as("negcell"),
+        ct.getField("cell").as("cell")))).getField("cell"))
+      .select(col("neighbor_id"), col("vec"), col("cell"))
+
+    // per-query nprobe nearest cells: sort (-cos, cell) asc, slice
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("pc", slice(array_sort(transform(col("cents"), ct => struct(
+        (-cos(col("qv"), ct.getField("cv"))).as("ncos"),
+        ct.getField("cell").as("cell")))), 1, nprobe))
+      .select(col("qid"), col("qv"), explode(col("pc")).as("p"))
+      .select(col("qid"), col("qv"), col("p.cell").as("cell"))
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("cos", cos(col("qv"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** Random-hyperplane signature — native Catalyst expression (tight
     * eval loop; the HOF formulation evaluates interpreted, ~10× slower).
     * Plane components are hash-derived from (bit, dim, seed), so plans

@@ -75,11 +75,15 @@ object NorthStarQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** D3c: IVF (k-means coarse quantizer) ANN — the clustered-index scale
-    * path; rows-only check, recall asserted in SimilaritySpec. */
+  /** D3c: IVF ANN — the clustered-index scale path, declared over the
+    * deterministic sampled coarse quantizer (centroids = vectors with
+    * vec_id < nlist) so the full pipeline — assignment argmax, probe
+    * selection, candidate ranking — is replicated verbatim in the
+    * DuckDB oracle. The fitted-k-means quantizer ([[Similarity.ivfTopK]])
+    * stays the library path with recall asserted in SimilaritySpec. */
   def similarityIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+    Similarity.ivfTopKSeeded(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -514,7 +518,41 @@ object NorthStarQueries {
     QueryDef("d3b_similarity_lsh", similarityLsh, Some(lshOracle(
       """SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))),
-    QueryDef("d3c_similarity_ivf", similarityIvf, None),
+    QueryDef("d3c_similarity_ivf", similarityIvf, Some(
+      // the sampled-quantizer IVF pipeline in SQL: same cells, same
+      // argmax assignment (cos DESC, cell ASC), same nprobe probes,
+      // same candidate ranking — cosine via the shared bit-identical
+      // left-fold formulation
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |asgn AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.vec_id AS qid, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.cv")} DESC, c.cell) AS rn
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE rn <= 6),
+         |cand AS (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |         ${cosSql("q.embedding", "a.embedding")} AS cos
+         |  FROM probes p
+         |  JOIN asgn a ON a.cell = p.cell
+         |  JOIN embeddings q ON q.vec_id = p.qid
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
     QueryDef("d4_text_stats", textStats, Some(
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,

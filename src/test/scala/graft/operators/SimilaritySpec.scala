@@ -46,6 +46,23 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("seeded-quantizer IVF: reasonable recall, probes respected") {
+    val emb = Tables.t(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 32)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopKSeeded(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 6)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"seeded IVF recall@5 = $recall")
+    // probing all cells makes the sampled-quantizer IVF exact
+    val full = Similarity.ivfTopKSeeded(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
   test("bounded-heap aggregate top-k equals the window formulation") {
     val emb = Tables.t(spark, sf(), "embeddings")
     val queries = emb.filter($"vec_id" < 32)
