@@ -47,24 +47,45 @@ object AggQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
-  /** Q19: approximate distinct (HLL++). No SQL oracle — the estimate is
-    * engine-specific; the driver records a rows-only check. */
+  /** Q19: approximate distinct (HLL++), SELF-VALIDATING form: the raw
+    * estimate is engine-specific (no cross-engine hash possible), so the
+    * declared output carries the exact count plus an in-query relative-
+    * error verdict; the oracle asserts the verdict — the row hash-matches
+    * iff the sketch estimate really lands within the bound. rsd = 0.02,
+    * bound = 5% (2.5 sigma; the sketch is deterministic per dataset). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_part"))
+      .agg(
+        count_distinct(col("l_partkey")).as("nd_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("apx"))
+      .select(col("l_returnflag"), col("nd_exact"),
+        (abs(col("apx") - col("nd_exact")).cast("double")
+          <= col("nd_exact").cast("double") * 0.05).as("within_tol"))
       .orderBy(col("l_returnflag"))
 
-  /** Q19b: approximate percentiles (t-digest-style sketch; estimate is
-    * engine-specific → rows-only check, exact bounds sanity in tests). */
+  /** Q19b: approximate percentiles, SELF-VALIDATING form: accuracy 1000
+    * guarantees rank error <= 0.1%, so the estimate must land between the
+    * exact 49th/51st (94th/96th) percentiles; those exact bounds are part
+    * of the output (hash-checked — quantile_cont is bit-identical to
+    * Spark percentile, proven by q25) and the oracle asserts the
+    * in-bounds verdicts. */
   def approxPercentile(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-        .as("apx"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("apx"),
+        expr("percentile(l_extendedprice, 0.49)").as("p50_lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("p50_hi"),
+        expr("percentile(l_extendedprice, 0.94)").as("p95_lo"),
+        expr("percentile(l_extendedprice, 0.96)").as("p95_hi"))
       .select(col("l_returnflag"),
-        element_at(col("apx"), 1).as("p50"),
-        element_at(col("apx"), 2).as("p95"))
+        col("p50_lo"), col("p50_hi"), col("p95_lo"), col("p95_hi"),
+        (element_at(col("apx"), 1) >= col("p50_lo") &&
+          element_at(col("apx"), 1) <= col("p50_hi")).as("p50_in_bounds"),
+        (element_at(col("apx"), 2) >= col("p95_lo") &&
+          element_at(col("apx"), 2) <= col("p95_hi")).as("p95_in_bounds"))
       .orderBy(col("l_returnflag"))
 
   /** Q20a: rollup with grouping id. */
@@ -148,8 +169,18 @@ object AggQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         |       COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-    QueryDef("q22_approx_distinct", approxDistinct, None),
-    QueryDef("q25b_approx_percentile", approxPercentile, None),
+    QueryDef("q22_approx_distinct", approxDistinct, Some(
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_exact,
+        |       TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q25b_approx_percentile", approxPercentile, Some(
+      """SELECT l_returnflag,
+        |       quantile_cont(l_extendedprice, 0.49) AS p50_lo,
+        |       quantile_cont(l_extendedprice, 0.51) AS p50_hi,
+        |       quantile_cont(l_extendedprice, 0.94) AS p95_lo,
+        |       quantile_cont(l_extendedprice, 0.96) AS p95_hi,
+        |       TRUE AS p50_in_bounds, TRUE AS p95_in_bounds
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     QueryDef("q22b_pivot", pivotQ, Some(
       """SELECT user_id,
         |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS "click",
