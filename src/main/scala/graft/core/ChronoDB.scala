@@ -24,7 +24,8 @@ final case class ChronoConfig(
     bucket: String = "hour",           // tablet time-bucket granularity
     ttl: Option[Long] = None,          // seconds; None = keep forever
     compression: String = "zstd",      // reference hardcodes gzip (compression.go:45)
-    compactFileThreshold: Int = 4)     // compact buckets with more files
+    compactFileThreshold: Int = 4,     // compact buckets with more files
+    writersPerBucket: Int = 4)         // parallel insert writers per hot bucket
 
 /** Table statistics — reference GetStats (table.go:390-414). */
 final case class TableStats(
@@ -61,6 +62,33 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private val root = Paths.get(config.dataDir)
   Files.createDirectories(root)
 
+  /** Process lock — the reference ships CreateLock/Release
+    * (internal/utils/fileutils.go:242-271: O_CREATE|O_EXCL file,
+    * removed on release) but never wires it into DB.Open; implemented
+    * honestly here like the other declared-but-dead intent (RowIterator,
+    * Query.Limit): double-opening a data dir is rejected until the
+    * first instance is [[close]]d. */
+  private val lockPath = root.resolve("LOCK")
+  try Files.createFile(lockPath)
+  catch {
+    case _: java.nio.file.FileAlreadyExistsException =>
+      throw new DatabaseLockedException(config.dataDir)
+  }
+
+  @volatile private var closed = false
+
+  private def requireOpen(): Unit =
+    if (closed) throw new DatabaseClosedException
+
+  /** Release the data-dir lock (reference ErrDatabaseClosed semantics:
+    * all verbs fail after close). Idempotent. */
+  def close(): Unit = synchronized {
+    if (!closed) {
+      closed = true
+      Files.deleteIfExists(lockPath)
+    }
+  }
+
   private def tablePath(name: String): Path = root.resolve(name)
 
   /** Bucket label pinned to UTC wall-clock: query() and cleanup() parse
@@ -75,15 +103,20 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   // --- DDL (db.go:80-142) ---
 
   def createTable(name: String): Unit = {
+    requireOpen()
     val p = tablePath(name)
     if (Files.exists(p))
       throw new TableAlreadyExistsException(name)
     Files.createDirectories(p)
   }
 
-  def dropTable(name: String): Unit = deleteRecursively(tablePath(name))
+  def dropTable(name: String): Unit = {
+    requireOpen()
+    deleteRecursively(tablePath(name))
+  }
 
   def listTables(): Seq[String] = {
+    requireOpen()
     if (!Files.exists(root)) return Seq.empty
     val s = Files.list(root)
     try s.filter(Files.isDirectory(_)).map[String](_.getFileName.toString)
@@ -92,6 +125,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   }
 
   private def requireTable(name: String): Path = {
+    requireOpen()
     val p = tablePath(name)
     if (!Files.exists(p)) throw new TableNotFoundException(name)
     p
@@ -117,9 +151,19 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         rows.filter(col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
       case None => rows.toDF()
     }
+    // salt the repartition inside each bucket: a hot hour would
+    // otherwise funnel through ONE writer task (skew at ingest — the
+    // usual shape is "all of right now lands in the current bucket").
+    // The salt is a deterministic row hash, so the physical split is
+    // reproducible; compact() later folds the extra files per bucket.
+    // The partition count is pinned (an unnumbered repartition is fair
+    // game for AQE coalescing, which would undo the salt on small
+    // batches).
     fresh
       .withColumn("bucket", bucketExpr)
-      .repartition(col("bucket"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("bucket"),
+        pmod(xxhash64(col("key"), col("ts")), lit(config.writersPerBucket)))
       .sortWithinPartitions(col("ts"), col("key")) // tablet (ts,key) clustering
       .write.mode(SaveMode.Append)
       .option("compression", config.compression)
@@ -263,9 +307,37 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     copyRecursively(requireTable(name), Paths.get(dst))
 
   def restore(name: String, src: String): Unit = {
+    requireOpen()
     val p = tablePath(name)
     deleteRecursively(p)
     copyRecursively(Paths.get(src), p)
+  }
+
+  /** DB-wide backup (reference DB.Backup, db.go:353-375): snapshot every
+    * table under `dst/<table>`. The reference flushes tables first; here
+    * batch inserts are already durable parquet and streaming sinks own
+    * their commit protocol, so the copy alone is the whole snapshot. */
+  def backupAll(dst: String): Unit = {
+    requireOpen()
+    val d = Paths.get(dst)
+    Files.createDirectories(d)
+    listTables().foreach(t => copyRecursively(tablePath(t), d.resolve(t)))
+  }
+
+  /** DB-wide restore (reference DB.Restore, db.go:378-419): REPLACES the
+    * whole table set with the backup's — tables created after the
+    * snapshot are dropped, exactly like the reference clearing its table
+    * map before reloading from the backup dir. */
+  def restoreAll(src: String): Unit = {
+    requireOpen()
+    val s = Paths.get(src)
+    if (!Files.isDirectory(s))
+      throw new InvalidConfigException(s"no such backup dir: $src")
+    listTables().foreach(dropTable)
+    val st = Files.list(s)
+    try st.filter(Files.isDirectory(_)).forEach { td =>
+      copyRecursively(td, tablePath(td.getFileName.toString))
+    } finally st.close()
   }
 
   // --- helpers ---

@@ -14,6 +14,12 @@ final class TableAlreadyExistsException(table: String)
 final class InvalidConfigException(detail: String)
   extends ChronoException(s"invalid config: $detail")
 
+final class DatabaseLockedException(dir: String)
+  extends ChronoException(s"data dir already open (LOCK present): $dir")
+
+final class DatabaseClosedException
+  extends ChronoException("database is closed")
+
 object ChronoConfigValidation {
   /** Parity with the reference's config validation (config.go:154-208):
     * reject unusable knob values at construction time. */
@@ -29,5 +35,8 @@ object ChronoConfigValidation {
     if (c.compactFileThreshold < 1)
       throw new InvalidConfigException(
         s"compactFileThreshold must be >= 1, got ${c.compactFileThreshold}")
+    if (c.writersPerBucket < 1)
+      throw new InvalidConfigException(
+        s"writersPerBucket must be >= 1, got ${c.writersPerBucket}")
   }
 }

@@ -2,6 +2,8 @@ package graft.core
 
 import java.sql.Timestamp
 import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.util.control.NonFatal
 
 /** Background maintenance — the reference runs flush/merge/cleanup
   * goroutine tickers (ChronoBase db.go:195-249). Here flush is owned by
@@ -26,15 +28,43 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String]) {
 
   private var exec: Option[ScheduledExecutorService] = None
 
+  private val failures = new AtomicInteger(0)
+  @volatile private var lastFailure: Option[Throwable] = None
+
+  /** Consecutive ticker failures since the last success — a permanently
+    * failing loop is observable instead of silent. Reset to 0 by any
+    * successful tick. */
+  def consecutiveFailures: Int = failures.get()
+
+  /** The throwable from the most recent failed tick, if the loop is
+    * currently failing. */
+  def lastError: Option[Throwable] = lastFailure
+
+  /** One ticker iteration: a failing tick is logged and counted, a
+    * successful one clears the streak. Only NonFatal errors are
+    * swallowed — a fatal error (OOM, linkage) must kill the loop, not
+    * be retried forever. */
+  private[core] def safeTick(): Unit =
+    try {
+      tick()
+      failures.set(0)
+      lastFailure = None
+    } catch {
+      case NonFatal(e) =>
+        val n = failures.incrementAndGet()
+        lastFailure = Some(e)
+        System.err.println(
+          s"[graft-maintenance] tick failed ($n consecutive): $e")
+    }
+
   /** Start a ticker (reference merge_interval/maintenance_interval). */
   def start(intervalSeconds: Long): Unit = synchronized {
     if (exec.isDefined) return
     val e = Executors.newSingleThreadScheduledExecutor(r => {
       val th = new Thread(r, "graft-maintenance"); th.setDaemon(true); th
     })
-    e.scheduleWithFixedDelay(() => {
-      try tick() catch { case _: Throwable => () }
-    }, intervalSeconds, intervalSeconds, TimeUnit.SECONDS)
+    e.scheduleWithFixedDelay(() => safeTick(), intervalSeconds,
+      intervalSeconds, TimeUnit.SECONDS)
     exec = Some(e)
   }
 

@@ -35,4 +35,36 @@ class ChronoDBIntegrationSpec extends SparkSuite {
     // day bucketing over a ~30-day fixture → ~30 partitions
     assert(st.numFiles >= 28)
   }
+
+  test("hot bucket is written by multiple salted tasks; semantics unchanged") {
+    val root = Files.createTempDirectory("salted")
+    val db = new ChronoDB(spark,
+      ChronoConfig(root.toString, bucket = "hour", writersPerBucket = 4,
+        compactFileThreshold = 1))
+    db.createTable("t")
+    // 200 rows all inside ONE hour bucket — the ingest-skew shape
+    val rows = (1 to 200).map { i =>
+      ChronoRow(s"k$i", Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:${i % 60}%02d"),
+        Array[Byte](i.toByte))
+    }
+    db.insertSeq("t", rows)
+    val bucketDir = root.resolve("t").resolve("bucket=2024-01-01-10")
+    val files = Files.list(bucketDir)
+    val n = try files.filter(_.toString.endsWith(".parquet")).count()
+      finally files.close()
+    assert(n > 1, s"expected >1 salted writer file in the hot bucket, got $n")
+    // query and cleanup semantics are independent of the physical split
+    val got = db.query("t", Timestamp.valueOf("2024-01-01 10:00:00"),
+      Timestamp.valueOf("2024-01-01 11:00:00")).count()
+    assert(got === 200)
+    // compact folds the salted files back to one
+    assert(db.compact("t") === 1)
+    val files2 = Files.list(bucketDir)
+    val n2 = try files2.filter(_.toString.endsWith(".parquet")).count()
+      finally files2.close()
+    assert(n2 === 1)
+    assert(db.query("t", Timestamp.valueOf("2024-01-01 10:00:00"),
+      Timestamp.valueOf("2024-01-01 11:00:00")).count() === 200)
+    db.close()
+  }
 }

@@ -175,6 +175,37 @@ class ChronoDBSpec extends SparkSuite {
     assert(db.table("t").select("key").as[String].collect().toSeq === Seq("a"))
   }
 
+  test("lock file rejects double-open until close (fileutils.go:242-271 intent)") {
+    val dir = Files.createTempDirectory("lock").toString
+    val db1 = new ChronoDB(spark, ChronoConfig(dir))
+    intercept[DatabaseLockedException](new ChronoDB(spark, ChronoConfig(dir)))
+    db1.close()
+    db1.close() // idempotent
+    intercept[DatabaseClosedException](db1.listTables())
+    intercept[DatabaseClosedException](db1.createTable("t"))
+    val db2 = new ChronoDB(spark, ChronoConfig(dir)) // reopens after release
+    assert(db2.listTables() === Seq.empty)
+    db2.close()
+  }
+
+  test("backupAll/restoreAll snapshot and replace the whole table set") {
+    val db = freshDb()
+    db.createTable("t1"); db.createTable("t2")
+    db.insertSeq("t1", Seq(row("a", "2024-01-01 08:00:00")))
+    db.insertSeq("t2", Seq(row("b", "2024-01-01 09:00:00")))
+    val bak = Files.createTempDirectory("bakall").toString
+    db.backupAll(bak)
+    // diverge after the snapshot: new rows AND a new table
+    db.insertSeq("t1", Seq(row("c", "2024-01-01 10:00:00")))
+    db.createTable("t3")
+    db.restoreAll(bak)
+    // table set replaced: t3 gone (reference clears its table map)
+    assert(db.listTables() === Seq("t1", "t2"))
+    assert(db.table("t1").select("key").as[String].collect().toSeq === Seq("a"))
+    assert(db.table("t2").select("key").as[String].collect().toSeq === Seq("b"))
+    intercept[InvalidConfigException](db.restoreAll(bak + "/nope"))
+  }
+
   test("empty table queries cleanly") {
     val db = freshDb()
     db.createTable("t")

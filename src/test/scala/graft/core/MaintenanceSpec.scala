@@ -27,4 +27,25 @@ class MaintenanceSpec extends SparkSuite {
     assert(db.table("a").count() === 4)
     assert(db.table("b").count() === 1)
   }
+
+  test("a throwing table doesn't kill the loop silently: counted, logged, recovers") {
+    val db = new ChronoDB(spark,
+      ChronoConfig(Files.createTempDirectory("maintfail").toString))
+    db.createTable("ok")
+    // table list names a table that doesn't exist → tick throws inside
+    @volatile var tables = Seq("ok", "ghost")
+    val m = new Maintenance(db, () => tables)
+    m.safeTick()
+    assert(m.consecutiveFailures === 1)
+    assert(m.lastError.exists(_.isInstanceOf[TableNotFoundException]))
+    m.safeTick()
+    assert(m.consecutiveFailures === 2) // streak grows while failing
+    tables = Seq("ok")
+    m.safeTick()
+    assert(m.consecutiveFailures === 0) // success clears the streak
+    assert(m.lastError.isEmpty)
+    // fatal errors are NOT swallowed
+    val fatal = new Maintenance(db, () => throw new OutOfMemoryError("boom"))
+    intercept[OutOfMemoryError](fatal.safeTick())
+  }
 }
