@@ -223,7 +223,12 @@ object NorthStarQueries {
     * declared output is posexploded to scalar cells (media_id, dim,
     * value) because the driver's hash compare cannot lexsort array
     * cells; the library API ([[Multimodal.extractFeatures]]) keeps the
-    * ArrayType(FloatType) shape the Similarity/Dedup operators consume. */
+    * ArrayType(FloatType) shape the Similarity/Dedup operators consume.
+    * Note: posexplode drops rows with null/empty embeddings, so
+    * row-count parity with the oracle's fixed 16-rows-per-doc output
+    * relies on extractFeatures always emitting a non-empty fixed-dim
+    * array — a regression there fails the rows_match check rather than
+    * being masked. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(
       t(spark, dir, "documents"), "doc_id", "text", "text/plain")
@@ -696,17 +701,20 @@ object NorthStarQueries {
         |  SELECT media_id,
         |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bs),
         |      (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS h64
-        |  FROM b)
+        |  FROM b),
+        |w AS (
+        |  SELECT media_id, d,
+        |         (h64 * (2*d+1) + d) % 18446744073709551616 AS wrapped
+        |  FROM h, generate_series(0, 15) g(d))
         |SELECT media_id, CAST(d AS INTEGER) AS dim,
         |  CAST(
-        |    CAST((((h64 * (2*d+1) + d) % 18446744073709551616
-        |           - CASE WHEN (h64 * (2*d+1) + d) % 18446744073709551616
-        |                       >= 9223372036854775808
+        |    CAST(((wrapped
+        |           - CASE WHEN wrapped >= 9223372036854775808
         |                  THEN 18446744073709551616
         |                  ELSE CAST(0 AS HUGEINT) END
         |          ) % 2001 + 2001) % 2001 AS DOUBLE) / 1000.0 - 1.0
         |    AS FLOAT4) AS value
-        |FROM h, generate_series(0, 15) g(d)
+        |FROM w
         |ORDER BY media_id, dim""".stripMargin)),
     QueryDef("d10_salted_agg", saltedAggQ, Some(
       s"""SELECT event_type, COUNT(*) AS n, ${graft.core.Det.dsumSql("value")} AS sum_value
