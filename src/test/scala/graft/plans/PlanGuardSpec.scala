@@ -58,4 +58,23 @@ class PlanGuardSpec extends SparkSuite {
     assert("minhash_sig".r.findAllIn(p).size === 1,
       s"signature lineage duplicated:\n$p")
   }
+
+  test("d2: predecessor window frame is the bounded sliding cap frame") {
+    // the skew guard's whole point: the collect_list frame must be the
+    // sliding (-(maxBucket-1), -1) frame, never an unbounded collect
+    // that rebuilds a giant-bucket buffer
+    val p = plan("d2_minhash_neardup")
+    assert(p.contains("specifiedwindowframe(RowFrame, -1023, -1)"),
+      s"bounded predecessor frame missing (cap regressed?):\n$p")
+  }
+
+  test("d3c: corpus assignment is map-only; ranking group-limits before exchange") {
+    val p = plan("d3c_similarity_ivf")
+    // centroid array arrives via broadcast nested-loop (single-row build
+    // side); corpus rows must not shuffle for assignment
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid-array broadcast join missing:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit on candidate ranking:\n$p")
+  }
 }
