@@ -19,6 +19,15 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
+  /** The 8-hex-char threshold under which a uniform md5-derived 32-bit
+    * draw falls with probability `fraction` (lowercase hex sorts in
+    * numeric order). Shared by [[hashSample]]/[[assignSplit]] and their
+    * oracle SQL so both sides of the check derive from one formula. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    f"${(fraction * 4294967296.0).toLong min 0xFFFFFFFFL}%08x"
+  }
+
   /** Uniform deterministic sample predicate: keep a row iff the first 8
     * hex chars of md5(id) — a uniform 32-bit draw derived from the row
     * itself — fall under `fraction`. The comparison is done on the hex
@@ -27,10 +36,49 @@ object Curation {
     * sample. No shuffle, no sort, no RNG state: a pure filter that
     * scales embarrassingly.
     */
-  def hashSample(idCol: Column, fraction: Double): Column = {
-    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
-    val threshold = f"${(fraction * 4294967296.0).toLong min 0xFFFFFFFFL}%08x"
-    substring(md5(idCol.cast("string")), 1, 8) < lit(threshold)
+  def hashSample(idCol: Column, fraction: Double): Column =
+    substring(md5(idCol.cast("string")), 1, 8) < lit(hexThreshold(fraction))
+
+  /** The seeded per-row draw shared by [[shuffleOrder]] and
+    * [[assignSplit]]: md5("<seed>:<id>") — changing the seed produces an
+    * independent permutation/split without touching the data. */
+  private def seededKey(idCol: Column, seed: Long): Column =
+    md5(concat_ws(":", lit(seed.toString), idCol.cast("string")))
+
+  /** Deterministic corpus shuffle — the global permutation every
+    * pretraining run needs before batching. Rows are totally ordered by
+    * a seeded content hash, so the permutation is reproducible (rerun a
+    * failed job, get the same order), seed-independent of the storage
+    * order, and cross-engine verifiable. At scale this is exactly one
+    * range-partitioned sort (Exchange(rangepartitioning) + per-partition
+    * Sort) — the minimum any true global shuffle costs — and the sorted
+    * write preserves the order per output partition. */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key", seededKey(col(idCol), seed))
+      .orderBy(col("shuffle_key"), col(idCol))
+
+  /** Deterministic train/validation/test split: each row draws a seeded
+    * uniform hash and is labeled by cumulative split fractions. Pure
+    * map — no shuffle, no RNG state — and STABLE: a document keeps its
+    * split across reruns and across corpus growth (membership depends
+    * only on (seed, id)), which is what prevents silent train/test
+    * leakage when the corpus is rebuilt.
+    *
+    * @param splits (label, fraction) in order; fractions must sum to 1.
+    */
+  def assignSplit(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val draw = substring(seededKey(col(idCol), seed), 1, 8)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val chain = splits.init.zip(cum.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), c), acc) =>
+        when(draw < lit(hexThreshold(c)), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", chain)
   }
 
   /** Stratified sample: exactly `perGroup` rows from each group, chosen

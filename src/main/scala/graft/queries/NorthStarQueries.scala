@@ -318,6 +318,22 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D11: deterministic corpus shuffle — the seeded global permutation
+    * a pretraining run applies before batching; one range-partitioned
+    * sort, reproducible across reruns and engines. */
+  def corpusShuffleQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.shuffleOrder(t(spark, dir, "documents"), "doc_id", seed = 7L)
+      .select(col("doc_id"), col("shuffle_key"), col("source"))
+
+  /** D12: deterministic train/val/test split — stable hash-based
+    * membership (a doc keeps its split across corpus rebuilds: no
+    * silent train/test leakage), pure map, no RNG state. */
+  def splitAssignQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.assignSplit(t(spark, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** D8: weighted dataset mixing — src0 oversampled 3×, src1 2×,
     * everything else 1×, each copy tagged with its epoch. */
   def datasetMixQ(spark: SparkSession, dir: String): DataFrame =
@@ -744,6 +760,19 @@ object NorthStarQueries {
         |FROM c JOIN b USING (g)
         |GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 3
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("d11_corpus_shuffle", corpusShuffleQ, Some(
+      """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key, source
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
+    QueryDef("d12_split_assign", splitAssignQ, Some(
+      // thresholds derive from the same hexThreshold formula the Spark
+      // side uses — cumulative fractions 0.8 and 0.9
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |            < '${Curation.hexThreshold(0.8)}' THEN 'train'
+         |       WHEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |            < '${Curation.hexThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("d8_dataset_mix", datasetMixQ, Some(
       """SELECT doc_id, source,
         |       CAST(unnest(generate_series(0, coalesce(n, 1) - 1)) AS INTEGER) AS epoch

@@ -39,6 +39,35 @@ class CurationSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("shuffleOrder: deterministic seeded permutation, not storage order") {
+    def order(seed: Long) = Curation.shuffleOrder(docs, "doc_id", seed)
+      .select("doc_id").as[Long].collect().toSeq
+    val a = order(7L)
+    assert(a === order(7L))                      // reproducible
+    assert(a.sorted === docs.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(a !== a.sorted)                       // actually permuted
+    assert(order(8L) !== a)                      // seed-dependent
+  }
+
+  test("assignSplit: stable labels, full coverage, ~requested proportions") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.assignSplit(docs, "doc_id", splits, seed = 7L)
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    assert(out.length === docs.count())
+    val byLabel = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byLabel("train").toDouble / out.length > 0.65)
+    // stability: membership depends only on (seed, id) — a grown corpus
+    // keeps every existing assignment (no train/test leakage on rebuild)
+    val sub = Curation.assignSplit(docs.filter($"doc_id" < 20), "doc_id",
+        splits, seed = 7L)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val full = out.toMap
+    sub.foreach { case (id, s) => assert(full(id) === s) }
+    intercept[IllegalArgumentException](
+      Curation.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), 7L))
+  }
+
   test("contaminationByShingle flags docs overlapping the benchmark set") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
