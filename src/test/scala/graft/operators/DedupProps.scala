@@ -44,4 +44,39 @@ object DedupProps extends Properties("dedup") {
       }.toSet
       got == want
     }
+
+  /** The skew cap's contract: capped pairs are a SUBSET of the full
+    * expansion with identical candidate-graph connectivity — every
+    * bucket's member set stays one connected component, so downstream
+    * connected-components dedup sees the same components. (Verified
+    * pair-level recall can still drop inside a capped bucket; that is
+    * the documented ranking trade-off, not a connectivity loss.) */
+  property("capped bucketPairs: subset of full pairs, same components") =
+    forAll(Gen.listOfN(40, genRow), Gen.choose(2, 6), Gen.choose(1, 3)) {
+      (raw, maxBucket, cwRaw) =>
+        import spark.implicits._
+        val chainWidth = math.min(cwRaw, maxBucket - 1)
+        val rows = raw.groupBy(r => (r._1, r._3)).values.map(_.head).toList
+        val df = rows.toDF("band", "bucket", "id").withColumn("pl", lit(0))
+        val full = Dedup.bucketPairs(df)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val capped = Dedup.bucketPairs(df, maxBucket, chainWidth)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+        def components(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          pairs.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          parent.keys.map(k => k -> find(k)).toMap
+        }
+
+        capped.subsetOf(full) &&
+          components(capped) == components(full)
+    }
 }
