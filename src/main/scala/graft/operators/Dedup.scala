@@ -200,9 +200,13 @@ object Dedup {
     * to fixpoint. Pairwise matches alone don't dedup a corpus: A~B and
     * B~C must collapse into one group even when A~C was never emitted.
     * Iterations are bounded by component diameter (near-dup clusters
-    * are shallow); lineage is truncated per iteration with
-    * localCheckpoint so plans don't grow unboundedly. Returns
-    * (id, component) with component = min id in the cluster.
+    * are shallow, and [[bucketPairs]]'s anchor pairing keeps even capped
+    * giant buckets at ≤2-hop diameter); lineage is truncated per
+    * iteration with localCheckpoint so plans don't grow unboundedly.
+    * Returns (id, component) with component = min id in the cluster.
+    * Hitting maxIter before the labels converge is LOGGED, not silent —
+    * the returned labels are then an over-segmentation (some clusters
+    * not yet fully merged), which dedups too little, never too much.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
@@ -230,6 +234,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[graft-dedup] connectedComponents stopped at " +
+        s"maxIter=$maxIter before convergence — labels over-segmented " +
+        "(raise maxIter for deep chains)")
     labels
   }
 
