@@ -736,10 +736,12 @@ object NorthStarQueries {
       s"""SELECT event_type, COUNT(*) AS n, ${graft.core.Det.dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("d6_hash_sample", hashSampleQ, Some(
-      // 0.30 * 2^32 = 1288490188 = 0x4ccccccc
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
-        |ORDER BY doc_id""".stripMargin)),
+      // threshold derives from the same hexThreshold formula as the
+      // Spark predicate (0.30 → 0x4ccccccc)
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < '${Curation.hexThreshold(0.30)}'
+         |ORDER BY doc_id""".stripMargin)),
     QueryDef("d6b_stratified_sample", stratifiedSampleQ, Some(
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
