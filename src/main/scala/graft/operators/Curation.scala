@@ -149,6 +149,86 @@ object Curation {
       .drop("__w")
   }
 
+  /** Cross-document boilerplate detection: the fraction of each
+    * document's distinct word k-grams that are shared by at least
+    * `minDocs` documents corpus-wide. Headers, footers, license
+    * blurbs, and templated spans repeat ACROSS documents — a signal
+    * intra-document repetition ([[TextFunctions]] d4d) cannot see; the
+    * public MassiveText/C4 pipelines drop or trim documents whose
+    * duplicate-span fraction is high. Returns every input row as
+    * (id, n_grams, n_boiler, boiler_frac) so callers choose the cut.
+    *
+    * Scale shape: per-doc distinct grams (map-side), one shuffle on the
+    * gram to count document frequency, a semi-join back on the gram for
+    * the boilerplate subset, one shuffle on the doc id to count — no
+    * all-pairs stage anywhere, so it survives 100 TB the same way the
+    * D2 family does. `boiler_frac` is one IEEE double division of two
+    * integers (exactly reproducible cross-engine).
+    */
+  def boilerplateNgramStats(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.select(
+      col(idCol),
+      array_distinct(TextFunctions.shingles(col(textCol), k)).as("gs"))
+    val grams = base.select(col(idCol), explode(col("gs")).as("g"))
+    // grams are distinct per doc, so count(*) == count(DISTINCT doc)
+    val boiler = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+      .select(col("g"))
+    val perDoc = grams.join(boiler, Seq("g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_boiler"))
+    base.select(col(idCol), size(col("gs")).cast("long").as("n_grams"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1L)).cast("double")).as("boiler_frac"))
+  }
+
+  /** TF-IDF top terms per document — the keyword-extraction pass a
+    * curation pipeline uses for topic tagging and mixture audits. Uses
+    * the RATIONAL idf `N / doc_freq` (rank-equivalent to the log form
+    * for ordering within a document, since x ↦ tf·f(df) with f
+    * monotone decreasing preserves per-term comparisons only when tf is
+    * equal — the linear form is a documented variant, chosen because
+    * `CAST(tf*N AS DOUBLE) / df` is a single correctly-rounded IEEE
+    * division both Spark and any SQL oracle reproduce bit-identically,
+    * where `ln` is only within-1-ulp portable). Ties break on the term.
+    *
+    * Scale shape: tf = one shuffle on (doc, term); doc_freq = one
+    * shuffle on the term; corpus size N joins in as a broadcast
+    * single-row aggregate (no driver-side count action); the final
+    * per-doc top-k is a WindowGroupLimit window — partial top-k before
+    * the exchange, the q07/q27 plan shape.
+    */
+  def tfIdfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.select(
+      col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"))
+    val corpusN = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(corpusN))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("doc_freq").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("doc_freq"),
+        col("score"), col("rank"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * bins by cumulative offset — bin = floor(exclusive-prefix-sum of
     * token counts / budget) within each `groupCol` partition, in `idCol`

@@ -342,6 +342,24 @@ object NorthStarQueries {
       .select(col("doc_id"), col("source"), col("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
 
+  /** D13: cross-document boilerplate fraction — per doc, the share of
+    * its distinct 3-grams appearing in ≥ 2 documents corpus-wide (the
+    * MassiveText/C4 duplicate-span signal; intra-doc repetition is d4d).
+    * All 500 docs returned so the filter cut stays with the caller. */
+  def boilerplateQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.boilerplateNgramStats(t(spark, dir, "documents"),
+        "doc_id", "text", k = 3, minDocs = 2L)
+      .orderBy(col("doc_id"))
+
+  /** D14: TF-IDF top-3 terms per document — keyword extraction with the
+    * rational idf N/df (one IEEE division; see Curation.tfIdfTopTerms
+    * for why the log form is not hash-portable), ties on the term. */
+  def tfidfQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.tfIdfTopTerms(t(spark, dir, "documents"),
+        "doc_id", "text", topK = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("doc_id"), col("rnk"))
+
   /** The hyperplane matrix used by the LSH queries (bands=16 ×
     * bitsPerBand=4 → 64 planes, seed=42, dim=64) rendered as a DuckDB
     * list-of-lists literal. The matrix is data-independent and
@@ -790,6 +808,45 @@ object NorthStarQueries {
         |  CAST(floor(CAST(coalesce(sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT))
         |    OVER (PARTITION BY lang ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 2048.0) AS BIGINT) AS bin
-        |FROM documents ORDER BY lang, doc_id""".stripMargin))
+        |FROM documents ORDER BY lang, doc_id""".stripMargin)),
+    QueryDef("d13_boilerplate_ngrams", boilerplateQ, Some(
+      // same tokenizer/shingle formulation as the d9 oracle, k=3;
+      // grams are distinct per doc so count(*) counts documents
+      """WITH gs AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents)),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM gs),
+        |b AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        |       FROM g JOIN b USING (g) GROUP BY doc_id)
+        |SELECT gs.doc_id, CAST(len(s) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CAST(coalesce(n_boiler, 0) AS DOUBLE)
+        |    / CAST(greatest(len(s), 1) AS DOUBLE) AS boiler_frac
+        |FROM gs LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    QueryDef("d14_tfidf_topk", tfidfQ, Some(
+      // score = CAST(tf*N AS DOUBLE)/df: one correctly-rounded IEEE
+      // division from integral operands — bit-identical cross-engine
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |        FROM tok GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf, doc_freq,
+        |    CAST(tf * n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, doc_freq, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, term) AS INTEGER) AS rnk
+        |FROM s
+        |QUALIFY rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin))
   )
 }

@@ -105,6 +105,51 @@ class CurationSpec extends SparkSuite {
     assert(epochs === Seq(0, 1, 2))
   }
 
+  test("boilerplateNgramStats: shared spans counted, unique docs at zero, all rows kept") {
+    val corpus = Seq(
+      (1L, "copyright acme corp all rights reserved alpha beta gamma"),
+      (2L, "copyright acme corp all rights reserved delta epsilon zeta"),
+      (3L, "entirely novel words nowhere else repeated once only here"),
+      (4L, "hi")) // < k tokens → zero grams
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplateNgramStats(corpus, "doc_id", "text",
+        k = 3, minDocs = 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    // docs 1/2 share the 4 trigrams of "copyright acme corp all rights
+    // reserved" (9 tokens → 7 grams each); docs 3/4 share nothing
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out(0) === ((1L, 7L, 4L, 4.0 / 7.0)))
+    assert(out(1) === ((2L, 7L, 4L, 4.0 / 7.0)))
+    assert(out(2) === ((3L, 7L, 0L, 0.0)))
+    assert(out(3) === ((4L, 0L, 0L, 0.0))) // zero grams → frac 0, not NaN
+    // every input row appears even when nothing is boilerplate
+    val none = Curation.boilerplateNgramStats(corpus, "doc_id", "text", 3, 5L)
+    assert(none.count() === 4)
+    assert(none.agg(sum($"n_boiler")).as[Long].head() === 0L)
+  }
+
+  test("tfIdfTopTerms ranks rare-but-frequent terms above ubiquitous ones") {
+    val corpus = Seq(
+      (1L, "spark spark spark shuffle the the"),
+      (2L, "the shuffle is fine"),
+      (3L, "the plan is fine")) // "the" in all 3 docs, "spark" only in 1
+      .toDF("doc_id", "text")
+    val out = Curation.tfIdfTopTerms(corpus, "doc_id", "text", topK = 2)
+      .orderBy($"doc_id", $"rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    val doc1 = out.filter(_._1 == 1L)
+    // doc 1: spark tf=3 df=1 → 3*3/1 = 9; shuffle tf=1 df=2 → 1.5;
+    // the tf=2 df=3 → 2 — so (spark, the) are its top 2
+    assert(doc1.map(t => (t._2, t._5)).toSeq === Seq("spark" -> 9.0, "the" -> 2.0))
+    assert(doc1.map(_._6).toSeq === Seq(1, 2))
+    // every doc yields exactly topK rows (ties broken by term)
+    assert(out.groupBy(_._1).forall(_._2.length == 2))
+    // determinism: equal scores order by term — doc 2 ties shuffle/is/
+    // fine at 1.5 (each df=2) and "fine" < "is" < "shuffle" decides
+    val doc2 = out.filter(_._1 == 2L).map(_._2).toSeq
+    assert(doc2 === Seq("fine", "is"))
+  }
+
   test("packByTokenBudget: offsets are exclusive prefix sums and bins bounded by budget") {
     val packed = Curation.packByTokenBudget(docs, "lang", "doc_id", "text", 2048L)
       .orderBy(col("lang"), col("doc_id"))

@@ -68,6 +68,23 @@ class PlanGuardSpec extends SparkSuite {
       s"bounded predecessor frame missing (cap regressed?):\n$p")
   }
 
+  test("d13: boilerplate membership is a semi-join; doc-frequency agg is partial") {
+    val p = plan("d13_boilerplate_ngrams")
+    assert(p.contains("LeftSemi"),
+      s"boilerplate-gram membership must be a semi-join (no payload fanout):\n$p")
+    assert(p.contains("partial_count"),
+      s"doc-frequency count must partial-aggregate before its exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage allowed:\n$p")
+  }
+
+  test("d14: corpus size broadcasts as a single-row aggregate; top-k group-limits") {
+    val p = plan("d14_tfidf_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-size single-row broadcast join missing (driver-side count?):\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit on per-doc top-k:\n$p")
+  }
+
   test("d3c: corpus assignment is map-only; ranking group-limits before exchange") {
     val p = plan("d3c_similarity_ivf")
     // centroid array arrives via broadcast nested-loop (single-row build
