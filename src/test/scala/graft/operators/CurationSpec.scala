@@ -150,6 +150,35 @@ class CurationSpec extends SparkSuite {
     assert(doc2 === Seq("fine", "is"))
   }
 
+  test("boilerplateNgramStats invariants at fixture scale; doubled corpus saturates") {
+    val out = Curation.boilerplateNgramStats(docs, "doc_id", "text", 3, 2L)
+    assert(out.count() === docs.count())
+    assert(out.filter($"n_boiler" > $"n_grams" || $"n_boiler" < 0 ||
+      $"boiler_frac" < 0.0 || $"boiler_frac" > 1.0).isEmpty)
+    // union the corpus with an id-shifted copy of itself: every gram now
+    // appears in >= 2 docs, so every doc with grams saturates at frac 1
+    val doubled = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val sat = Curation.boilerplateNgramStats(doubled, "doc_id", "text", 3, 2L)
+    assert(sat.filter($"n_grams" > 0 && $"n_boiler" =!= $"n_grams").isEmpty)
+  }
+
+  test("tfIdfTopTerms invariants at fixture scale: dense ranks, ordered scores") {
+    val out = Curation.tfIdfTopTerms(docs, "doc_id", "text", topK = 3)
+      .orderBy($"doc_id", $"rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._6).toSeq === (1 to rows.length), s"ranks not dense for doc $id")
+      assert(rows.length <= 3)
+      val scores = rows.sortBy(_._6).map(_._5)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores not non-increasing by rank for doc $id")
+    }
+    // fixture docs all have >= 3 distinct terms → exactly 3 rows each
+    assert(out.length === docs.count() * 3)
+    assert(out.forall(_._5 > 0.0))
+  }
+
   test("packByTokenBudget: offsets are exclusive prefix sums and bins bounded by budget") {
     val packed = Curation.packByTokenBudget(docs, "lang", "doc_id", "text", 2048L)
       .orderBy(col("lang"), col("doc_id"))
