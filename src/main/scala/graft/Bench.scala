@@ -6,6 +6,10 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Each query gets one warm-up
   * run (JIT + file-listing warmth) and one timed run; `total` is the sum
   * of timed seconds across all queries.
+  *
+  * Dev affordance: passing declared-query names as args times THOSE
+  * instead of the headline set (same warm-up/3-run/min+median protocol).
+  * The driver passes no args, so its contract is unchanged.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,7 +24,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val headline = SparkEntry.all.filter(_.headline)
+    val headline =
+      if (args.nonEmpty) {
+        val wanted = args.toSet
+        val qs = SparkEntry.all.filter(q => wanted(q.name))
+        val missing = wanted -- qs.map(_.name).toSet
+        require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
+        qs
+      } else SparkEntry.all.filter(_.headline)
     // A failing query must not silently time as "fast": failures are
     // logged, counted, and reported in the JSON line.
     var errors = 0

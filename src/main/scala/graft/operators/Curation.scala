@@ -200,11 +200,21 @@ object Curation {
     * division both Spark and any SQL oracle reproduce bit-identically,
     * where `ln` is only within-1-ulp portable). Ties break on the term.
     *
-    * Scale shape: tf = one shuffle on (doc, term); doc_freq = one
-    * shuffle on the term; corpus size N joins in as a broadcast
-    * single-row aggregate (no driver-side count action); the final
-    * per-doc top-k is a WindowGroupLimit window — partial top-k before
-    * the exchange, the q07/q27 plan shape.
+    * Scale shape: tf = one shuffle on (doc, term); doc_freq derives
+    * FROM tf (its rows are exactly the distinct (doc, term) pairs) and
+    * PARTIAL-aggregates before its term-keyed exchange, so the
+    * ubiquitous-term skew ("the" appears in every doc) arrives
+    * pre-reduced to ≤1 row per map partition — a window-count
+    * formulation would ship every (doc, term) row of a hot term to one
+    * reducer. The tokenize+explode lineage still evaluates once per
+    * branch: column pruning de-canonicalizes the shared (doc, term)
+    * exchange, exactly the d2 verify-scoping effect in PLANS.md, and
+    * recompute-over-cache is the deliberate discipline (caching the
+    * exploded pairs at corpus scale costs more than re-reading). Corpus
+    * size N joins in as a broadcast single-row aggregate (no
+    * driver-side count action); the final per-doc top-k is a
+    * WindowGroupLimit window — partial top-k before the exchange, the
+    * q07/q27 plan shape.
     */
   def tfIdfTopTerms(
       df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
@@ -213,8 +223,7 @@ object Curation {
       col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = toks.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term"))
+    val docFreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("doc_freq"))
     val corpusN = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
