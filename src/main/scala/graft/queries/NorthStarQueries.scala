@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.functions.{NativeExpressions, TextFunctions}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Layout, Multimodal, Similarity}
 
 /** LLM-data-pipeline operators (SURVEY.md §2c D1–D5): dedup family,
   * similarity search, text analysis, multimodal plumbing. */
@@ -359,6 +359,23 @@ object NorthStarQueries {
         "doc_id", "text", topK = 3)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("doc_id"), col("rnk"))
+
+  /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
+    * that multi-dimensional range pruning sorts by at scale (the
+    * reference's tablets are time-ordered only; this generalizes its
+    * min/max pruning to 2-D predicates). Domains are FIXED literals
+    * ([0,2047] users, January 2024 in µs) so the key is stable across
+    * scale factors and engines; pure integer arithmetic throughout —
+    * see [[Layout.scaleToBits]] for why fp division would corrupt the
+    * curve past 2^53. */
+  def zorderQ(spark: SparkSession, dir: String): DataFrame =
+    Layout.zOrderBy(
+        t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us")),
+        "user_id", 0L, 2047L,
+        "ts_us", 1704067200000000L, 1706745599999999L, bits = 16)
+      .select(col("event_id"), col("zval"))
+      .orderBy(col("zval"), col("event_id"))
 
   /** The hyperplane matrix used by the LSH queries (bands=16 ×
     * bitsPerBand=4 → 64 planes, seed=42, dim=64) rendered as a DuckDB
@@ -847,6 +864,21 @@ object NorthStarQueries {
         |         ORDER BY score DESC, term) AS INTEGER) AS rnk
         |FROM s
         |QUALIFY rnk <= 3
-        |ORDER BY doc_id, rnk""".stripMargin))
+        |ORDER BY doc_id, rnk""".stripMargin)),
+    QueryDef("d15_zorder_key", zorderQ, Some(
+      // the interleave terms are GENERATED from the same unrolled
+      // formula the Spark column uses (Layout.zValue2Sql), so both
+      // engines evaluate the identical shift/mask chain; scaling is
+      // integer multiply-then-integer-divide, clamped first
+      s"""WITH s AS (
+         |  SELECT event_id,
+         |    (greatest(least(user_id, 2047), 0) * 65536) // 2048 AS a,
+         |    ((greatest(least(epoch_ns(ts) // 1000, 1706745599999999),
+         |               1704067200000000) - 1704067200000000) * 65536)
+         |      // 2678400000000 AS b
+         |  FROM events)
+         |SELECT event_id,
+         |  CAST(${graft.operators.Layout.zValue2Sql("a", "b", 16)} AS BIGINT) AS zval
+         |FROM s ORDER BY zval, event_id""".stripMargin))
   )
 }
