@@ -56,6 +56,28 @@ class EdgeCasesSpec extends SparkSuite {
       Seq((ts("2024-01-01 10:00:00"), 1L, 2.5)))
   }
 
+  test("curation text ops on empty and singleton corpora") {
+    import graft.operators.{Curation, Layout}
+    assert(Curation.boilerplateNgramStats(emptyDocs, "id", "text", 3, 2L)
+      .count() === 0)
+    // a singleton corpus can never reach minDocs >= 2: zero boilerplate
+    val one = Curation.boilerplateNgramStats(oneDoc, "id", "text", 3, 2L)
+      .as[(Long, Long, Long, Double)].head()
+    assert(one === ((1L, 2L, 0L, 0.0)))
+    assert(Curation.tfIdfTopTerms(emptyDocs, "id", "text", 3).count() === 0)
+    // singleton: every term has df = 1 = N → score = tf exactly
+    val tfidf = Curation.tfIdfTopTerms(oneDoc, "id", "text", 10)
+    assert(tfidf.filter(col("score") =!= col("tf").cast("double")).isEmpty)
+    // z-order of an empty frame / a degenerate one-point domain
+    val emptyEv = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Layout.zOrderBy(emptyEv, "a", 0L, 10L, "b", 0L, 10L, 4).count() === 0)
+    assert(Seq((5L, 5L)).toDF("a", "b")
+      .select(Layout.zValue2(
+        Layout.scaleToBits(col("a"), 5L, 5L, 4),
+        Layout.scaleToBits(col("b"), 5L, 5L, 4), 4).as("z"))
+      .as[Long].head() === 0L)
+  }
+
   test("empty time range through the reference query path") {
     val db = new graft.core.ChronoDB(spark,
       graft.core.ChronoConfig(java.nio.file.Files
