@@ -125,6 +125,29 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D16: cross-source duplication audit — how much each source pair
+    * duplicates each other, the diagnostic a corpus-mixing decision
+    * reads before weighting sources (inter-source near-dups inflate a
+    * source's effective epoch count). Composes the d2 pair generation
+    * with source labels: pairs carry only ids, so the joins back to the
+    * (doc_id → source) projection are key-only lookups; the aggregate
+    * is one tiny (source_a, source_b) group-by. Sum of jaccard goes
+    * through Det (decimal-exact, order-independent). */
+  def crossSourceDupQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")),
+        Seq("id_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.core.Det.dsum(col("jaccard")).as("sum_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** D4: text statistics — token/char/punct/stopword measures. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
@@ -879,6 +902,32 @@ object NorthStarQueries {
          |  FROM events)
          |SELECT event_id,
          |  CAST(${graft.operators.Layout.zValue2Sql("a", "b", 16)} AS BIGINT) AS zval
-         |FROM s ORDER BY zval, event_id""".stripMargin))
+         |FROM s ORDER BY zval, event_id""".stripMargin)),
+    QueryDef("d16_cross_source_dup", crossSourceDupQ, Some(
+      // pair generation is the d2 oracle verbatim (brute-force exact
+      // Jaccard >= τ; recall-1.0 argument at minhashNearDup), then a
+      // source-label join and a Det-exact aggregate
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len(w) - 2),
+         |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sh
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         |        FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.sh, b.sh)) AS inter,
+         |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT id_a, id_b, CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
+         |  FROM pairs
+         |  WHERE uni > 0 AND CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.5)
+         |SELECT da.source AS source_a, db.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  ${graft.core.Det.dsumSql("jaccard")} AS sum_jaccard
+         |FROM v
+         |JOIN documents da ON v.id_a = da.doc_id
+         |JOIN documents db ON v.id_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
