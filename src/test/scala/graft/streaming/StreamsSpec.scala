@@ -139,6 +139,42 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("stateless curation ops compose with a stream and match their batch results") {
+    // hashSample / assignSplit / quality scoring are pure row-local
+    // column expressions, so the SAME code runs under readStream — the
+    // property a 100 TB pipeline needs to curate data on ingest instead
+    // of in a second batch pass. Streamed output must equal the batch
+    // run over the same rows (deterministic, no RNG state).
+    import graft.operators.Curation
+    import graft.functions.TextFunctions
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val curated = mem.toDF()
+      .filter(Curation.hashSample(col("doc_id"), 0.5))
+      .transform(df => Curation.assignSplit(df, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.1), seed = 7L))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+    val q = curated.writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    val rows = (0L until 200L).map(i =>
+      Doc(i, ts("2024-01-01 10:00:00"), s"document number $i with some words"))
+    mem.addData(rows.take(120): _*); q.processAllAvailable()
+    mem.addData(rows.drop(120): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curated_out")
+      .select("doc_id", "split", "quality")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val batch = rows.toDF()
+      .filter(Curation.hashSample(col("doc_id"), 0.5))
+      .transform(df => Curation.assignSplit(df, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.1), seed = 7L))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .select("doc_id", "split", "quality")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.length < 200) // sample really filtered
+  }
+
   test("custom keyed state: running counts across micro-batches") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.col
