@@ -39,7 +39,8 @@ object Engine {
   /** Expose the native expressions to SQL:
     * minhash_sig(text, k, n), simhash64(text), hyperplane_sig(vec, bits,
     * seed), cosine_native(a, b), shingle_jaccard(a, b, k),
-    * doc_fingerprint(text), topk_by_score(score, id, k) (aggregate),
+    * doc_fingerprint(text), token_hash62(s),
+    * topk_by_score(score, id, k) (aggregate),
     * ngrams_explode(text, n) (table-generating). */
   def registerFunctions(spark: SparkSession): Unit = {
     import graft.functions.NativeExpressions._
@@ -65,6 +66,8 @@ object Engine {
       es => ShingleJaccardExpr(es.head, es(1), intArg(es(2), "k")), "scala_udf")
     reg.createOrReplaceTempFunction("doc_fingerprint",
       es => FingerprintExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("token_hash62",
+      es => TokenHash62Expr(es.head), "scala_udf")
     // aggregate (UDAF surface): SELECT g, topk_by_score(score, id, 5) ...
     reg.createOrReplaceTempFunction("topk_by_score",
       es => TopKByScoreAgg(es.head, es(1), intArg(es(2), "k"))

@@ -143,6 +143,21 @@ object NativeExpressions {
     (h1 << 31) | h2
   }
 
+  /** [[portableTokenHash]] as a scalar expression over an arbitrary
+    * string — the hash-pair source for Kirsch–Mitzenmacher families
+    * (Count-Min rows in [[graft.operators.Sketches]]): h1 = bits 31-61,
+    * h2 = bits 0-30, both non-negative. Oracle-replicable with two
+    * list_reduce folds, like the SimHash oracle. */
+  case class TokenHash62Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        portableTokenHash(input.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "token_hash62"
+  }
+
   /** SimHash over word tokens: bit j (j < 62) set iff the sum over
     * tokens of ±1 (bit j of portableTokenHash(token)) is positive; bits
     * 62-63 always zero, so 16-bit chunk banding still applies (the top
@@ -426,6 +441,8 @@ object NativeExpressions {
     column(MinHashSigExpr(expression(text), shingleK, numHashes))
 
   def simhash64(text: Column): Column = column(SimHashExpr(expression(text)))
+
+  def tokenHash62(s: Column): Column = column(TokenHash62Expr(expression(s)))
 
   def docFingerprint(text: Column): Column =
     column(FingerprintExpr(expression(text)))

@@ -48,4 +48,57 @@ object Sketches {
     if (keys.isEmpty) df.agg(agg)
     else df.groupBy(keys.map(col): _*).agg(agg)
   }
+
+  /** The depth Count-Min cells of a string key: array of (d, bucket)
+    * with bucket_d = (h1 + d·h2) mod width — Kirsch–Mitzenmacher double
+    * hashing over the portable token-hash pair, so an external oracle
+    * recomputes identical cells (same reason the MinHash family avoids
+    * engine-private hashes). h1 < 2^31 and d·h2 < depth·2^31: no
+    * overflow for any sane depth. */
+  private def cmsCells(key: Column, depth: Int, width: Int): Column = {
+    val h = graft.functions.NativeExpressions.tokenHash62(key)
+    val h1 = shiftrightunsigned(h, 31)
+    val h2 = h.bitwiseAND(lit(0x7FFFFFFFL))
+    array((0 until depth).map(d =>
+      struct(lit(d).as("d"), ((h1 + lit(d.toLong) * h2) % width).as("bucket"))): _*)
+  }
+
+  /** Count-Min sketch of string-key frequencies: depth×width counters,
+    * counter(d, b) = Σ count of keys hashing to bucket b in row d. The
+    * build pre-aggregates per key FIRST (one key shuffle with map-side
+    * combine — the hot-key instance stream never fans out), then
+    * explodes the depth cells of each distinct key (map-side) and sums
+    * into the ≤ depth×width counter table. Kilobytes of state at any
+    * corpus size; mergeable (counter tables add), like the HLL path.
+    */
+  def cmsBuild(
+      df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 64,
+      weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 2, s"width out of range: $width")
+    df.groupBy(col(keyCol))
+      .agg(sum(weight).as("__cnt"))
+      .select(explode(cmsCells(col(keyCol), depth, width)).as("cell"),
+        col("__cnt"))
+      .groupBy(col("cell.d").as("d"), col("cell.bucket").as("bucket"))
+      .agg(sum(col("__cnt")).as("cnt"))
+  }
+
+  /** Point estimates from a Count-Min sketch: est(key) = min over rows
+    * of its counter — ALWAYS ≥ the true count (counters only ever add
+    * other keys' mass; the d17 declared query asserts the bound as an
+    * output column). The counter table is tiny, so the probe join
+    * broadcasts; keys absent from the sketch estimate 0 via the left
+    * join. `depth`/`width` must match the build. */
+  def cmsEstimate(
+      sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame =
+    keys.select(col(keyCol),
+        explode(cmsCells(col(keyCol), depth, width)).as("cell"))
+      .join(broadcast(sketch),
+        col("cell.d") === sketch("d") && col("cell.bucket") === sketch("bucket"),
+        "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.functions.{NativeExpressions, TextFunctions}
-import graft.operators.{Curation, Dedup, Layout, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Layout, Multimodal, Similarity, Sketches}
 
 /** LLM-data-pipeline operators (SURVEY.md §2c D1–D5): dedup family,
   * similarity search, text analysis, multimodal plumbing. */
@@ -146,6 +146,30 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_pairs"),
         graft.core.Det.dsum(col("jaccard")).as("sum_jaccard"))
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** D17: Count-Min heavy hitters — corpus token frequencies estimated
+    * from a depth×width counter sketch, reported against the exact
+    * counts for the top-20 tokens with the CM upper-bound guarantee as
+    * an output column (always true: counters only absorb OTHER keys'
+    * mass). Unlike HLL (engine-specific registers → q22 is
+    * self-validating instead), the CM counter table is portable hash
+    * arithmetic, so the WHOLE sketch — build, probe, min — is
+    * replicated in the oracle. At scale the sketch answers frequency
+    * probes from kilobytes of mergeable state instead of a corpus
+    * rescan (see [[Sketches.cmsBuild]]). */
+  def cmsHeavyHittersQ(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+    val sketch = Sketches.cmsBuild(toks, "term", depth = 4, width = 64)
+    Sketches.cmsEstimate(sketch, exact.select(col("term")), "term",
+        depth = 4, width = 64)
+      .join(exact, Seq("term"))
+      .select(col("term"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt")).as("is_upper_bound"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+      .limit(20)
   }
 
   /** D4: text statistics — token/char/punct/stopword measures. */
@@ -928,6 +952,36 @@ object NorthStarQueries {
          |FROM v
          |JOIN documents da ON v.id_a = da.doc_id
          |JOIN documents db ON v.id_b = db.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("d17_cms_heavy_hitters", cmsHeavyHittersQ, Some(
+      // full sketch replication: the same portable hash pair as the
+      // simhash oracle (two char folds), KM cells (h1 + d*h2) mod 64,
+      // counter build from per-term counts, min-over-rows probe
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+        |        FROM tok GROUP BY term),
+        |h AS (
+        |  SELECT term, exact_cnt,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(split(term, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, c) -> (a * 131 + c) % 2147483647) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(split(term, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, c) -> (a * 137 + c) % 2147483629) AS h2
+        |  FROM cnt),
+        |cells AS (
+        |  SELECT term, exact_cnt, d, (h1 + d * h2) % 64 AS bucket
+        |  FROM h, generate_series(0, 3) g(d)),
+        |sketch AS (
+        |  SELECT d, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY d, bucket),
+        |est AS (
+        |  SELECT c.term, min(s.cnt) AS cms_est
+        |  FROM cells c JOIN sketch s USING (d, bucket) GROUP BY c.term)
+        |SELECT h.term, exact_cnt, cms_est, cms_est >= exact_cnt AS is_upper_bound
+        |FROM h JOIN est ON h.term = est.term
+        |ORDER BY exact_cnt DESC, h.term LIMIT 20""".stripMargin))
   )
 }

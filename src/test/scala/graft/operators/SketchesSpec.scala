@@ -29,6 +29,35 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("Count-Min estimates upper-bound exact counts; split builds merge losslessly") {
+    val docs = Tables.t(spark, sf(), "documents")
+    val toks = docs.select(explode(
+      graft.functions.TextFunctions.tokens($"text")).as("term"))
+    val exact = toks.groupBy($"term").agg(count(lit(1)).as("exact_cnt"))
+    val sketch = Sketches.cmsBuild(toks, "term", depth = 4, width = 64)
+    // counter table is bounded by depth × width regardless of corpus
+    assert(sketch.count() <= 4L * 64L)
+    // CM guarantee: every estimate >= its exact count (never under)
+    val est = Sketches.cmsEstimate(sketch, exact.select($"term"), "term",
+      depth = 4, width = 64)
+    val joined = est.join(exact, Seq("term"))
+      .as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (t, e, x) => assert(e >= x, s"$t: est $e < exact $x") }
+    // mergeability: summing counters of two half-corpus sketches equals
+    // the whole-corpus sketch (counters are plain sums)
+    val (lo, hi) = (docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250))
+    def sk(df: org.apache.spark.sql.DataFrame) = Sketches.cmsBuild(
+      df.select(explode(graft.functions.TextFunctions.tokens($"text")).as("term")),
+      "term", depth = 4, width = 64)
+    val mergedHalves = sk(lo).unionByName(sk(hi))
+      .groupBy($"d", $"bucket").agg(sum($"cnt").as("cnt"))
+      .orderBy($"d", $"bucket").as[(Int, Long, Long)].collect().toSeq
+    val whole = sketch.orderBy($"d", $"bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(mergedHalves === whole)
+  }
+
   test("global merge (no keys) works and matches direct") {
     val ev = Tables.t(spark, sf(), "events")
       .withColumn("day", date_trunc("day", col("ts")))
