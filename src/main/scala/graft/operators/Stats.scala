@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column-statistics operators — the optimizer-grade summaries a
+  * warehouse keeps per column (the reference stores only per-tablet
+  * min/max/rowcount, table.go Stats; equi-depth histograms are the next
+  * rung: they answer selectivity questions min/max cannot).
+  */
+object Stats {
+
+  /** Exact equi-depth histogram of a numeric column: `nBuckets` buckets
+    * holding ~equal row counts, with per-bucket (n, lo, hi).
+    *
+    * Scale shape: boundaries are ONE aggregation (exact interior
+    * percentiles — the same distributed sort-based aggregate as q25,
+    * not a global window; a global ntile/row_number formulation would
+    * funnel the whole table through one task). The single-row boundary
+    * array then broadcasts, bucket assignment is a map-side count of
+    * boundaries strictly below the value (ties land in the lower
+    * bucket), and the final per-bucket rollup shuffles `nBuckets` keys.
+    * Dyadic `nBuckets` (8, 16, …) keeps the percentile fractions exact
+    * binary doubles, so the boundaries — and hence the whole histogram
+    * — are reproducible bit for bit in an external oracle.
+    */
+  def equiDepthHistogram(
+      df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      s"nBuckets out of range: $nBuckets")
+    val ps = (1 until nBuckets).map(i => (i.toDouble / nBuckets).toString)
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as("bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter(col("bounds"), b => b < col(valueCol))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+}

@@ -172,6 +172,16 @@ object NorthStarQueries {
       .limit(20)
   }
 
+  /** D18: exact equi-depth histogram of event values — optimizer-grade
+    * column stats (the selectivity summary per-tablet min/max cannot
+    * answer). 8 buckets → dyadic percentile fractions → bit-exact
+    * boundaries cross-engine; see [[Stats.equiDepthHistogram]] for the
+    * no-global-window scale shape. */
+  def equiDepthQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.equiDepthHistogram(
+        t(spark, dir, "events"), "value", nBuckets = 8)
+      .orderBy(col("bucket"))
+
   /** D4: text statistics — token/char/punct/stopword measures. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
@@ -982,6 +992,19 @@ object NorthStarQueries {
         |  FROM cells c JOIN sketch s USING (d, bucket) GROUP BY c.term)
         |SELECT h.term, exact_cnt, cms_est, cms_est >= exact_cnt AS is_upper_bound
         |FROM h JOIN est ON h.term = est.term
-        |ORDER BY exact_cnt DESC, h.term LIMIT 20""".stripMargin))
+        |ORDER BY exact_cnt DESC, h.term LIMIT 20""".stripMargin)),
+    QueryDef("d18_equidepth_hist", equiDepthQ, Some(
+      // quantile_cont ≡ Spark percentile (linear interpolation at
+      // p*(n-1), q25 precedent); dyadic fractions are exact doubles;
+      // ties at a boundary land in the lower bucket on both engines
+      """WITH b AS (
+        |  SELECT [quantile_cont(value, 0.125), quantile_cont(value, 0.25),
+        |          quantile_cont(value, 0.375), quantile_cont(value, 0.5),
+        |          quantile_cont(value, 0.625), quantile_cont(value, 0.75),
+        |          quantile_cont(value, 0.875)] AS bounds
+        |  FROM events)
+        |SELECT CAST(len(list_filter(bounds, x -> x < value)) AS INTEGER) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
+        |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
