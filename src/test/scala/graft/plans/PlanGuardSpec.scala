@@ -85,6 +85,15 @@ class PlanGuardSpec extends SparkSuite {
       s"expected partial+final WindowGroupLimit on per-doc top-k:\n$p")
   }
 
+  test("d18: boundary array broadcasts; no global-window bucket assignment") {
+    val p = plan("d18_equidepth_hist")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"single-row boundary broadcast missing:\n$p")
+    // the scale trap this formulation avoids: a global ntile/row_number
+    // would appear as a Window over an empty partition spec
+    assert(!p.contains("Window"), s"global window crept into the histogram:\n$p")
+  }
+
   test("d3c: corpus assignment is map-only; ranking group-limits before exchange") {
     val p = plan("d3c_similarity_ivf")
     // centroid array arrives via broadcast nested-loop (single-row build
