@@ -172,6 +172,28 @@ object NorthStarQueries {
       .limit(20)
   }
 
+  /** D4g: fuzzy matching — Levenshtein distance and a normalized
+    * rational similarity over consecutive-doc "title" prefixes (the
+    * record-linkage verify primitive; at scale it runs only on
+    * LSH/blocking candidates, exactly like the d2 Jaccard verify, so
+    * the consecutive-pair declaration mirrors d2c's). Both engines
+    * implement unit-cost Levenshtein identically; the similarity is
+    * integer-ratio arithmetic (hash-portable). */
+  def fuzzyMatchQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+    val a = d.select(col("doc_id").as("id_a"), col("title").as("t_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"),
+      col("doc_id").as("id_b"), col("title").as("t_b"))
+    a.join(b, Seq("id_a"))
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
+      .withColumn("sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("t_a")), length(col("t_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("sim"))
+      .orderBy(col("id_a"))
+  }
+
   /** D18: exact equi-depth histogram of event values — optimizer-grade
     * column stats (the selectivity summary per-tablet min/max cannot
     * answer). 8 buckets → dyadic percentile fractions → bit-exact
@@ -1005,6 +1027,15 @@ object NorthStarQueries {
         |  FROM events)
         |SELECT CAST(len(list_filter(bounds, x -> x < value)) AS INTEGER) AS bucket,
         |       CAST(count(*) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
-        |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("d4g_fuzzy_match", fuzzyMatchQ, Some(
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS title FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS edit_dist,
+        |  1.0 - CAST(levenshtein(a.title, b.title) AS DOUBLE)
+        |      / CAST(greatest(len(a.title), len(b.title)) AS DOUBLE) AS sim
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin))
   )
 }
