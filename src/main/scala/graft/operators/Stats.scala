@@ -39,4 +39,27 @@ object Stats {
         min(col(valueCol)).as("lo"),
         max(col(valueCol)).as("hi"))
   }
+
+  /** Grouped equi-depth histogram — one histogram per `groupCol` value,
+    * the per-key form a warehouse stores as column statistics. Same
+    * scale shape as [[equiDepthHistogram]] except the boundary table
+    * has one row per group (still broadcast — group cardinality is the
+    * stats table's size, small by construction) and the assignment join
+    * is keyed on the group. */
+  def equiDepthHistogramBy(
+      df: DataFrame, groupCol: String, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      s"nBuckets out of range: $nBuckets")
+    val ps = (1 until nBuckets).map(i => (i.toDouble / nBuckets).toString)
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as("bounds"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bucket",
+        size(filter(col("bounds"), b => b < col(valueCol))))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
 }

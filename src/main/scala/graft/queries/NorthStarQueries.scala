@@ -204,6 +204,13 @@ object NorthStarQueries {
         t(spark, dir, "events"), "value", nBuckets = 8)
       .orderBy(col("bucket"))
 
+  /** D18b: per-event-type equi-depth histograms — the grouped form a
+    * warehouse stores as per-key column statistics. */
+  def equiDepthByQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.equiDepthHistogramBy(
+        t(spark, dir, "events"), "event_type", "value", nBuckets = 4)
+      .orderBy(col("event_type"), col("bucket"))
+
   /** D4: text statistics — token/char/punct/stopword measures. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
@@ -1036,6 +1043,17 @@ object NorthStarQueries {
         |  1.0 - CAST(levenshtein(a.title, b.title) AS DOUBLE)
         |      / CAST(greatest(len(a.title), len(b.title)) AS DOUBLE) AS sim
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
-        |ORDER BY id_a""".stripMargin))
+        |ORDER BY id_a""".stripMargin)),
+    QueryDef("d18b_equidepth_by_group", equiDepthByQ, Some(
+      """WITH b AS (
+        |  SELECT event_type,
+        |         [quantile_cont(value, 0.25), quantile_cont(value, 0.5),
+        |          quantile_cont(value, 0.75)] AS bounds
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |       CAST(len(list_filter(bounds, x -> x < value)) AS INTEGER) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -28,4 +28,19 @@ class StatsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Stats.equiDepthHistogram(ev, "value", nBuckets = 1))
   }
+
+  test("grouped histogram: per-group mass conserved, per-group buckets complete") {
+    val ev = Tables.t(spark, sf(), "events")
+    val perType = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val h = Stats.equiDepthHistogramBy(ev, "event_type", "value", nBuckets = 4)
+      .orderBy($"event_type", $"bucket")
+      .as[(String, Int, Long, Double, Double)].collect()
+    val byType = h.groupBy(_._1)
+    assert(byType.keySet === perType.keySet)
+    byType.foreach { case (t, rows) =>
+      assert(rows.map(_._3).sum === perType(t), s"mass lost for $t")
+      assert(rows.map(_._2).toSeq.sorted === (0 until 4), s"buckets for $t")
+    }
+  }
 }
