@@ -86,6 +86,72 @@ object AsOfJoin {
       .select((leftCols ++ outNames).map(col): _*)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `right.time >= left.time` on the same key — the "next observation"
+    * form (pandas merge_asof direction='forward'). Same union+window
+    * formulation and cost envelope as [[asOf]], mirrored: right rows
+    * sort AFTER left rows at equal timestamps (inclusive >=), the frame
+    * looks forward, and among same-ts right rows the SMALLEST tie-break
+    * wins (first in frame order).
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      valueCols: Seq[(String, String)],
+      rightTieBreak: Option[String] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val outNames = valueCols.map(_._2)
+    val lkType = left.schema(leftKey).dataType
+    val rkType = right.schema(rightKey).dataType
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val (lk, rk) =
+      if (lkType == rkType) (col(leftKey), col(rightKey))
+      else if (integral.contains(lkType) && integral.contains(rkType))
+        (col(leftKey).cast("long"), col(rightKey).cast("long"))
+      else throw new IllegalArgumentException(
+        s"as-of join key types must match: left $leftKey is $lkType, right $rightKey is $rkType")
+
+    val tbType = rightTieBreak.map(c => right.schema(c).dataType).getOrElse(LongType)
+
+    // __side: left 0, right 1 — at equal ts the left row's forward frame
+    // (currentRow..following) must CONTAIN same-ts right rows
+    val l2 = left.select(
+      (Seq(
+        lk.as("__k"),
+        col(leftTime).as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(tbType).as("__tb")) ++
+        leftCols.map(c => col(c)) ++
+        outNames.zip(valueCols.map(_._1)).map { case (o, rc) =>
+          lit(null).cast(right.schema(rc).dataType).as(o)
+        }): _*)
+
+    val r2 = right.select(
+      (Seq(
+        rk.as("__k"),
+        col(rightTime).as("__t"),
+        lit(1).as("__side"),
+        rightTieBreak.map(c => col(c)).getOrElse(lit(0L).cast(tbType)).as("__tb")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map { case (rc, o) => col(rc).as(o) }): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val filled = l2.unionByName(r2)
+      .select((Seq(col("__k"), col("__t"), col("__side"), col("__tb")) ++
+        leftCols.map(col) ++
+        outNames.map(o => first(col(o), ignoreNulls = true).over(w).as(o))): _*)
+
+    filled.filter(col("__side") === 0)
+      .select((leftCols ++ outNames).map(col): _*)
+  }
+
   /** As-of with tolerance: like [[asOf]], but a matched right row must
     * also satisfy `left.time - right.time <= tolerance` — the bounded-
     * lookback form real time-series joins need (a quote from last week

@@ -47,6 +47,27 @@ object TimeSeriesQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q9c: FORWARD as-of join — for each click, the user's next purchase
+    * at or after the click (pandas direction='forward'; the reference's
+    * inclusive bounds mirrored). Inner form → plain SQL argmin oracle.
+    * Carrying only the timestamp makes MIN the exact tie-break-free
+    * value (same trick as q08's MAX). */
+  def asOfForwardQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+    AsOfJoin.asOfForward(
+        clicks, purchases,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "user_id", rightTime = "ts",
+        valueCols = Seq("ts" -> "next_purchase_ts"),
+        rightTieBreak = Some("p_event_id"))
+      .filter(col("next_purchase_ts").isNotNull)
+      .orderBy(col("event_id"))
+  }
+
   /** Q26b: LOCF resample, canonical KEYED form — each event_type series
     * gets its own hourly grid and a key-partitioned carry-forward
     * window, so the fill parallelizes over series (the unpartitioned
@@ -117,6 +138,13 @@ object TimeSeriesQueries {
         |GROUP BY c.event_id, c.user_id, c.ts
         |ORDER BY c.event_id""".stripMargin),
       headline = true),
+    QueryDef("q09c_asof_forward", asOfForwardQ, Some(
+      """SELECT c.event_id, c.user_id, c.ts, MIN(p.ts) AS next_purchase_ts
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts >= c.ts
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id, c.user_id, c.ts
+        |ORDER BY c.event_id""".stripMargin)),
     QueryDef("q09b_asof_tolerance", asOfToleranceQ, Some(
       """SELECT c.event_id, c.user_id, c.ts, MAX(p.ts) AS last_purchase_ts
         |FROM events c JOIN events p

@@ -33,6 +33,36 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out("d") === Some(400.0)) // equal ts is INCLUSIVE
   }
 
+  test("forward as-of picks earliest right row at or after left time") {
+    val out = AsOfJoin.asOfForward(left, right, "k", "t", "k", "t",
+      Seq("v" -> "next_v"))
+      .select($"tag", $"next_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("a") === Some(200.0)) // next at/after 10:00 is 11:00
+    assert(out("b") === None)        // nothing at or after 12:00
+    assert(out("c") === Some(300.0)) // 09:30 >= 09:00
+    assert(out("d") === Some(400.0)) // equal ts is INCLUSIVE
+    // backward and forward agree on the inclusive equal-ts row, and
+    // disagree exactly where they should on the rest
+    val back = AsOfJoin.asOf(left, right, "k", "t", "k", "t",
+      Seq("v" -> "last_v"))
+      .select($"tag", $"last_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(back("d") === out("d"))
+  }
+
+  test("forward as-of tie on right timestamp: smallest tiebreak wins") {
+    val r2 = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 1.0, 10L),
+      (1L, ts("2024-01-01 11:00:00"), 2.0, 20L)
+    ).toDF("k", "t", "v", "seq")
+    val out = AsOfJoin.asOfForward(
+        left.filter($"tag" === "a"), r2, "k", "t", "k", "t",
+        Seq("v" -> "next_v"), rightTieBreak = Some("seq"))
+      .select($"next_v").as[Double].head()
+    assert(out === 1.0) // seq 10 < 20 — first in frame order
+  }
+
   test("inner as-of drops rows with no prior right row") {
     val out = AsOfJoin.asOfInner(left, right, "k", "t", "k", "t",
       Seq("v" -> "last_v"))
