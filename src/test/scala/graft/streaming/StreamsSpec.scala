@@ -175,6 +175,39 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty && streamed.length < 200) // sample really filtered
   }
 
+  test("streaming Count-Min: per-batch sketches merge across micro-batches to the batch sketch") {
+    // the mergeable-sketch streaming pattern: each micro-batch builds
+    // its own bounded counter table (Sketches.cmsBuild) and merges by
+    // plain counter addition — kilobytes of state per batch, and the
+    // running sketch equals the one-shot batch sketch exactly
+    import graft.operators.Sketches
+    import graft.functions.TextFunctions
+    import scala.collection.mutable
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val acc = mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    val q = mem.toDF().writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      Sketches.cmsBuild(
+          batch.select(explode(TextFunctions.tokens(col("text"))).as("term")),
+          "term", depth = 4, width = 64)
+        .collect().foreach { r =>
+          acc((r.getInt(0), r.getLong(1))) += r.getLong(2)
+        }
+      ()
+    }.start()
+    val rows = (0L until 100L).map(i =>
+      Doc(i, ts("2024-01-01 10:00:00"), s"token$i shared words appear here token${i % 7}"))
+    mem.addData(rows.take(60): _*); q.processAllAvailable()
+    mem.addData(rows.drop(60): _*); q.processAllAvailable()
+    q.stop()
+    val whole = Sketches.cmsBuild(
+        rows.toDF().select(explode(TextFunctions.tokens($"text")).as("term")),
+        "term", depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect()
+      .map { case (d, b, c) => (d, b) -> c }.toMap
+    assert(acc.toMap === whole)
+  }
+
   test("custom keyed state: running counts across micro-batches") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.col
