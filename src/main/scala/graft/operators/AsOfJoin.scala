@@ -152,6 +152,44 @@ object AsOfJoin {
       .select((leftCols ++ outNames).map(col): _*)
   }
 
+  /** Nearest as-of join: for each left row, the right row minimizing
+    * |right.time - left.time| on the same key (pandas merge_asof
+    * direction='nearest'); ties between an equally-distant previous and
+    * next observation resolve BACKWARD (the previous row wins),
+    * matching pandas. Composed from the two verified directional forms
+    * — two window passes over the same key shuffle, then a row-local
+    * choose; no new join shape.
+    */
+  def asOfNearest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      valueCols: Seq[(String, String)],
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val back = asOf(left, right, leftKey, leftTime, rightKey, rightTime,
+      valueCols.map { case (rc, o) => (rc, s"__b_$o") } :+ (rightTime -> "__bt"),
+      rightTieBreak)
+    val both = asOfForward(back, right, leftKey, leftTime, rightKey, rightTime,
+      valueCols.map { case (rc, o) => (rc, s"__f_$o") } :+ (rightTime -> "__ft"),
+      rightTieBreak)
+    // distances in microseconds for timestamps (cast("long") on a
+    // timestamp truncates to SECONDS — sub-second ties would corrupt),
+    // raw numeric otherwise
+    import org.apache.spark.sql.types.TimestampType
+    val toNum: Column => Column =
+      if (left.schema(leftTime).dataType == TimestampType) unix_micros
+      else _.cast("long")
+    val lt = toNum(col(leftTime))
+    // equal distance → backward wins (<=), matching pandas 'nearest'
+    val pickBack = col("__ft").isNull ||
+      (col("__bt").isNotNull &&
+        lt - toNum(col("__bt")) <= toNum(col("__ft")) - lt)
+    val chosen = valueCols.foldLeft(both) { case (df, (_, o)) =>
+      df.withColumn(o, when(pickBack, col(s"__b_$o")).otherwise(col(s"__f_$o")))
+    }
+    chosen.select((left.columns.toSeq ++ valueCols.map(_._2)).map(col): _*)
+  }
+
   /** As-of with tolerance: like [[asOf]], but a matched right row must
     * also satisfy `left.time - right.time <= tolerance` — the bounded-
     * lookback form real time-series joins need (a quote from last week

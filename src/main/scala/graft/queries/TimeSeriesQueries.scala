@@ -68,6 +68,27 @@ object TimeSeriesQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q9d: NEAREST as-of join — for each click, the purchase minimizing
+    * |Δt| (pandas direction='nearest'; equidistant ties go backward).
+    * Inner form; the oracle rebuilds the choice from the backward MAX
+    * and forward MIN argmax/argmin with the same µs-truncated distance
+    * arithmetic. */
+  def asOfNearestQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+    AsOfJoin.asOfNearest(
+        clicks, purchases,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "user_id", rightTime = "ts",
+        valueCols = Seq("ts" -> "nearest_purchase_ts"),
+        rightTieBreak = Some("p_event_id"))
+      .filter(col("nearest_purchase_ts").isNotNull)
+      .orderBy(col("event_id"))
+  }
+
   /** Q26b: LOCF resample, canonical KEYED form — each event_type series
     * gets its own hourly grid and a key-partitioned carry-forward
     * window, so the fill parallelizes over series (the unpartitioned
@@ -144,6 +165,31 @@ object TimeSeriesQueries {
         |  ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts >= c.ts
         |WHERE c.event_type = 'click'
         |GROUP BY c.event_id, c.user_id, c.ts
+        |ORDER BY c.event_id""".stripMargin)),
+    QueryDef("q09d_asof_nearest", asOfNearestQ, Some(
+      // distances in µs-truncated epoch (epoch_ns // 1000) to match the
+      // engine's µs timestamps; equal distance → backward (<=)
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT c.event_id, MAX(p.ts) AS bt
+        |  FROM clicks c JOIN events p
+        |    ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts <= c.ts
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT c.event_id, MIN(p.ts) AS ft
+        |  FROM clicks c JOIN events p
+        |    ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts >= c.ts
+        |  GROUP BY 1)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN ft IS NULL THEN bt
+        |       WHEN bt IS NULL THEN ft
+        |       WHEN epoch_ns(c.ts) // 1000 - epoch_ns(bt) // 1000
+        |         <= epoch_ns(ft) // 1000 - epoch_ns(c.ts) // 1000 THEN bt
+        |       ELSE ft END AS nearest_purchase_ts
+        |FROM clicks c
+        |LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+        |WHERE bt IS NOT NULL OR ft IS NOT NULL
         |ORDER BY c.event_id""".stripMargin)),
     QueryDef("q09b_asof_tolerance", asOfToleranceQ, Some(
       """SELECT c.event_id, c.user_id, c.ts, MAX(p.ts) AS last_purchase_ts

@@ -63,6 +63,31 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out === 1.0) // seq 10 < 20 — first in frame order
   }
 
+  test("nearest as-of picks the closer side; equidistant ties go backward") {
+    val out = AsOfJoin.asOfNearest(left, right, "k", "t", "k", "t",
+      Seq("v" -> "near_v"))
+      .select($"tag", $"near_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("a") === Some(100.0)) // back 30m beats fwd 60m
+    assert(out("b") === Some(200.0)) // only backward exists
+    assert(out("c") === Some(300.0)) // only forward exists
+    assert(out("d") === Some(400.0)) // exact hit
+    // equidistant: right at 09:00 and 11:00 around a left row at 10:00
+    val l2 = Seq((9L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "tag")
+    val r2 = Seq(
+      (9L, ts("2024-01-01 09:00:00"), 1.0),
+      (9L, ts("2024-01-01 11:00:00"), 2.0)).toDF("k", "t", "v")
+    val tie = AsOfJoin.asOfNearest(l2, r2, "k", "t", "k", "t",
+      Seq("v" -> "near_v")).select($"near_v").as[Double].head()
+    assert(tie === 1.0) // backward wins the tie (pandas semantics)
+    // no right rows at all → null, row kept
+    val none = AsOfJoin.asOfNearest(l2,
+      Seq.empty[(Long, Timestamp, Double)].toDF("k", "t", "v"),
+      "k", "t", "k", "t", Seq("v" -> "near_v"))
+      .select($"near_v").as[Option[Double]].head()
+    assert(none === None)
+  }
+
   test("inner as-of drops rows with no prior right row") {
     val out = AsOfJoin.asOfInner(left, right, "k", "t", "k", "t",
       Seq("v" -> "last_v"))
