@@ -45,5 +45,27 @@ class PipelineSpec extends SparkSuite {
       .as[(String, Long, Long)].collect()
     assert(stats.map(_._2).sum === n3)
     assert(stats.forall(_._3 > 0))
+
+    // 5. cross-doc boilerplate screen (round-4 op): drop docs whose
+    // shared-3-gram fraction exceeds 0.9 — near-total boilerplate
+    import graft.operators.Curation
+    val boiler = Curation.boilerplateNgramStats(curated, "doc_id", "text", 3, 4L)
+    val clean = curated.join(
+      boiler.filter(col("boiler_frac") <= 0.9).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val n4 = clean.count()
+    assert(n4 > 0 && n4 <= n3)
+
+    // 6. stable train/val split, then token-budget packing of train —
+    // the splits partition the cleaned set exactly
+    val split = Curation.assignSplit(clean, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1), seed = 7L)
+    val bySplit = split.groupBy(col("split")).count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.values.sum === n4)
+    val train = split.filter(col("split") === "train")
+    val packed = Curation.packByTokenBudget(train, "lang", "doc_id", "text", 2048L)
+    assert(packed.count() === train.count())
+    assert(packed.agg(min(col("bin"))).as[Long].head() === 0L)
   }
 }
