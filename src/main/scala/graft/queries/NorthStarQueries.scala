@@ -196,19 +196,28 @@ object NorthStarQueries {
 
   /** D18: exact equi-depth histogram of event values — optimizer-grade
     * column stats (the selectivity summary per-tablet min/max cannot
-    * answer). 8 buckets → dyadic percentile fractions → bit-exact
-    * boundaries cross-engine; see [[Stats.equiDepthHistogram]] for the
-    * no-global-window scale shape. */
+    * answer). Declared over INTEGER-SCALED values (cents): Spark's
+    * `percentile` and DuckDB's `quantile_cont` use different (equal in
+    * ℝ, 1-ulp-different in FP) interpolation formula orders, which over
+    * raw doubles flipped a boundary-adjacent row at sf0.001; over
+    * integers with dyadic fractions every intermediate product is
+    * FP-exact, so both formula orders give the bit-identical boundary.
+    * See [[Stats.equiDepthHistogram]] for the no-global-window shape. */
   def equiDepthQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.equiDepthHistogram(
-        t(spark, dir, "events"), "value", nBuckets = 8)
+        t(spark, dir, "events")
+          .withColumn("value_cents", round(col("value") * 100).cast("long")),
+        "value_cents", nBuckets = 8)
       .orderBy(col("bucket"))
 
   /** D18b: per-event-type equi-depth histograms — the grouped form a
-    * warehouse stores as per-key column statistics. */
+    * warehouse stores as per-key column statistics. Integer-scaled for
+    * the same FP-exactness reason as d18. */
   def equiDepthByQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.equiDepthHistogramBy(
-        t(spark, dir, "events"), "event_type", "value", nBuckets = 4)
+        t(spark, dir, "events")
+          .withColumn("value_cents", round(col("value") * 100).cast("long")),
+        "event_type", "value_cents", nBuckets = 4)
       .orderBy(col("event_type"), col("bucket"))
 
   /** D4: text statistics — token/char/punct/stopword measures. */
@@ -1024,17 +1033,22 @@ object NorthStarQueries {
         |ORDER BY exact_cnt DESC, h.term LIMIT 20""".stripMargin)),
     QueryDef("d18_equidepth_hist", equiDepthQ, Some(
       // quantile_cont ≡ Spark percentile (linear interpolation at
-      // p*(n-1), q25 precedent); dyadic fractions are exact doubles;
-      // ties at a boundary land in the lower bucket on both engines
-      """WITH b AS (
-        |  SELECT [quantile_cont(value, 0.125), quantile_cont(value, 0.25),
-        |          quantile_cont(value, 0.375), quantile_cont(value, 0.5),
-        |          quantile_cont(value, 0.625), quantile_cont(value, 0.75),
-        |          quantile_cont(value, 0.875)] AS bounds
-        |  FROM events)
-        |SELECT CAST(len(list_filter(bounds, x -> x < value)) AS INTEGER) AS bucket,
-        |       CAST(count(*) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
-        |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+      // p*(n-1), q25 precedent) — over INTEGER cents with dyadic
+      // fractions the interpolation is FP-exact, so the two engines'
+      // different formula orders cannot diverge (they did by 1 ulp on
+      // raw doubles); ties at a boundary land in the lower bucket
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS value_cents FROM events),
+        |b AS (
+        |  SELECT [quantile_cont(value_cents, 0.125), quantile_cont(value_cents, 0.25),
+        |          quantile_cont(value_cents, 0.375), quantile_cont(value_cents, 0.5),
+        |          quantile_cont(value_cents, 0.625), quantile_cont(value_cents, 0.75),
+        |          quantile_cont(value_cents, 0.875)] AS bounds
+        |  FROM e)
+        |SELECT CAST(len(list_filter(bounds, x -> x < value_cents)) AS INTEGER) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       MIN(value_cents) AS lo, MAX(value_cents) AS hi
+        |FROM e, b GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("d4g_fuzzy_match", fuzzyMatchQ, Some(
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 40) AS title FROM documents)
@@ -1045,15 +1059,19 @@ object NorthStarQueries {
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin)),
     QueryDef("d18b_equidepth_by_group", equiDepthByQ, Some(
-      """WITH b AS (
+      """WITH ec AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |b AS (
         |  SELECT event_type,
-        |         [quantile_cont(value, 0.25), quantile_cont(value, 0.5),
-        |          quantile_cont(value, 0.75)] AS bounds
-        |  FROM events GROUP BY event_type)
+        |         [quantile_cont(value_cents, 0.25), quantile_cont(value_cents, 0.5),
+        |          quantile_cont(value_cents, 0.75)] AS bounds
+        |  FROM ec GROUP BY event_type)
         |SELECT e.event_type,
-        |       CAST(len(list_filter(bounds, x -> x < value)) AS INTEGER) AS bucket,
-        |       CAST(count(*) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
-        |FROM events e JOIN b ON e.event_type = b.event_type
+        |       CAST(len(list_filter(bounds, x -> x < value_cents)) AS INTEGER) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       MIN(value_cents) AS lo, MAX(value_cents) AS hi
+        |FROM ec e JOIN b ON e.event_type = b.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
