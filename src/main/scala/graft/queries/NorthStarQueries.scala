@@ -381,6 +381,35 @@ object NorthStarQueries {
       .orderBy(col("media_id"))
   }
 
+  /** D5d: video-style frame sampling — every 2nd frame index of each
+    * decoded media row (explode of a bounded sequence, partition-local;
+    * the oracle recomputes n_frames via the d5c HUGEINT emulation and
+    * replays the same strided series). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      t(spark, dir, "documents"), "doc_id", "text", "text/plain")
+    Multimodal.sampleFrames(Multimodal.decodeMeta(spark, media), stride = 2)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** D5e: resize stage — the payload→payload transform shape; the stub
+    * truncates proportionally to the area ratio, so output byte lengths
+    * are deterministic. Declared output carries the LENGTH of the
+    * resized payload (plus the new dims), keeping the hash compare on
+    * scalar columns. All arithmetic is a chain of exact int→double
+    * products and correctly-rounded divisions, truncated — replicated
+    * with floor() in the oracle (DuckDB CAST(double AS INT) rounds,
+    * Scala .toInt truncates). */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      t(spark, dir, "documents"), "doc_id", "text", "text/plain")
+    Multimodal.resize(spark, media, w = 64, h = 64)
+      .select(col("media_id"), col("media_type"),
+        octet_length(col("payload")).as("new_byte_len"),
+        col("width"), col("height"))
+      .orderBy(col("media_id"))
+  }
+
   /** D6: deterministic uniform hash sample (~30% of documents) — the
     * reproducible, resumable form of corpus subsampling. */
   def hashSampleQ(spark: SparkSession, dir: String): DataFrame =
@@ -862,6 +891,54 @@ object NorthStarQueries {
         |    AS FLOAT4) AS value
         |FROM w
         |ORDER BY media_id, dim""".stripMargin)),
+    QueryDef("d5d_frame_sample", multimodalFrames, Some(
+      // n_frames via the d5c HUGEINT wrap emulation, then the same
+      // strided index series the Spark explode produces
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(split(substr(text, 1, 256), ''),
+        |                   c -> CAST(unicode(c) AS HUGEINT)) AS bs
+        |  FROM documents),
+        |h AS (
+        |  SELECT media_id,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bs),
+        |      (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS h64
+        |  FROM b),
+        |m AS (SELECT media_id, CAST(1 + (h64 // 65536) % 32 AS INTEGER) AS n_frames
+        |      FROM h)
+        |SELECT media_id,
+        |  CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INTEGER) AS frame_idx
+        |FROM m ORDER BY media_id, frame_idx""".stripMargin)),
+    QueryDef("d5e_resize", multimodalResize, Some(
+      // original dims via the d5c emulation; the area-ratio truncation
+      // chain is exact-int→double products and correctly-rounded
+      // divisions, so floor() reproduces Scala's .toInt exactly
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |    list_transform(split(substr(text, 1, 256), ''),
+        |                   c -> CAST(unicode(c) AS HUGEINT)) AS bs
+        |  FROM documents),
+        |h AS (
+        |  SELECT media_id, byte_len,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bs),
+        |      (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS h64
+        |  FROM b),
+        |m AS (
+        |  SELECT media_id, byte_len,
+        |    (16 + ((((h64 - CASE WHEN h64 >= 9223372036854775808
+        |                         THEN 18446744073709551616
+        |                         ELSE CAST(0 AS HUGEINT) END)
+        |             % 240) + 240) % 240)) AS ow,
+        |    (16 + (h64 // 256) % 240) AS oh
+        |  FROM h)
+        |SELECT media_id, 'text/plain' AS media_type,
+        |  CAST(greatest(1, floor(CAST(byte_len AS DOUBLE) *
+        |    least(CAST(1.0 AS DOUBLE),
+        |          (64.0 * 64.0) / (CAST(ow AS DOUBLE) * CAST(oh AS DOUBLE)))))
+        |    AS INTEGER) AS new_byte_len,
+        |  64 AS width, 64 AS height
+        |FROM m ORDER BY media_id""".stripMargin)),
     QueryDef("d10_salted_agg", saltedAggQ, Some(
       s"""SELECT event_type, COUNT(*) AS n, ${graft.core.Det.dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
