@@ -11,8 +11,107 @@ import graft.streaming.Streams
 /** Streaming surface entries that are batch-verifiable (SURVEY.md §2c
   * S1): run the streaming pipeline to completion on the fixture, then
   * return the landed table — replay equivalence says it must equal the
-  * plain batch read, which is exactly what the DuckDB oracle checks. */
+  * plain batch read, which is exactly what the DuckDB oracle checks.
+  *
+  * s3b/s5b extend the pattern to STATEFUL semantics: the fixture is
+  * split into deterministic micro-batches whose arrival order makes
+  * specific rows late, and the DuckDB oracle encodes Spark's exact
+  * late-drop rule (drop iff event-time / window-end `<=` watermark,
+  * watermark = ms-floor(max event time) − delay carried over from the
+  * previous batch — boundary pinned by WatermarkBoundarySpec). The
+  * fixtures are tie-free by construction: event times are µs-grained
+  * while watermarks are ms-aligned, and no window end lands on the
+  * watermark at any shipped SF (verified: max(ts) is never hour-aligned
+  * in ms at sf0.001/0.01/0.1).
+  */
 object StreamingQueries {
+
+  /** Land `batches` one micro-batch at a time: each call appends one
+    * parquet file to a landing dir and replays the stream from the SAME
+    * checkpoint, so the watermark committed by batch N gates batch N+1
+    * exactly as in a long-running stream (Spark recovers it from the
+    * offset log on restart). One-restart-per-batch keeps batch
+    * boundaries deterministic — a single run over a multi-file
+    * directory may coalesce files into one micro-batch, which would
+    * erase the late-arrival structure the fixture encodes. Driver-side
+    * work is fixture staging only; the streamed operator itself stays
+    * fully distributed. */
+  private def stagedReplay(
+      spark: SparkSession,
+      batches: Seq[DataFrame],
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    val landing = Files.createTempDirectory("stage_landing")
+    val outDir = Files.createTempDirectory("stage_out").toString
+    val cp = Files.createTempDirectory("stage_cp").toString
+    val schema = batches.head.schema
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory(s"stage_b$i")
+      b.coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+      val part = new java.io.File(s"$tmp/d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, landing.resolve(f"batch$i%03d.parquet"))
+      val src = spark.readStream.schema(schema).parquet(landing.toString)
+      val q = pipeline(src).writeStream.format("parquet")
+        .option("path", s"$outDir/t").option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      // blocks until all data batches AND any required no-data batch
+      // (watermark-advance emission) are committed
+      q.processAllAvailable(); q.stop()
+    }
+    spark.read.parquet(s"$outDir/t")
+  }
+
+  /** S3 (declared): watermark late-drop with hash evidence. Batch 1 is
+    * the 2-hour "front" of events (sets watermark = max ts − 4 h);
+    * batch 2 is everything older — rows whose 1-hour window already
+    * closed (window end <= watermark) are DROPPED, the rest still merge
+    * into open windows; batch 3 is one synthetic flush row 10 h past
+    * the front, advancing the watermark so every surviving window
+    * finalizes (its own window stays past the final watermark and is
+    * never emitted, so it self-excludes from the output). The oracle
+    * recomputes the surviving-row set in SQL and aggregates it. */
+  def streamWatermarkDrop(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("event_type"), col("value"))
+    // fixture staging only (split point + flush row), not the data path
+    val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val front = ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 2 HOURS"))
+    val late = ev.filter(col("ts") < lit(mx) - expr("INTERVAL 2 HOURS"))
+    val flush = spark.range(1).select(
+      (date_trunc("hour", lit(mx)) + expr("INTERVAL 10 HOURS 10 MINUTES")).as("ts"),
+      lit("zz_flush").as("event_type"), lit(0.0).as("value"))
+    stagedReplay(spark, Seq(front, late, flush), src =>
+      Streams.windowedAgg(src, "ts", "1 hour", None, lateness = "4 hours",
+          keys = Seq(col("event_type")),
+          aggs = Seq(count(lit(1)).as("n_events"),
+            graft.core.Det.dsum(col("value")).as("sum_value")))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value")))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** S5 (declared): streaming dedup with watermark-bounded state. Same
+    * front/late split; Streams.dedup keys on (user_id, event_type, ts),
+    * so state for old event times is evictable and any row at-or-below
+    * the watermark — novel or duplicate — is dropped on arrival (the
+    * exact-dedup contract that keeps state bounded at 100 TB). Output
+    * = DISTINCT surviving triples, which is order-insensitive, so the
+    * nondeterministic within-batch "which duplicate wins" never shows. */
+  def streamDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts DIV 1000")).as("ts"))
+    val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val front = ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 2 HOURS"))
+    val late = ev.filter(col("ts") < lit(mx) - expr("INTERVAL 2 HOURS"))
+    stagedReplay(spark, Seq(front, late), src =>
+      Streams.dedup(src, "ts", "4 hours", Seq("user_id", "event_type")))
+      .orderBy(col("user_id"), col("event_type"), col("ts"))
+  }
 
   /** S1: file-source stream → watermark → time-bucketed parquet sink
     * (the reference's ingest path, table.go:78-119, done the Spark way),
@@ -97,6 +196,27 @@ object StreamingQueries {
     QueryDef("s1_stream_ingest", streamIngest, Some(
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("s3b_watermark_drop", streamWatermarkDrop, Some(
+      s"""WITH mx AS (SELECT max(ts) AS m,
+         |                   (epoch_us(max(ts)) // 1000) * 1000 AS m_ms
+         |            FROM events),
+         |surv AS (
+         |  SELECT e.* FROM events e, mx
+         |  WHERE e.ts >= mx.m - INTERVAL 2 HOUR
+         |     OR epoch_us(date_trunc('hour', e.ts)) + 3600000000
+         |          > mx.m_ms - 14400000000)
+         |SELECT date_trunc('hour', ts) AS win_start, event_type,
+         |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
+         |FROM surv GROUP BY win_start, event_type
+         |ORDER BY win_start, event_type""".stripMargin)),
+    QueryDef("s5b_stream_dedup", streamDedupSurvivors, Some(
+      """WITH mx AS (SELECT max(ts) AS m,
+        |                   (epoch_us(max(ts)) // 1000) * 1000 AS m_ms
+        |            FROM events)
+        |SELECT DISTINCT user_id, event_type, ts FROM events, mx
+        |WHERE ts >= mx.m - INTERVAL 2 HOUR
+        |   OR epoch_us(ts) > mx.m_ms - 14400000000
+        |ORDER BY user_id, event_type, ts""".stripMargin)),
     QueryDef("s2b_sliding_window", slidingWindows, Some(
       s"""WITH x AS (
          |  SELECT event_type, value,
