@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times the headline queries on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Each query gets one warm-up
-  * run (JIT + file-listing warmth) and one timed run; `total` is the sum
-  * of timed seconds across all queries.
+  * run (JIT + file-listing warmth) then THREE timed runs; `queries`/
+  * `total` report the per-query median and its sum, `queries_min`/
+  * `min_total` the contention-robust minimum (see the comment at the
+  * timing loop).
   *
   * Dev affordance: passing declared-query names as args times THOSE
   * instead of the headline set (same warm-up/3-run/min+median protocol).

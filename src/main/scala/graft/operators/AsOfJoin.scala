@@ -174,11 +174,23 @@ object AsOfJoin {
       rightTieBreak)
     // distances in microseconds for timestamps (cast("long") on a
     // timestamp truncates to SECONDS — sub-second ties would corrupt),
-    // raw numeric otherwise
-    import org.apache.spark.sql.types.TimestampType
-    val toNum: Column => Column =
-      if (left.schema(leftTime).dataType == TimestampType) unix_micros
-      else _.cast("long")
+    // days for dates, native arithmetic for numerics. The conversion is
+    // applied to left ts AND the __bt/__ft copies of right ts, so both
+    // time types must agree (same contract as the join keys) — deciding
+    // from the left type alone would silently null a DateType right side.
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+    val ltt = left.schema(leftTime).dataType
+    val rtt = right.schema(rightTime).dataType
+    if (ltt != rtt) throw new IllegalArgumentException(
+      s"as-of nearest time types must match: left $leftTime is $ltt, right $rightTime is $rtt")
+    val toNum: Column => Column = ltt match {
+      case TimestampType => unix_micros
+      case TimestampNTZType => c => unix_micros(c.cast(TimestampType))
+      case DateType => c => unix_date(c).cast("long")
+      case _: NumericType => identity
+      case t => throw new IllegalArgumentException(
+        s"as-of nearest needs a timestamp, date, or numeric time column; $leftTime is $t")
+    }
     val lt = toNum(col(leftTime))
     // equal distance → backward wins (<=), matching pandas 'nearest'
     val pickBack = col("__ft").isNull ||

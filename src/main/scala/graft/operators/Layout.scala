@@ -42,42 +42,81 @@ object Layout {
       expression((clamped - min) * (1L << bits)), expression(lit(width))))
   }
 
-  /** Morton/Z-value of two `bits`-bit non-negative integers: bit i of
-    * `a` lands at position 2i, bit i of `b` at 2i+1. Unrolled shift
-    * chain (2·bits terms) — plain codegen'd long ops, no UDF.
+  /** Morton/Z-value of n `bits`-bit non-negative integers: bit i of
+    * dimension d lands at position i·n + d (dimension 0 owns the least
+    * significant lane — [[zValue2]]'s (a, b) layout is the n=2 case).
+    * Unrolled shift chain (n·bits terms) — plain codegen'd long ops,
+    * no UDF. Table formats cluster on 3–4 columns; n is bounded only
+    * by n·bits ≤ 63.
+    *
+    * PRECONDITION: every input must already lie in [0, 2^bits) — bits
+    * at or above position `bits` are silently DROPPED, so an unscaled
+    * input yields a colliding, non-monotone curve. [[scaleToBits]] (as
+    * applied by [[zOrderBy]]/[[zOrderByN]]) guarantees the range via
+    * clamping; if you feed this directly, range-check your inputs.
     */
-  def zValue2(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n dims x $bits bits exceeds a 63-bit key (n*bits must be <= 63)")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      dims.zipWithIndex.foldLeft(acc) { case (z, (c, d)) =>
+        z.bitwiseOR(
+          shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + d))
+      }
     }
   }
 
-  /** The same Z-value as ANSI SQL text over expressions `a`/`b` —
+  /** 2-D Morton value — see [[zValueN]] (and its [0, 2^bits)
+    * precondition): bit i of `a` lands at position 2i, of `b` at 2i+1. */
+  def zValue2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    zValueN(Seq(a, b), bits)
+  }
+
+  /** The same n-D Z-value as ANSI SQL text over expression strings —
     * generated from the identical unrolled terms so an external oracle
     * (DuckDB) reproduces the Spark column bit for bit. */
-  def zValue2Sql(a: String, b: String, bits: Int): String = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  def zValueNSql(dims: Seq[String], bits: Int): String = {
+    val n = dims.size
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n dims x $bits bits exceeds a 63-bit key (n*bits must be <= 63)")
     (0 until bits).flatMap { i =>
-      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+      dims.zipWithIndex.map { case (e, d) =>
+        s"((($e >> $i) & 1) << ${i * n + d})"
+      }
     }.mkString(" | ")
   }
 
-  /** Z-order a frame by two long columns over known domains: one
-    * range-partitioned sort on the interleaved value (the same single
-    * global sort any layout rewrite costs — see Curation.shuffleOrder),
-    * carrying a `zval` column callers can range-write or bucket by.
+  /** 2-D SQL form — see [[zValueNSql]]. */
+  def zValue2Sql(a: String, b: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    zValueNSql(Seq(a, b), bits)
+  }
+
+  /** Z-order a frame by n long columns over known domains — each dim a
+    * (column, min, max) triple: one range-partitioned sort on the
+    * interleaved value (the same single global sort any layout rewrite
+    * costs — see Curation.shuffleOrder), carrying a `zval` column
+    * callers can range-write or bucket by.
     */
+  def zOrderByN(
+      df: DataFrame,
+      dims: Seq[(String, Long, Long)],
+      bits: Int = 16): DataFrame =
+    df.withColumn("zval",
+        zValueN(dims.map { case (c, mn, mx) =>
+          scaleToBits(col(c), mn, mx, bits)
+        }, bits))
+      .orderBy(col("zval"))
+
+  /** 2-D convenience form of [[zOrderByN]]. */
   def zOrderBy(
       df: DataFrame,
       colA: String, minA: Long, maxA: Long,
       colB: String, minB: Long, maxB: Long,
       bits: Int = 16): DataFrame =
-    df.withColumn("zval",
-        zValue2(
-          scaleToBits(col(colA), minA, maxA, bits),
-          scaleToBits(col(colB), minB, maxB, bits), bits))
-      .orderBy(col("zval"))
+    zOrderByN(df, Seq((colA, minA, maxA), (colB, minB, maxB)), bits)
 }

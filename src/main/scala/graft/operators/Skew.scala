@@ -27,12 +27,14 @@ object Skew {
       aggs: Seq[SaltedAgg],
       saltBuckets: Int = 32): DataFrame = {
 
-    // deterministic salt (hash of the whole row's partition id would be
-    // non-deterministic under retries; spark_partition_id + a row hash is
-    // enough to spread a hot key)
+    // Deterministic salt: hash the ENTIRE row (keys + payload), so a
+    // task retry re-assigns every row to the same bucket —
+    // spark_partition_id/monotonically_increasing_id would not survive a
+    // retry. Fully identical duplicate rows share a bucket; that only
+    // hurts spreading if a hot key's rows are byte-identical, and the
+    // algebraic partials stay correct under any assignment either way.
     val salted = df.withColumn("__salt",
-      pmod(hash(keys.map(col) :+ spark_partition_id().cast("long")
-        :+ monotonically_increasing_id(): _*), lit(saltBuckets)))
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
 
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-statistics operators — the optimizer-grade summaries a
@@ -23,15 +24,20 @@ object Stats {
     * Dyadic `nBuckets` (8, 16, …) keeps the percentile fractions exact
     * binary doubles, so the boundaries — and hence the whole histogram
     * — are reproducible bit for bit in an external oracle.
+    *
+    * NULLs are excluded: the percentile boundaries already ignore them,
+    * so counting null rows (into bucket 0) would silently inflate `n`
+    * against boundaries they never shaped.
     */
   def equiDepthHistogram(
       df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 4096,
       s"nBuckets out of range: $nBuckets")
+    val rows = df.filter(col(valueCol).isNotNull)
     val ps = (1 until nBuckets).map(i => (i.toDouble / nBuckets).toString)
-    val bounds = df.agg(
+    val bounds = rows.agg(
       expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as("bounds"))
-    df.crossJoin(broadcast(bounds))
+    rows.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         size(filter(col("bounds"), b => b < col(valueCol))))
       .groupBy(col("bucket"))
@@ -42,21 +48,39 @@ object Stats {
 
   /** Grouped equi-depth histogram — one histogram per `groupCol` value,
     * the per-key form a warehouse stores as column statistics. Same
-    * scale shape as [[equiDepthHistogram]] except the boundary table
-    * has one row per group (still broadcast — group cardinality is the
-    * stats table's size, small by construction) and the assignment join
-    * is keyed on the group. */
+    * scale shape (and null exclusion) as [[equiDepthHistogram]] except
+    * the boundary table has one row per group (still broadcast — group
+    * cardinality is the stats table's size, small by construction) and
+    * the assignment join is keyed on the group.
+    *
+    * The broadcast contract is ENFORCED: if the group count exceeds
+    * `maxGroups` the query raises at runtime instead of OOM-ing an
+    * executor on the broadcast build. The guard is an `assert_true`
+    * folded into the bucket expression over the (small) bounds side —
+    * a single extra exchange of at most the stats table, never of `df`.
+    * Above the bound, re-shape the job (bucket the histogram build per
+    * group shard) rather than raising `maxGroups` past executor memory.
+    */
   def equiDepthHistogramBy(
       df: DataFrame, groupCol: String, valueCol: String,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, maxGroups: Int = 100000): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 4096,
       s"nBuckets out of range: $nBuckets")
+    val rows = df.filter(col(valueCol).isNotNull)
     val ps = (1 until nBuckets).map(i => (i.toDouble / nBuckets).toString)
-    val bounds = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as("bounds"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    val bounds = rows.groupBy(col(groupCol)).agg(
+        expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as("bounds"))
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy()))
+    // assert_true is NULL on pass; the coalesce keeps it un-prunable
+    // (it must ride along to execution, not be column-pruned away)
+    val guard = coalesce(
+      assert_true(col("__ng") <= maxGroups,
+        concat(lit("equiDepthHistogramBy: group cardinality "), col("__ng"),
+          lit(s" exceeds maxGroups=$maxGroups; broadcast bounds would OOM"))
+      ).cast("int"), lit(0))
+    rows.join(broadcast(bounds), Seq(groupCol))
       .withColumn("bucket",
-        size(filter(col("bounds"), b => b < col(valueCol))))
+        size(filter(col("bounds"), b => b < col(valueCol))) + guard)
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"),

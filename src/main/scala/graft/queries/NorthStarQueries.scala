@@ -501,6 +501,24 @@ object NorthStarQueries {
       .select(col("event_id"), col("zval"))
       .orderBy(col("zval"), col("event_id"))
 
+  /** d15b: the n-D generalization (Layout.zValueN) on THREE dimensions —
+    * user, time, and event-type lead byte — the 3–4-column clustering a
+    * table format actually runs. 3 dims × 16 bits = 48-bit key; same
+    * fixed-literal domains (SF-stable) and exact integer scaling as d15.
+    * ascii(event_type) is a stand-in low-cardinality dimension whose
+    * codepoint both engines agree on (values are plain ASCII words). */
+  def zorder3Q(spark: SparkSession, dir: String): DataFrame =
+    Layout.zOrderByN(
+        t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            ascii(col("event_type")).cast("long").as("et")),
+        Seq(("user_id", 0L, 2047L),
+          ("ts_us", 1704067200000000L, 1706745599999999L),
+          ("et", 0L, 127L)), bits = 16)
+      .select(col("event_id"), col("zval"))
+      .orderBy(col("zval"), col("event_id"))
+
   /** The hyperplane matrix used by the LSH queries (bands=16 ×
     * bitsPerBand=4 → 64 planes, seed=42, dim=64) rendered as a DuckDB
     * list-of-lists literal. The matrix is data-independent and
@@ -912,7 +930,9 @@ object NorthStarQueries {
     QueryDef("d5e_resize", multimodalResize, Some(
       // original dims via the d5c emulation; the area-ratio truncation
       // chain is exact-int→double products and correctly-rounded
-      // divisions, so floor() reproduces Scala's .toInt exactly
+      // divisions, so floor() reproduces Scala's .toInt exactly; the
+      // outer least(byte_len, ·) mirrors Array.take's clamp (an empty
+      // payload takes 0 bytes even though the formula floor is 1)
       """WITH b AS (
         |  SELECT doc_id AS media_id,
         |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
@@ -933,9 +953,9 @@ object NorthStarQueries {
         |    (16 + (h64 // 256) % 240) AS oh
         |  FROM h)
         |SELECT media_id, 'text/plain' AS media_type,
-        |  CAST(greatest(1, floor(CAST(byte_len AS DOUBLE) *
+        |  CAST(least(byte_len, greatest(1, floor(CAST(byte_len AS DOUBLE) *
         |    least(CAST(1.0 AS DOUBLE),
-        |          (64.0 * 64.0) / (CAST(ow AS DOUBLE) * CAST(oh AS DOUBLE)))))
+        |          (64.0 * 64.0) / (CAST(ow AS DOUBLE) * CAST(oh AS DOUBLE))))))
         |    AS INTEGER) AS new_byte_len,
         |  64 AS width, 64 AS height
         |FROM m ORDER BY media_id""".stripMargin)),
@@ -1051,6 +1071,20 @@ object NorthStarQueries {
          |  FROM events)
          |SELECT event_id,
          |  CAST(${graft.operators.Layout.zValue2Sql("a", "b", 16)} AS BIGINT) AS zval
+         |FROM s ORDER BY zval, event_id""".stripMargin)),
+    QueryDef("d15b_zorder3", zorder3Q, Some(
+      // three dims through the same generated interleave (zValueNSql);
+      // scaling mirrors Layout.scaleToBits term for term
+      s"""WITH s AS (
+         |  SELECT event_id,
+         |    (greatest(least(user_id, 2047), 0) * 65536) // 2048 AS a,
+         |    ((greatest(least(epoch_ns(ts) // 1000, 1706745599999999),
+         |               1704067200000000) - 1704067200000000) * 65536)
+         |      // 2678400000000 AS b,
+         |    (greatest(least(unicode(event_type), 127), 0) * 65536) // 128 AS c
+         |  FROM events)
+         |SELECT event_id,
+         |  CAST(${graft.operators.Layout.zValueNSql(Seq("a", "b", "c"), 16)} AS BIGINT) AS zval
          |FROM s ORDER BY zval, event_id""".stripMargin)),
     QueryDef("d16_cross_source_dup", crossSourceDupQ, Some(
       // pair generation is the d2 oracle verbatim (brute-force exact

@@ -54,6 +54,54 @@ object LayoutProps extends Properties("layout") {
       (withAFixed == withAFixed.sorted) && (withBFixed == withBFixed.sorted)
     }
 
+  private def deinterleave3(z: Long): (Long, Long, Long) =
+    (0 until bits).foldLeft((0L, 0L, 0L)) { case ((a, b, c), i) =>
+      (a | (((z >> (3 * i)) & 1L) << i),
+        b | (((z >> (3 * i + 1)) & 1L) << i),
+        c | (((z >> (3 * i + 2)) & 1L) << i))
+    }
+
+  private def z3Of(triples: List[(Long, Long, Long)]): List[Long] = {
+    import spark.implicits._
+    if (triples.isEmpty) Nil
+    else triples.toDF("a", "b", "c")
+      .select(Layout.zValueN(Seq(col("a"), col("b"), col("c")), bits).as("z"))
+      .as[Long].collect().toList
+  }
+
+  property("3-D: deinterleave inverts the column interleave") =
+    forAll(Gen.listOfN(8, Gen.zip(coord, coord, coord))) { triples =>
+      z3Of(triples).zip(triples).forall { case (z, (a, b, c)) =>
+        z >= 0L && z < (1L << (3 * bits)) && deinterleave3(z) == ((a, b, c))
+      }
+    }
+
+  property("3-D: monotone in each coordinate with the others fixed") =
+    forAll(Gen.zip(coord, coord, Gen.listOfN(5, coord))) { case (f1, f2, vs) =>
+      val sorted = vs.sorted
+      Seq[Long => (Long, Long, Long)](
+        v => (v, f1, f2), v => (f1, v, f2), v => (f1, f2, v)
+      ).forall { shape =>
+        val zs = z3Of(sorted.map(shape))
+        zs == zs.sorted
+      }
+    }
+
+  property("3-D: SQL form evaluates bit-identically to the column form") =
+    forAll(Gen.listOfN(6, Gen.zip(coord, coord, coord))) { triples =>
+      import spark.implicits._
+      triples.isEmpty || {
+        val df = triples.toDF("a", "b", "c")
+        val colZ = df.select(
+            Layout.zValueN(Seq(col("a"), col("b"), col("c")), bits).as("z"))
+          .as[Long].collect().toList
+        val sqlZ = df.selectExpr(
+            s"CAST(${Layout.zValueNSql(Seq("a", "b", "c"), bits)} AS BIGINT) AS z")
+          .as[Long].collect().toList
+        colZ == sqlZ
+      }
+    }
+
   property("scaleToBits stays in range and preserves order on any domain") =
     forAll(for {
       min <- Gen.choose(-1000000L, 1000000L)

@@ -43,4 +43,29 @@ class StatsSpec extends SparkSuite {
       assert(rows.map(_._2).toSeq.sorted === (0 until 4), s"buckets for $t")
     }
   }
+
+  test("NULL values are excluded from the histogram, not counted into bucket 0") {
+    val df = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null, null)
+      .toDF("v")
+    val h = Stats.equiDepthHistogram(df, "v", nBuckets = 2)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(h.map(_._2).sum === 4) // the two nulls are not in any bucket
+    val g = Stats.equiDepthHistogramBy(
+        Seq(("a", java.lang.Double.valueOf(1.0)), ("a", java.lang.Double.valueOf(2.0)),
+          ("a", null.asInstanceOf[java.lang.Double])).toDF("g", "v"),
+        "g", "v", nBuckets = 2)
+      .as[(String, Int, Long, Double, Double)].collect()
+    assert(g.map(_._3).sum === 2)
+  }
+
+  test("grouped histogram fails loudly when group cardinality exceeds maxGroups") {
+    val ev = Tables.t(spark, sf(), "events")
+    val e = intercept[Exception] {
+      Stats.equiDepthHistogramBy(ev, "event_id", "value",
+        nBuckets = 2, maxGroups = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("exceeds maxGroups")))
+  }
 }
