@@ -127,6 +127,70 @@ object Curation {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** The 100 TB form of [[contaminationByShingle]]: a broadcast Bloom
+    * filter of the benchmark's shingle hashes pre-filters the corpus
+    * explode BEFORE the exact join, so only the (tiny) fraction of
+    * corpus shingles that might be benchmark shingles reaches the join.
+    * Bloom filters have NO false negatives, so the exact semi-join that
+    * follows sees every true match and the final (id, n_overlap) result
+    * is IDENTICAL to the exact path — false positives cost a join probe
+    * each, never a wrong answer. That containment is what lets the
+    * declared query (d9b) share the exact path's oracle: a hash-match
+    * end-to-end proves zero false negatives on real data.
+    *
+    * Plan shape: benchmark shingles → one distributed BloomFilterAggregate
+    * (Spark's own runtime-filter sketch; `fpp` sizes it via the standard
+    * -n·ln p/(ln 2)² bits formula) collapsed to ONE literal embedded in a
+    * codegen'd BloomFilterMightContain probe — the explicit form of the
+    * broadcast Spark's InjectRuntimeFilter builds for shuffle joins, here
+    * applied where the optimizer can't see the opportunity (the join side
+    * is an exploded expression, not a scan). No corpus shuffle before the
+    * per-doc count, same as the exact operator.
+    */
+  def contaminationBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, minOverlap: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bsh = benchmark
+      .select(explode(TextFunctions.shingles(col(textCol), k)).as("sh"))
+      .distinct()
+    val mightContain = bloomPredicate(bsh, "sh", fpp)
+    corpus
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), k)).as("sh"))
+      .filter(mightContain(col("sh")))
+      .join(broadcast(bsh), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Build a reusable membership pre-filter from a (small) key set: a
+    * distributed BloomFilterAggregate over `keys(keyCol)`, collapsed to
+    * one literal and returned as a codegen'd might-contain predicate
+    * maker. No false negatives; ~`fpp` false positives — callers follow
+    * with an exact join when exactness matters. The returned function
+    * is reusable across any column expression of the same type. */
+  def bloomPredicate(
+      keys: DataFrame, keyCol: String, fpp: Double = 0.01): Column => Column = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp out of range: $fpp")
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // key-side count: small by definition (it sizes the filter)
+    val nItems = math.max(keys.select(col(keyCol)).distinct().count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bfBytes = keys.select(
+        column(new BloomFilterAggregate(
+          expression(xxhash64(col(keyCol))),
+          expression(lit(nItems)), expression(lit(numBits))
+        ).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    c => column(BloomFilterMightContain(
+      expression(lit(bfBytes)), expression(xxhash64(c))))
+  }
+
   /** Dataset mixing by per-group repetition weight: each row of group g
     * appears `weights(g)` times (default 1), tagged with an `epoch`
     * index — the deterministic form of "oversample source X 3:1" in a

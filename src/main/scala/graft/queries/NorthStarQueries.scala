@@ -442,6 +442,19 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D9b: the same decontamination through the Bloom pre-filter path
+    * (Curation.contaminationBloom). Bloom containment (no false
+    * negatives) + the exact semi-join behind it make the result
+    * identical to d9, so the exact SQL is a true oracle for this plan
+    * — a hash-match proves the pre-filter dropped no real overlap. */
+  def contaminationBloomQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Curation.contaminationBloom(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", k = 5, minOverlap = 3L)
+      .orderBy(col("doc_id"))
+  }
+
   /** D11: deterministic corpus shuffle — the seeded global permutation
     * a pretraining run applies before batching; one range-partitioned
     * sort, reproducible across reruns and engines. */
@@ -977,6 +990,22 @@ object NorthStarQueries {
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin)),
     QueryDef("d9_contamination", contaminationQ, Some(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 5 THEN []
+        |    ELSE list_transform(generate_series(1, len(w) - 4),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents)),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 25),
+        |c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 25)
+        |SELECT doc_id, COUNT(DISTINCT g) AS n_overlap
+        |FROM c JOIN b USING (g)
+        |GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 3
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("d9b_contamination_bloom", contaminationBloomQ, Some(
+      // the exact path IS the oracle: Bloom pass ⊇ exact matches and the
+      // trailing exact join removes false positives, so any divergence
+      // here would be a (impossible-by-construction) false negative
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 5 THEN []
         |    ELSE list_transform(generate_series(1, len(w) - 4),

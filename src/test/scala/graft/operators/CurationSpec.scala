@@ -93,6 +93,32 @@ class CurationSpec extends SparkSuite {
     assert(strict === Seq(3L))
   }
 
+  test("contaminationBloom: identical result to the exact path, with a real pre-filter cut") {
+    val real = Tables.t(spark, sf(), "documents")
+    val bench = real.filter($"doc_id" < 25)
+    val corpus = real.filter($"doc_id" >= 25)
+    val exact = Curation.contaminationByShingle(corpus, bench, "doc_id", "text",
+        k = 5, minOverlap = 3L)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val bloom = Curation.contaminationBloom(corpus, bench, "doc_id", "text",
+        k = 5, minOverlap = 3L)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // no false negatives: the Bloom path returns the exact answer
+    assert(bloom === exact)
+    // and the pre-filter genuinely cuts the corpus explode: count the
+    // rows the Bloom predicate itself passes (the exact rows the join
+    // would otherwise probe)
+    val shingleOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => explode(graft.functions.TextFunctions.shingles(t, 5))
+    val corpusShingles = corpus.select(shingleOf($"text").as("sh"))
+    val allShingles = corpusShingles.count()
+    val pred = Curation.bloomPredicate(
+      bench.select(shingleOf($"text").as("sh")).distinct(), "sh")
+    val bloomSurvivors = corpusShingles.filter(pred($"sh")).count()
+    assert(bloomSurvivors < allShingles / 2,
+      s"pre-filter barely cut the explode: $bloomSurvivors of $allShingles")
+  }
+
   test("mixByWeight repeats rows per group weight with epoch tags; unlisted groups pass once") {
     val mixed = Curation.mixByWeight(docs, "source", Seq("src0" -> 3, "src1" -> 0))
     val bySource = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
