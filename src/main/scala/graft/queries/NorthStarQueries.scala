@@ -88,6 +88,32 @@ object NorthStarQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** D3e: the FITTED-k-means IVF path (Similarity.ivfTopK) — the
+    * quantizer users should actually run — declared with a q22-style
+    * self-validating verdict. Fitted centroids are float aggregates, so
+    * they are not ulp-stable across partitionings and cannot be oracle
+    * literals; instead the query computes exact top-5 (brute force) and
+    * IVF top-5 side by side and emits ONE row: the (SQL-exact) query
+    * count, k, and an in-query recall verdict. Threshold 0.4 sits far
+    * under the measured mean overlap (3.4–3.7 of 5 at sf0.001/0.01
+    * with nlist=16, nprobe=6), so k-means jitter cannot flip the row;
+    * per-path recall is additionally asserted in SimilaritySpec. */
+  def similarityIvfFitted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 32)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 6)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hits)
+      .select(col("n_queries"), lit(5).as("k"),
+        (col("n_hit") >= col("n_queries") * 2).as("recall_ok"))
+  }
+
   /** D3b: LSH-bucketed approximate ANN (scale path). Exactly
     * oracle-checked even though it is approximate: the plane matrix is a
     * deterministic constant embedded in the oracle SQL (planesLiteral),
@@ -764,6 +790,13 @@ object NorthStarQueries {
          |                                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM cand)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+    QueryDef("d3e_similarity_ivf_fitted", similarityIvfFitted, Some(
+      // self-validating (q22 pattern): exact anchor = the query count;
+      // the recall verdict is computed in-query against brute force and
+      // must come out TRUE — see similarityIvfFitted's threshold margin
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 32""".stripMargin)),
     QueryDef("d4_text_stats", textStats, Some(
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
