@@ -25,7 +25,8 @@ final case class ChronoConfig(
     ttl: Option[Long] = None,          // seconds; None = keep forever
     compression: String = "zstd",      // reference hardcodes gzip (compression.go:45)
     compactFileThreshold: Int = 4,     // compact buckets with more files
-    writersPerBucket: Int = 4)         // parallel insert writers per hot bucket
+    writersPerBucket: Int = 4,         // parallel insert writers per hot bucket
+    sketchLgK: Int = 12)               // per-bucket HLL key sketches (0 disables)
 
 /** Table statistics — reference GetStats (table.go:390-414). */
 final case class TableStats(
@@ -133,7 +134,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   private def hasData(name: String): Boolean = {
     val s = Files.walk(requireTable(name))
-    try s.anyMatch(f => f.toString.endsWith(".parquet"))
+    // the _stats sidecar holds parquet too — only bucket data counts
+    try s.anyMatch(f => f.toString.endsWith(".parquet") &&
+      !f.startsWith(statsPath(name)))
     finally s.close()
   }
 
@@ -169,6 +172,19 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .option("compression", config.compression)
       .partitionBy("bucket")
       .parquet(tablePath(name).toString)
+    // Sketch sidecar: one HLL key sketch per bucket of THIS batch,
+    // appended to <table>/_stats (invisible to the data read — Spark's
+    // file index skips "_"-prefixed dirs). Multiple insert batches leave
+    // multiple rows per bucket; readers merge them losslessly
+    // (hll_union_agg) and compact() folds them. Cost: one extra
+    // aggregation over the batch per insert.
+    if (config.sketchLgK > 0)
+      graft.operators.Sketches.hllPerGroup(
+          fresh.withColumn("bucket", bucketExpr), Seq("bucket"), "key",
+          config.sketchLgK)
+        .write.mode(SaveMode.Append)
+        .option("compression", config.compression)
+        .parquet(statsPath(name).toString)
   }
 
   def insertSeq(name: String, rows: Seq[ChronoRow],
@@ -263,6 +279,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // fold the sketch sidecar too: per-insert rows merge to one row per
+    // bucket (lossless), so sidecar size tracks bucket count, not
+    // insert count
+    if (config.sketchLgK > 0 && Files.exists(statsPath(name)))
+      rewriteStats(name, sketchStats(name))
     victims.size
   }
 
@@ -284,6 +305,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       fmt.parse(b).getTime + widthMs <= cutoff
     }
     dropped.foreach(b => deleteRecursively(p.resolve(s"bucket=$b")))
+    // retention applies to the sidecar as well: a stale sketch row
+    // would keep counting dropped buckets' keys into range estimates
+    if (dropped.nonEmpty && config.sketchLgK > 0 && Files.exists(statsPath(name)))
+      rewriteStats(name,
+        sketchStats(name).filter(!col("bucket").isin(dropped: _*)))
     dropped
   }
 
@@ -294,7 +320,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     var files = 0L; var bytes = 0L
     val s = Files.walk(p)
     try s.forEach { f =>
-      if (f.toString.endsWith(".parquet")) { files += 1; bytes += Files.size(f) }
+      if (f.toString.endsWith(".parquet") && !f.startsWith(statsPath(name))) {
+        files += 1; bytes += Files.size(f)
+      }
     } finally s.close()
     if (files == 0) return TableStats(name, 0, 0, 0, None, None)
     val r = table(name).agg(
@@ -338,6 +366,58 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     try st.filter(Files.isDirectory(_)).forEach { td =>
       copyRecursively(td, tablePath(td.getFileName.toString))
     } finally st.close()
+  }
+
+  // --- per-bucket sketch stats (the module-scaladoc promise of
+  //     graft.operators.Sketches, persisted: answer range-distincts
+  //     from kilobytes of sidecar state instead of rescanning rows) ---
+
+  private def statsPath(name: String): Path = tablePath(name).resolve("_stats")
+
+  /** The per-bucket HLL key sketches, merged to one row per bucket
+    * (inserts append a row per batch; the merge is lossless, so the
+    * result is identical to one sketch built over the bucket's rows). */
+  def sketchStats(name: String): DataFrame = {
+    requireTable(name)
+    if (config.sketchLgK <= 0 || !Files.exists(statsPath(name)))
+      return spark.emptyDataFrame.select(
+        lit(null).cast("string").as("bucket"),
+        lit(null).cast("binary").as("sketch"))
+    spark.read.parquet(statsPath(name).toString)
+      .groupBy(col("bucket"))
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+  }
+
+  /** Approximate distinct keys in the inclusive [start, end] range,
+    * answered ENTIRELY from the sidecar — no data scan: filter the
+    * per-bucket sketches by bucket label (same label arithmetic as
+    * [[query]]) and merge. Bucket-granularity, like [[cleanup]]'s
+    * retention: the range is widened to whole buckets. Returns 0 for an
+    * empty range. At 100 TB this is the difference between aggregating
+    * a few KB per bucket and rescanning the range. */
+  def approxDistinctKeys(name: String, start: Timestamp, end: Timestamp): Long = {
+    val fmt = new java.text.SimpleDateFormat(
+      if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val inRange = sketchStats(name)
+      .filter(col("bucket") >= fmt.format(start) && col("bucket") <= fmt.format(end))
+    val est = inRange
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("e"))
+      .head()
+    if (est.isNullAt(0)) 0L else est.getLong(0)
+  }
+
+  /** Rewrite the sidecar from a (small) folded frame. Parquet can't
+    * overwrite in place from its own read lineage, so stage to a sibling
+    * temp dir and swap. */
+  private def rewriteStats(name: String, folded: DataFrame): Unit = {
+    val tmp = tablePath(name).resolve("_stats.tmp")
+    deleteRecursively(tmp)
+    folded.coalesce(1).write
+      .option("compression", config.compression)
+      .parquet(tmp.toString)
+    deleteRecursively(statsPath(name))
+    Files.move(tmp, statsPath(name))
   }
 
   // --- helpers ---

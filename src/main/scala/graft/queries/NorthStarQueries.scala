@@ -481,6 +481,42 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D19: PERSISTED per-bucket sketch statistics, driven end-to-end
+    * through the ChronoDB lifecycle: events land in a day-bucketed
+    * table (each insert writes an HLL key sketch per bucket into the
+    * `_stats` sidecar), then weekly distinct-user counts are answered
+    * by MERGING sidecar sketches — zero data rescans. Self-validating
+    * (q22 pattern): the exact weekly distincts are computed in-query
+    * alongside and the verdict must come out TRUE per week; HLL at
+    * lgK=12 is ~1.6% rel. error and the weekly cardinalities here are
+    * ≤ 2048, so the 5%+2 margin cannot flip. The oracle recomputes the
+    * exact anchors in SQL. */
+  def bucketSketchDistinctQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d19_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day"))
+    try {
+      db.createTable("ev")
+      val ev = t(spark, dir, "events")
+      db.insert("ev", ev.select(col("user_id").cast("string").as("key"),
+        col("ts"), encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      val weekly = db.sketchStats("ev")
+        .groupBy(to_date(date_trunc("week", to_date(col("bucket"))))
+          .as("week_start"))
+        .agg(hll_sketch_estimate(
+          hll_union_agg(col("sketch"), lit(false))).as("est"))
+      val exact = ev
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("week_start"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(weekly, Seq("week_start"))
+        .select(col("week_start"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * 0.05, lit(2.0))).as("within_tol"))
+        .orderBy(col("week_start"))
+    } finally db.close()
+  }
+
   /** D11: deterministic corpus shuffle — the seeded global permutation
     * a pretraining run applies before batching; one range-partitioned
     * sort, reproducible across reruns and engines. */
@@ -1245,6 +1281,14 @@ object NorthStarQueries {
         |       CAST(count(*) AS BIGINT) AS n,
         |       MIN(value_cents) AS lo, MAX(value_cents) AS hi
         |FROM ec e JOIN b ON e.event_type = b.event_type
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("d19_bucket_sketch_distinct", bucketSketchDistinctQ, Some(
+      // exact weekly anchors in SQL; the sketch-merge estimate and its
+      // tolerance verdict are validated in-query (q22 pattern) — HLL
+      // registers are engine-private, the verdict is not
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       TRUE AS within_tol
+        |FROM events GROUP BY week_start ORDER BY week_start""".stripMargin))
   )
 }

@@ -206,6 +206,52 @@ class ChronoDBSpec extends SparkSuite {
     intercept[InvalidConfigException](db.restoreAll(bak + "/nope"))
   }
 
+  test("per-bucket sketch stats: merge path == direct path, folded by compact, pruned by cleanup") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("sketchdb").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      ttl = Some(7 * 24 * 3600L), compactFileThreshold = 1))
+    db.createTable("t")
+    // lock-step fixture: two insert batches, overlapping keys, 3 buckets
+    val now = System.currentTimeMillis()
+    val h0 = now - (now % 3600000L)
+    def at(hourOff: Int, min: Int) = new Timestamp(h0 - hourOff * 3600000L + min * 60000L)
+    db.insertSeq("t", (0 until 40).map(i => ChronoRow(s"k${i % 25}", at(2, i), Array[Byte](1))))
+    db.insertSeq("t", (0 until 40).map(i => ChronoRow(s"k${i % 30}", at(1, i), Array[Byte](2))))
+    db.insertSeq("t", (0 until 10).map(i => ChronoRow(s"k$i", at(0, i), Array[Byte](3))))
+    // merge path: sidecar sketches only; direct path: rescan the rows
+    val full = (new Timestamp(h0 - 2 * 3600000L), new Timestamp(h0 + 3599999L))
+    def direct(start: Timestamp, end: Timestamp): Long =
+      graft.operators.Sketches.hllDirect(
+        db.query("t", start, end), Seq.empty, "key").head().getLong(0)
+    assert(db.approxDistinctKeys("t", full._1, full._2) === direct(full._1, full._2))
+    // sub-range (single bucket) agrees too
+    val sub = (new Timestamp(h0 - 2 * 3600000L), new Timestamp(h0 - 2 * 3600000L + 3599999L))
+    assert(db.approxDistinctKeys("t", sub._1, sub._2) === direct(sub._1, sub._2))
+    // two insert batches landed in the middle bucket? no — batches are
+    // bucket-disjoint here, so force the multi-row case: another batch
+    // into the newest bucket, then verify the merged row still matches
+    db.insertSeq("t", (5 until 20).map(i => ChronoRow(s"k$i", at(0, 30 + i % 20), Array[Byte](4))))
+    assert(db.approxDistinctKeys("t", full._1, full._2) === direct(full._1, full._2))
+    // compact folds the sidecar to one row per bucket, estimates intact
+    val before = db.approxDistinctKeys("t", full._1, full._2)
+    db.compact("t")
+    val statRows = spark.read.parquet(s"$dir/t/_stats")
+    assert(statRows.groupBy(col("bucket")).count()
+      .filter(col("count") > 1).count() === 0)
+    assert(db.approxDistinctKeys("t", full._1, full._2) === before)
+    // cleanup prunes dropped buckets from the sidecar: age the two old
+    // buckets out, the estimate must now cover only the survivor
+    val later = new Timestamp(h0 + 7 * 24 * 3600000L + 3600000L)
+    val dropped = db.cleanup("t", later)
+    assert(dropped.nonEmpty)
+    assert(db.approxDistinctKeys("t", full._1, full._2) === direct(full._1, full._2))
+    val sidecarBuckets = db.sketchStats("t").select("bucket")
+      .as[String].collect().toSet
+    dropped.foreach(b => assert(!sidecarBuckets.contains(b)))
+    db.close()
+  }
+
   test("empty table queries cleanly") {
     val db = freshDb()
     db.createTable("t")
