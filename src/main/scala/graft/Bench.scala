@@ -34,6 +34,17 @@ object Bench {
         require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
         qs
       } else SparkEntry.all.filter(_.headline)
+    // Secondary section: the expensive NON-headline queries, timed and
+    // reported under their own JSON keys so regressions there are
+    // visible round over round WITHOUT disturbing the headline set's
+    // baseline comparability. SPARK_GRAFT_SECONDARY=0 skips them (dev
+    // runs); args-mode always skips (you asked for specific queries).
+    val secondaryNames = Seq("d16_cross_source_dup", "d14_tfidf_topk",
+      "d2e_dedup_pipeline", "d3c_similarity_ivf")
+    val secondary =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SECONDARY").contains("0"))
+        Seq.empty
+      else SparkEntry.all.filter(q => secondaryNames.contains(q.name))
     // A failing query must not silently time as "fast": failures are
     // logged, counted, and reported in the JSON line.
     var errors = 0
@@ -44,32 +55,37 @@ object Bench {
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
     // Warm-up: JVM/codegen/file listing (one pass, untimed).
-    headline.foreach(run)
+    (headline ++ secondary).foreach(run)
     // 3 timed runs per query (BASELINE.md protocol) — single local runs
     // vary ±15% from JIT/GC noise. Median is the headline statistic;
     // min is reported alongside as the contention-robust one (a busy
     // box inflates median and mean, but the min of 3 still approaches
     // the true cost), so a judge can adjudicate a noisy run from the
     // JSON alone instead of re-running.
-    val results = headline.map { q =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        run(q)
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (q.name, times(1), times(0))
-    }
+    def time3(qs: Seq[graft.core.QueryDef]): Seq[(String, Double, Double)] =
+      qs.map { q =>
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run(q)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (q.name, times(1), times(0))
+      }
+    val results = time3(headline)
+    val secResults = time3(secondary)
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results.map(r => r._1 -> r._2))
     val qsMin = obj(results.map(r => r._1 -> r._3))
+    val sec = obj(secResults.map(r => r._1 -> r._2))
+    val secMin = obj(secResults.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
     val minTotal = results.map(_._3).sum
     // host 1-minute load average: >> cpu count means the numbers above
     // were taken on a contended box
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"min_total":$minTotal,"load_avg_1m":$load,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"load_avg_1m":$load,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
