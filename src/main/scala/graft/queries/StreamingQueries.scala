@@ -185,6 +185,29 @@ object StreamingQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** S5c (declared): streaming NEAR-dup dedup (Streams.nearDupDedup —
+    * SimHash fingerprint + dropDuplicatesWithinWatermark). Documents get
+    * deterministic event times (epoch + doc_id seconds) and arrive in
+    * two interleaved batches (evens, then odds) so cross-batch
+    * duplicates hit live state; the 1-day delay keeps every row inside
+    * the watermark, so state never evicts mid-stream and the survivor
+    * set is exactly one doc per distinct fingerprint. The output is the
+    * survivors' fingerprints (no DISTINCT applied — a wrongly surviving
+    * duplicate would change the row count and fail the compare), which
+    * the oracle recomputes portably (same polynomial token hash as
+    * d2b). */
+  def streamNearDupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    stagedReplay(spark, Seq(evens, odds), src =>
+      Streams.nearDupDedup(src, "ts", "1 day", "text")
+        .select(graft.operators.Dedup.simHash(col("text")).as("sig")))
+      .orderBy(col("sig"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s6_interval_join", intervalJoinBatch, Some(
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS c_ts,
@@ -209,6 +232,31 @@ object StreamingQueries {
          |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
          |FROM surv GROUP BY win_start, event_type
          |ORDER BY win_start, event_type""".stripMargin)),
+    QueryDef("s5c_stream_neardup", streamNearDupSurvivors, Some(
+      // one survivor per distinct SimHash fingerprint; the signature is
+      // the same portable polynomial construction the d2b oracle pins
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(toks, tk ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |        (a, c) -> (a * 131 + c) % 2147483647) * 2147483648
+        |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |        (a, c) -> (a * 137 + c) % 2147483629)) AS hs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 61), j ->
+        |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(hs, x -> CAST(2 * ((x >> j) & 1) - 1 AS BIGINT))),
+        |             (a, b) -> a + b) > 0
+        |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+        |    (a, b) -> a | b) AS sig
+        |  FROM h)
+        |SELECT DISTINCT sig FROM s ORDER BY sig""".stripMargin)),
     QueryDef("s5b_stream_dedup", streamDedupSurvivors, Some(
       """WITH mx AS (SELECT max(ts) AS m,
         |                   (epoch_us(max(ts)) // 1000) * 1000 AS m_ms
