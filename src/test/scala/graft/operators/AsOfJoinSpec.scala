@@ -88,6 +88,23 @@ class AsOfJoinSpec extends SparkSuite {
     assert(none === None)
   }
 
+  test("nearest as-of: DateType distances work; mismatched time types rejected") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val l = Seq((1L, d("2024-01-10"), "x")).toDF("k", "t", "tag")
+    val r = Seq(
+      (1L, d("2024-01-07"), 1.0),  // 3 days back
+      (1L, d("2024-01-12"), 2.0))  // 2 days forward — nearer
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asOfNearest(l, r, "k", "t", "k", "t",
+      Seq("v" -> "near_v")).select($"near_v").as[Double].head()
+    assert(out === 2.0) // day-granular distance, not a null-ed cast
+    // left timestamp vs right date must be rejected, not silently nulled
+    val lTs = Seq((1L, ts("2024-01-10 00:00:00"), "x")).toDF("k", "t", "tag")
+    intercept[IllegalArgumentException](
+      AsOfJoin.asOfNearest(lTs, r, "k", "t", "k", "t", Seq("v" -> "near_v")))
+  }
+
   test("inner as-of drops rows with no prior right row") {
     val out = AsOfJoin.asOfInner(left, right, "k", "t", "k", "t",
       Seq("v" -> "last_v"))
