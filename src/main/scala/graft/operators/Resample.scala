@@ -204,4 +204,45 @@ object Resample {
       .drop("__n")
       .orderBy(col("bucket"))
   }
+
+  /** OHLC downsampling bars — the financial-style per-bucket summary
+    * (open/high/low/close + count) every time-series store grows: one
+    * hash aggregate on (key, bucket), no window, no sort. Open/close
+    * are `min_by`/`max_by` with a (ts, value) struct ordering, so rows
+    * sharing the bucket's first/last timestamp resolve deterministically
+    * (smallest/largest value wins) — the property the cross-engine
+    * oracle needs and real replays want. */
+  def ohlc(
+      df: DataFrame,
+      keyCol: String, timeCol: String, valueCol: String,
+      unit: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc(unit, col(timeCol)).as("bucket_start"))
+      .agg(
+        min_by(col(valueCol), struct(col(timeCol), col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(timeCol), col(valueCol))).as("close"),
+        count(lit(1)).as("n"))
+
+  /** Gap detection — per-series intervals with no observations for at
+    * least `minGap`: (key, gap_start, gap_end, gap_us) for each pair of
+    * CONSECUTIVE rows further apart than the threshold. One key-
+    * partitioned window (a single shuffle + per-key sort); output rows
+    * reference only the two timestamps, so equal-ts duplicates pair
+    * identically on any engine and the result is order-independent.
+    * The monitoring complement of the resample family: resample FILLS
+    * gaps, this one REPORTS them. */
+  def gaps(
+      df: DataFrame,
+      keyCol: String, timeCol: String,
+      minGap: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(timeCol))
+    df.select(col(keyCol), col(timeCol).as("gap_start"),
+        lead(col(timeCol), 1).over(w).as("gap_end"))
+      .filter(col("gap_end").isNotNull &&
+        col("gap_end") > col("gap_start") + expr(s"INTERVAL $minGap"))
+      .withColumn("gap_us",
+        unix_micros(col("gap_end")) - unix_micros(col("gap_start")))
+  }
 }

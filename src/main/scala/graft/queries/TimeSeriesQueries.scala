@@ -150,7 +150,50 @@ object TimeSeriesQueries {
         (Det.dsum(col("value")), "sum_value")),
       fills = Map("n" -> lit(0L), "sum_value" -> lit(0.0)))
 
+  /** Q26 (OHLC form): daily open/high/low/close bars per event type —
+    * one hash aggregate, deterministic first/last via (ts, value)
+    * struct ordering (ties at the bucket edge resolve to the
+    * smallest/largest value on both engines). */
+  def ohlcQ(spark: SparkSession, dir: String): DataFrame =
+    Resample.ohlc(t(spark, dir, "events"),
+        "event_type", "ts", "value", unit = "day")
+      .orderBy(col("event_type"), col("bucket_start"))
+
+  /** Q26 (gap-report form): per-user silences of ≥ 1 day between
+    * consecutive events. */
+  def gapsQ(spark: SparkSession, dir: String): DataFrame =
+    Resample.gaps(t(spark, dir, "events"), "user_id", "ts", "1 DAY")
+      .orderBy(col("user_id"), col("gap_start"), col("gap_end"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30f_ohlc_bars", ohlcQ, Some(
+      // open/close via rank-1 rows under the same (ts, value) tie order
+      // the Spark min_by/max_by struct ordering applies
+      """WITH b AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+        |         ts, value,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts, value) AS rn_a,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, value DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, bucket_start,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY event_type, bucket_start
+        |ORDER BY event_type, bucket_start""".stripMargin)),
+    QueryDef("q30g_gap_detect", gapsQ, Some(
+      """WITH p AS (
+        |  SELECT user_id, ts AS gap_start,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_end
+        |  FROM events)
+        |SELECT user_id, gap_start, gap_end,
+        |       epoch_us(gap_end) - epoch_us(gap_start) AS gap_us
+        |FROM p
+        |WHERE gap_end IS NOT NULL AND gap_end > gap_start + INTERVAL 1 DAY
+        |ORDER BY user_id, gap_start, gap_end""".stripMargin)),
     QueryDef("q08_asof_join", asOfQ, Some(
       """SELECT c.event_id, c.user_id, c.ts, MAX(p.ts) AS last_purchase_ts
         |FROM events c JOIN events p

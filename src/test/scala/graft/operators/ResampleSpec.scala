@@ -92,4 +92,37 @@ class ResampleSpec extends SparkSuite {
     assert(out(2) === ((Timestamp.valueOf("2024-01-01 12:00:00"), 7.0, true)))
     assert(out(3) === ((Timestamp.valueOf("2024-01-01 13:00:00"), 9.0, false)))
   }
+
+  test("ohlc: open/close pick by (ts, value); high/low over the bucket; ties deterministic") {
+    val df = Seq(
+      ("s", Timestamp.valueOf("2024-01-01 10:00:00"), 5.0), // open tie ts...
+      ("s", Timestamp.valueOf("2024-01-01 10:00:00"), 3.0), // ...smaller value wins open
+      ("s", Timestamp.valueOf("2024-01-01 10:20:00"), 9.0), // high
+      ("s", Timestamp.valueOf("2024-01-01 10:40:00"), 1.0), // low
+      ("s", Timestamp.valueOf("2024-01-01 10:59:00"), 6.0), // close tie ts...
+      ("s", Timestamp.valueOf("2024-01-01 10:59:00"), 7.0), // ...larger value wins close
+      ("s", Timestamp.valueOf("2024-01-01 11:10:00"), 2.0)  // next bucket
+    ).toDF("k", "ts", "v")
+    val out = Resample.ohlc(df, "k", "ts", "v", unit = "hour")
+      .orderBy("bucket_start")
+      .as[(String, Timestamp, Double, Double, Double, Double, Long)].collect()
+    assert(out(0) === (("s", Timestamp.valueOf("2024-01-01 10:00:00"),
+      3.0, 9.0, 1.0, 7.0, 6L)))
+    assert(out(1) === (("s", Timestamp.valueOf("2024-01-01 11:00:00"),
+      2.0, 2.0, 2.0, 2.0, 1L)))
+  }
+
+  test("gaps: reports only consecutive deltas strictly over the threshold, per key") {
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("a", Timestamp.valueOf("2024-01-01 11:00:00")),   // exactly 1h — NOT a gap (strict >)
+      ("a", Timestamp.valueOf("2024-01-01 13:30:00")),   // 2.5h — gap
+      ("b", Timestamp.valueOf("2024-01-01 09:00:00")),
+      ("b", Timestamp.valueOf("2024-01-01 09:30:00"))    // 30m — no gap
+    ).toDF("k", "ts")
+    val out = Resample.gaps(df, "k", "ts", "1 HOUR")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSeq
+    assert(out === Seq(("a", Timestamp.valueOf("2024-01-01 11:00:00"),
+      Timestamp.valueOf("2024-01-01 13:30:00"), 9000000000L)))
+  }
 }
