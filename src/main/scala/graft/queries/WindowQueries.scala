@@ -126,7 +126,35 @@ object WindowQueries {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Q25 (time-range frame): trailing 1-hour per-user aggregates at
+    * every event — the VALUE-range frame the ROWS specs can't express
+    * (a frame of "the last hour", not "the last k rows"). Spark's
+    * rangeBetween takes numeric offsets, so the ordering is
+    * unix_micros(ts) with a ±µs window; frame membership depends only
+    * on timestamp VALUES, so equal-ts rows see identical frames on any
+    * engine (no tie-order sensitivity). */
+  def windowTimeRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    val dec = col("value").cast(DecimalType(25, 10))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        graft.core.Det.dec2dbl(sum(dec).over(w)).as("sum_1h"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q29c_window_time_range", windowTimeRange, Some(
+      """SELECT user_id, event_id, ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) OVER w AS VARCHAR)
+        |       AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
     QueryDef("q29b_window_ewma", windowEwma, Some(
       """SELECT user_id, event_id, ts,
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
