@@ -37,6 +37,22 @@ object SetOpQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Q28c/Q28d: the ALL (multiset) variants — a different physical
+    * shape from the distinct forms (Spark plans INTERSECT/EXCEPT ALL as
+    * count-tagged aggregates + generate, not left-semi/anti), and the
+    * form dedup pipelines actually need when multiplicity matters
+    * ("how many duplicate copies survive in both snapshots"). Count
+    * per-user click rows vs view rows. */
+  def intersectAllQ(spark: SparkSession, dir: String): DataFrame =
+    users(spark, dir, "click").intersectAll(users(spark, dir, "view"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
+  def exceptAllQ(spark: SparkSession, dir: String): DataFrame =
+    users(spark, dir, "click").exceptAll(users(spark, dir, "view"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
   /** Q29: latest-wins dedup by key — deterministic (window + full
     * tiebreak), unlike dropDuplicates. This is the honest implementation
     * of the reference's ignored PrimaryKeys option. */
@@ -68,6 +84,18 @@ object SetOpQueries {
         |SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin)),
+    QueryDef("q32b_intersect_all", intersectAllQ, Some(
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    QueryDef("q33b_except_all", exceptAllQ, Some(
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)),
     QueryDef("q34_dedup_latest", dedupLatest, Some(
       """SELECT user_id, event_id, ts, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
