@@ -192,6 +192,50 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /** Int8-quantized two-stage top-k: scan the CODES (one signed byte
+    * per dimension — 1/4 the bytes of float32), rank candidates by
+    * exact integer dot product, then rescore only the `candidates`
+    * survivors per query with the true float cosine. This is the scalar
+    * quantization memory-bandwidth play every large ANN system ships:
+    * at 100 TB the code table is the hot scan (4× less I/O and cache
+    * footprint) and float vectors are touched only through the
+    * candidate join — here a BROADCAST of the tiny candidate set into
+    * the float scan, so the corpus never shuffles. Quantization and the
+    * integer ranking are bit-exact cross-engine (fixed-order IEEE
+    * normalize + floor + clamp, then pure int64 math), so the whole
+    * pipeline — not just the rescore — is oracle-checkable. */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      candidates: Int = 16): DataFrame = {
+    import graft.functions.NativeExpressions.{cosineNative, int8Dot, int8Quantize}
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      int8Quantize(col(vecCol)).as("code"))
+    val qcodes = queries.select(col(idCol).as("query_id"),
+      int8Quantize(col(vecCol)).as("qcode"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val cand = codes.crossJoin(broadcast(qcodes))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", int8Dot(col("qcode"), col("code")))
+      .filter(col("qdot").isNotNull)
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"))
+    // rescore: candidates (|queries|×candidates rows — tiny) broadcast
+    // into the float scans; the corpus side never shuffles
+    val cFloat = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qFloat = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cFloat.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qFloat), Seq("query_id"))
+      .withColumn("cos", cosineNative(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Random-hyperplane signature — native Catalyst expression (tight
     * eval loop; the HOF formulation evaluates interpreted, ~10× slower).
     * Plane components are hash-derived from (bit, dim, seed), so plans

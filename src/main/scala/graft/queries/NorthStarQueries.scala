@@ -114,6 +114,19 @@ object NorthStarQueries {
         (col("n_hit") >= col("n_queries") * 2).as("recall_ok"))
   }
 
+  /** D3f: int8 scalar-quantized two-stage ANN — codes (1/4 the scan
+    * bytes) rank candidates by exact integer dot, float cosine rescores
+    * only the survivors. The ENTIRE pipeline is oracle-replicated:
+    * quantization is fixed-order IEEE normalize+floor+clamp, candidate
+    * ranking is pure int64, the rescore is the shared bit-identical
+    * cosine. */
+  def similarityQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, candidates = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** D3b: LSH-bucketed approximate ANN (scale path). Exactly
     * oracle-checked even though it is approximate: the plane matrix is a
     * deterministic constant embedded in the oracle SQL (planesLiteral),
@@ -826,6 +839,51 @@ object NorthStarQueries {
          |                                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM cand)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+    QueryDef("d3f_similarity_int8", similarityQuantized, Some(
+      // codes: fixed-order IEEE normalize + floor + clamp (norm starts
+      // at 0.0 in the kernel; 0.0 + x0² == x0², so the un-seeded
+      // list_reduce matches); candidate rank: exact int64 dot; rescore:
+      // the shared bit-identical cosine formulation
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |code AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(least(greatest(floor(CAST(x AS DOUBLE) / nrm * 127.0),
+        |                          -127.0), 127.0) AS BIGINT)) AS code
+        |  FROM n WHERE nrm <> 0),
+        |q AS (SELECT vec_id AS query_id, code AS qcode FROM code WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.qcode, c.code),
+        |        p -> p[1] * p[2]), (a,b) -> a + b) AS qdot
+        |  FROM q, code c WHERE c.vec_id <> q.query_id),
+        |topc AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY qdot DESC, neighbor_id) AS crank
+        |    FROM cand) WHERE crank <= 16),
+        |resc AS (
+        |  SELECT t.query_id, t.neighbor_id,
+        |    list_reduce(list_transform(list_zip(qe.embedding, e.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(qe.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))) AS cos
+        |  FROM topc t
+        |  JOIN embeddings qe ON qe.vec_id = t.query_id
+        |  JOIN embeddings e ON e.vec_id = t.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM resc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
     QueryDef("d3e_similarity_ivf_fitted", similarityIvfFitted, Some(
       // self-validating (q22 pattern): exact anchor = the query count;
       // the recall verdict is computed in-query against brute force and

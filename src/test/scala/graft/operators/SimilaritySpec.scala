@@ -46,6 +46,37 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("int8-quantized two-stage top-k: high recall vs exact; codes really are bytes") {
+    val emb = Tables.t(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 5,
+        candidates = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // int8 on 64 dims loses little resolution; candidates=16 over k=5
+    // absorbs most rank inversions
+    assert(recall > 0.8, s"int8 recall@5 = $recall")
+    // the compressed representation is genuinely 1 byte/dim
+    val code = emb.select(
+      graft.functions.NativeExpressions.int8Quantize($"embedding").as("c"))
+    val dims = emb.select(org.apache.spark.sql.functions.size($"embedding"))
+      .as[Int].head()
+    val lens = code.select(org.apache.spark.sql.functions.length($"c"))
+      .as[Int].distinct().collect().toSeq
+    assert(lens === Seq(dims))
+    // quantize is exact-deterministic: codes bounded, dot symmetric
+    val d = emb.limit(2).select($"embedding").as[Seq[Float]].collect()
+    val q1 = graft.functions.Kernels.int8Quantize(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(d(0).toArray))
+    assert(q1.forall(b => b >= -127 && b <= 127))
+    val q2 = graft.functions.Kernels.int8Quantize(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(d(1).toArray))
+    assert(graft.functions.Kernels.int8Dot(q1, q2) ===
+      graft.functions.Kernels.int8Dot(q2, q1))
+  }
+
   test("seeded-quantizer IVF: reasonable recall, probes respected") {
     val emb = Tables.t(spark, sf(), "embeddings")
     val queries = emb.filter($"vec_id" < 32)
