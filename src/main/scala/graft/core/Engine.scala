@@ -39,7 +39,8 @@ object Engine {
   /** Expose the native expressions to SQL:
     * minhash_sig(text, k, n), simhash64(text), hyperplane_sig(vec, bits,
     * seed), cosine_native(a, b), shingle_jaccard(a, b, k),
-    * doc_fingerprint(text), token_hash62(s),
+    * doc_fingerprint(text), token_hash62(s), int8_quantize(vec),
+    * int8_dot(a, b),
     * topk_by_score(score, id, k) (aggregate),
     * ngrams_explode(text, n) (table-generating). */
   def registerFunctions(spark: SparkSession): Unit = {
@@ -68,6 +69,10 @@ object Engine {
       es => FingerprintExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("token_hash62",
       es => TokenHash62Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_quantize",
+      es => Int8QuantizeExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_dot",
+      es => Int8DotExpr(es.head, es(1)), "scala_udf")
     // aggregate (UDAF surface): SELECT g, topk_by_score(score, id, 5) ...
     reg.createOrReplaceTempFunction("topk_by_score",
       es => TopKByScoreAgg(es.head, es(1), intArg(es(2), "k"))

@@ -40,6 +40,14 @@ class EngineSpec extends SparkSuite {
     val fp = spark.sql("SELECT doc_fingerprint('hello world') AS f").head()
     assert(fp.getAs[Long]("f") ===
       "hello world".foldLeft(0L)((h, c) => (h * 131L + c.toLong) % 2147483647L))
+    // int8 pair: self-dot of a unit-normalized code vector is near 127²·dims-ish
+    // in magnitude; just pin shape + symmetry through the SQL surface
+    val i8 = spark.sql(
+      """SELECT length(int8_quantize(embedding)) AS len,
+        |       int8_dot(int8_quantize(embedding), int8_quantize(embedding)) AS d
+        |FROM embeddings ORDER BY vec_id LIMIT 1""".stripMargin).head()
+    assert(i8.getAs[Int]("len") > 0)
+    assert(i8.getAs[Long]("d") > 0L)
   }
 
   test("registerFunctions exposes the UDAF and UDTF surfaces to SQL") {
