@@ -94,6 +94,27 @@ class PlanGuardSpec extends SparkSuite {
     assert(!p.contains("Window"), s"global window crept into the histogram:\n$p")
   }
 
+  test("d9b: Bloom probe is a literal filter in the explode stage — no new exchanges vs d9") {
+    val pB = plan("d9b_contamination_bloom")
+    val pE = plan("d9_contamination")
+    assert(pB.contains("might_contain"), s"Bloom probe missing:\n$pB")
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    assert(exchanges(pB) <= exchanges(pE),
+      s"Bloom path grew exchanges: ${exchanges(pB)} vs d9's ${exchanges(pE)}")
+    assert(!pB.contains("CartesianProduct"), pB)
+  }
+
+  test("d3f: candidate set broadcasts into the float rescore; corpus never shuffles for it") {
+    val p = plan("d3f_similarity_int8")
+    // two broadcast joins on the rescore side (candidates + query floats)
+    // plus the code-side query broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"candidate/query broadcasts missing:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"candidate ranking should partial+final group-limit:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d3c: corpus assignment is map-only; ranking group-limits before exchange") {
     val p = plan("d3c_similarity_ivf")
     // centroid array arrives via broadcast nested-loop (single-row build
