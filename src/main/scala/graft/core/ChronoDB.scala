@@ -26,7 +26,9 @@ final case class ChronoConfig(
     compression: String = "zstd",      // reference hardcodes gzip (compression.go:45)
     compactFileThreshold: Int = 4,     // compact buckets with more files
     writersPerBucket: Int = 4,         // parallel insert writers per hot bucket
-    sketchLgK: Int = 12)               // per-bucket HLL key sketches (0 disables)
+    sketchLgK: Int = 12,               // per-bucket HLL key sketches (0 disables)
+    sketchCmsDepth: Int = 4,           // per-bucket Count-Min key counters (0 disables)
+    sketchCmsWidth: Int = 1024)        // CMS width (counters per row)
 
 /** Table statistics — reference GetStats (table.go:390-414). */
 final case class TableStats(
@@ -132,11 +134,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     p
   }
 
+  private def isSidecar(name: String, f: Path): Boolean =
+    f.startsWith(statsPath(name)) || f.startsWith(cmsPath(name))
+
   private def hasData(name: String): Boolean = {
     val s = Files.walk(requireTable(name))
-    // the _stats sidecar holds parquet too — only bucket data counts
-    try s.anyMatch(f => f.toString.endsWith(".parquet") &&
-      !f.startsWith(statsPath(name)))
+    // the _stats* sidecars hold parquet too — only bucket data counts
+    try s.anyMatch(f => f.toString.endsWith(".parquet") && !isSidecar(name, f))
     finally s.close()
   }
 
@@ -185,6 +189,17 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         .write.mode(SaveMode.Append)
         .option("compression", config.compression)
         .parquet(statsPath(name).toString)
+    // CMS sidecar: per-bucket key-frequency counters (<table>/_stats_cms,
+    // (tbucket, d, bucket, cnt)). Unlike the HLL registers these merge
+    // by plain addition AND are portable-hash replicable, so range
+    // frequency estimates are fully oracle-checkable (d19b).
+    if (config.sketchCmsDepth > 0)
+      graft.operators.Sketches.cmsBuildBy(
+          fresh.withColumn("tbucket", bucketExpr), Seq("tbucket"), "key",
+          config.sketchCmsDepth, config.sketchCmsWidth)
+        .write.mode(SaveMode.Append)
+        .option("compression", config.compression)
+        .parquet(cmsPath(name).toString)
   }
 
   def insertSeq(name: String, rows: Seq[ChronoRow],
@@ -279,11 +294,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    // fold the sketch sidecar too: per-insert rows merge to one row per
-    // bucket (lossless), so sidecar size tracks bucket count, not
-    // insert count
+    // fold the sketch sidecars too: per-insert rows merge to one row
+    // per bucket / per counter cell (lossless), so sidecar size tracks
+    // bucket count, not insert count
     if (config.sketchLgK > 0 && Files.exists(statsPath(name)))
-      rewriteStats(name, sketchStats(name))
+      rewriteSidecar(statsPath(name), sketchStats(name))
+    if (config.sketchCmsDepth > 0 && Files.exists(cmsPath(name)))
+      rewriteSidecar(cmsPath(name), cmsStats(name))
     victims.size
   }
 
@@ -305,11 +322,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       fmt.parse(b).getTime + widthMs <= cutoff
     }
     dropped.foreach(b => deleteRecursively(p.resolve(s"bucket=$b")))
-    // retention applies to the sidecar as well: a stale sketch row
+    // retention applies to the sidecars as well: a stale sketch row
     // would keep counting dropped buckets' keys into range estimates
     if (dropped.nonEmpty && config.sketchLgK > 0 && Files.exists(statsPath(name)))
-      rewriteStats(name,
+      rewriteSidecar(statsPath(name),
         sketchStats(name).filter(!col("bucket").isin(dropped: _*)))
+    if (dropped.nonEmpty && config.sketchCmsDepth > 0 && Files.exists(cmsPath(name)))
+      rewriteSidecar(cmsPath(name),
+        cmsStats(name).filter(!col("tbucket").isin(dropped: _*)))
     dropped
   }
 
@@ -320,7 +340,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     var files = 0L; var bytes = 0L
     val s = Files.walk(p)
     try s.forEach { f =>
-      if (f.toString.endsWith(".parquet") && !f.startsWith(statsPath(name))) {
+      if (f.toString.endsWith(".parquet") && !isSidecar(name, f)) {
         files += 1; bytes += Files.size(f)
       }
     } finally s.close()
@@ -407,17 +427,56 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (est.isNullAt(0)) 0L else est.getLong(0)
   }
 
-  /** Rewrite the sidecar from a (small) folded frame. Parquet can't
+  private def cmsPath(name: String): Path = tablePath(name).resolve("_stats_cms")
+
+  /** The per-bucket Count-Min counter tables, folded to one row per
+    * (time bucket, d, bucket) — per-insert rows merge by addition. */
+  def cmsStats(name: String): DataFrame = {
+    requireTable(name)
+    if (config.sketchCmsDepth <= 0 || !Files.exists(cmsPath(name)))
+      return spark.emptyDataFrame.select(
+        lit(null).cast("string").as("tbucket"),
+        lit(null).cast("int").as("d"),
+        lit(null).cast("long").as("bucket"),
+        lit(null).cast("long").as("cnt"))
+    spark.read.parquet(cmsPath(name).toString)
+      .groupBy(col("tbucket"), col("d"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Approximate per-key occurrence counts over the inclusive
+    * [start, end] range, from the CMS sidecar alone: merge the in-range
+    * buckets' counter tables by addition, probe with
+    * [[graft.operators.Sketches.cmsEstimate]]. Bucket-granularity like
+    * [[approxDistinctKeys]]; estimates are ALWAYS >= the true count
+    * (Count-Min upper-bound property) and — because the hash is the
+    * portable polynomial pair — exactly reproducible by an external
+    * engine, not just bounded. `keys` supplies the probe set. */
+  def approxKeyCounts(
+      name: String, start: Timestamp, end: Timestamp,
+      keys: DataFrame, keyCol: String): DataFrame = {
+    val fmt = new java.text.SimpleDateFormat(
+      if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val merged = cmsStats(name)
+      .filter(col("tbucket") >= fmt.format(start) && col("tbucket") <= fmt.format(end))
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    graft.operators.Sketches.cmsEstimate(merged, keys, keyCol,
+      config.sketchCmsDepth, config.sketchCmsWidth)
+  }
+
+  /** Rewrite a sidecar dir from a (small) folded frame. Parquet can't
     * overwrite in place from its own read lineage, so stage to a sibling
     * temp dir and swap. */
-  private def rewriteStats(name: String, folded: DataFrame): Unit = {
-    val tmp = tablePath(name).resolve("_stats.tmp")
+  private def rewriteSidecar(dir: Path, folded: DataFrame): Unit = {
+    val tmp = dir.resolveSibling(dir.getFileName.toString + ".tmp")
     deleteRecursively(tmp)
     folded.coalesce(1).write
       .option("compression", config.compression)
       .parquet(tmp.toString)
-    deleteRecursively(statsPath(name))
-    Files.move(tmp, statsPath(name))
+    deleteRecursively(dir)
+    Files.move(tmp, dir)
   }
 
   // --- helpers ---

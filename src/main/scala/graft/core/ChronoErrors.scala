@@ -38,5 +38,14 @@ object ChronoConfigValidation {
     if (c.writersPerBucket < 1)
       throw new InvalidConfigException(
         s"writersPerBucket must be >= 1, got ${c.writersPerBucket}")
+    if (c.sketchLgK < 0 || c.sketchLgK > 21)
+      throw new InvalidConfigException(
+        s"sketchLgK must be 0 (off) or 4..21, got ${c.sketchLgK}")
+    if (c.sketchCmsDepth < 0 || c.sketchCmsDepth > 16)
+      throw new InvalidConfigException(
+        s"sketchCmsDepth must be 0 (off) or 1..16, got ${c.sketchCmsDepth}")
+    if (c.sketchCmsDepth > 0 && c.sketchCmsWidth < 2)
+      throw new InvalidConfigException(
+        s"sketchCmsWidth must be >= 2 when CMS is on, got ${c.sketchCmsWidth}")
   }
 }

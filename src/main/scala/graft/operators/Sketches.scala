@@ -85,6 +85,29 @@ object Sketches {
       .agg(sum(col("__cnt")).as("cnt"))
   }
 
+  /** Grouped Count-Min build: one counter table per `groupCols` value
+    * (e.g. per time bucket) — the persistable form. Same pre-aggregate-
+    * then-explode shape as [[cmsBuild]] with the group key carried
+    * through; output (groupCols..., d, bucket, cnt). Counter tables for
+    * different groups MERGE by plain addition (groupBy(d, bucket) over
+    * any group subset), which is how a range query assembles its
+    * sketch. */
+  def cmsBuildBy(
+      df: DataFrame, groupCols: Seq[String], keyCol: String,
+      depth: Int = 4, width: Int = 64,
+      weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 2, s"width out of range: $width")
+    df.groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(sum(weight).as("__cnt"))
+      .select(groupCols.map(col) :+
+        explode(cmsCells(col(keyCol), depth, width)).as("cell") :+
+        col("__cnt"): _*)
+      .groupBy(groupCols.map(col) :+ col("cell.d").as("d") :+
+        col("cell.bucket").as("bucket"): _*)
+      .agg(sum(col("__cnt")).as("cnt"))
+  }
+
   /** Point estimates from a Count-Min sketch: est(key) = min over rows
     * of its counter — ALWAYS ≥ the true count (counters only ever add
     * other keys' mass; the d17 declared query asserts the bound as an

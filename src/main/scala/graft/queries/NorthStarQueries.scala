@@ -530,6 +530,39 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D19b: the CMS sidecar end-to-end — per-bucket Count-Min counter
+    * tables persisted at insert, merged by addition over the full
+    * range, probed for the first 20 users. Unlike d19's HLL registers
+    * the counters use the portable polynomial hash pair, so the oracle
+    * replicates the ENTIRE sketch (build, merge, probe) and the
+    * estimate values themselves hash-match — plus the upper-bound
+    * property as an output column, like d17. */
+  def bucketCmsKeyCountQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d19b_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
+      sketchCmsDepth = 4, sketchCmsWidth = 1024))
+    try {
+      db.createTable("ev")
+      val ev = t(spark, dir, "events")
+      db.insert("ev", ev.select(col("user_id").cast("string").as("key"),
+        col("ts"), encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      val lo = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      val probes = ev.filter(col("user_id") < 20)
+        .select(col("user_id").cast("string").as("key")).distinct()
+      val est = db.approxKeyCounts("ev", lo, hi, probes, "key")
+      val exact = ev.filter(col("user_id") < 20)
+        .groupBy(col("user_id").cast("string").as("key"))
+        .agg(count(lit(1)).as("n_exact"))
+      exact.join(est, Seq("key"))
+        .select(col("key"), col("n_exact"), col("cms_est"),
+          (col("cms_est") >= col("n_exact")).as("is_upper_bound"))
+        .orderBy(col("key"))
+    } finally db.close()
+  }
+
   /** D11: deterministic corpus shuffle — the seeded global permutation
     * a pretraining run applies before batching; one range-partitioned
     * sort, reproducible across reruns and engines. */
@@ -1340,6 +1373,35 @@ object NorthStarQueries {
         |       MIN(value_cents) AS lo, MAX(value_cents) AS hi
         |FROM ec e JOIN b ON e.event_type = b.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("d19b_bucket_cms_keycount", bucketCmsKeyCountQ, Some(
+      // full replication (d17 pattern): same portable hash pair, KM
+      // cells (h1 + d*h2) mod 1024, counters summed from per-key
+      // counts (bucket-split then merged ≡ global by additivity)
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+        |cnt AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY key),
+        |h AS (
+        |  SELECT key, n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(split(key, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, c) -> (a * 131 + c) % 2147483647) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(split(key, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, c) -> (a * 137 + c) % 2147483629) AS h2
+        |  FROM cnt),
+        |cells AS (
+        |  SELECT key, n, d, (h1 + d * h2) % 1024 AS bucket
+        |  FROM h, generate_series(0, 3) g(d)),
+        |sketch AS (
+        |  SELECT d, bucket, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY d, bucket),
+        |est AS (
+        |  SELECT c.key, min(s.cnt) AS cms_est
+        |  FROM cells c JOIN sketch s USING (d, bucket) GROUP BY c.key)
+        |SELECT h.key, h.n AS n_exact, est.cms_est,
+        |       est.cms_est >= h.n AS is_upper_bound
+        |FROM h JOIN est ON h.key = est.key
+        |WHERE CAST(h.key AS BIGINT) < 20
+        |ORDER BY h.key""".stripMargin)),
     QueryDef("d19_bucket_sketch_distinct", bucketSketchDistinctQ, Some(
       // exact weekly anchors in SQL; the sketch-merge estimate and its
       // tolerance verdict are validated in-query (q22 pattern) — HLL

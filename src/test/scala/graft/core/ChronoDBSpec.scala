@@ -252,6 +252,47 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  test("CMS sidecar: merged range counters equal the direct sketch; estimates upper-bound truth") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("cmsdb").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      sketchCmsDepth = 4, sketchCmsWidth = 64))
+    db.createTable("t")
+    val now = System.currentTimeMillis()
+    val h0 = now - (now % 3600000L)
+    def at(hourOff: Int, min: Int) = new Timestamp(h0 - hourOff * 3600000L + min * 60000L)
+    // two batches, skewed keys, two buckets
+    db.insertSeq("t", (0 until 50).map(i => ChronoRow(s"k${i % 7}", at(1, i), Array[Byte](1))))
+    db.insertSeq("t", (0 until 30).map(i => ChronoRow(s"k${i % 5}", at(0, i), Array[Byte](2))))
+    val full = (new Timestamp(h0 - 3600000L), new Timestamp(h0 + 3599999L))
+    // merged counter table == sketch built directly over the rows
+    val merged = db.cmsStats("t")
+      .groupBy(col("d"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = graft.operators.Sketches.cmsBuild(
+        db.query("t", full._1, full._2), "key", depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === direct)
+    // probe estimates: exact reproducibility + upper bound
+    val probes = (0 until 7).map(i => s"k$i").toDF("key")
+    val est = db.approxKeyCounts("t", full._1, full._2, probes, "key")
+      .as[(String, Long)].collect().toMap
+    val exact = db.query("t", full._1, full._2).groupBy(col("key")).count()
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"$k: est ${est(k)} < $n") }
+    // sub-range (newest bucket only) merges fewer counters
+    val sub = db.approxKeyCounts("t", new Timestamp(h0), full._2, probes, "key")
+      .as[(String, Long)].collect().toMap
+    assert(sub("k6") === 0L) // k6 only exists in the older bucket
+    // compact folds; cleanup prunes — estimates track the surviving data
+    db.compact("t")
+    val afterCompact = db.cmsStats("t")
+      .groupBy(col("d"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(afterCompact === direct)
+    db.close()
+  }
+
   test("empty table queries cleanly") {
     val db = freshDb()
     db.createTable("t")
