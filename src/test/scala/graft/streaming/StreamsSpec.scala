@@ -105,6 +105,42 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("S2 windowed agg carries OHLC aggregates: algebraic min_by/max_by work under watermarks") {
+    // Resample.ohlc's aggregate set is algebraic, so the SAME bars a
+    // batch downsample produces stream out of windowedAgg — the
+    // time-series store's "continuous downsampling" verb with no extra
+    // operator. Cross-batch merge: open arrives in batch 1, close in
+    // batch 2, the finalized window must combine both.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = Streams.windowedAgg(mem.toDF(), "ts", "10 minutes", None,
+      lateness = "5 minutes", keys = Seq(col("key")),
+      aggs = Seq(
+        min_by(col("value"), struct(col("ts"), col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("value"))).as("close"),
+        count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    mem.addData(
+      Ev("s", ts("2024-01-01 10:00:10"), 5.0),  // open
+      Ev("s", ts("2024-01-01 10:03:00"), 9.0))  // high
+    q.processAllAvailable()
+    mem.addData(
+      Ev("s", ts("2024-01-01 10:06:00"), 1.0),  // low
+      Ev("s", ts("2024-01-01 10:09:00"), 6.0))  // close
+    q.processAllAvailable()
+    mem.addData(Ev("s", ts("2024-01-01 10:30:00"), 0.0)) // advance watermark
+    q.processAllAvailable()
+    val bars = spark.table("ohlc_out")
+      .where("window.start = timestamp'2024-01-01 10:00:00'")
+      .select("open", "high", "low", "close", "n")
+      .as[(Double, Double, Double, Double, Long)].collect()
+    assert(bars.toSeq === Seq((5.0, 9.0, 1.0, 6.0, 4L)))
+    q.stop()
+  }
+
   test("S5 streaming dedup removes exact (key, ts) duplicates across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
