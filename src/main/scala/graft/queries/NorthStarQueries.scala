@@ -508,7 +508,9 @@ object NorthStarQueries {
     import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("d19_db").toString
-    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day"))
+    // CMS sidecar off: this query exercises the HLL path (d19b owns CMS)
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
+      sketchCmsDepth = 0))
     try {
       db.createTable("ev")
       val ev = t(spark, dir, "events")
@@ -541,8 +543,9 @@ object NorthStarQueries {
     import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("d19b_db").toString
+    // HLL sidecar off: this query exercises the CMS path (d19 owns HLL)
     val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
-      sketchCmsDepth = 4, sketchCmsWidth = 1024))
+      sketchLgK = 0, sketchCmsDepth = 4, sketchCmsWidth = 1024))
     try {
       db.createTable("ev")
       val ev = t(spark, dir, "events")
