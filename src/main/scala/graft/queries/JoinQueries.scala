@@ -122,7 +122,51 @@ object JoinQueries {
       .orderBy(col("rf"))
   }
 
+  /** Q45: the composite-optimizer flagship — TPC-H Q5's shape verbatim:
+    * two fact tables shuffle-join on their keys, three dimension tables
+    * broadcast, a selective region + date-window predicate prunes
+    * before the rollup, Det-exact revenue. One declared query that
+    * exercises join reorder, pushdown, broadcast selection, and partial
+    * aggregation TOGETHER — the "would a reference user's real report
+    * run" check, not just per-operator coverage. */
+  def regionalRevenueQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA" &&
+        o("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        o("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(
+        Det.dsum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q45_regional_revenue", regionalRevenueQ, Some(
+      s"""SELECT n_name,
+         |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
     QueryDef("q10_join_inner", joinInner, Some(
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
          |       ${Det.dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue
