@@ -320,6 +320,45 @@ class StreamsSpec extends SparkSuite {
     assert(keys.toSeq === Seq("a", "b"))
   }
 
+  test("S7 chronoSink: sketch sidecars stay correct across micro-batches and inline compaction") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import org.apache.spark.sql.functions.{col, sum}
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("csink_sketch").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "hour",
+      compactFileThreshold = 1, sketchCmsDepth = 4, sketchCmsWidth = 64))
+    db.createTable("s7s")
+    val now = System.currentTimeMillis()
+    val hourStart = now - (now % 3600000L)
+    def at(min: Int) = new Timestamp(hourStart + min * 60000L)
+    val mem = MemoryStream[ChronoRow]
+    val q = Streams.chronoSink(mem.toDF(), db, "s7s",
+      Files.createTempDirectory("csink_sketch_cp").toString,
+      compactEvery = 2, trigger = Trigger.ProcessingTime(0)).start()
+    mem.addData((0 until 20).map(i => ChronoRow(s"k${i % 6}", at(i), Array[Byte](1))): _*)
+    q.processAllAvailable() // batch 0: insert (sidecar rows appended)
+    mem.addData((0 until 15).map(i => ChronoRow(s"k${i % 9}", at(20 + i), Array[Byte](2))): _*)
+    q.processAllAvailable() // batch 1: insert, then inline compact folds sidecars
+    q.stop()
+    val full = (new Timestamp(hourStart), new Timestamp(hourStart + 3599999L))
+    // HLL merge path == direct over what actually landed
+    val direct = graft.operators.Sketches.hllDirect(
+      db.query("s7s", full._1, full._2), Seq.empty, "key").head().getLong(0)
+    assert(db.approxDistinctKeys("s7s", full._1, full._2) === direct)
+    // CMS merge path == direct counter table
+    val merged = db.cmsStats("s7s")
+      .groupBy(col("d"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val directCms = graft.operators.Sketches.cmsBuild(
+        db.query("s7s", full._1, full._2), "key", depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === directCms)
+    // the inline compaction really folded: one sidecar row per bucket
+    assert(spark.read.parquet(s"$root/s7s/_stats")
+      .groupBy(col("bucket")).count().filter(col("count") > 1).count() === 0)
+    db.close()
+  }
+
   test("S7 chronoSink: checkpoint recovery resumes without replaying committed batches") {
     import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
     implicit val sq = spark.sqlContext
