@@ -40,7 +40,7 @@ object Bench {
     // baseline comparability. SPARK_GRAFT_SECONDARY=0 skips them (dev
     // runs); args-mode always skips (you asked for specific queries).
     val secondaryNames = Seq("d16_cross_source_dup", "d14_tfidf_topk",
-      "d2e_dedup_pipeline", "d3c_similarity_ivf")
+      "d2e_dedup_pipeline", "d3c_similarity_ivf", "d3f_similarity_int8")
     val secondary =
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SECONDARY").contains("0"))
         Seq.empty
