@@ -134,8 +134,17 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     p
   }
 
-  private def isSidecar(name: String, f: Path): Boolean =
-    f.startsWith(statsPath(name)) || f.startsWith(cmsPath(name))
+  /** A path belongs to a sidecar iff its first segment under the table
+    * dir is "_"-prefixed (Spark's own hidden-file convention, which is
+    * why the data read never sees these dirs). Matching the PREFIX — not
+    * the exact sidecar paths — also covers the `.tmp`/`.old` staging
+    * siblings a crashed [[rewriteSidecar]] can leave behind: a leftover
+    * `_stats.tmp` must not be counted as table data. */
+  private def isSidecar(name: String, f: Path): Boolean = {
+    val table = tablePath(name)
+    f.startsWith(table) && f != table &&
+      table.relativize(f).getName(0).toString.startsWith("_")
+  }
 
   private def hasData(name: String): Boolean = {
     val s = Files.walk(requireTable(name))
@@ -158,6 +167,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         rows.filter(col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
       case None => rows.toDF()
     }
+    val batch = fresh.withColumn("bucket", bucketExpr)
     // salt the repartition inside each bucket: a hot hour would
     // otherwise funnel through ONE writer task (skew at ingest — the
     // usual shape is "all of right now lands in the current bucket").
@@ -166,8 +176,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // The partition count is pinned (an unnumbered repartition is fair
     // game for AQE coalescing, which would undo the salt on small
     // batches).
-    fresh
-      .withColumn("bucket", bucketExpr)
+    batch
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("bucket"),
         pmod(xxhash64(col("key"), col("ts")), lit(config.writersPerBucket)))
@@ -176,31 +185,51 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .option("compression", config.compression)
       .partitionBy("bucket")
       .parquet(tablePath(name).toString)
-    // Sketch sidecar: one HLL key sketch per bucket of THIS batch,
-    // appended to <table>/_stats (invisible to the data read — Spark's
-    // file index skips "_"-prefixed dirs). Multiple insert batches leave
-    // multiple rows per bucket; readers merge them losslessly
-    // (hll_union_agg) and compact() folds them. Cost: one extra
-    // aggregation over the batch per insert.
-    if (config.sketchLgK > 0)
-      graft.operators.Sketches.hllPerGroup(
-          fresh.withColumn("bucket", bucketExpr), Seq("bucket"), "key",
-          config.sketchLgK)
+    // Sidecar AFTER data: a failure in between leaves data without
+    // sidecar rows — detectable by [[sidecarsConsistent]] and repairable
+    // by [[rebuildSidecars]] (the reverse order would leave sketches
+    // counting rows that never landed, which no rebuild can even
+    // notice). ALL per-bucket sketch state — HLL key sketch, exact row
+    // count `n` (the consistency anchor), dense CMS counter vector —
+    // is computed by ONE fused aggregation job over a column-pruned
+    // (key, ts) re-read of the batch and appended as ONE small file to
+    // <table>/_stats. One job, one shuffle of ≤ a-few-KB-per-bucket
+    // partials, one file commit: at ingest rates the sidecar bill is
+    // job count, not bytes (an earlier shape ran two sidecar jobs over
+    // a fully-cached batch and paid ~2× the data write in overhead).
+    // The batch is thus evaluated exactly twice — full rows for the
+    // data write, a pruned projection for the stats — and any
+    // divergence a nondeterministic source could smuggle in between the
+    // two is caught by the same sidecarsConsistent anchor.
+    // Multiple insert batches leave multiple rows per bucket; readers
+    // merge them losslessly (union for sketches, addition for n and
+    // counters) and compact() folds them.
+    if (config.sketchLgK > 0 || config.sketchCmsDepth > 0)
+      batch.groupBy(col("bucket")).agg(sidecarAggs.head, sidecarAggs.tail: _*)
+        .coalesce(1)
         .write.mode(SaveMode.Append)
         .option("compression", config.compression)
         .parquet(statsPath(name).toString)
-    // CMS sidecar: per-bucket key-frequency counters (<table>/_stats_cms,
-    // (tbucket, d, bucket, cnt)). Unlike the HLL registers these merge
-    // by plain addition AND are portable-hash replicable, so range
-    // frequency estimates are fully oracle-checkable (d19b).
-    if (config.sketchCmsDepth > 0)
-      graft.operators.Sketches.cmsBuildBy(
-          fresh.withColumn("tbucket", bucketExpr), Seq("tbucket"), "key",
-          config.sketchCmsDepth, config.sketchCmsWidth)
-        .write.mode(SaveMode.Append)
-        .option("compression", config.compression)
-        .parquet(cmsPath(name).toString)
   }
+
+  /** The fused per-bucket sidecar aggregation: (sketch, n, counters).
+    * Disabled sketch families persist as typed nulls so the sidecar
+    * schema is stable under any config. The CMS counters use the dense
+    * single-buffer aggregate ([[graft.functions.CmsDenseAgg]]) — same
+    * cells and counts as the relational Sketches.cmsBuildBy build (the
+    * portable Kirsch–Mitzenmacher pair over tokenHash62, d19b's oracle
+    * replicates it verbatim), but the counter table rides the
+    * partial/final split as one array buffer instead of exploding into
+    * per-cell rows. */
+  private def sidecarAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    if (config.sketchLgK > 0)
+      hll_sketch_agg(col("key"), lit(config.sketchLgK)).as("sketch")
+    else lit(null).cast("binary").as("sketch"),
+    count(lit(1)).as("n"),
+    if (config.sketchCmsDepth > 0)
+      graft.functions.SketchAggs.cmsDense(col("key"),
+        config.sketchCmsDepth, config.sketchCmsWidth).as("counters")
+    else lit(null).cast("array<bigint>").as("counters"))
 
   def insertSeq(name: String, rows: Seq[ChronoRow],
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit =
@@ -294,13 +323,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    // fold the sketch sidecars too: per-insert rows merge to one row
-    // per bucket / per counter cell (lossless), so sidecar size tracks
-    // bucket count, not insert count
-    if (config.sketchLgK > 0 && Files.exists(statsPath(name)))
-      rewriteSidecar(statsPath(name), sketchStats(name))
-    if (config.sketchCmsDepth > 0 && Files.exists(cmsPath(name)))
-      rewriteSidecar(cmsPath(name), cmsStats(name))
+    // fold the sketch sidecar too: per-insert rows merge to one row per
+    // bucket (lossless — sketch union, n/counter addition), so sidecar
+    // size tracks bucket count, not insert count
+    if (sketching && Files.exists(statsPath(name)))
+      rewriteSidecar(statsPath(name), sidecarFold(name))
     victims.size
   }
 
@@ -322,14 +349,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       fmt.parse(b).getTime + widthMs <= cutoff
     }
     dropped.foreach(b => deleteRecursively(p.resolve(s"bucket=$b")))
-    // retention applies to the sidecars as well: a stale sketch row
+    // retention applies to the sidecar as well: a stale sketch row
     // would keep counting dropped buckets' keys into range estimates
-    if (dropped.nonEmpty && config.sketchLgK > 0 && Files.exists(statsPath(name)))
+    if (dropped.nonEmpty && sketching && Files.exists(statsPath(name)))
       rewriteSidecar(statsPath(name),
-        sketchStats(name).filter(!col("bucket").isin(dropped: _*)))
-    if (dropped.nonEmpty && config.sketchCmsDepth > 0 && Files.exists(cmsPath(name)))
-      rewriteSidecar(cmsPath(name),
-        cmsStats(name).filter(!col("tbucket").isin(dropped: _*)))
+        sidecarFold(name).filter(!col("bucket").isin(dropped: _*)))
     dropped
   }
 
@@ -394,18 +418,39 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   private def statsPath(name: String): Path = tablePath(name).resolve("_stats")
 
+  private def sketching: Boolean =
+    config.sketchLgK > 0 || config.sketchCmsDepth > 0
+
+  /** The combined sidecar folded to ONE row per bucket — the exact
+    * frame a fresh single-batch insert would have written: sketches
+    * union (lossless), `n` and counter vectors add. Internal: feeds
+    * compact/cleanup rewrites and the consistency check; the public
+    * [[sketchStats]]/[[cmsStats]] project their families out of it. */
+  private def sidecarFold(name: String): DataFrame = {
+    recoverSidecar(statsPath(name))
+    spark.read.parquet(statsPath(name).toString)
+      .groupBy(col("bucket"))
+      .agg(
+        (if (config.sketchLgK > 0)
+          hll_union_agg(col("sketch"), lit(false))
+        else first(col("sketch"))).as("sketch"),
+        sum(col("n")).as("n"),
+        (if (config.sketchCmsDepth > 0)
+          graft.functions.SketchAggs.vecSum(col("counters"))
+        else first(col("counters"))).as("counters"))
+  }
+
   /** The per-bucket HLL key sketches, merged to one row per bucket
     * (inserts append a row per batch; the merge is lossless, so the
     * result is identical to one sketch built over the bucket's rows). */
   def sketchStats(name: String): DataFrame = {
     requireTable(name)
+    recoverSidecar(statsPath(name))
     if (config.sketchLgK <= 0 || !Files.exists(statsPath(name)))
       return spark.emptyDataFrame.select(
         lit(null).cast("string").as("bucket"),
         lit(null).cast("binary").as("sketch"))
-    spark.read.parquet(statsPath(name).toString)
-      .groupBy(col("bucket"))
-      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+    sidecarFold(name).select(col("bucket"), col("sketch"))
   }
 
   /** Approximate distinct keys in the inclusive [start, end] range,
@@ -427,19 +472,33 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (est.isNullAt(0)) 0L else est.getLong(0)
   }
 
-  private def cmsPath(name: String): Path = tablePath(name).resolve("_stats_cms")
-
-  /** The per-bucket Count-Min counter tables, folded to one row per
-    * (time bucket, d, bucket) — per-insert rows merge by addition. */
+  /** The per-bucket Count-Min counter tables as sparse (time bucket, d,
+    * bucket, cnt) cells, folded to one row per cell — per-insert rows
+    * merge by addition. The PERSISTED form is the dense per-bucket
+    * counter vector (one array per insert batch per bucket — see
+    * [[sidecarAggs]]); this view explodes it back to the sparse cell
+    * schema the probe/estimate operators and oracles speak, dropping
+    * untouched (zero) cells so the two representations are
+    * interchangeable. */
   def cmsStats(name: String): DataFrame = {
     requireTable(name)
-    if (config.sketchCmsDepth <= 0 || !Files.exists(cmsPath(name)))
+    recoverSidecar(statsPath(name))
+    if (config.sketchCmsDepth <= 0 || !Files.exists(statsPath(name)))
       return spark.emptyDataFrame.select(
         lit(null).cast("string").as("tbucket"),
         lit(null).cast("int").as("d"),
         lit(null).cast("long").as("bucket"),
         lit(null).cast("long").as("cnt"))
-    spark.read.parquet(cmsPath(name).toString)
+    val w = config.sketchCmsWidth
+    spark.read.parquet(statsPath(name).toString)
+      .filter(col("counters").isNotNull)
+      .select(col("bucket").as("tbucket"),
+        posexplode(col("counters")).as(Seq("pos", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("tbucket"),
+        expr(s"pos DIV $w").cast("int").as("d"),
+        pmod(col("pos"), lit(w)).cast("long").as("bucket"),
+        col("cnt"))
       .groupBy(col("tbucket"), col("d"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
   }
@@ -466,17 +525,97 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       config.sketchCmsDepth, config.sketchCmsWidth)
   }
 
+  private def sidecarTmp(dir: Path): Path =
+    dir.resolveSibling(dir.getFileName.toString + ".tmp")
+  private def sidecarOld(dir: Path): Path =
+    dir.resolveSibling(dir.getFileName.toString + ".old")
+
   /** Rewrite a sidecar dir from a (small) folded frame. Parquet can't
     * overwrite in place from its own read lineage, so stage to a sibling
-    * temp dir and swap. */
+    * temp dir — and swap via RENAME-ASIDE, never delete-then-move: the
+    * live dir is moved to `.old` (atomic rename), the staged `.tmp`
+    * moved into place (atomic rename), and only then is `.old` deleted.
+    * A crash at ANY point leaves a state [[recoverSidecar]] restores
+    * losslessly on the next read, instead of the silent no-sidecar hole
+    * (approxDistinctKeys = 0) the delete-first protocol had. */
   private def rewriteSidecar(dir: Path, folded: DataFrame): Unit = {
-    val tmp = dir.resolveSibling(dir.getFileName.toString + ".tmp")
+    recoverSidecar(dir)
+    val tmp = sidecarTmp(dir)
+    val old = sidecarOld(dir)
     deleteRecursively(tmp)
+    deleteRecursively(old)
     folded.coalesce(1).write
       .option("compression", config.compression)
       .parquet(tmp.toString)
-    deleteRecursively(dir)
+    if (Files.exists(dir)) Files.move(dir, old)
     Files.move(tmp, dir)
+    deleteRecursively(old)
+  }
+
+  /** Crash recovery for the [[rewriteSidecar]] protocol. If the sidecar
+    * dir is present, any leftover staging siblings are stale — remove
+    * them. If it is MISSING, the crash happened mid-swap: a COMPLETE
+    * `.tmp` (Spark's _SUCCESS marker committed — the write finished
+    * before the swap began in program order) is the newer fold, so it is
+    * promoted; otherwise the renamed-aside `.old` is the intact previous
+    * state and is restored. Either way the reader sees a full sidecar —
+    * never the silent empty state. Idempotent; called from every sidecar
+    * read and rewrite. */
+  private def recoverSidecar(dir: Path): Unit = synchronized {
+    val tmp = sidecarTmp(dir)
+    val old = sidecarOld(dir)
+    if (Files.exists(dir)) {
+      deleteRecursively(old)
+      // a .tmp beside a live dir is a rewrite that never got to swap —
+      // stale by definition (the live dir may have newer appends)
+      deleteRecursively(tmp)
+    } else if (Files.exists(tmp) && Files.exists(tmp.resolve("_SUCCESS"))) {
+      Files.move(tmp, dir)
+      deleteRecursively(old)
+    } else if (Files.exists(old)) {
+      Files.move(old, dir)
+      deleteRecursively(tmp)
+    }
+  }
+
+  /** Detect the insert partial-failure window (data landed, sidecar
+    * write crashed): the exact per-bucket row counts carried by the
+    * sidecar (`n`, and independently the per-depth counter mass of the
+    * CMS vectors — every key increments exactly one cell per depth row)
+    * must equal the data's per-bucket counts. Returns true when the
+    * sidecar covers every data bucket with the right count in every
+    * enabled family — false means estimates may silently under-count
+    * and [[rebuildSidecars]] should run. */
+  def sidecarsConsistent(name: String): Boolean = {
+    requireTable(name)
+    if (!sketching) return true
+    if (!hasData(name))
+      return !Files.exists(statsPath(name)) || sidecarFold(name).isEmpty
+    if (!Files.exists(statsPath(name))) return false
+    val counts = table(name).groupBy(col("bucket")).agg(count(lit(1)).as("n_data"))
+    def matches(perBucket: DataFrame): Boolean =
+      perBucket.join(counts, Seq("bucket"), "full")
+        .filter(col("n").isNull || col("n_data").isNull ||
+          col("n") =!= col("n_data"))
+        .isEmpty
+    val nOk = matches(sidecarFold(name).select(col("bucket"), col("n")))
+    val cmsOk = config.sketchCmsDepth <= 0 ||
+      matches(cmsStats(name).filter(col("d") === 0)
+        .groupBy(col("tbucket")).agg(sum(col("cnt")).as("n"))
+        .withColumnRenamed("tbucket", "bucket"))
+    nOk && cmsOk
+  }
+
+  /** Repair path for the insert partial-failure window: recompute the
+    * sidecar FROM THE DATA (the same fused per-bucket aggregation one
+    * big insert batch would run) and swap it in via the crash-safe
+    * [[rewriteSidecar]]. After this, [[sidecarsConsistent]] holds by
+    * construction. */
+  def rebuildSidecars(name: String): Unit = {
+    requireTable(name)
+    if (!sketching || !hasData(name)) return
+    rewriteSidecar(statsPath(name),
+      table(name).groupBy(col("bucket")).agg(sidecarAggs.head, sidecarAggs.tail: _*))
   }
 
   // --- helpers ---

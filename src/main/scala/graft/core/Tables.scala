@@ -15,11 +15,14 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) in-file, which Spark's vectorized
-    // parquet reader rejects. Read nanos as long and truncate to
-    // microseconds — the same truncation DuckDB applies on read, so the
-    // two engines see identical timestamps.
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // parquet reader rejects. Sessions set
+    // spark.sql.legacy.parquet.nanosAsLong=true at BUILD time (Bench/
+    // Verify/Engine.session/SparkSuite) so the nanos arrive as longs,
+    // truncated here to microseconds — the same truncation DuckDB
+    // applies on read, so the two engines see identical timestamps.
+    // (Reading through a session without the flag still works wherever
+    // the file's ts is already a timestamp type — the LongType branch
+    // below is a no-op then.)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       // integer DIV, not fp division — ns values exceed double's 2^53
@@ -35,7 +38,6 @@ object Tables {
     * exact under the µs-truncation semantics. */
   def eventsRange(spark: SparkSession, dir: String,
       lo: java.sql.Timestamp, hi: java.sql.Timestamp): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
     // interpret the naive timestamp as UTC regardless of JVM default TZ
     // (file ns values are naive; session TZ is pinned UTC)

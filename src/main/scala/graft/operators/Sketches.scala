@@ -65,11 +65,17 @@ object Sketches {
 
   /** Count-Min sketch of string-key frequencies: depth×width counters,
     * counter(d, b) = Σ count of keys hashing to bucket b in row d. The
-    * build pre-aggregates per key FIRST (one key shuffle with map-side
-    * combine — the hot-key instance stream never fans out), then
-    * explodes the depth cells of each distinct key (map-side) and sums
-    * into the ≤ depth×width counter table. Kilobytes of state at any
-    * corpus size; mergeable (counter tables add), like the HLL path.
+    * build explodes each row's depth cells map-side and sums in ONE
+    * aggregation — partial aggregation (map-side combine on the
+    * ≤ depth×width cell space) is the hot-key absorber: a hot key hits
+    * the SAME depth cells every time, so its instance stream collapses
+    * inside each map task and the shuffle moves at most
+    * min(depth×rows, depth×width) cells per task. (An earlier shape
+    * pre-aggregated per key first; that second full shuffle bought
+    * nothing the cell-level combine doesn't already guarantee, and at
+    * ingest rates it DOUBLED the sidecar's shuffle cost.) Kilobytes of
+    * state at any corpus size; mergeable (counter tables add), like the
+    * HLL path.
     */
   def cmsBuild(
       df: DataFrame, keyCol: String,
@@ -77,32 +83,28 @@ object Sketches {
       weight: Column = lit(1L)): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
     require(width >= 2, s"width out of range: $width")
-    df.groupBy(col(keyCol))
-      .agg(sum(weight).as("__cnt"))
-      .select(explode(cmsCells(col(keyCol), depth, width)).as("cell"),
-        col("__cnt"))
+    df.select(explode(cmsCells(col(keyCol), depth, width)).as("cell"),
+        weight.as("__cnt"))
       .groupBy(col("cell.d").as("d"), col("cell.bucket").as("bucket"))
       .agg(sum(col("__cnt")).as("cnt"))
   }
 
   /** Grouped Count-Min build: one counter table per `groupCols` value
-    * (e.g. per time bucket) — the persistable form. Same pre-aggregate-
-    * then-explode shape as [[cmsBuild]] with the group key carried
-    * through; output (groupCols..., d, bucket, cnt). Counter tables for
-    * different groups MERGE by plain addition (groupBy(d, bucket) over
-    * any group subset), which is how a range query assembles its
-    * sketch. */
+    * (e.g. per time bucket) — the persistable form. Same single-shuffle
+    * explode-then-combine shape as [[cmsBuild]] with the group key
+    * carried through; output (groupCols..., d, bucket, cnt). Counter
+    * tables for different groups MERGE by plain addition (groupBy(d,
+    * bucket) over any group subset), which is how a range query
+    * assembles its sketch. */
   def cmsBuildBy(
       df: DataFrame, groupCols: Seq[String], keyCol: String,
       depth: Int = 4, width: Int = 64,
       weight: Column = lit(1L)): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
     require(width >= 2, s"width out of range: $width")
-    df.groupBy((groupCols :+ keyCol).map(col): _*)
-      .agg(sum(weight).as("__cnt"))
-      .select(groupCols.map(col) :+
+    df.select(groupCols.map(col) :+
         explode(cmsCells(col(keyCol), depth, width)).as("cell") :+
-        col("__cnt"): _*)
+        weight.as("__cnt"): _*)
       .groupBy(groupCols.map(col) :+ col("cell.d").as("d") :+
         col("cell.bucket").as("bucket"): _*)
       .agg(sum(col("__cnt")).as("cnt"))

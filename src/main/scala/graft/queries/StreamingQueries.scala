@@ -72,7 +72,6 @@ object StreamingQueries {
     * never emitted, so it self-excludes from the output). The oracle
     * recomputes the surviving-row set in SQL and aggregates it. */
   def streamWatermarkDrop(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("event_type"), col("value"))
@@ -101,7 +100,6 @@ object StreamingQueries {
     * = DISTINCT surviving triples, which is order-insensitive, so the
     * nondeterministic within-batch "which duplicate wins" never shows. */
   def streamDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id"), col("event_type"),
         timestamp_micros(expr("ts DIV 1000")).as("ts"))
@@ -117,7 +115,6 @@ object StreamingQueries {
     * (the reference's ingest path, table.go:78-119, done the Spark way),
     * then read the sink back. Oracle: the batch content of events. */
   def streamIngest(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staticSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source wants a landing DIRECTORY — stage the
     // fixture file into one (a real deployment tails a landing dir)

@@ -293,6 +293,124 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  // --- sidecar durability (rewriteSidecar rename-aside protocol +
+  //     insert partial-failure detect/repair) ---
+
+  private def cpDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val s = Files.walk(src)
+    try s.forEach { f =>
+      val t = dst.resolve(src.relativize(f))
+      if (Files.isDirectory(f)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(f, t) }
+    } finally s.close()
+  }
+  private def rmDir(p: java.nio.file.Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(Files.delete(_))
+    finally s.close()
+  }
+
+  test("rewriteSidecar crash windows: every interrupted swap state recovers losslessly") {
+    val root = Files.createTempDirectory("crashdb")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "hour",
+      sketchCmsDepth = 0))
+    db.createTable("t")
+    val now = System.currentTimeMillis()
+    val h0 = now - (now % 3600000L)
+    def at(min: Int) = new Timestamp(h0 + min * 60000L)
+    db.insertSeq("t", (0 until 40).map(i => ChronoRow(s"k${i % 25}", at(i), Array[Byte](1))))
+    val lo = new Timestamp(h0); val hi = new Timestamp(h0 + 3599999L)
+    val want = db.approxDistinctKeys("t", lo, hi)
+    assert(want > 0)
+    val stats = root.resolve("t/_stats")
+    val tmp = root.resolve("t/_stats.tmp")
+    val old = root.resolve("t/_stats.old")
+
+    // crash window 1: .tmp fully staged, live dir untouched (crash
+    // before the first rename) → live dir wins, stale tmp cleared
+    cpDir(stats, tmp)
+    assert(db.approxDistinctKeys("t", lo, hi) === want)
+    assert(!Files.exists(tmp))
+
+    // crash window 2: live dir renamed aside, COMPLETE .tmp not yet
+    // moved in (crash between the two renames) → tmp is promoted
+    cpDir(stats, tmp)
+    Files.move(stats, old)
+    assert(db.approxDistinctKeys("t", lo, hi) === want)
+    assert(Files.exists(stats) && !Files.exists(tmp) && !Files.exists(old))
+
+    // crash window 3: like 2 but the staged .tmp is INCOMPLETE (no
+    // _SUCCESS — the write itself was the casualty) → .old restored
+    cpDir(stats, tmp)
+    Files.delete(tmp.resolve("_SUCCESS"))
+    Files.move(stats, old)
+    assert(db.approxDistinctKeys("t", lo, hi) === want)
+    assert(Files.exists(stats) && !Files.exists(tmp) && !Files.exists(old))
+
+    // the old delete-then-move hole: with rename-aside there is NO state
+    // in which the sidecar silently reads as empty — re-verified above
+    // (every window returned `want`, never 0)
+    db.close()
+  }
+
+  test("leftover sidecar staging dirs are never counted as table data") {
+    val root = Files.createTempDirectory("staledb")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "hour"))
+    db.createTable("t")
+    db.insertSeq("t", Seq(row("a", "2024-01-01 08:00:00")))
+    val before = db.stats("t")
+    // a crashed rewrite's leftover .tmp holds real parquet — it must be
+    // invisible to hasData/stats/table (the old isSidecar missed it)
+    cpDir(root.resolve("t/_stats"), root.resolve("t/_stats.tmp"))
+    assert(db.stats("t").numFiles === before.numFiles)
+    assert(db.table("t").count() === before.numRows)
+    db.close()
+  }
+
+  test("insert partial failure (data landed, sidecar lost) is detected and repaired") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("repairdb")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "hour",
+      sketchCmsDepth = 4, sketchCmsWidth = 64))
+    db.createTable("t")
+    val now = System.currentTimeMillis()
+    val h0 = now - (now % 3600000L)
+    def at(min: Int) = new Timestamp(h0 + min * 60000L)
+    db.insertSeq("t", (0 until 30).map(i => ChronoRow(s"k${i % 9}", at(i), Array[Byte](1))))
+    db.insertSeq("t", (0 until 20).map(i => ChronoRow(s"k${i % 13}", at(30 + i), Array[Byte](2))))
+    assert(db.sidecarsConsistent("t"))
+    val lo = new Timestamp(h0); val hi = new Timestamp(h0 + 3599999L)
+    val wantDistinct = db.approxDistinctKeys("t", lo, hi)
+
+    // simulate: second insert's sidecar write crashed after the data
+    // landed — drop one batch's appended sidecar file (undercount, the
+    // silent kind the n-anchor exists to catch)
+    val statFiles = Files.list(root.resolve("t/_stats"))
+      .filter(_.toString.endsWith(".parquet")).toArray.map(_.asInstanceOf[java.nio.file.Path])
+    assert(statFiles.length >= 2)
+    Files.delete(statFiles.head)
+    assert(!db.sidecarsConsistent("t"))
+
+    // simulate the total loss too: sidecar never written at all
+    rmDir(root.resolve("t/_stats"))
+    assert(!db.sidecarsConsistent("t"))
+
+    // repair rebuilds every enabled sidecar from the data
+    db.rebuildSidecars("t")
+    assert(db.sidecarsConsistent("t"))
+    assert(db.approxDistinctKeys("t", lo, hi) === wantDistinct)
+    // CMS upper bound holds again after rebuild
+    val probes = (0 until 13).map(i => s"k$i").toDF("key")
+    val est = db.approxKeyCounts("t", lo, hi, probes, "key")
+      .as[(String, Long)].collect().toMap
+    val exact = db.query("t", lo, hi).groupBy(col("key")).count()
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"$k: est ${est(k)} < $n") }
+    db.close()
+  }
+
   test("empty table queries cleanly") {
     val db = freshDb()
     db.createTable("t")
