@@ -210,6 +210,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         .write.mode(SaveMode.Append)
         .option("compression", config.compression)
         .parquet(statsPath(name).toString)
+    // histograms don't merge losslessly across batches, so new data
+    // INVALIDATES _colstats (rebuild at the next ANALYZE) — a stale
+    // histogram would silently under-estimate the fresh range
+    invalidateColStats(name)
   }
 
   /** The fused per-bucket sidecar aggregation: (sketch, n, counters).
@@ -354,6 +358,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (dropped.nonEmpty && sketching && Files.exists(statsPath(name)))
       rewriteSidecar(statsPath(name),
         sidecarFold(name).filter(!col("bucket").isin(dropped: _*)))
+    // _colstats rows are per-bucket too: dropping their buckets keeps
+    // the histogram exact for the surviving data (no rebuild needed —
+    // compact() likewise leaves it alone, since rewriting files does
+    // not change row content)
+    if (dropped.nonEmpty && Files.exists(colStatsPath(name))) {
+      recoverSidecar(colStatsPath(name))
+      rewriteSidecar(colStatsPath(name),
+        colStats(name).filter(!col("tbucket").isin(dropped: _*)))
+    }
     dropped
   }
 
@@ -523,6 +536,93 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .agg(sum(col("cnt")).as("cnt"))
     graft.operators.Sketches.cmsEstimate(merged, keys, keyCol,
       config.sketchCmsDepth, config.sketchCmsWidth)
+  }
+
+  // --- column-statistics sidecar (_colstats): the optimizer loop the
+  //     d18 histograms feed — per-bucket equi-depth ts histograms
+  //     persisted beside the sketches, served as selectivity estimates
+  //     without touching data files ---
+
+  private def colStatsPath(name: String): Path =
+    tablePath(name).resolve("_colstats")
+
+  /** Build (or rebuild) the `_colstats` sidecar: one equi-depth
+    * histogram of `ts` (µs epoch) per time bucket, `nHist` cells each
+    * ([[graft.operators.Stats.equiDepthHistogramBy]] — boundaries are
+    * one distributed percentile aggregate; the result is KBs per
+    * bucket). Written via the crash-safe [[rewriteSidecar]] swap.
+    * Unlike the sketch sidecar, histograms from separate insert batches
+    * do NOT merge losslessly, so this sidecar is rebuilt on demand
+    * rather than appended per insert — [[insert]] invalidates it and
+    * callers rebuild at stats-collection time, the ANALYZE model every
+    * warehouse uses. */
+  def rebuildColStats(name: String, nHist: Int = 16): Unit = {
+    requireTable(name)
+    if (!hasData(name)) { invalidateColStats(name); return }
+    val hist = graft.operators.Stats.equiDepthHistogramBy(
+        table(name).select(col("bucket").as("tbucket"),
+          unix_micros(col("ts")).as("__tsus")),
+        "tbucket", "__tsus", nHist)
+      .withColumnRenamed("bucket", "hbucket")
+    rewriteSidecar(colStatsPath(name), hist)
+  }
+
+  /** The persisted per-bucket ts histograms: (tbucket, hbucket, n, lo,
+    * hi) with lo/hi the exact observed µs-epoch min/max of each ~equal-
+    * count cell. Empty frame when never built (or invalidated). */
+  def colStats(name: String): DataFrame = {
+    requireTable(name)
+    recoverSidecar(colStatsPath(name))
+    if (!Files.exists(colStatsPath(name)))
+      return spark.emptyDataFrame.select(
+        lit(null).cast("string").as("tbucket"),
+        lit(null).cast("int").as("hbucket"),
+        lit(null).cast("long").as("n"),
+        lit(null).cast("long").as("lo"),
+        lit(null).cast("long").as("hi"))
+    spark.read.parquet(colStatsPath(name).toString)
+  }
+
+  /** Estimated row count in the inclusive [start, end] range, answered
+    * purely from the `_colstats` sidecar (no data files touched): cells
+    * fully inside count exactly `n`, straddling cells interpolate
+    * uniformly. The estimate's error is bounded by the straddling
+    * cells' total `n` — at equi-depth that is ≤ 2·(rows/nHist) per
+    * bucket touched at the range edges, the classic histogram
+    * guarantee; the ChronoDBSpec case asserts exactly that bound.
+    * Throws if the sidecar was never built (an estimate silently
+    * computed from nothing would read as "0 rows expected"). */
+  def estimateRowsInRange(name: String, start: Timestamp, end: Timestamp): Double = {
+    val stats = colStats(name)
+    if (stats.isEmpty)
+      throw new IllegalStateException(
+        s"no _colstats for '$name' — run rebuildColStats first")
+    val qlo = unix_micros(lit(start))
+    val qhi = unix_micros(lit(end))
+    val row = stats.agg(sum(
+      when(col("hi") < qlo || col("lo") > qhi, lit(0.0))
+        .when(col("lo") >= qlo && col("hi") <= qhi, col("n").cast("double"))
+        .otherwise(col("n").cast("double") *
+          (least(col("hi"), qhi) - greatest(col("lo"), qlo)).cast("double") /
+          greatest(col("hi") - col("lo"), lit(1L)).cast("double"))
+    ).as("est")).collect()(0)
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** [[estimateRowsInRange]] as a selectivity fraction of the table's
+    * histogram-covered rows. */
+  def estimateSelectivity(name: String, start: Timestamp, end: Timestamp): Double = {
+    val total = colStats(name).agg(sum(col("n"))).collect()(0)
+    if (total.isNullAt(0) || total.getLong(0) == 0L)
+      throw new IllegalStateException(
+        s"no _colstats for '$name' — run rebuildColStats first")
+    estimateRowsInRange(name, start, end) / total.getLong(0).toDouble
+  }
+
+  private def invalidateColStats(name: String): Unit = {
+    deleteRecursively(colStatsPath(name))
+    deleteRecursively(sidecarTmp(colStatsPath(name)))
+    deleteRecursively(sidecarOld(colStatsPath(name)))
   }
 
   private def sidecarTmp(dir: Path): Path =

@@ -208,7 +208,13 @@ object Dedup {
     * the returned labels are then an over-segmentation (some clusters
     * not yet fully merged), which dedups too little, never too much.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    ccMinLabelWithRounds(pairs, maxIter)._1
+
+  /** Min-label propagation with the round count exposed (for the
+    * star-vs-min-label convergence comparison in DedupProps). */
+  private[operators] def ccMinLabelWithRounds(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint(true)
     var labels = edges.select(explode(array(col("a"), col("b"))).as("id"))
@@ -238,7 +244,86 @@ object Dedup {
       System.err.println(s"[graft-dedup] connectedComponents stopped at " +
         s"maxIter=$maxIter before convergence — labels over-segmented " +
         "(raise maxIter for deep chains)")
-    labels
+    (labels, i)
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round alternative to [[connectedComponents]]
+    * for deep chains: min-label propagation moves a label ONE hop per
+    * round (rounds ≈ component diameter), star contraction roughly
+    * HALVES tree height per round, so a path of length d converges in
+    * ~log d rounds instead of d. Same output contract: (id, component)
+    * with component = min id in the cluster; hitting maxIter is logged
+    * and yields an over-segmentation (dedups too little, never too
+    * much), exactly like the min-label loop.
+    *
+    * Round shape: large-star links every strictly-larger neighbor of u
+    * to min(N(u) ∪ {u}); small-star re-points u and its smaller
+    * neighbors to their min. Both are one groupBy-min plus one join on
+    * the CURRENT pointer set (which only shrinks toward star shape —
+    * never grows past the input edge count), with lineage truncated per
+    * round via localCheckpoint like the min-label loop. Convergence =
+    * the canonical pointer set reaches a fixpoint, at which every node
+    * points directly at its component min (the stars of the name). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    ccStarWithRounds(pairs, maxIter)._1
+
+  private[operators] def ccStarWithRounds(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val nodes = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .localCheckpoint(true)
+    // canonical pointer set: (node, par) with par < node, deduped
+    var ptr = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("node"),
+        least(col("id_a"), col("id_b")).as("par"))
+      .filter(col("node") =!= col("par"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = ptr.isEmpty
+    while (!converged && rounds < maxIter) {
+      // large-star over the symmetric adjacency: u's closed-neighborhood
+      // min m(u) ≤ u < v for every emitted (v, m(u)), so the output is
+      // already canonical (par < node)
+      val sym = ptr.select(col("node").as("u"), col("par").as("v"))
+        .unionByName(ptr.select(col("par").as("u"), col("node").as("v")))
+      val minsL = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(minsL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("node"), col("m").as("par"))
+        .distinct()
+      // small-star on the directed pointers: u and all its (smaller)
+      // parents re-point to min(parents)
+      val minsS = large.groupBy(col("node")).agg(min(col("par")).as("m"))
+      val next = large.join(minsS, Seq("node"))
+        .select(explode(array(
+          struct(col("node").as("n"), col("m").as("p")),
+          struct(col("par").as("n"), col("m").as("p")))).as("e"))
+        .select(col("e.n").as("node"), col("e.p").as("par"))
+        .filter(col("node") =!= col("par"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.count() == ptr.count() &&
+        next.join(ptr, Seq("node", "par"), "left_anti").isEmpty
+      ptr = next
+      rounds += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft-dedup] connectedComponentsStar stopped " +
+        s"at maxIter=$maxIter before convergence — labels over-segmented")
+    // at fixpoint every node carries exactly one pointer, straight to
+    // the component min; the min() guard keeps a truncated (maxIter)
+    // run an over-segmentation instead of a multi-label anomaly
+    val labels = nodes.join(
+        ptr.groupBy(col("node")).agg(min(col("par")).as("par"))
+          .withColumnRenamed("node", "id"),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("par"), col("id")).as("component"))
+    (labels, rounds)
   }
 
   /** Full dedup: everything from `df` minus non-keeper members of

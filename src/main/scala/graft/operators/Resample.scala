@@ -224,8 +224,9 @@ object Resample {
         max_by(col(valueCol), struct(col(timeCol), col(valueCol))).as("close"),
         count(lit(1)).as("n"))
 
-  /** Gap detection — per-series intervals with no observations for at
-    * least `minGap`: (key, gap_start, gap_end, gap_us) for each pair of
+  /** Gap detection — per-series intervals with no observations for
+    * STRICTLY longer than `minGap` (a spacing of exactly minGap is not
+    * a gap): (key, gap_start, gap_end, gap_us) for each pair of
     * CONSECUTIVE rows further apart than the threshold. One key-
     * partitioned window (a single shuffle + per-key sort); output rows
     * reference only the two timestamps, so equal-ts duplicates pair

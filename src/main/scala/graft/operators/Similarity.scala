@@ -236,6 +236,87 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF × int8 composition — the production 100 TB recipe both halves
+    * model alone: the sampled-quantizer IVF ([[ivfTopKSeeded]]) prunes
+    * the corpus to ~nprobe/nlist of its cells, int8 codes
+    * ([[quantizedTopK]]) rank candidates INSIDE the probed cells by
+    * exact integer dot (1/4 the scan bytes of float32), and the float
+    * cosine rescores only the `candidates` survivors per query.
+    *
+    * Scale shape: centroid set is ONE broadcast row (assignment and
+    * probe selection are map-only); the candidate join moves only the
+    * probed cells' (id, code) rows — codes, not float vectors; the
+    * rescore joins the tiny survivor set back into the float scan via
+    * broadcast, so the float corpus never shuffles. Every stage is
+    * bit-exact cross-engine (fixed-order IEEE assignment cosine,
+    * normalize+floor+clamp quantization, int64 ranking), so the whole
+    * composed pipeline is oracle-checkable — see d3g in
+    * NorthStarQueries.
+    *
+    * Zero-norm vectors have no int8 code (quantize yields null): they
+    * drop from both the candidate ranking and the query side, exactly
+    * as in [[quantizedTopK]] and the oracle's `WHERE nrm <> 0`.
+    */
+  def ivfQuantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, candidates: Int = 16): DataFrame = {
+    import graft.functions.NativeExpressions.{cosineNative, int8Dot, int8Quantize}
+    val cos = cosineNative _
+
+    val cents = corpus.filter(col(idCol) < nlist)
+      .agg(collect_list(struct(col(idCol).cast("int").as("cell"),
+        col(vecCol).as("cv"))).as("cents"))
+      .select(array_sort(col("cents")).as("cents"))
+
+    // assignment (float argmax, ties toward the smaller cell — the
+    // ivfTopKSeeded rule) + code computed in the SAME corpus pass: the
+    // scan that partitions the corpus also emits the compact rank key
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", array_max(transform(col("cents"), ct => struct(
+        cos(col("vec"), ct.getField("cv")).as("cos"),
+        (-ct.getField("cell")).as("negcell"),
+        ct.getField("cell").as("cell")))).getField("cell"))
+      .select(col("neighbor_id"), int8Quantize(col("vec")).as("code"),
+        col("cell"))
+
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("pc", slice(array_sort(transform(col("cents"), ct => struct(
+        (-cos(col("qv"), ct.getField("cv"))).as("ncos"),
+        ct.getField("cell").as("cell")))), 1, nprobe))
+      .select(col("qid"), int8Quantize(col("qv")).as("qcode"),
+        explode(col("pc")).as("p"))
+      .select(col("qid"), col("qcode"), col("p.cell").as("cell"))
+
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("qdot", int8Dot(col("qcode"), col("code")))
+      .filter(col("qdot").isNotNull)
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candidates)
+      .select(col("qid").as("query_id"), col("neighbor_id"), col("qdot"))
+
+    // rescore: survivors (≤ |queries|×candidates rows) broadcast into
+    // the float scans; the float corpus never shuffles
+    val cFloat = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qFloat = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cFloat.join(broadcast(cand.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .join(broadcast(qFloat), Seq("query_id"))
+      .withColumn("cos", cosineNative(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Random-hyperplane signature — native Catalyst expression (tight
     * eval loop; the HOF formulation evaluates interpreted, ~10× slower).
     * Plane components are hash-derived from (bit, dim, seed), so plans

@@ -27,14 +27,29 @@ object Skew {
       aggs: Seq[SaltedAgg],
       saltBuckets: Int = 32): DataFrame = {
 
-    // Deterministic salt: hash the ENTIRE row (keys + payload), so a
-    // task retry re-assigns every row to the same bucket —
+    // Deterministic salt: hash the row (keys + payload), so a task
+    // retry re-assigns every row to the same bucket —
     // spark_partition_id/monotonically_increasing_id would not survive a
     // retry. Fully identical duplicate rows share a bucket; that only
     // hurts spreading if a hot key's rows are byte-identical, and the
     // algebraic partials stay correct under any assignment either way.
+    // MapType columns are excluded from the hash (Spark's hash() rejects
+    // maps — their entry order is undefined); if every column is a map
+    // the salt degrades to a single bucket rather than failing, which
+    // is still correct, just unspread.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = df.schema.fields.collect {
+      case f if !hasMap(f.dataType) => col(f.name)
+    }.toSeq
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+      if (hashable.isEmpty) lit(0)
+      else pmod(hash(hashable: _*), lit(saltBuckets)))
 
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)

@@ -127,6 +127,19 @@ object NorthStarQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** D3g: the composed IVF × int8 production recipe — seeded-quantizer
+    * IVF prunes to the probed cells, int8 codes rank candidates inside
+    * them by exact integer dot, float cosine rescores the survivors.
+    * Every stage is bit-exact cross-engine, so the oracle replicates
+    * the ENTIRE composition (d3c's cells + d3f's codes) verbatim. */
+  def similarityIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfQuantizedTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6,
+        candidates = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** D3b: LSH-bucketed approximate ANN (scale path). Exactly
     * oracle-checked even though it is approximate: the plane matrix is a
     * deterministic constant embedded in the oracle SQL (planesLiteral),
@@ -920,6 +933,65 @@ object NorthStarQueries {
         |                            ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM resc) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
+    QueryDef("d3g_similarity_ivf_int8", similarityIvfQuantized, Some(
+      // the d3c cells/assignment/probes fused with the d3f codes: rank
+      // candidates INSIDE probed cells by exact int64 dot, rescore the
+      // 16 survivors with the shared bit-identical cosine
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |asgn AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.vec_id AS qid, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.cv")} DESC, c.cell) AS rn
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE rn <= 6),
+         |n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_transform(embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |code AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(least(greatest(floor(CAST(x AS DOUBLE) / nrm * 127.0),
+         |                          -127.0), 127.0) AS BIGINT)) AS code
+         |  FROM n WHERE nrm <> 0),
+         |cand AS (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(list_zip(qc.code, cc.code),
+         |        pr -> pr[1] * pr[2]), (a2,b2) -> a2 + b2) AS qdot
+         |  FROM probes p
+         |  JOIN asgn a ON a.cell = p.cell
+         |  JOIN code cc ON cc.vec_id = a.vec_id
+         |  JOIN code qc ON qc.vec_id = p.qid
+         |  WHERE a.vec_id <> p.qid),
+         |topc AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY qdot DESC, neighbor_id) AS crank
+         |    FROM cand) WHERE crank <= 16),
+         |resc AS (
+         |  SELECT t.query_id, t.neighbor_id,
+         |    ${cosSql("qe.embedding", "e.embedding")} AS cos
+         |  FROM topc t
+         |  JOIN embeddings qe ON qe.vec_id = t.query_id
+         |  JOIN embeddings e ON e.vec_id = t.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM resc) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin)),
     QueryDef("d3e_similarity_ivf_fitted", similarityIvfFitted, Some(
       // self-validating (q22 pattern): exact anchor = the query count;
       // the recall verdict is computed in-query against brute force and

@@ -205,7 +205,42 @@ object StreamingQueries {
       .orderBy(col("sig"))
   }
 
+  /** S7 (declared): CUSTOM keyed state — Streams.runningCounts
+    * (flatMapGroupsWithState) through the staged-replay harness. The
+    * fixture arrives as three deterministic micro-batches (event_id mod
+    * 3, in order), the operator emits each key's cumulative event count
+    * whenever the key receives data, and the file sink (Append operator
+    * mode — each emission is a final row) accumulates one row per
+    * (key, batch-the-key-appeared-in). That output is exactly the
+    * per-key prefix sums of per-batch counts, which the oracle computes
+    * as a windowed cumulative SUM over the mod-3 batch index — so the
+    * hash check pins the STATE ARITHMETIC across batch boundaries, not
+    * just a final total. */
+  def streamRunningCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    val batches = (0 until 3).map(i =>
+      ev.filter(col("event_id") % 3 === i).select(col("user_id")))
+    stagedReplay(spark, batches, src =>
+      Streams.runningCounts(
+          src.select(col("user_id")).as[Long].groupByKey(identity),
+          org.apache.spark.sql.streaming.OutputMode.Append)
+        .toDF("user_id", "n_events"))
+      .orderBy(col("user_id"), col("n_events"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s7_running_counts", streamRunningCounts, Some(
+      """WITH b AS (SELECT user_id, event_id % 3 AS bi FROM events),
+        |c AS (SELECT user_id, bi, COUNT(*) AS n FROM b GROUP BY user_id, bi),
+        |cum AS (
+        |  SELECT user_id,
+        |         CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY bi) AS BIGINT)
+        |           AS n_events
+        |  FROM c)
+        |SELECT user_id, n_events FROM cum
+        |ORDER BY user_id, n_events""".stripMargin)),
     QueryDef("s6_interval_join", intervalJoinBatch, Some(
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS c_ts,
         |       p.event_id AS purchase_id, p.ts AS p_ts

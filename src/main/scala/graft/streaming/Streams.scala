@@ -206,16 +206,25 @@ object Streams {
     * counters emitted on every update — the pattern for state the
     * built-in windows can't express (the reference keeps no state at
     * all beyond the memtable; this is the Spark-native extension point
-    * for e.g. per-device sequence tracking). */
+    * for e.g. per-device sequence tracking).
+    *
+    * `mode` is the OPERATOR output mode: Update (default — for console/
+    * memory sinks that tolerate revised rows) or Append (for file
+    * sinks; each batch's emissions are final rows, so the sink
+    * accumulates one row per (key, batch-with-data) — the form the
+    * declared s7 query verifies against a per-batch cumulative-sum
+    * oracle). */
   def runningCounts[K: org.apache.spark.sql.Encoder, V](
-      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V])(implicit
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Update)(implicit
       outEnc: org.apache.spark.sql.Encoder[(K, Long)])
       : org.apache.spark.sql.Dataset[(K, Long)] = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
     grouped.flatMapGroupsWithState[Long, (K, Long)](
-      OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+      mode, GroupStateTimeout.NoTimeout()) {
       (key: K, values: Iterator[V], state: GroupState[Long]) =>
         val prev = state.getOption.getOrElse(0L)
         val next = prev + values.size

@@ -411,6 +411,106 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  test("range query reads only in-range buckets' files (tablet-skip at file granularity)") {
+    val root = Files.createTempDirectory("prunedb")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "hour"))
+    db.createTable("t")
+    // 6 hour-buckets x 2 insert batches => at least 2 files per bucket
+    db.insertSeq("t", (0 until 6).map(h => row(s"a$h", f"2024-01-01 $h%02d:15:00")))
+    db.insertSeq("t", (0 until 6).map(h => row(s"b$h", f"2024-01-01 $h%02d:45:00")))
+    def filesIn(bucket: String): Int = {
+      val d = root.resolve(s"t/bucket=$bucket").toFile
+      if (!d.exists()) 0
+      else d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val inRange = Seq("2024-01-01-02", "2024-01-01-03").map(filesIn).sum
+    val total = (0 until 6).map(h => filesIn(f"2024-01-01-0$h%01d")).sum
+    assert(inRange >= 2 && total > inRange) // non-vacuous: pruning has work to do
+    val q = db.query("t", ts("2024-01-01 02:00:00"), ts("2024-01-01 03:59:59"))
+    // execute q ITSELF (a derived .select would build a separate plan
+    // whose metrics never flow back to q.queryExecution)
+    val got = q.collect().map(_.getAs[String]("key")).sorted
+    assert(got.toSeq === Seq("a2", "a3", "b2", "b3"))
+    // the metric is on the executed scan node of the SAME Dataset
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec found in the executed plan")
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    // the reference skips whole tablets by min/max (table.go:146-150);
+    // partition pruning on the derived bucket predicate must do the
+    // same at file granularity — an unpruned scan would read `total`
+    assert(numFiles === inRange,
+      s"scan read $numFiles files; only the $inRange in-range bucket files should be touched")
+    db.close()
+  }
+
+  test("_colstats: estimates within the histogram error bound, surviving compact and cleanup") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("colstatsdb")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "hour",
+      ttl = Some(4 * 3600L), compactFileThreshold = 2))
+    db.createTable("t")
+    val insertNow = ts("2024-01-01 03:59:00")
+    // 3 batches (fragmentation for compact) over hours 00-03, minutes
+    // deliberately non-uniform so interpolation really is approximate
+    def mk(seed: Int) = (0 until 60 by 2).flatMap { m =>
+      (0 until 4).map(h => row(s"k$seed-$h-$m",
+        f"2024-01-01 $h%02d:${(m * seed * 7 + h) % 60}%02d:${seed * 11 % 60}%02d"))
+    }
+    (1 to 3).foreach(s => db.insertSeq("t", mk(s), insertNow))
+    db.rebuildColStats("t", nHist = 8)
+
+    val cs = db.colStats("t").collect()
+    assert(cs.nonEmpty)
+    def usOf(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def errBound(lo: Timestamp, hi: Timestamp): Long = {
+      val (qlo, qhi) = (usOf(lo), usOf(hi))
+      cs.filter { r =>
+        val (l, h) = (r.getLong(r.fieldIndex("lo")), r.getLong(r.fieldIndex("hi")))
+        !(h < qlo || l > qhi) && !(l >= qlo && h <= qhi) // straddling cells only
+      }.map(_.getLong(cs.head.fieldIndex("n"))).sum
+    }
+    def check(lo: String, hi: String): Unit = {
+      val (l, h) = (ts(lo), ts(hi))
+      val est = db.estimateRowsInRange("t", l, h)
+      val exact = db.query("t", l, h).count()
+      val bound = errBound(l, h)
+      assert(math.abs(est - exact) <= bound + 1e-6,
+        s"[$lo,$hi] est=$est exact=$exact bound=$bound")
+    }
+    check("2024-01-01 00:00:00", "2024-01-01 03:59:59") // full (exact, bound 0)
+    check("2024-01-01 01:10:00", "2024-01-01 02:40:00") // straddles cells
+    check("2024-01-01 00:30:00", "2024-01-01 00:31:00") // narrow
+    val sel = db.estimateSelectivity("t", ts("2024-01-01 00:00:00"),
+      ts("2024-01-01 03:59:59"))
+    assert(math.abs(sel - 1.0) < 1e-9)
+
+    // compact rewrites files but not rows: the histogram stays valid
+    val estBefore = db.estimateRowsInRange("t",
+      ts("2024-01-01 01:10:00"), ts("2024-01-01 02:40:00"))
+    assert(db.compact("t") > 0)
+    assert(db.estimateRowsInRange("t",
+      ts("2024-01-01 01:10:00"), ts("2024-01-01 02:40:00")) === estBefore)
+
+    // cleanup drops bucket 00 (ends 01:00 <= cutoff 01:30); its
+    // histogram rows must go with it, keeping estimates exact-for-bound
+    // over the survivors
+    assert(db.cleanup("t", ts("2024-01-01 05:30:00")) === Seq("2024-01-01-00"))
+    assert(db.colStats("t").filter(col("tbucket") === "2024-01-01-00").isEmpty)
+    check("2024-01-01 00:00:00", "2024-01-01 03:59:59")
+
+    // new data invalidates: estimates refuse to answer from a stale
+    // histogram until the next rebuild
+    db.insertSeq("t", Seq(row("fresh", "2024-01-01 03:30:00")), insertNow)
+    assert(db.colStats("t").isEmpty)
+    intercept[IllegalStateException](
+      db.estimateRowsInRange("t", ts("2024-01-01 00:00:00"), ts("2024-01-01 04:00:00")))
+    db.rebuildColStats("t", nHist = 8)
+    check("2024-01-01 01:00:00", "2024-01-01 03:59:59")
+    db.close()
+  }
+
   test("empty table queries cleanly") {
     val db = freshDb()
     db.createTable("t")

@@ -80,4 +80,39 @@ object DedupProps extends Properties("dedup") {
         capped.subsetOf(full) &&
           components(capped) == components(full)
     }
+
+  /** Star contraction must label exactly like min-label propagation on
+    * arbitrary pair sets (both return component = min id). */
+  property("connectedComponentsStar == min-label labels") =
+    forAll(Gen.listOfN(12, for {
+      a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+    } yield (a, b))) { edges =>
+      import spark.implicits._
+      edges.isEmpty || {
+        val pairs = edges.toDF("id_a", "id_b")
+        val minLabel = Dedup.connectedComponents(pairs)
+          .as[(Long, Long)].collect().toMap
+        val star = Dedup.connectedComponentsStar(pairs)
+          .as[(Long, Long)].collect().toMap
+        star == minLabel
+      }
+    }
+
+  /** The long-path case the star variant exists for: a 24-hop chain.
+    * Min-label moves the min ONE hop per round (~diameter rounds);
+    * star contraction halves tree height per round (~log d). Labels
+    * must agree exactly; the star round count must be strictly
+    * smaller — that's the 100 TB argument (a deep near-dup chain costs
+    * log-many shuffles, not diameter-many). */
+  property("star CC: identical labels on a long path, strictly fewer rounds") = {
+    import spark.implicits._
+    val n = 24
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (mlDf, mlRounds) = Dedup.ccMinLabelWithRounds(pairs, maxIter = 64)
+    val (stDf, stRounds) = Dedup.ccStarWithRounds(pairs, maxIter = 64)
+    val ml = mlDf.as[(Long, Long)].collect().toMap
+    val st = stDf.as[(Long, Long)].collect().toMap
+    val allZero = (0L to n).forall(i => st.getOrElse(i, -1L) == 0L)
+    st == ml && allZero && stRounds < mlRounds
+  }
 }

@@ -94,6 +94,26 @@ class SimilaritySpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("IVF x int8 composition: recall matches the float seeded-IVF path") {
+    val emb = Tables.t(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 32)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfFloat = Similarity.ivfTopKSeeded(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 6)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val composed = Similarity.ivfQuantizedTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 6, candidates = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rFloat = (exact & ivfFloat).size.toDouble / exact.size
+    val rComposed = (exact & composed).size.toDouble / exact.size
+    // candidates=16 over k=5 absorbs int8 rank inversions inside the
+    // probed cells: the composition must not give up recall vs the
+    // float IVF it prunes like (same cells, same probes)
+    assert(rComposed >= rFloat, s"composed $rComposed < float IVF $rFloat")
+    assert(rComposed > 0.5, s"composed recall@5 = $rComposed")
+  }
+
   test("bounded-heap aggregate top-k equals the window formulation") {
     val emb = Tables.t(spark, sf(), "embeddings")
     val queries = emb.filter($"vec_id" < 32)

@@ -24,4 +24,17 @@ class SkewSpec extends SparkSuite {
 
     assert(salted === direct)
   }
+
+  test("salted groupBy tolerates MapType payload columns (excluded from the salt)") {
+    val df = (1 to 500).map(i => (if (i % 100 == 0) "cold" else "hot", i.toLong))
+      .toDF("k", "v")
+      .withColumn("m", map(lit("a"), $"v")) // hash() would reject this
+    val direct = df.groupBy("k")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val salted = Skew.saltedGroupBy(df, Seq("k"),
+        Seq(Skew.sum_($"v", "s"), Skew.count_("n")), saltBuckets = 8)
+      .orderBy("k").collect()
+    assert(salted === direct)
+  }
 }
