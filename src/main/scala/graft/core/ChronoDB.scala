@@ -176,52 +176,92 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // The partition count is pinned (an unnumbered repartition is fair
     // game for AQE coalescing, which would undo the salt on small
     // batches).
-    batch
+    val salted = batch
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("bucket"),
         pmod(xxhash64(col("key"), col("ts")), lit(config.writersPerBucket)))
+    // ALL per-bucket sketch state — HLL key sketch, exact row count `n`
+    // (the consistency anchor), dense CMS counter vector — PIGGYBACKS
+    // on the data-write job via Dataset.observe: the write tasks fold
+    // their rows into per-bucket states as they stream by
+    // ([[graft.functions.BucketStatsAgg]]), the accumulator protocol
+    // merges the per-task partials, and the sidecar write that follows
+    // is a driver-local KB-scale file append. ZERO extra passes over
+    // the batch (earlier shapes re-scanned it in one — before that,
+    // two — dedicated sidecar jobs, measured at 50-75% of the whole
+    // insert cost; the batch is now evaluated exactly ONCE, which also
+    // retires the nondeterministic-source divergence caveat the re-read
+    // carried).
+    val obs =
+      if (sketching) Some(org.apache.spark.sql.Observation()) else None
+    val writable = obs match {
+      case Some(o) => salted.observe(o,
+        graft.functions.SketchAggs.bucketStats(col("bucket"), col("key"),
+          config.sketchLgK, config.sketchCmsDepth, config.sketchCmsWidth)
+          .as("stats"))
+      case None => salted
+    }
+    writable
       .sortWithinPartitions(col("ts"), col("key")) // tablet (ts,key) clustering
       .write.mode(SaveMode.Append)
       .option("compression", config.compression)
       .partitionBy("bucket")
       .parquet(tablePath(name).toString)
-    // Sidecar AFTER data: a failure in between leaves data without
+    // Sidecar file AFTER data: a crash in between leaves data without
     // sidecar rows — detectable by [[sidecarsConsistent]] and repairable
     // by [[rebuildSidecars]] (the reverse order would leave sketches
     // counting rows that never landed, which no rebuild can even
-    // notice). ALL per-bucket sketch state — HLL key sketch, exact row
-    // count `n` (the consistency anchor), dense CMS counter vector —
-    // is computed by ONE fused aggregation job over a column-pruned
-    // (key, ts) re-read of the batch and appended as ONE small file to
-    // <table>/_stats. One job, one shuffle of ≤ a-few-KB-per-bucket
-    // partials, one file commit: at ingest rates the sidecar bill is
-    // job count, not bytes (an earlier shape ran two sidecar jobs over
-    // a fully-cached batch and paid ~2× the data write in overhead).
-    // The batch is thus evaluated exactly twice — full rows for the
-    // data write, a pruned projection for the stats — and any
-    // divergence a nondeterministic source could smuggle in between the
-    // two is caught by the same sidecarsConsistent anchor.
-    // Multiple insert batches leave multiple rows per bucket; readers
-    // merge them losslessly (union for sketches, addition for n and
-    // counters) and compact() folds them.
-    if (config.sketchLgK > 0 || config.sketchCmsDepth > 0)
-      batch.groupBy(col("bucket")).agg(sidecarAggs.head, sidecarAggs.tail: _*)
-        .coalesce(1)
-        .write.mode(SaveMode.Append)
-        .option("compression", config.compression)
-        .parquet(statsPath(name).toString)
+    // notice). Multiple insert batches leave multiple rows per bucket;
+    // readers merge them losslessly (union for sketches, addition for n
+    // and counters) and compact() folds them.
+    obs.foreach { o =>
+      val stats = o.get("stats") match {
+        case s: scala.collection.Seq[_] =>
+          s.collect { case r: org.apache.spark.sql.Row => r }
+        case null => Seq.empty
+      }
+      if (stats.nonEmpty)
+        spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](stats.asJava),
+            sidecarSchema)
+          .coalesce(1)
+          .write.mode(SaveMode.Append)
+          .option("compression", config.compression)
+          .parquet(statsPath(name).toString)
+    }
     // histograms don't merge losslessly across batches, so new data
     // INVALIDATES _colstats (rebuild at the next ANALYZE) — a stale
     // histogram would silently under-estimate the fresh range
     invalidateColStats(name)
   }
 
-  /** The fused per-bucket sidecar aggregation: (sketch, n, counters).
-    * Disabled sketch families persist as typed nulls so the sidecar
-    * schema is stable under any config. The CMS counters use the dense
-    * single-buffer aggregate ([[graft.functions.CmsDenseAgg]]) — same
-    * cells and counts as the relational Sketches.cmsBuildBy build (the
-    * portable Kirsch–Mitzenmacher pair over tokenHash62, d19b's oracle
+  /** Persisted sidecar row schema — identical to what the grouped
+    * [[sidecarAggs]] build writes, so observe-built and rebuilt sidecar
+    * files are interchangeable. */
+  private val sidecarSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("sketch",
+      org.apache.spark.sql.types.BinaryType, nullable = true),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("counters",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = true)))
+
+  /** The fused per-bucket sidecar aggregation — the GROUPED form, used
+    * by [[rebuildSidecars]] (repair recomputes from landed data, where
+    * a dedicated aggregation job is the honest cost). The INSERT path
+    * computes the same three families inside the write job instead
+    * ([[graft.functions.BucketStatsAgg]] via observe — family-exact:
+    * same HLL config/update bytes, same CMS cells, same n), so rows
+    * from either path merge losslessly. Disabled sketch families
+    * persist as typed nulls so the sidecar schema is stable under any
+    * config. The CMS counters use the dense single-buffer aggregate
+    * ([[graft.functions.CmsDenseAgg]]) — same cells and counts as the
+    * relational Sketches.cmsBuildBy build (the portable
+    * Kirsch–Mitzenmacher pair over tokenHash62, d19b's oracle
     * replicates it verbatim), but the counter table rides the
     * partial/final split as one array buffer instead of exploding into
     * per-cell rows. */
@@ -329,7 +369,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     }
     // fold the sketch sidecar too: per-insert rows merge to one row per
     // bucket (lossless — sketch union, n/counter addition), so sidecar
-    // size tracks bucket count, not insert count
+    // size tracks bucket count, not insert count. Recover BEFORE the
+    // existence guard: after a crashed mid-swap rewrite the live dir is
+    // absent with the state in .tmp/.old, and skipping the fold here
+    // would leave that state unfolded until the next read.
+    recoverSidecar(statsPath(name))
     if (sketching && Files.exists(statsPath(name)))
       rewriteSidecar(statsPath(name), sidecarFold(name))
     victims.size
@@ -353,19 +397,25 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       fmt.parse(b).getTime + widthMs <= cutoff
     }
     dropped.foreach(b => deleteRecursively(p.resolve(s"bucket=$b")))
-    // retention applies to the sidecar as well: a stale sketch row
-    // would keep counting dropped buckets' keys into range estimates
-    if (dropped.nonEmpty && sketching && Files.exists(statsPath(name)))
-      rewriteSidecar(statsPath(name),
-        sidecarFold(name).filter(!col("bucket").isin(dropped: _*)))
-    // _colstats rows are per-bucket too: dropping their buckets keeps
-    // the histogram exact for the surviving data (no rebuild needed —
-    // compact() likewise leaves it alone, since rewriting files does
-    // not change row content)
-    if (dropped.nonEmpty && Files.exists(colStatsPath(name))) {
+    if (dropped.nonEmpty) {
+      // retention applies to the sidecars as well: a stale sketch row
+      // would keep counting dropped buckets' keys into range estimates.
+      // Recover BEFORE the existence guards — after a crashed mid-swap
+      // rewrite the live dir is absent with the state in .tmp/.old, and
+      // an exists-guard evaluated first would silently skip the prune,
+      // leaving the recovered sidecar still counting dropped buckets.
+      recoverSidecar(statsPath(name))
+      if (sketching && Files.exists(statsPath(name)))
+        rewriteSidecar(statsPath(name),
+          sidecarFold(name).filter(!col("bucket").isin(dropped: _*)))
+      // _colstats rows are per-bucket too: dropping their buckets keeps
+      // the histogram exact for the surviving data (no rebuild needed —
+      // compact() likewise leaves it alone, since rewriting files does
+      // not change row content)
       recoverSidecar(colStatsPath(name))
-      rewriteSidecar(colStatsPath(name),
-        colStats(name).filter(!col("tbucket").isin(dropped: _*)))
+      if (Files.exists(colStatsPath(name)))
+        rewriteSidecar(colStatsPath(name),
+          colStats(name).filter(!col("tbucket").isin(dropped: _*)))
     }
     dropped
   }
@@ -619,6 +669,31 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     estimateRowsInRange(name, start, end) / total.getLong(0).toDouble
   }
 
+  /** The `_colstats` CONSUMER — a planning decision actually driven by
+    * the persisted histograms: join the [start, end] range scan of this
+    * table against `other` on `usingCols`, broadcast-hinting the scan
+    * side iff the sidecar estimates at most `broadcastRowThreshold` rows
+    * in range. That is the call a cost-based planner cannot make from
+    * Spark's own file statistics (size of the WHOLE table, not of the
+    * pruned range): a narrow range over a huge table is a tiny build
+    * side, and hinting it turns a two-sided shuffle join into a map-side
+    * join of `other`. Above the threshold the join is left un-hinted for
+    * Spark/AQE to plan as usual. Falls back to un-hinted when the
+    * sidecar was never built (estimates from nothing would hint
+    * everything). */
+  def rangeJoinAdaptive(
+      name: String, start: Timestamp, end: Timestamp,
+      other: DataFrame, usingCols: Seq[String],
+      broadcastRowThreshold: Long = 1000000L): DataFrame = {
+    val scan = query(name, start, end)
+    val est =
+      try Some(estimateRowsInRange(name, start, end))
+      catch { case _: IllegalStateException => None } // no _colstats yet
+    val hinted =
+      if (est.exists(_ <= broadcastRowThreshold)) broadcast(scan) else scan
+    hinted.join(other, usingCols)
+  }
+
   private def invalidateColStats(name: String): Unit = {
     deleteRecursively(colStatsPath(name))
     deleteRecursively(sidecarTmp(colStatsPath(name)))
@@ -675,6 +750,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     } else if (Files.exists(old)) {
       Files.move(old, dir)
       deleteRecursively(tmp)
+    } else {
+      // dir missing, no .old, .tmp absent-or-incomplete (no _SUCCESS):
+      // the pre-first-build state — the empty read is legitimate, but an
+      // incomplete .tmp must not linger as on-disk junk until the next
+      // rewrite happens to clean it
+      deleteRecursively(tmp)
     }
   }
 
@@ -692,17 +773,29 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (!hasData(name))
       return !Files.exists(statsPath(name)) || sidecarFold(name).isEmpty
     if (!Files.exists(statsPath(name))) return false
-    val counts = table(name).groupBy(col("bucket")).agg(count(lit(1)).as("n_data"))
-    def matches(perBucket: DataFrame): Boolean =
+    // two anchors per bucket: `n` counts ALL rows, the CMS depth-0 mass
+    // counts NON-NULL keys only (CmsDenseAgg skips null keys — anchoring
+    // it against count(1) would flag any null-key batch as permanently
+    // inconsistent, unrepairable by rebuildSidecars)
+    val counts = table(name).groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_data"), count(col("key")).as("n_keys"))
+    def matches(perBucket: DataFrame, anchor: String): Boolean =
       perBucket.join(counts, Seq("bucket"), "full")
-        .filter(col("n").isNull || col("n_data").isNull ||
-          col("n") =!= col("n_data"))
+        .filter(col("n").isNull || col(anchor).isNull ||
+          col("n") =!= col(anchor))
         .isEmpty
-    val nOk = matches(sidecarFold(name).select(col("bucket"), col("n")))
-    val cmsOk = config.sketchCmsDepth <= 0 ||
-      matches(cmsStats(name).filter(col("d") === 0)
-        .groupBy(col("tbucket")).agg(sum(col("cnt")).as("n"))
-        .withColumnRenamed("tbucket", "bucket"))
+    val nOk = matches(sidecarFold(name).select(col("bucket"), col("n")), "n_data")
+    // a bucket whose keys are ALL null has zero CMS mass and therefore
+    // no cmsStats row at all — join it back against the data buckets so
+    // the absent row reads as mass 0, which is correct there
+    val cmsOk = config.sketchCmsDepth <= 0 || {
+      val mass = cmsStats(name).filter(col("d") === 0)
+        .groupBy(col("tbucket")).agg(sum(col("cnt")).as("mass"))
+        .withColumnRenamed("tbucket", "bucket")
+      counts.join(mass, Seq("bucket"), "left")
+        .filter(coalesce(col("mass"), lit(0L)) =!= col("n_keys"))
+        .isEmpty
+    }
     nOk && cmsOk
   }
 

@@ -11,20 +11,51 @@ import scala.util.control.NonFatal
   * compaction + retention. `tick()` is the unit the scheduler calls;
   * [[start]] provides the reference's ticker behavior for embedded use.
   * On a real cluster these run as scheduled batch jobs instead. */
-final class Maintenance(db: ChronoDB, tables: () => Seq[String]) {
+final class Maintenance(db: ChronoDB, tables: () => Seq[String],
+    autoRepairSidecars: Boolean = false) {
 
   /** One maintenance pass over all tables: compact over-fragmented
-    * buckets, drop expired buckets. Returns (compacted, droppedBuckets)
-    * counts. */
+    * buckets, drop expired buckets, then VERIFY the sketch sidecars
+    * against the data (the insert partial-failure window — data landed,
+    * sidecar write crashed — is otherwise only surfaced if an operator
+    * knows to call [[ChronoDB.sidecarsConsistent]] by hand). An
+    * inconsistent table is loudly logged and counted; with
+    * `autoRepairSidecars` it is also rebuilt from the data in the same
+    * pass ([[ChronoDB.rebuildSidecars]] — after which consistency holds
+    * by construction). Returns (compacted, droppedBuckets) counts. */
   def tick(now: Timestamp = new Timestamp(System.currentTimeMillis())): (Int, Int) = {
     var compacted = 0
     var dropped = 0
+    val bad = Seq.newBuilder[String]
     tables().foreach { t =>
       compacted += db.compact(t)
       dropped += db.cleanup(t, now).size
+      if (!db.sidecarsConsistent(t)) {
+        bad += t
+        if (autoRepairSidecars) {
+          db.rebuildSidecars(t)
+          System.err.println(
+            s"[graft-maintenance] sidecars for '$t' were inconsistent " +
+              "with the data (insert partial failure?) — rebuilt")
+        } else {
+          System.err.println(
+            s"[graft-maintenance] sidecars for '$t' are INCONSISTENT " +
+              "with the data (insert partial failure?) — range estimates " +
+              "may under-count; run rebuildSidecars or enable " +
+              "autoRepairSidecars")
+        }
+      }
     }
+    lastInconsistent = bad.result()
     (compacted, dropped)
   }
+
+  @volatile private var lastInconsistent: Seq[String] = Seq.empty
+
+  /** Tables whose sidecars failed the consistency check on the MOST
+    * RECENT tick (already rebuilt if autoRepairSidecars is set) — the
+    * observable counter mirror of the loud log line. */
+  def inconsistentSidecars: Seq[String] = lastInconsistent
 
   private var exec: Option[ScheduledExecutorService] = None
 

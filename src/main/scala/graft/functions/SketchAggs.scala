@@ -2,11 +2,13 @@ package graft.functions
 
 import java.nio.ByteBuffer
 
+import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -95,8 +97,29 @@ object SketchAggs {
     * null rows are skipped, all-null groups yield null. */
   def vecSum(arr: Column): Column =
     column(LongVectorSumAgg(expression(arr)).toAggregateExpression())
+
+  /** `bucket_stats(bucket, key)` — the WHOLE per-bucket sidecar state
+    * (HLL key sketch, exact row count, dense CMS counters, keyed by
+    * bucket) as ONE global aggregate, so it can ride `Dataset.observe`
+    * on the ingest write itself: the data-write tasks fold their rows
+    * into per-task bucket maps, the accumulator protocol merges them,
+    * and the finished sidecar rows cost ZERO extra passes over the
+    * batch (the previous shape ran a second full-scan aggregation job
+    * per insert — the measured 50-75% ingest overhead was exactly that
+    * second pass). State is KBs per touched bucket per task, merged on
+    * the driver — the same size class as any observe metric.
+    * lgK = 0 / depth = 0 disable the respective family (null column). */
+  def bucketStats(bucket: Column, key: Column,
+      lgK: Int, depth: Int, width: Int): Column =
+    column(BucketStatsAgg(expression(bucket), expression(key),
+      lgK, depth, width).toAggregateExpression())
 }
 
+/** NULL-key rows are SKIPPED (no cell incremented) — the aggregate-
+  * input convention every Spark agg follows, and deliberately DIVERGENT
+  * from the relational [[graft.operators.Sketches]].cmsBuildBy, where a
+  * null key hashes into a real cell; [[graft.core.ChronoDB]] anchors the
+  * CMS mass against `count(key)` (non-null) for exactly this reason. */
 case class CmsDenseAgg(
     key: Expression,
     depth: Int,
@@ -109,6 +132,14 @@ case class CmsDenseAgg(
   require(width >= 2, s"cms_dense: width out of range: $width")
 
   override def child: Expression = key
+
+  // analysis-time type check: update() casts the key to UTF8String, so a
+  // non-string child must fail as an AnalysisException, not a runtime
+  // ClassCastException deep inside an executor task
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_dense requires a STRING key, got ${key.dataType.catalogString}")
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
@@ -156,6 +187,200 @@ case class CmsDenseAgg(
   override def prettyName: String = "cms_dense"
 }
 
+/** Mutable per-bucket sidecar state for [[BucketStatsAgg]]. */
+final class BucketState(
+    var n: Long,
+    var hll: HllSketch,        // null when lgK == 0
+    val counters: Array[Long]) // null when depth == 0
+
+/** Per-bucket (HLL sketch, row count, dense CMS counters) as a single
+  * GLOBAL aggregate over (bucket, key) — the observe-able form of the
+  * sidecar build (see [[SketchAggs.bucketStats]]).
+  *
+  * Family semantics are kept EXACTLY interchangeable with the grouped
+  * build ([[graft.core.ChronoDB]].sidecarAggs: hll_sketch_agg +
+  * count(1) + [[CmsDenseAgg]]), so sidecar rows written from either
+  * path merge losslessly and estimate identically:
+  *  - HLL mirrors Spark's HllSketchAgg bit-for-bit: HllSketch(lgK,
+  *    HLL_8), update with the key's UTF-8 bytes, empty strings skipped,
+  *    union via Union(lgK).getResult(HLL_8), toUpdatableByteArray on
+  *    output (verified against spark-catalyst bytecode);
+  *  - `n` counts ALL rows of the bucket (null keys included) — the
+  *    consistency anchor;
+  *  - CMS skips null keys (the CmsDenseAgg convention; anchor is
+  *    count(key)) but COUNTS empty strings, same cells via
+  *    [[NativeExpressions.portableTokenHash]].
+  * Null buckets are ignored (a ChronoDB batch always has a bucket).
+  */
+case class BucketStatsAgg(
+    bucket: Expression,
+    key: Expression,
+    lgK: Int,
+    depth: Int,
+    width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    scala.collection.mutable.HashMap[UTF8String, BucketState]]
+  with BinaryLike[Expression] {
+
+  require(lgK == 0 || (lgK >= 4 && lgK <= 21),
+    s"bucket_stats: lgK out of range: $lgK")
+  require(depth >= 0 && depth <= 16, s"bucket_stats: depth out of range: $depth")
+  require(depth == 0 || width >= 2, s"bucket_stats: width out of range: $width")
+
+  override def left: Expression = bucket
+  override def right: Expression = key
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bucket.dataType == StringType && key.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bucket_stats requires STRING (bucket, key), got " +
+        s"(${bucket.dataType.catalogString}, ${key.dataType.catalogString})")
+
+  private type Buf = scala.collection.mutable.HashMap[UTF8String, BucketState]
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  private def newState(): BucketState = new BucketState(0L,
+    if (lgK > 0) new HllSketch(lgK, TgtHllType.HLL_8) else null,
+    if (depth > 0) new Array[Long](depth * width) else null)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val b = bucket.eval(input)
+    if (b != null) {
+      val bu = b.asInstanceOf[UTF8String]
+      // eval-returned UTF8String may alias a reused row buffer: lookup
+      // with the live reference (equals reads current bytes), clone only
+      // when storing a new map key
+      val st = buf.getOrElse(bu, null) match {
+        case null =>
+          val fresh = newState()
+          buf.put(bu.clone(), fresh)
+          fresh
+        case s => s
+      }
+      st.n += 1L
+      val k = key.eval(input)
+      if (k != null) {
+        val ku = k.asInstanceOf[UTF8String]
+        if (st.hll != null && ku.numBytes() > 0) st.hll.update(ku.getBytes)
+        if (st.counters != null) {
+          val h = NativeExpressions.portableTokenHash(ku.toString)
+          val h1 = h >>> 31
+          val h2 = h & 0x7FFFFFFFL
+          var d = 0
+          while (d < depth) {
+            st.counters(d * width + ((h1 + d * h2) % width).toInt) += 1L
+            d += 1
+          }
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    other.foreach { case (k, o) =>
+      buf.getOrElse(k, null) match {
+        case null => buf.put(k, o)
+        case s =>
+          s.n += o.n
+          if (s.hll != null && o.hll != null) {
+            val u = new Union(lgK)
+            u.update(s.hll)
+            u.update(o.hll)
+            s.hll = u.getResult(TgtHllType.HLL_8)
+          }
+          if (s.counters != null && o.counters != null) {
+            var i = 0
+            while (i < s.counters.length) {
+              s.counters(i) += o.counters(i); i += 1
+            }
+          }
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    val rows = buf.toArray.map { case (b, st) =>
+      new GenericInternalRow(Array[Any](
+        b,
+        if (st.hll == null) null else st.hll.toUpdatableByteArray,
+        st.n,
+        if (st.counters == null) null else new GenericArrayData(st.counters)))
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = buf.toArray.map { case (b, st) =>
+      (b.getBytes,
+        if (st.hll == null) null else st.hll.toUpdatableByteArray,
+        st.n,
+        if (st.counters == null) null else SketchAggs.serializeVec(st.counters))
+    }
+    val size = 4 + entries.map { case (bb, hb, _, cb) =>
+      4 + bb.length + 8 + 4 + (if (hb == null) 0 else hb.length) +
+        4 + (if (cb == null) 0 else cb.length)
+    }.sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(entries.length)
+    entries.foreach { case (bk, hb, n, cb) =>
+      bb.putInt(bk.length).put(bk)
+      bb.putLong(n)
+      if (hb == null) bb.putInt(-1) else { bb.putInt(hb.length); bb.put(hb) }
+      if (cb == null) bb.putInt(-1) else { bb.putInt(cb.length); bb.put(cb) }
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Buf
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val bk = new Array[Byte](bb.getInt()); bb.get(bk)
+      val cnt = bb.getLong()
+      val hLen = bb.getInt()
+      val hll =
+        if (hLen < 0) null
+        else { val hb = new Array[Byte](hLen); bb.get(hb); HllSketch.heapify(hb) }
+      val cLen = bb.getInt()
+      val counters =
+        if (cLen < 0) null
+        else {
+          val cb = new Array[Byte](cLen); bb.get(cb)
+          SketchAggs.deserializeVec(cb)
+        }
+      buf.put(UTF8String.fromBytes(bk), new BucketState(cnt, hll, counters))
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", StringType, nullable = false),
+    StructField("sketch", BinaryType, nullable = true),
+    StructField("n", LongType, nullable = false),
+    StructField("counters", ArrayType(LongType, containsNull = false),
+      nullable = true))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(offset: Int): BucketStatsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BucketStatsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BucketStatsAgg =
+    copy(bucket = l, key = r)
+
+  override def prettyName: String = "bucket_stats"
+}
+
 case class LongVectorSumAgg(
     arr: Expression,
     override val mutableAggBufferOffset: Int = 0,
@@ -163,6 +388,14 @@ case class LongVectorSumAgg(
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   override def child: Expression = arr
+
+  // same analysis-time guard as CmsDenseAgg: update() reads the child
+  // via toLongArray, so only array<bigint> is acceptable
+  override def checkInputDataTypes(): TypeCheckResult = arr.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sum requires array<bigint>, got ${other.catalogString}")
+  }
 
   // empty array = "nothing seen yet" sentinel (eval → null)
   override def createAggregationBuffer(): Array[Long] = Array.empty[Long]

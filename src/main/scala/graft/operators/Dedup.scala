@@ -209,12 +209,41 @@ object Dedup {
     * not yet fully merged), which dedups too little, never too much.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    ccMinLabelWithRounds(pairs, maxIter)._1
+    ccMinLabelFull(pairs, maxIter)._1
+
+  /** Depth-adaptive connected components — the default the dedup
+    * pipeline uses. Near-dup clusters are almost always SHALLOW (a
+    * handful of mutual near-copies; bucketPairs' anchor pairing keeps
+    * even capped giant buckets at ≤2-hop diameter), and for those the
+    * min-label loop converges in a few cheap rounds — each round is two
+    * joins + one groupBy-min, noticeably lighter than a star round
+    * (which pays an extra distinct + fixpoint count on the pointer
+    * set). But min-label moves labels ONE hop per round, so a
+    * pathological deep chain makes it a rounds ≈ diameter loop. The
+    * heuristic: run min-label for `switchDepth` rounds; if it has not
+    * converged by then the component structure IS deep, and the
+    * remaining work restarts on [[connectedComponentsStar]] (O(log d)
+    * rounds) — the abandoned prefix cost is bounded by switchDepth
+    * cheap rounds, and labels are property-identical either way
+    * (DedupProps pins both implementations on the same inputs). */
+  def connectedComponentsAdaptive(
+      pairs: DataFrame, switchDepth: Int = 5, maxIter: Int = 30): DataFrame = {
+    val (labels, _, converged) = ccMinLabelFull(pairs, switchDepth,
+      logTruncation = false)
+    if (converged) labels else connectedComponentsStar(pairs, maxIter)
+  }
 
   /** Min-label propagation with the round count exposed (for the
     * star-vs-min-label convergence comparison in DedupProps). */
   private[operators] def ccMinLabelWithRounds(
       pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val (labels, rounds, _) = ccMinLabelFull(pairs, maxIter)
+    (labels, rounds)
+  }
+
+  private def ccMinLabelFull(
+      pairs: DataFrame, maxIter: Int,
+      logTruncation: Boolean = true): (DataFrame, Int, Boolean) = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint(true)
     var labels = edges.select(explode(array(col("a"), col("b"))).as("id"))
@@ -240,11 +269,11 @@ object Dedup {
       labels = next
       i += 1
     }
-    if (!converged)
+    if (!converged && logTruncation)
       System.err.println(s"[graft-dedup] connectedComponents stopped at " +
         s"maxIter=$maxIter before convergence — labels over-segmented " +
         "(raise maxIter for deep chains)")
-    (labels, i)
+    (labels, i, converged)
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -327,9 +356,14 @@ object Dedup {
   }
 
   /** Full dedup: everything from `df` minus non-keeper members of
-    * near-dup clusters (keeper = min id per component). */
+    * near-dup clusters (keeper = min id per component). Clustering is
+    * [[connectedComponentsAdaptive]]: cheap min-label rounds for the
+    * shallow clusters a near-dup corpus actually has, escalating to the
+    * O(log d) star contraction only when non-convergence reveals a deep
+    * chain — so neither the common case nor the pathological one is the
+    * slow path. */
   def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val losers = connectedComponents(pairs)
+    val losers = connectedComponentsAdaptive(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -230,7 +230,70 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("n_events"))
   }
 
+  /** S8 (declared): the Spark 4 transformWithState API —
+    * Streams.LatestValueProcessor (per-key latest row held as RocksDB
+    * ValueState) through the staged-replay harness. Events get unique
+    * synthetic event times (epoch + event_id seconds — tie-free, so the
+    * processor's argmax is deterministic regardless of within-batch row
+    * order) and arrive as three deterministic micro-batches (event_id
+    * mod 3, in order). The processor emits the key's CURRENT latest
+    * (key, ts, value) whenever the key receives data, so the Append-mode
+    * file sink accumulates one row per (key, batch-the-key-appeared-in)
+    * — the oracle recomputes exactly that as a running max of per-batch
+    * max event ids joined back to the row it identifies. The hash check
+    * therefore pins the STATE ARITHMETIC across batch boundaries (a
+    * batch of only-older rows must re-emit the previous latest, not
+    * regress), not just a final snapshot. */
+  def streamLatestValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        col("user_id").cast("string").as("user_id"),
+        timestamp_seconds(lit(1704067200L) + col("event_id")).as("ts"),
+        col("value"))
+    val batches = (0 until 3).map(i =>
+      ev.filter(col("event_id") % 3 === i)
+        .select(col("user_id"), col("ts"), col("value")))
+    // transformWithState requires the RocksDB state store provider;
+    // scope it to this query and restore the session default after
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = stagedReplay(spark, batches, src => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        src.as[(String, java.sql.Timestamp, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new Streams.LatestValueProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "ts", "value")
+      })
+      // the staged output is materialized parquet, so ordering it here
+      // happens after the streaming queries are done and the conf can
+      // be restored safely below
+      out.orderBy(col("user_id"), col("ts"), col("value"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s8_latest_value", streamLatestValue, Some(
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_id % 3 AS bi,
+        |         max(event_id) AS mx
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, bi,
+        |         max(mx) OVER (PARTITION BY user_id ORDER BY bi) AS me
+        |  FROM c)
+        |SELECT r.user_id,
+        |       make_timestamp((1704067200 + r.me) * 1000000) AS ts,
+        |       e.value
+        |FROM r JOIN events e ON e.event_id = r.me
+        |ORDER BY r.user_id, ts, value""".stripMargin)),
     QueryDef("s7_running_counts", streamRunningCounts, Some(
       """WITH b AS (SELECT user_id, event_id % 3 AS bi FROM events),
         |c AS (SELECT user_id, bi, COUNT(*) AS n FROM b GROUP BY user_id, bi),

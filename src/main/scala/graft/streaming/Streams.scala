@@ -148,13 +148,28 @@ object Streams {
     * exactly-once path is [[ingestWriter]]'s transactional file sink.
     * Input schema: (key STRING, ts TIMESTAMP, data BINARY).
     */
+  /** Per-phase wall-clock accounting for [[chronoSink]] — lets a
+    * benchmark (or an operator reading a slow sink) attribute loop time
+    * to the insert path vs inline maintenance vs everything outside
+    * foreachBatch (micro-batch planning, offset commits, stream
+    * startup). foreachBatch runs on the driver, so plain atomics are the
+    * right tool. */
+  final class SinkMetrics {
+    val insertNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maintNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def insertSec: Double = insertNanos.get() / 1e9
+    def maintSec: Double = maintNanos.get() / 1e9
+  }
+
   def chronoSink(
       rows: DataFrame,
       db: graft.core.ChronoDB,
       tableName: String,
       checkpointDir: String,
       compactEvery: Int = 5,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      metrics: Option[SinkMetrics] = None): DataStreamWriter[Row] = {
     require(compactEvery > 0, "compactEvery must be positive")
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -163,11 +178,18 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        val t0 = System.nanoTime()
         db.insert(tableName,
           batch.select(col("key"), col("ts"), col("data")).as[graft.core.ChronoRow])
+        val t1 = System.nanoTime()
         if (batchId % compactEvery == (compactEvery - 1)) {
           db.compact(tableName)
           db.cleanup(tableName)
+        }
+        metrics.foreach { m =>
+          m.insertNanos.addAndGet(t1 - t0)
+          m.maintNanos.addAndGet(System.nanoTime() - t1)
+          m.batches.incrementAndGet()
         }
         ()
       }
@@ -177,7 +199,11 @@ object Streams {
     * reference's key → most-recent-value semantics (its dead PrimaryKeys
     * intent) held as streaming state. Requires the RocksDB state store
     * (set spark.sql.streaming.stateStore.providerClass). Emits the
-    * current latest (key, ts, value) whenever a key receives input. */
+    * current latest (key, ts, value) whenever a key receives input —
+    * each emission is a final fact about that batch, so the operator
+    * composes with Append-mode file sinks (the declared s8 query drives
+    * it through the staged-replay harness) as well as Update-mode
+    * console/memory sinks (StreamsSpec). */
   class LatestValueProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, java.sql.Timestamp, Double),

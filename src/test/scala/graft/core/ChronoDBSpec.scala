@@ -529,6 +529,143 @@ class ChronoDBSpec extends SparkSuite {
     assert(it.map(_.key).toSeq.sorted === Seq("b", "c"))
   }
 
+  test("cleanup/compact prune sidecars even when a crashed swap left the live dir aside") {
+    import org.apache.spark.sql.functions.col
+    // the guard-ordering bug: cleanup()'s Files.exists(statsPath) check
+    // evaluated BEFORE recovery would skip the retention rewrite when a
+    // crashed rewriteSidecar left the state in .old — the next read
+    // would then recover a sidecar still counting the dropped buckets
+    val root = Files.createTempDirectory("crashprune")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "hour",
+      ttl = Some(4 * 3600L), compactFileThreshold = 2))
+    db.createTable("t")
+    val now = ts("2024-01-01 12:00:00")
+    // insert the doomed bucket with an EARLY now — the insert-time TTL
+    // gate would otherwise drop the rows before they ever land
+    db.insertSeq("t", Seq(row("dead1", "2024-01-01 00:30:00"),
+      row("dead2", "2024-01-01 00:40:00")), ts("2024-01-01 01:00:00"))
+    db.insertSeq("t", Seq(row("live", "2024-01-01 11:30:00")), now)
+    db.rebuildColStats("t", nHist = 4)
+    // simulate the mid-swap crash: live dirs renamed aside, no .tmp
+    Files.move(root.resolve("t/_stats"), root.resolve("t/_stats.old"))
+    Files.move(root.resolve("t/_colstats"), root.resolve("t/_colstats.old"))
+    val dropped = db.cleanup("t", now)
+    assert(dropped === Seq("2024-01-01-00"))
+    // the sketch sidecar was recovered AND pruned: the dropped bucket's
+    // keys no longer count into range estimates
+    assert(db.approxDistinctKeys("t",
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:59:59")) === 0L)
+    assert(db.approxDistinctKeys("t",
+      ts("2024-01-01 11:00:00"), ts("2024-01-01 11:59:59")) === 1L)
+    // _colstats likewise: no row for the dropped bucket survives
+    assert(db.colStats("t").filter(col("tbucket") === "2024-01-01-00").isEmpty)
+    assert(!db.colStats("t").isEmpty)
+
+    // compact has the same shape: fragment the live bucket, crash the
+    // sidecar aside again, compact must recover-then-fold (not skip)
+    db.insertSeq("t", Seq(row("live2", "2024-01-01 11:35:00")), now)
+    db.insertSeq("t", Seq(row("live3", "2024-01-01 11:40:00")), now)
+    Files.move(root.resolve("t/_stats"), root.resolve("t/_stats.old"))
+    assert(db.compact("t") === 1)
+    assert(Files.exists(root.resolve("t/_stats")) &&
+      !Files.exists(root.resolve("t/_stats.old")))
+    // folded to one sidecar row per bucket, all three live keys counted
+    assert(spark.read.parquet(root.resolve("t/_stats").toString).count() === 1L)
+    assert(db.approxDistinctKeys("t",
+      ts("2024-01-01 11:00:00"), ts("2024-01-01 11:59:59")) === 3L)
+    db.close()
+  }
+
+  test("sidecarsConsistent tolerates null keys (CMS skips them; anchor is count(key))") {
+    val root = Files.createTempDirectory("nullkey")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "hour",
+      sketchCmsDepth = 4, sketchCmsWidth = 64))
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 08:10:00"),
+      ChronoRow(null, ts("2024-01-01 08:20:00"), Array[Byte](1)),
+      row("b", "2024-01-01 08:30:00")))
+    // a null key increments no CMS cell but IS a data row; the check
+    // must still hold (and stay repair-stable: rebuild changes nothing)
+    assert(db.sidecarsConsistent("t"))
+    db.rebuildSidecars("t")
+    assert(db.sidecarsConsistent("t"))
+    // an all-null-key bucket has zero CMS mass — also consistent
+    db.insertSeq("t", Seq(
+      ChronoRow(null, ts("2024-01-01 09:10:00"), Array[Byte](2))))
+    assert(db.sidecarsConsistent("t"))
+    db.close()
+  }
+
+  test("recoverSidecar clears a dead-end incomplete .tmp (pre-first-build state)") {
+    val root = Files.createTempDirectory("deadend")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "hour"))
+    db.createTable("t")
+    // crash during the very first sidecar build: no live dir, no .old,
+    // an incomplete .tmp (no _SUCCESS) — the read must return the
+    // legitimate empty state AND remove the junk
+    val tmp = root.resolve("t/_stats.tmp")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("part-junk.parquet"), Array[Byte](0, 1, 2))
+    assert(db.sketchStats("t").isEmpty)
+    assert(!Files.exists(tmp), "incomplete .tmp must not linger")
+    db.close()
+  }
+
+  test("rangeJoinAdaptive: broadcast hint follows the _colstats estimate") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("adaptive")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "hour"))
+    db.createTable("t")
+    // 4 buckets × 30 rows; a one-bucket range estimates ~30 rows, the
+    // full range ~120 — a threshold of 60 separates the two decisions
+    db.insertSeq("t", (0 until 4).flatMap(h => (0 until 30).map(m =>
+      row(s"k$h-$m", f"2024-01-01 $h%02d:${2 * m}%02d:00"))))
+    db.rebuildColStats("t", nHist = 4)
+    val other = spark.range(200).select(concat(lit("k"),
+      (col("id") % 4).cast("string"), lit("-"),
+      (col("id") % 30).cast("string")).as("key"), col("id").as("payload"))
+    // kill every SIZE-based broadcast so the only broadcast left is the
+    // estimate-driven hint under test
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqeThresh = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(start: String, end: String, threshold: Long): String = {
+        val j = db.rangeJoinAdaptive("t", ts(start), ts(end), other,
+          Seq("key"), broadcastRowThreshold = threshold)
+        j.collect() // executed plan — AQE finalizes joins at runtime
+        j.queryExecution.executedPlan.toString
+      }
+      // narrow range, estimate ≈ 30 ≤ 60 → hinted broadcast join
+      val narrow = planOf("2024-01-01 01:00:00", "2024-01-01 01:59:59", 60L)
+      assert(narrow.contains("BroadcastHashJoin"),
+        s"estimate below threshold must broadcast the range scan:\n$narrow")
+      // full range, estimate ≈ 120 > 60 → no hint, shuffle join
+      val wide = planOf("2024-01-01 00:00:00", "2024-01-01 03:59:59", 60L)
+      assert(!wide.contains("BroadcastHashJoin"),
+        s"estimate above threshold must not broadcast:\n$wide")
+      // no _colstats → honest fallback, un-hinted
+      val db2root = Files.createTempDirectory("adaptive2")
+      val db2 = new ChronoDB(spark, ChronoConfig(db2root.toString, bucket = "hour"))
+      db2.createTable("t")
+      db2.insertSeq("t", Seq(row("k0-0", "2024-01-01 00:00:30")))
+      val j2 = db2.rangeJoinAdaptive("t", ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:59:59"), other, Seq("key"))
+      j2.collect()
+      assert(!j2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      db2.close()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      prevAqeThresh match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    db.close()
+  }
+
   test("queryDeduped keeps latest row per key (PrimaryKeys intent)") {
     val db = freshDb()
     db.createTable("t")

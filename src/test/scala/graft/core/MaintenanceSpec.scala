@@ -28,6 +28,36 @@ class MaintenanceSpec extends SparkSuite {
     assert(db.table("b").count() === 1)
   }
 
+  test("tick surfaces sidecar inconsistency; autoRepairSidecars heals it in-pass") {
+    val root = Files.createTempDirectory("maintcons")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString))
+    db.createTable("t")
+    db.insertSeq("t", Seq(row("a", "2024-01-01 08:10:00"),
+      row("b", "2024-01-01 08:20:00")))
+    assert(db.sidecarsConsistent("t"))
+    // seed the insert partial-failure window: data landed, sidecar gone
+    val s = Files.walk(root.resolve("t/_stats"))
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(Files.delete(_))
+    finally s.close()
+    assert(!db.sidecarsConsistent("t"))
+
+    // detection-only mode: loudly counted, NOT repaired
+    val m = new Maintenance(db, () => Seq("t"))
+    m.tick()
+    assert(m.inconsistentSidecars === Seq("t"))
+    assert(!db.sidecarsConsistent("t"))
+
+    // repair mode: same detection, plus rebuild in the same pass
+    val m2 = new Maintenance(db, () => Seq("t"), autoRepairSidecars = true)
+    m2.tick()
+    assert(m2.inconsistentSidecars === Seq("t")) // it WAS inconsistent
+    assert(db.sidecarsConsistent("t"))
+    m2.tick()
+    assert(m2.inconsistentSidecars.isEmpty) // healed: next pass is clean
+    db.close()
+  }
+
   test("a throwing table doesn't kill the loop silently: counted, logged, recovers") {
     val db = new ChronoDB(spark,
       ChronoConfig(Files.createTempDirectory("maintfail").toString))

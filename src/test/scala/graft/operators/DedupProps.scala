@@ -115,4 +115,19 @@ object DedupProps extends Properties("dedup") {
     val allZero = (0L to n).forall(i => st.getOrElse(i, -1L) == 0L)
     st == ml && allZero && stRounds < mlRounds
   }
+
+  /** The adaptive default must label identically on BOTH of its paths:
+    * shallow inputs (min-label converges before the switch) and a deep
+    * chain (escalates to star contraction past switchDepth). */
+  property("adaptive CC == min-label labels on shallow and deep inputs") = {
+    import spark.implicits._
+    val shallow = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val deep = (0L until 24L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Seq(shallow, deep).forall { pairs =>
+      Dedup.connectedComponentsAdaptive(pairs)
+        .as[(Long, Long)].collect().toMap ==
+        Dedup.connectedComponents(pairs, maxIter = 64)
+          .as[(Long, Long)].collect().toMap
+    }
+  }
 }

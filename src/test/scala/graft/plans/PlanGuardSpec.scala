@@ -115,6 +115,23 @@ class PlanGuardSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d3g: centroid/probe/candidate sides all broadcast; float corpus never shuffles") {
+    val p = plan("d3g_similarity_ivf_int8")
+    // centroid set reaches assignment/probing as a single-row broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid-array broadcast join missing:\n$p")
+    // probes join the coded corpus broadcast, and the rescore joins the
+    // survivor set + query floats broadcast into the float scan — the
+    // corpus (codes or floats) must never be the shuffled side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"probe/candidate/query-float broadcasts missing:\n$p")
+    // both ranking windows (in-cell candidate rank, final top-k) must
+    // engage partial+final WindowGroupLimit
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4,
+      s"candidate/final rankings should partial+final group-limit:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d3c: corpus assignment is map-only; ranking group-limits before exchange") {
     val p = plan("d3c_similarity_ivf")
     // centroid array arrives via broadcast nested-loop (single-row build
