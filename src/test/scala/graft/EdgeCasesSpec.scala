@@ -89,4 +89,25 @@ class EdgeCasesSpec extends SparkSuite {
     assert(db.query("t", ts("2024-01-02 00:00:00"),
       ts("2024-01-01 00:00:00")).count() === 0)
   }
+
+  test("empty insert batch through the observe-based sidecar path") {
+    // an all-TTL-dropped (or simply empty) batch must write no sidecar
+    // rows, leave the table consistent, and not hang on the observed
+    // metric (the write job still runs, with zero rows through it)
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(java.nio.file.Files
+        .createTempDirectory("edgeempty").toString, ttl = Some(3600L)))
+    db.createTable("t")
+    db.insertSeq("t", Seq.empty)
+    assert(db.sidecarsConsistent("t"))
+    assert(db.table("t").count() === 0)
+    // insert whose every row is older than TTL → dropped at the gate
+    db.insertSeq("t", Seq(graft.core.ChronoRow("k",
+      ts("2024-01-01 00:00:00"), Array[Byte](1))), ts("2024-06-01 00:00:00"))
+    assert(db.table("t").count() === 0)
+    assert(db.sidecarsConsistent("t"))
+    assert(db.approxDistinctKeys("t",
+      ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")) === 0L)
+    db.close()
+  }
 }
