@@ -52,7 +52,11 @@ import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Tables}
   * seconds vs everything else (micro-batch planning, offset commits,
   * stream startup) — so a regression in the insert path can't hide
   * inside harness noise, and the batch-vs-sink throughput gap is
-  * attributable from the artifact alone.
+  * attributable from the artifact alone. A second sink point runs the
+  * SAME rows as one micro-batch: each micro-batch pays a fixed floor
+  * (one write job + one sidecar append + checkpoint commits), so
+  * sink throughput is a function of batch size, and the one-batch
+  * figure is the one that should approach the batch-insert rate.
   */
 object IngestBench {
 
@@ -139,24 +143,38 @@ object IngestBench {
       Files.move(part.toPath, landing.resolve(f"batch$i%03d.parquet"))
       rmr(landing.resolve(s"b$i"))
     }
-    val sinkDir = freshDir()
-    val cp = freshDir()
-    val sinkDb = new ChronoDB(spark, cfg(sinkDir, sketches = true))
-    val sinkMetrics = new graft.streaming.Streams.SinkMetrics
-    val sinkSec =
-      try {
-        sinkDb.createTable("events")
-        val src = spark.readStream
-          .schema("key STRING, ts TIMESTAMP, data BINARY")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(landing.toString)
-        val t0 = System.nanoTime()
-        val q = graft.streaming.Streams.chronoSink(src, sinkDb, "events",
-          cp.toString, compactEvery = 2, trigger = Trigger.AvailableNow(),
-          metrics = Some(sinkMetrics)).start()
-        q.awaitTermination()
-        (System.nanoTime() - t0) / 1e9
-      } finally { sinkDb.close(); rmr(sinkDir); rmr(cp); rmr(landing) }
+    def runSink(filesPerTrigger: Option[Int]):
+        (Double, graft.streaming.Streams.SinkMetrics) = {
+      val sinkDir = freshDir()
+      val cp = freshDir()
+      val sinkDb = new ChronoDB(spark, cfg(sinkDir, sketches = true))
+      val m = new graft.streaming.Streams.SinkMetrics
+      val sec =
+        try {
+          sinkDb.createTable("events")
+          val base = spark.readStream
+            .schema("key STRING, ts TIMESTAMP, data BINARY")
+          val src = filesPerTrigger
+            .fold(base)(n => base.option("maxFilesPerTrigger", n))
+            .parquet(landing.toString)
+          val t0 = System.nanoTime()
+          val q = graft.streaming.Streams.chronoSink(src, sinkDb, "events",
+            cp.toString, compactEvery = 2, trigger = Trigger.AvailableNow(),
+            metrics = Some(m)).start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        } finally { sinkDb.close(); rmr(sinkDir); rmr(cp) }
+      (sec, m)
+    }
+    // two sink points over the SAME staged landing: 4 micro-batches
+    // (25k rows each — the per-batch floor charged 4×, plus two inline
+    // maintenance passes) vs ONE micro-batch of the full 100k (floor
+    // charged once). The spread between their foreachBatch-only rows/s
+    // is the micro-batch floor made visible; the one-batch figure is
+    // the one comparable to the batch-insert throughput above.
+    val (sinkSec, sinkMetrics) = runSink(Some(1))
+    val (sink1Sec, sink1Metrics) = runSink(None)
+    rmr(landing)
 
     base.unpersist()
     big.unpersist()
@@ -164,6 +182,13 @@ object IngestBench {
     def med(xs: Seq[Double]): Double = xs.sorted.apply(1)
     def pct(on: Seq[Double], off: Seq[Double]): Double =
       (med(on) - med(off)) / med(off) * 100.0
+    // the min-of-3 overhead is the contention-robust reading (same
+    // rationale as queries_min): on a loaded box the median of a
+    // sub-second insert inflates by scheduling noise larger than the
+    // sidecar work itself (observed 26% idle vs 63% at load ~4 for the
+    // SAME build — raw arrays carry the evidence)
+    def pctMin(on: Seq[Double], off: Seq[Double]): Double =
+      (on.min - off.min) / off.min * 100.0
     def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     // sink breakdown: insert = foreachBatch ChronoDB.insert wall-clock,
     // maint = inline compact+cleanup, harness = stream startup +
@@ -175,15 +200,21 @@ object IngestBench {
       s""""insert_raw":${arr(withSketch)},"insert_rows_per_sec":${n / med(withSketch)},""" +
       s""""insert_nosketch_sec":${med(noSketch)},"insert_nosketch_raw":${arr(noSketch)},""" +
       s""""sidecar_overhead_pct":${pct(withSketch, noSketch)},""" +
+      s""""sidecar_overhead_min_pct":${pctMin(withSketch, noSketch)},""" +
       s""""rows_large":$nBig,"insert_large_sec":${med(withSketchBig)},""" +
       s""""insert_large_raw":${arr(withSketchBig)},""" +
       s""""insert_large_rows_per_sec":${nBig / med(withSketchBig)},""" +
       s""""insert_large_nosketch_sec":${med(noSketchBig)},""" +
       s""""insert_large_nosketch_raw":${arr(noSketchBig)},""" +
       s""""sidecar_overhead_large_pct":${pct(withSketchBig, noSketchBig)},""" +
+      s""""sidecar_overhead_large_min_pct":${pctMin(withSketchBig, noSketchBig)},""" +
       s""""sink_sec":$sinkSec,"sink_rows_per_sec":${n / sinkSec},"sink_batches":${sinkMetrics.batches.get()},""" +
       s""""sink_insert_sec":$sinkInsert,"sink_maint_sec":$sinkMaint,""" +
       s""""sink_harness_sec":$sinkHarness,""" +
-      s""""sink_foreachbatch_rows_per_sec":${n / sinkInsert}}"""
+      s""""sink_foreachbatch_rows_per_sec":${n / sinkInsert},""" +
+      s""""sink1_sec":$sink1Sec,"sink1_batches":${sink1Metrics.batches.get()},""" +
+      s""""sink1_insert_sec":${sink1Metrics.insertSec},""" +
+      s""""sink1_maint_sec":${sink1Metrics.maintSec},""" +
+      s""""sink1_foreachbatch_rows_per_sec":${n / sink1Metrics.insertSec}}"""
   }
 }
