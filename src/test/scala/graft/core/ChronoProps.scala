@@ -78,6 +78,38 @@ object ChronoProps extends Properties("chrono") {
     }
   }
 
+  /** The observe-built sidecar must satisfy three invariants under ANY
+    * insert split: (1) the consistency anchors hold (per-bucket n and
+    * CMS depth-0 mass equal the data's counts — the check the insert
+    * partial-failure detector relies on); (2) the sketch answer is
+    * insert-split-INVARIANT (per-batch rows merge losslessly, the
+    * memtable-transparency argument applied to stats); (3) at fixture
+    * cardinality (≤ 30 distinct short keys) the lgK=12 HLL is still in
+    * its exact sparse regime, so the range-distinct answer must EQUAL
+    * the brute-force distinct count over the bucket-widened range. */
+  property("sidecar invariants: consistent, split-invariant, exact at small cardinality") =
+    forAll(genRows, Gen.choose(0, 30), genRange) {
+      case (rows, splitAt, (s, e)) =>
+        val db1 = new ChronoDB(spark,
+          ChronoConfig(Files.createTempDirectory("prop3a").toString))
+        val db2 = new ChronoDB(spark,
+          ChronoConfig(Files.createTempDirectory("prop3b").toString))
+        db1.createTable("t"); db2.createTable("t")
+        db1.insertSeq("t", rows)
+        val (h, t2) = rows.splitAt(math.min(splitAt, rows.length))
+        if (h.nonEmpty) db2.insertSeq("t", h)
+        if (t2.nonEmpty) db2.insertSeq("t", t2)
+        // approxDistinctKeys widens to whole UTC-hour buckets; the
+        // brute-force twin floors instants to UTC hours (no-DST zone, so
+        // label arithmetic == epoch-hour arithmetic)
+        def hb(t: Timestamp) = Math.floorDiv(t.getTime, 3600000L)
+        val exact = rows.filter(r => hb(r.ts) >= hb(s) && hb(r.ts) <= hb(e))
+          .map(_.key).distinct.size.toLong
+        db1.sidecarsConsistent("t") && db2.sidecarsConsistent("t") &&
+          db1.approxDistinctKeys("t", s, e) == exact &&
+          db2.approxDistinctKeys("t", s, e) == exact
+    }
+
   property("flush transparency: one insert == split inserts") =
     forAll(genRows, Gen.choose(0, 30), genRange) {
       case (rows, splitAt, (s, e)) =>
