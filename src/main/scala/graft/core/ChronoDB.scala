@@ -767,6 +767,27 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * sidecar covers every data bucket with the right count in every
     * enabled family — false means estimates may silently under-count
     * and [[rebuildSidecars]] should run. */
+  /** METADATA-ONLY sidecar coverage check: data buckets (directory
+    * names — no data files read) with no sidecar row at all. Catches
+    * the coarse insert partial-failure shapes — sidecar never written,
+    * or a brand-new bucket's stats lost — at directory-listing cost,
+    * so a maintenance ticker can afford it EVERY pass at any table
+    * size. What it cannot see is count drift inside an already-covered
+    * bucket (a lost append for a bucket older batches already wrote);
+    * that needs the full [[sidecarsConsistent]] scan, which the ticker
+    * runs on a slower cadence (Maintenance.fullCheckEvery). */
+  def sidecarCoverageGaps(name: String): Seq[String] = {
+    requireTable(name)
+    if (!sketching) return Seq.empty
+    val dataBuckets = listBuckets(name)
+    if (dataBuckets.isEmpty) return Seq.empty
+    recoverSidecar(statsPath(name))
+    if (!Files.exists(statsPath(name))) return dataBuckets.sorted
+    val covered = spark.read.parquet(statsPath(name).toString)
+      .select(col("bucket")).distinct().collect().map(_.getString(0)).toSet
+    dataBuckets.filterNot(covered).sorted
+  }
+
   def sidecarsConsistent(name: String): Boolean = {
     requireTable(name)
     if (!sketching) return true

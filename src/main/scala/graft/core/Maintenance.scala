@@ -12,36 +12,54 @@ import scala.util.control.NonFatal
   * [[start]] provides the reference's ticker behavior for embedded use.
   * On a real cluster these run as scheduled batch jobs instead. */
 final class Maintenance(db: ChronoDB, tables: () => Seq[String],
-    autoRepairSidecars: Boolean = false) {
+    autoRepairSidecars: Boolean = false, fullCheckEvery: Int = 8) {
+
+  require(fullCheckEvery >= 1, "fullCheckEvery must be >= 1")
 
   /** One maintenance pass over all tables: compact over-fragmented
     * buckets, drop expired buckets, then VERIFY the sketch sidecars
     * against the data (the insert partial-failure window — data landed,
     * sidecar write crashed — is otherwise only surfaced if an operator
-    * knows to call [[ChronoDB.sidecarsConsistent]] by hand). An
-    * inconsistent table is loudly logged and counted; with
-    * `autoRepairSidecars` it is also rebuilt from the data in the same
-    * pass ([[ChronoDB.rebuildSidecars]] — after which consistency holds
-    * by construction). Returns (compacted, droppedBuckets) counts. */
+    * knows to call [[ChronoDB.sidecarsConsistent]] by hand).
+    *
+    * The check is TIERED for scale: the metadata-only
+    * [[ChronoDB.sidecarCoverageGaps]] (directory listing vs sidecar
+    * rows — catches sidecar-never-written and new-bucket loss) runs
+    * EVERY pass, while the full count-anchor scan
+    * ([[ChronoDB.sidecarsConsistent]], data-proportional) runs every
+    * `fullCheckEvery`-th pass — a ticker on a 100 TB table must not be
+    * a periodic full scan. An inconsistent table is loudly logged and
+    * counted; with `autoRepairSidecars` it is also rebuilt from the
+    * data in the same pass ([[ChronoDB.rebuildSidecars]] — after which
+    * consistency holds by construction). Returns (compacted,
+    * droppedBuckets) counts. */
   def tick(now: Timestamp = new Timestamp(System.currentTimeMillis())): (Int, Int) = {
     var compacted = 0
     var dropped = 0
+    val tickNo = ticks.incrementAndGet()
+    val fullCheck = tickNo % fullCheckEvery == 0
     val bad = Seq.newBuilder[String]
     tables().foreach { t =>
       compacted += db.compact(t)
       dropped += db.cleanup(t, now).size
-      if (!db.sidecarsConsistent(t)) {
+      val gaps = db.sidecarCoverageGaps(t)
+      val inconsistent =
+        gaps.nonEmpty || (fullCheck && !db.sidecarsConsistent(t))
+      if (inconsistent) {
         bad += t
+        val how =
+          if (gaps.nonEmpty) s"uncovered buckets: ${gaps.mkString(", ")}"
+          else "count anchors drifted (full check)"
         if (autoRepairSidecars) {
           db.rebuildSidecars(t)
           System.err.println(
             s"[graft-maintenance] sidecars for '$t' were inconsistent " +
-              "with the data (insert partial failure?) — rebuilt")
+              s"with the data ($how; insert partial failure?) — rebuilt")
         } else {
           System.err.println(
             s"[graft-maintenance] sidecars for '$t' are INCONSISTENT " +
-              "with the data (insert partial failure?) — range estimates " +
-              "may under-count; run rebuildSidecars or enable " +
+              s"with the data ($how; insert partial failure?) — range " +
+              "estimates may under-count; run rebuildSidecars or enable " +
               "autoRepairSidecars")
         }
       }
@@ -49,6 +67,8 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
     lastInconsistent = bad.result()
     (compacted, dropped)
   }
+
+  private val ticks = new AtomicInteger(0)
 
   @volatile private var lastInconsistent: Seq[String] = Seq.empty
 

@@ -58,6 +58,30 @@ class MaintenanceSpec extends SparkSuite {
     db.close()
   }
 
+  test("tiered check: count drift is invisible to the quick pass, caught on the full-check tick") {
+    val root = Files.createTempDirectory("mainttier")
+    val db = new ChronoDB(spark, ChronoConfig(root.toString))
+    db.createTable("t")
+    // two batches into the SAME bucket → two sidecar files; deleting one
+    // leaves the bucket covered (quick check blind) but its n drifted
+    db.insertSeq("t", Seq(row("a", "2024-01-01 08:10:00")))
+    db.insertSeq("t", Seq(row("b", "2024-01-01 08:20:00")))
+    val files = Files.list(root.resolve("t/_stats"))
+      .filter(_.toString.endsWith(".parquet")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+    assert(files.length >= 2)
+    Files.delete(files.head)
+    assert(db.sidecarCoverageGaps("t").isEmpty) // covered, hence quick-blind
+    assert(!db.sidecarsConsistent("t"))         // but anchors drifted
+
+    val m = new Maintenance(db, () => Seq("t"), fullCheckEvery = 2)
+    m.tick()                                    // tick 1: quick only
+    assert(m.inconsistentSidecars.isEmpty)
+    m.tick()                                    // tick 2: full check fires
+    assert(m.inconsistentSidecars === Seq("t"))
+    db.close()
+  }
+
   test("a throwing table doesn't kill the loop silently: counted, logged, recovers") {
     val db = new ChronoDB(spark,
       ChronoConfig(Files.createTempDirectory("maintfail").toString))
