@@ -579,6 +579,80 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D20: the `_colstats` histogram sidecar end-to-end — events land in
+    * a day-bucketed ChronoDB table, rebuildColStats persists one
+    * 16-cell equi-depth ts histogram per bucket, and range-cardinality
+    * ESTIMATES are then answered from those kilobytes alone (the
+    * optimizer loop rangeJoinAdaptive consumes). Self-validating (d19
+    * pattern — interpolated boundaries at epoch-µs magnitude cannot be
+    * replicated bit-exactly cross-engine, so raw estimates stay out of
+    * the hashed output): per probe range the query emits the EXACT row
+    * count (oracle-hash-matched) plus two verdicts the oracle requires
+    * TRUE —
+    *  (a) `aligned_exact`: for bucket-ALIGNED ranges every histogram
+    *      cell is fully contained, so the estimate must equal the
+    *      exact count EXACTLY (integer-valued doubles sum exactly in
+    *      any order — no tolerance needed);
+    *  (b) `bound_ok`: for unaligned ranges the estimate's error is
+    *      bounded by the total `n` of the straddling cells — the
+    *      classic equi-depth guarantee (ChronoDBSpec asserts the same
+    *      bound on fixtures; this promotes it to the driver gate on
+    *      real data).
+    */
+  def colStatsEstimateQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d20_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0))
+    try {
+      db.createTable("ev")
+      val ev = t(spark, dir, "events")
+      db.insert("ev", ev.select(col("user_id").cast("string").as("key"),
+        col("ts"), encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      db.rebuildColStats("ev", nHist = 16)
+      val probes = Seq(
+        (1L, "2024-01-05 00:00:00", "2024-01-11 23:59:59.999999", true),
+        (2L, "2024-01-01 00:00:00", "2024-01-31 23:59:59.999999", true),
+        (3L, "2024-01-03 07:20:00", "2024-01-17 18:40:00", false),
+        (4L, "2024-01-10 12:34:56.789012", "2024-01-12 01:23:45.678901", false))
+        .toDF("range_id", "s", "e", "aligned")
+        .select(col("range_id"), col("aligned"),
+          unix_micros(to_timestamp(col("s"))).as("qlo"),
+          unix_micros(to_timestamp(col("e"))).as("qhi"))
+      // estimate + straddle mass straight from the persisted sidecar —
+      // same interpolation as ChronoDB.estimateRowsInRange, columnar
+      // over all probes at once; the sidecar is KBs, the probe table is
+      // 4 rows, so the whole estimation stage never touches data files
+      val est = db.colStats("ev").crossJoin(broadcast(probes))
+        .withColumn("contrib",
+          when(col("hi") < col("qlo") || col("lo") > col("qhi"), lit(0.0))
+            .when(col("lo") >= col("qlo") && col("hi") <= col("qhi"),
+              col("n").cast("double"))
+            .otherwise(col("n").cast("double") *
+              (least(col("hi"), col("qhi")) - greatest(col("lo"), col("qlo")))
+                .cast("double") /
+              greatest(col("hi") - col("lo"), lit(1L)).cast("double")))
+        .withColumn("straddle",
+          when(col("hi") < col("qlo") || col("lo") > col("qhi") ||
+            (col("lo") >= col("qlo") && col("hi") <= col("qhi")), lit(0L))
+            .otherwise(col("n")))
+        .groupBy(col("range_id"), col("aligned"))
+        .agg(sum(col("contrib")).as("est"), sum(col("straddle")).as("slack"))
+      val exact = ev.crossJoin(broadcast(probes.select(col("range_id"),
+          col("qlo"), col("qhi"))))
+        .filter(unix_micros(col("ts")).between(col("qlo"), col("qhi")))
+        .groupBy(col("range_id")).agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("range_id"))
+        .select(col("range_id"), col("n_exact"),
+          (!col("aligned") || col("est") === col("n_exact").cast("double"))
+            .as("aligned_exact"),
+          (abs(col("est") - col("n_exact").cast("double")) <=
+            col("slack").cast("double")).as("bound_ok"))
+        .orderBy(col("range_id"))
+    } finally db.close()
+  }
+
   /** D11: deterministic corpus shuffle — the seeded global permutation
     * a pretraining run applies before batching; one range-partitioned
     * sort, reproducible across reruns and engines. */
@@ -1477,6 +1551,27 @@ object NorthStarQueries {
         |FROM h JOIN est ON h.key = est.key
         |WHERE CAST(h.key AS BIGINT) < 20
         |ORDER BY h.key""".stripMargin)),
+    QueryDef("d20_colstats_estimate", colStatsEstimateQ, Some(
+      // exact per-range anchors in SQL; the estimate verdicts (aligned
+      // ranges exactly equal, unaligned within the straddling-cell
+      // bound) are validated in-query — interpolated boundaries at
+      // epoch-µs magnitude are not bit-replicable cross-engine, the
+      // verdicts are
+      """WITH p(range_id, qlo, qhi) AS (VALUES
+        | (1, epoch_us(TIMESTAMP '2024-01-05 00:00:00'),
+        |     epoch_us(TIMESTAMP '2024-01-11 23:59:59.999999')),
+        | (2, epoch_us(TIMESTAMP '2024-01-01 00:00:00'),
+        |     epoch_us(TIMESTAMP '2024-01-31 23:59:59.999999')),
+        | (3, epoch_us(TIMESTAMP '2024-01-03 07:20:00'),
+        |     epoch_us(TIMESTAMP '2024-01-17 18:40:00')),
+        | (4, epoch_us(TIMESTAMP '2024-01-10 12:34:56.789012'),
+        |     epoch_us(TIMESTAMP '2024-01-12 01:23:45.678901')))
+        |SELECT CAST(p.range_id AS BIGINT) AS range_id,
+        |       CAST(count(e.ts) AS BIGINT) AS n_exact,
+        |       TRUE AS aligned_exact, TRUE AS bound_ok
+        |FROM p LEFT JOIN events e
+        |  ON epoch_ns(e.ts) // 1000 BETWEEN p.qlo AND p.qhi
+        |GROUP BY p.range_id ORDER BY range_id""".stripMargin)),
     QueryDef("d19_bucket_sketch_distinct", bucketSketchDistinctQ, Some(
       // exact weekly anchors in SQL; the sketch-merge estimate and its
       // tolerance verdict are validated in-query (q22 pattern) — HLL
