@@ -28,7 +28,14 @@ final case class ChronoConfig(
     writersPerBucket: Int = 4,         // parallel insert writers per hot bucket
     sketchLgK: Int = 12,               // per-bucket HLL key sketches (0 disables)
     sketchCmsDepth: Int = 4,           // per-bucket Count-Min key counters (0 disables)
-    sketchCmsWidth: Int = 1024)        // CMS width (counters per row)
+    sketchCmsWidth: Int = 1024,        // CMS width (counters per row)
+    sketchBloomKeys: Long = 4096L,     // per-bucket key Bloom filters, expected
+                                       // distinct keys per bucket-batch (0 disables).
+                                       // Oversubscription only degrades the false-
+                                       // positive rate (weaker pruning), NEVER
+                                       // correctness — a Bloom filter has no false
+                                       // negatives at any fill level.
+    sketchBloomFpp: Double = 0.03)     // Bloom false-positive rate at sized fill
 
 /** Table statistics — reference GetStats (table.go:390-414). */
 final case class TableStats(
@@ -197,7 +204,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val writable = obs match {
       case Some(o) => salted.observe(o,
         graft.functions.SketchAggs.bucketStats(col("bucket"), col("key"),
-          config.sketchLgK, config.sketchCmsDepth, config.sketchCmsWidth)
+          config.sketchLgK, config.sketchCmsDepth, config.sketchCmsWidth,
+          config.sketchBloomKeys, config.sketchBloomFpp)
           .as("stats"))
       case None => salted
     }
@@ -248,7 +256,20 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     org.apache.spark.sql.types.StructField("counters",
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.LongType, containsNull = false),
-      nullable = true)))
+      nullable = true),
+    org.apache.spark.sql.types.StructField("key_min",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("key_max",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("bloom",
+      org.apache.spark.sql.types.BinaryType, nullable = true)))
+
+  /** `_stats` read with the EXPLICIT sidecar schema: files written
+    * before a family existed (e.g. pre-bloom sidecars) read their
+    * missing columns as null, which every fold/consumer treats as
+    * "coverage unknown" — never as an empty sketch. */
+  private def readSidecar(name: String): DataFrame =
+    spark.read.schema(sidecarSchema).parquet(statsPath(name).toString)
 
   /** The fused per-bucket sidecar aggregation — the GROUPED form, used
     * by [[rebuildSidecars]] (repair recomputes from landed data, where
@@ -273,7 +294,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (config.sketchCmsDepth > 0)
       graft.functions.SketchAggs.cmsDense(col("key"),
         config.sketchCmsDepth, config.sketchCmsWidth).as("counters")
-    else lit(null).cast("array<bigint>").as("counters"))
+    else lit(null).cast("array<bigint>").as("counters"),
+    min(col("key")).as("key_min"),
+    max(col("key")).as("key_max"),
+    if (config.sketchBloomKeys > 0)
+      graft.functions.SketchAggs.bloomBuild(col("key"),
+        config.sketchBloomKeys, config.sketchBloomFpp).as("bloom")
+    else lit(null).cast("binary").as("bloom"))
 
   def insertSeq(name: String, rows: Seq[ChronoRow],
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit =
@@ -339,6 +366,74 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** Point lookup by key — the Spark-native re-expression of the
+    * reference's per-tablet KEY index (index.go:23-60 persists
+    * per-block lastKeys; findBlockForKey, index.go:231-238, binary-
+    * searches them so a key lookup touches one block). Here the index
+    * is the `_stats` sidecar's per-bucket (key_min, key_max, Bloom)
+    * family: the driver folds the KB-scale sidecar, keeps only buckets
+    * whose Bloom filter MAY contain the key (plus any bucket the
+    * sidecar does not cover — the insert crash window must never be
+    * pruned), and scans only those partition dirs. Inside the surviving
+    * files, the pushed `key = x` predicate skips row groups via parquet
+    * column stats — the within-file analog of the reference's block
+    * seek (files are (ts, key)-clustered at write).
+    *
+    * At 100 TB: a key that appears in a handful of hours reads a
+    * handful of partition dirs instead of the full table — the same
+    * file-granularity skip [[query]] gets from time, extended to the
+    * key dimension. False positives cost only extra scanned buckets;
+    * false negatives cannot occur (Bloom property, and null/absent
+    * sidecar coverage disables pruning for that bucket rather than
+    * guessing). Returns (key, ts, data); compose `.filter` on ts for a
+    * key+time lookup. */
+  def queryKey(name: String, key: String): DataFrame = {
+    requireTable(name)
+    val base = table(name)
+    val pruned = keyCandidateBuckets(name, key) match {
+      case Some(cand) => base.filter(col("bucket").isin(cand: _*))
+      case None => base // no usable index — correct, just unpruned
+    }
+    pruned.filter(col("key") === lit(key))
+      .select(col("key"), col("ts"), col("data"))
+  }
+
+  /** The buckets that may contain `key`, from the sidecar alone — or
+    * None when no pruning decision can be made (bloom family disabled,
+    * or no sidecar on disk). Driver-side by design: the folded sidecar
+    * is one KB-scale row per bucket (the same size class
+    * [[estimateRowsInRange]] collects), and the output feeds a
+    * partition-column `isin` that Spark turns into directory pruning.
+    * Buckets with data but NO sidecar coverage (the insert
+    * partial-failure window [[sidecarCoverageGaps]] detects) are always
+    * candidates — pruning them would turn a stats gap into a wrong
+    * answer. */
+  private def keyCandidateBuckets(name: String, key: String): Option[Seq[String]] = {
+    if (config.sketchBloomKeys <= 0) return None
+    recoverSidecar(statsPath(name))
+    if (!Files.exists(statsPath(name))) return None
+    val ku = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+    val keyBytes = ku.getBytes
+    val folded = sidecarFold(name)
+      .select(col("bucket"), col("key_min"), col("key_max"), col("bloom"))
+      .collect()
+    val covered = folded.map(_.getString(0)).toSet
+    // UTF8String comparison, not java.lang.String: min/max in the
+    // sidecar are binary (UTF-8 byte) order, which diverges from UTF-16
+    // char order outside the BMP
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val maybe = folded.filter { r =>
+      val inRange = r.isNullAt(1) || r.isNullAt(2) ||
+        (ku.compareTo(u(r.getString(1))) >= 0 && ku.compareTo(u(r.getString(2))) <= 0)
+      val inBloom = r.isNullAt(3) ||
+        graft.functions.SketchAggs.bloomFromBytes(
+          r.getAs[Array[Byte]](3)).mightContainBinary(keyBytes)
+      inRange && inBloom
+    }.map(_.getString(0))
+    val gaps = listBuckets(name).filterNot(covered)
+    Some((maybe ++ gaps).toSeq.distinct.sorted)
   }
 
   // --- Maintenance (table.go:240-369, 517-552) ---
@@ -482,7 +577,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def statsPath(name: String): Path = tablePath(name).resolve("_stats")
 
   private def sketching: Boolean =
-    config.sketchLgK > 0 || config.sketchCmsDepth > 0
+    config.sketchLgK > 0 || config.sketchCmsDepth > 0 ||
+      config.sketchBloomKeys > 0
 
   /** The combined sidecar folded to ONE row per bucket — the exact
     * frame a fresh single-batch insert would have written: sketches
@@ -491,7 +587,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * [[sketchStats]]/[[cmsStats]] project their families out of it. */
   private def sidecarFold(name: String): DataFrame = {
     recoverSidecar(statsPath(name))
-    spark.read.parquet(statsPath(name).toString)
+    readSidecar(name)
       .groupBy(col("bucket"))
       .agg(
         (if (config.sketchLgK > 0)
@@ -500,7 +596,18 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         sum(col("n")).as("n"),
         (if (config.sketchCmsDepth > 0)
           graft.functions.SketchAggs.vecSum(col("counters"))
-        else first(col("counters"))).as("counters"))
+        else first(col("counters"))).as("counters"),
+        // min/max fold NULL-POISONS (unlike plain min, which skips
+        // nulls): a null key_min row is a batch with unknown key
+        // coverage (pre-bloom file), and skipping it would understate
+        // the bucket's true key range — same contract as bloomOr
+        when(max(col("key_min").isNull), lit(null).cast("string"))
+          .otherwise(min(col("key_min"))).as("key_min"),
+        when(max(col("key_max").isNull), lit(null).cast("string"))
+          .otherwise(max(col("key_max"))).as("key_max"),
+        (if (config.sketchBloomKeys > 0)
+          graft.functions.SketchAggs.bloomOr(col("bloom"))
+        else first(col("bloom"))).as("bloom"))
   }
 
   /** The per-bucket HLL key sketches, merged to one row per bucket
@@ -553,7 +660,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         lit(null).cast("long").as("bucket"),
         lit(null).cast("long").as("cnt"))
     val w = config.sketchCmsWidth
-    spark.read.parquet(statsPath(name).toString)
+    readSidecar(name)
       .filter(col("counters").isNotNull)
       .select(col("bucket").as("tbucket"),
         posexplode(col("counters")).as(Seq("pos", "cnt")))
@@ -783,7 +890,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (dataBuckets.isEmpty) return Seq.empty
     recoverSidecar(statsPath(name))
     if (!Files.exists(statsPath(name))) return dataBuckets.sorted
-    val covered = spark.read.parquet(statsPath(name).toString)
+    val covered = readSidecar(name)
       .select(col("bucket")).distinct().collect().map(_.getString(0)).toSet
     dataBuckets.filterNot(covered).sorted
   }

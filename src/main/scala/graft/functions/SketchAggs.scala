@@ -99,20 +99,55 @@ object SketchAggs {
     column(LongVectorSumAgg(expression(arr)).toAggregateExpression())
 
   /** `bucket_stats(bucket, key)` — the WHOLE per-bucket sidecar state
-    * (HLL key sketch, exact row count, dense CMS counters, keyed by
-    * bucket) as ONE global aggregate, so it can ride `Dataset.observe`
-    * on the ingest write itself: the data-write tasks fold their rows
-    * into per-task bucket maps, the accumulator protocol merges them,
-    * and the finished sidecar rows cost ZERO extra passes over the
-    * batch (the previous shape ran a second full-scan aggregation job
-    * per insert — the measured 50-75% ingest overhead was exactly that
-    * second pass). State is KBs per touched bucket per task, merged on
-    * the driver — the same size class as any observe metric.
-    * lgK = 0 / depth = 0 disable the respective family (null column). */
+    * (HLL key sketch, exact row count, dense CMS counters, key
+    * min/max, key Bloom filter, keyed by bucket) as ONE global
+    * aggregate, so it can ride `Dataset.observe` on the ingest write
+    * itself: the data-write tasks fold their rows into per-task bucket
+    * maps, the accumulator protocol merges them, and the finished
+    * sidecar rows cost ZERO extra passes over the batch (the previous
+    * shape ran a second full-scan aggregation job per insert — the
+    * measured 50-75% ingest overhead was exactly that second pass).
+    * State is KBs per touched bucket per task, merged on the driver —
+    * the same size class as any observe metric. lgK = 0 / depth = 0 /
+    * bloomKeys = 0 disable the respective family (null column). */
   def bucketStats(bucket: Column, key: Column,
-      lgK: Int, depth: Int, width: Int): Column =
+      lgK: Int, depth: Int, width: Int,
+      bloomKeys: Long = 0L, bloomFpp: Double = 0.03): Column =
     column(BucketStatsAgg(expression(bucket), expression(key),
-      lgK, depth, width).toAggregateExpression())
+      lgK, depth, width, bloomKeys, bloomFpp).toAggregateExpression())
+
+  /** `bloom_build(key)` — a Bloom filter over the group's non-null
+    * keys as serialized bytes ([[org.apache.spark.util.sketch
+    * .BloomFilter]], the same public codec Spark's own runtime-filter
+    * machinery speaks). The GROUPED twin of the bloom family inside
+    * [[BucketStatsAgg]]: identical (expectedKeys, fpp) sizing, so rows
+    * built from either path OR-merge via [[bloomOr]]. */
+  def bloomBuild(key: Column, expectedKeys: Long, fpp: Double): Column =
+    column(BloomBuildAgg(expression(key), expectedKeys, fpp)
+      .toAggregateExpression())
+
+  /** `bloom_or(bytes)` — fold of persisted Bloom filters by bitwise OR
+    * (Bloom union is exact: the union filter answers mightContain for
+    * every key either input covered). NULL-POISONING, not null-skipping
+    * like [[vecSum]]: a null input row means a batch whose keys are NOT
+    * covered (a pre-bloom sidecar file, or a disabled-family insert),
+    * so the fold must yield null — "coverage unknown" — rather than a
+    * filter that would falsely prune that batch's keys. Incompatible
+    * sizes (config changed between batches) poison the same way. */
+  def bloomOr(bytes: Column): Column =
+    column(BloomOrAgg(expression(bytes)).toAggregateExpression())
+
+  def bloomToBytes(
+      bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  def bloomFromBytes(
+      bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
 }
 
 /** NULL-key rows are SKIPPED (no cell incremented) — the aggregate-
@@ -191,7 +226,10 @@ case class CmsDenseAgg(
 final class BucketState(
     var n: Long,
     var hll: HllSketch,        // null when lgK == 0
-    val counters: Array[Long]) // null when depth == 0
+    val counters: Array[Long], // null when depth == 0
+    var keyMin: UTF8String = null, // binary-min non-null key seen
+    var keyMax: UTF8String = null,
+    var bloom: org.apache.spark.util.sketch.BloomFilter = null) // null when bloomKeys == 0
 
 /** Per-bucket (HLL sketch, row count, dense CMS counters) as a single
   * GLOBAL aggregate over (bucket, key) — the observe-able form of the
@@ -209,7 +247,13 @@ final class BucketState(
   *    consistency anchor;
   *  - CMS skips null keys (the CmsDenseAgg convention; anchor is
   *    count(key)) but COUNTS empty strings, same cells via
-  *    [[NativeExpressions.portableTokenHash]].
+  *    [[NativeExpressions.portableTokenHash]];
+  *  - key_min/key_max are binary min/max over NON-NULL keys (the
+  *    min(key)/max(key) convention — null only when the bucket saw no
+  *    non-null key, in which case there is no key to mis-prune);
+  *  - the Bloom family mirrors [[BloomBuildAgg]]: putBinary of the
+  *    key's UTF-8 bytes into a (bloomKeys, bloomFpp)-sized
+  *    [[org.apache.spark.util.sketch.BloomFilter]], null keys skipped.
   * Null buckets are ignored (a ChronoDB batch always has a bucket).
   */
 case class BucketStatsAgg(
@@ -218,6 +262,8 @@ case class BucketStatsAgg(
     lgK: Int,
     depth: Int,
     width: Int,
+    bloomKeys: Long = 0L,
+    bloomFpp: Double = 0.03,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[
@@ -228,6 +274,9 @@ case class BucketStatsAgg(
     s"bucket_stats: lgK out of range: $lgK")
   require(depth >= 0 && depth <= 16, s"bucket_stats: depth out of range: $depth")
   require(depth == 0 || width >= 2, s"bucket_stats: width out of range: $width")
+  require(bloomKeys >= 0L, s"bucket_stats: bloomKeys out of range: $bloomKeys")
+  require(bloomKeys == 0L || (bloomFpp > 0.0 && bloomFpp < 1.0),
+    s"bucket_stats: bloomFpp out of range: $bloomFpp")
 
   override def left: Expression = bucket
   override def right: Expression = key
@@ -245,7 +294,10 @@ case class BucketStatsAgg(
 
   private def newState(): BucketState = new BucketState(0L,
     if (lgK > 0) new HllSketch(lgK, TgtHllType.HLL_8) else null,
-    if (depth > 0) new Array[Long](depth * width) else null)
+    if (depth > 0) new Array[Long](depth * width) else null,
+    bloom = if (bloomKeys > 0L)
+      org.apache.spark.util.sketch.BloomFilter.create(bloomKeys, bloomFpp)
+    else null)
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val b = bucket.eval(input)
@@ -266,6 +318,13 @@ case class BucketStatsAgg(
       if (k != null) {
         val ku = k.asInstanceOf[UTF8String]
         if (st.hll != null && ku.numBytes() > 0) st.hll.update(ku.getBytes)
+        // min/max and bloom read the live (possibly buffer-aliased)
+        // reference; clone only when the state actually keeps it
+        if (st.keyMin == null || ku.compareTo(st.keyMin) < 0)
+          st.keyMin = ku.clone()
+        if (st.keyMax == null || ku.compareTo(st.keyMax) > 0)
+          st.keyMax = ku.clone()
+        if (st.bloom != null) st.bloom.putBinary(ku.getBytes)
         if (st.counters != null) {
           val h = NativeExpressions.portableTokenHash(ku.toString)
           val h1 = h >>> 31
@@ -299,6 +358,14 @@ case class BucketStatsAgg(
               s.counters(i) += o.counters(i); i += 1
             }
           }
+          // `o`'s strings are owned by its (discarded) buffer — safe to adopt
+          if (o.keyMin != null &&
+              (s.keyMin == null || o.keyMin.compareTo(s.keyMin) < 0))
+            s.keyMin = o.keyMin
+          if (o.keyMax != null &&
+              (s.keyMax == null || o.keyMax.compareTo(s.keyMax) > 0))
+            s.keyMax = o.keyMax
+          if (s.bloom != null && o.bloom != null) s.bloom.mergeInPlace(o.bloom)
       }
     }
     buf
@@ -310,7 +377,10 @@ case class BucketStatsAgg(
         b,
         if (st.hll == null) null else st.hll.toUpdatableByteArray,
         st.n,
-        if (st.counters == null) null else new GenericArrayData(st.counters)))
+        if (st.counters == null) null else new GenericArrayData(st.counters),
+        st.keyMin,
+        st.keyMax,
+        if (st.bloom == null) null else SketchAggs.bloomToBytes(st.bloom)))
     }
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
@@ -320,43 +390,49 @@ case class BucketStatsAgg(
       (b.getBytes,
         if (st.hll == null) null else st.hll.toUpdatableByteArray,
         st.n,
-        if (st.counters == null) null else SketchAggs.serializeVec(st.counters))
+        if (st.counters == null) null else SketchAggs.serializeVec(st.counters),
+        if (st.keyMin == null) null else st.keyMin.getBytes,
+        if (st.keyMax == null) null else st.keyMax.getBytes,
+        if (st.bloom == null) null else SketchAggs.bloomToBytes(st.bloom))
     }
-    val size = 4 + entries.map { case (bb, hb, _, cb) =>
-      4 + bb.length + 8 + 4 + (if (hb == null) 0 else hb.length) +
-        4 + (if (cb == null) 0 else cb.length)
+    def optLen(a: Array[Byte]): Int = 4 + (if (a == null) 0 else a.length)
+    val size = 4 + entries.map { case (bb, hb, _, cb, mnb, mxb, blb) =>
+      4 + bb.length + 8 + optLen(hb) + optLen(cb) +
+        optLen(mnb) + optLen(mxb) + optLen(blb)
     }.sum
     val bb = ByteBuffer.allocate(size)
+    def putOpt(a: Array[Byte]): Unit =
+      if (a == null) bb.putInt(-1) else { bb.putInt(a.length); bb.put(a) }
     bb.putInt(entries.length)
-    entries.foreach { case (bk, hb, n, cb) =>
+    entries.foreach { case (bk, hb, n, cb, mnb, mxb, blb) =>
       bb.putInt(bk.length).put(bk)
       bb.putLong(n)
-      if (hb == null) bb.putInt(-1) else { bb.putInt(hb.length); bb.put(hb) }
-      if (cb == null) bb.putInt(-1) else { bb.putInt(cb.length); bb.put(cb) }
+      putOpt(hb); putOpt(cb); putOpt(mnb); putOpt(mxb); putOpt(blb)
     }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
+    def getOpt(): Array[Byte] = {
+      val len = bb.getInt()
+      if (len < 0) null else { val a = new Array[Byte](len); bb.get(a); a }
+    }
     val buf = new Buf
     val n = bb.getInt()
     var i = 0
     while (i < n) {
       val bk = new Array[Byte](bb.getInt()); bb.get(bk)
       val cnt = bb.getLong()
-      val hLen = bb.getInt()
-      val hll =
-        if (hLen < 0) null
-        else { val hb = new Array[Byte](hLen); bb.get(hb); HllSketch.heapify(hb) }
-      val cLen = bb.getInt()
-      val counters =
-        if (cLen < 0) null
-        else {
-          val cb = new Array[Byte](cLen); bb.get(cb)
-          SketchAggs.deserializeVec(cb)
-        }
-      buf.put(UTF8String.fromBytes(bk), new BucketState(cnt, hll, counters))
+      val hb = getOpt()
+      val hll = if (hb == null) null else HllSketch.heapify(hb)
+      val cb = getOpt()
+      val counters = if (cb == null) null else SketchAggs.deserializeVec(cb)
+      val mnb = getOpt(); val mxb = getOpt(); val blb = getOpt()
+      buf.put(UTF8String.fromBytes(bk), new BucketState(cnt, hll, counters,
+        if (mnb == null) null else UTF8String.fromBytes(mnb),
+        if (mxb == null) null else UTF8String.fromBytes(mxb),
+        if (blb == null) null else SketchAggs.bloomFromBytes(blb)))
       i += 1
     }
     buf
@@ -367,7 +443,10 @@ case class BucketStatsAgg(
     StructField("sketch", BinaryType, nullable = true),
     StructField("n", LongType, nullable = false),
     StructField("counters", ArrayType(LongType, containsNull = false),
-      nullable = true))), containsNull = false)
+      nullable = true),
+    StructField("key_min", StringType, nullable = true),
+    StructField("key_max", StringType, nullable = true),
+    StructField("bloom", BinaryType, nullable = true))), containsNull = false)
   override def nullable: Boolean = false
 
   override def withNewMutableAggBufferOffset(offset: Int): BucketStatsAgg =
@@ -440,4 +519,170 @@ case class LongVectorSumAgg(
     copy(arr = c)
 
   override def prettyName: String = "vec_sum"
+}
+
+/** Bloom filter over the group's non-null STRING keys, as the public
+  * [[org.apache.spark.util.sketch.BloomFilter]] wire bytes. The grouped
+  * build for [[graft.core.ChronoDB]].rebuildSidecars — family-exact
+  * with the bloom inside [[BucketStatsAgg]] (same sizing, same
+  * putBinary of the key's UTF-8 bytes), so rows from either path
+  * OR-merge losslessly via [[BloomOrAgg]]. Null keys are skipped; an
+  * all-null group yields an EMPTY filter (not null) — it truthfully
+  * covers the group's zero non-null keys. */
+case class BloomBuildAgg(
+    key: Expression,
+    expectedKeys: Long,
+    fpp: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.util.sketch.BloomFilter]
+  with UnaryLike[Expression] {
+
+  require(expectedKeys > 0L, s"bloom_build: expectedKeys out of range: $expectedKeys")
+  require(fpp > 0.0 && fpp < 1.0, s"bloom_build: fpp out of range: $fpp")
+
+  override def child: Expression = key
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_build requires a STRING key, got ${key.dataType.catalogString}")
+
+  override def createAggregationBuffer(): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.create(expectedKeys, fpp)
+
+  override def update(
+      buf: org.apache.spark.util.sketch.BloomFilter,
+      input: InternalRow): org.apache.spark.util.sketch.BloomFilter = {
+    val k = key.eval(input)
+    if (k != null) buf.putBinary(k.asInstanceOf[UTF8String].getBytes)
+    buf
+  }
+
+  override def merge(
+      buf: org.apache.spark.util.sketch.BloomFilter,
+      other: org.apache.spark.util.sketch.BloomFilter)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    buf.mergeInPlace(other)
+    buf
+  }
+
+  override def eval(buf: org.apache.spark.util.sketch.BloomFilter): Any =
+    SketchAggs.bloomToBytes(buf)
+
+  override def serialize(
+      buf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] =
+    SketchAggs.bloomToBytes(buf)
+
+  override def deserialize(
+      bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    SketchAggs.bloomFromBytes(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(offset: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): BloomBuildAgg =
+    copy(key = c)
+
+  override def prettyName: String = "bloom_build"
+}
+
+/** Fold of PERSISTED Bloom filter bytes by union (bitwise OR — exact:
+  * the union answers mightContain for every key either input covered).
+  *
+  * NULL-POISONING, deliberately unlike [[LongVectorSumAgg]]'s
+  * null-skip: in the sidecar fold a null bloom row is a batch whose
+  * keys are NOT covered (a pre-bloom sidecar file read under the
+  * explicit schema, or a batch inserted with the family disabled), and
+  * a fold that skipped it would emit a filter falsely pruning that
+  * batch's keys. Incompatible filter sizes (config changed between
+  * batches) poison the same way — null means "coverage unknown, do not
+  * prune", which readers treat as maybe-contains. */
+case class BloomOrAgg(
+    bytes: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomOrAgg.State]
+  with UnaryLike[Expression] {
+
+  override def child: Expression = bytes
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bytes.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_or requires BINARY bloom bytes, got ${bytes.dataType.catalogString}")
+
+  override def createAggregationBuffer(): BloomOrAgg.State =
+    new BloomOrAgg.State(poisoned = false, bf = null)
+
+  override def update(buf: BloomOrAgg.State, input: InternalRow): BloomOrAgg.State = {
+    if (!buf.poisoned) {
+      val v = bytes.eval(input)
+      if (v == null) { buf.poisoned = true; buf.bf = null }
+      else {
+        val bf = SketchAggs.bloomFromBytes(v.asInstanceOf[Array[Byte]])
+        if (buf.bf == null) buf.bf = bf
+        else try buf.bf.mergeInPlace(bf)
+        catch { case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+          buf.poisoned = true; buf.bf = null }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: BloomOrAgg.State, other: BloomOrAgg.State): BloomOrAgg.State = {
+    if (buf.poisoned || other.poisoned) { buf.poisoned = true; buf.bf = null }
+    else if (buf.bf == null) buf.bf = other.bf
+    else if (other.bf != null) {
+      try buf.bf.mergeInPlace(other.bf)
+      catch { case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+        buf.poisoned = true; buf.bf = null }
+    }
+    buf
+  }
+
+  override def eval(buf: BloomOrAgg.State): Any =
+    if (buf.poisoned || buf.bf == null) null
+    else SketchAggs.bloomToBytes(buf.bf)
+
+  override def serialize(buf: BloomOrAgg.State): Array[Byte] =
+    if (buf.poisoned) Array[Byte](2)
+    else if (buf.bf == null) Array[Byte](0)
+    else {
+      val b = SketchAggs.bloomToBytes(buf.bf)
+      val out = new Array[Byte](1 + b.length)
+      out(0) = 1
+      System.arraycopy(b, 0, out, 1, b.length)
+      out
+    }
+
+  override def deserialize(b: Array[Byte]): BloomOrAgg.State = b(0) match {
+    case 2 => new BloomOrAgg.State(poisoned = true, bf = null)
+    case 0 => new BloomOrAgg.State(poisoned = false, bf = null)
+    case _ => new BloomOrAgg.State(poisoned = false,
+      bf = SketchAggs.bloomFromBytes(java.util.Arrays.copyOfRange(b, 1, b.length)))
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def withNewMutableAggBufferOffset(offset: Int): BloomOrAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomOrAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): BloomOrAgg =
+    copy(bytes = c)
+
+  override def prettyName: String = "bloom_or"
+}
+
+object BloomOrAgg {
+  /** Tri-state fold buffer: empty (bf null), live (bf set), poisoned. */
+  final class State(
+      var poisoned: Boolean,
+      var bf: org.apache.spark.util.sketch.BloomFilter)
 }

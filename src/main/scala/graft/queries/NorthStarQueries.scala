@@ -653,6 +653,57 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D21: Bloom-index point lookup — the ChronoDB `_stats` sidecar's
+    * per-bucket (key_min, key_max, Bloom) family driving FILE-level
+    * bucket pruning for key lookups, end-to-end on real data. The
+    * Spark-native re-expression of the reference's per-tablet key index
+    * (index.go:23-60 persists per-block lastKeys; findBlockForKey,
+    * index.go:231-238, binary-searches them): events land in ~720
+    * hour buckets, each probe user occurs in well under 100 of them, so
+    * `queryKey` must read strictly fewer files than the table holds.
+    *
+    * Gate semantics (d19/d20 pattern): the LOOKUP RESULT itself (key,
+    * ts, event_type per probe) is hash-exact against DuckDB — the
+    * sidecar path must return precisely the rows a full scan would —
+    * and the pruning claim rides along as an in-query verdict
+    * (`prune_ok`: every probe's executed scan touched < total files;
+    * Bloom false positives can only ADD buckets, never drop rows, so
+    * the verdict is stable and the result exact). Probes are the min
+    * and max user_id — data-derived, so the same query text works at
+    * every SF. */
+  def keyLookupQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d21_db").toString
+    // bloom family only (lgK/CMS off): the index under test, hour
+    // buckets for a prunable bucket count, one writer per bucket so the
+    // file count stays at one per (bucket, batch)
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "hour",
+      sketchLgK = 0, sketchCmsDepth = 0, writersPerBucket = 1))
+    try {
+      db.createTable("ev")
+      val ev = t(spark, dir, "events")
+      db.insert("ev", ev.select(col("user_id").cast("string").as("key"),
+        col("ts"), encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      val mm = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+      val probes = Seq(mm.getLong(0).toString, mm.getLong(1).toString)
+      val total = db.stats("ev").numFiles
+      val pruneOk = probes.forall { k =>
+        val q = db.queryKey("ev", k)
+        q.collect()
+        val scanned = q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.map(_.metrics("numFiles").value).sum
+        scanned > 0 && scanned < total
+      }
+      probes.map(k => db.queryKey("ev", k)).reduce(_ union _)
+        .select(col("key"), col("ts"),
+          decode(col("data"), "UTF-8").as("event_type"))
+        .withColumn("prune_ok", lit(pruneOk))
+        .orderBy(col("key"), col("ts"), col("event_type"))
+    } finally db.close()
+  }
+
   /** D11: deterministic corpus shuffle — the seeded global permutation
     * a pretraining run applies before batching; one range-partitioned
     * sort, reproducible across reruns and engines. */
@@ -1572,6 +1623,16 @@ object NorthStarQueries {
         |FROM p LEFT JOIN events e
         |  ON epoch_ns(e.ts) // 1000 BETWEEN p.qlo AND p.qhi
         |GROUP BY p.range_id ORDER BY range_id""".stripMargin)),
+    QueryDef("d21_key_lookup", keyLookupQ, Some(
+      // the lookup result is hash-exact (the sidecar path must return
+      // precisely what a full scan would); the pruning claim is the
+      // in-query prune_ok verdict — file-count metrics have no SQL twin
+      """WITH p AS (
+        |  SELECT min(user_id) AS lo, max(user_id) AS hi FROM events)
+        |SELECT CAST(e.user_id AS VARCHAR) AS key, e.ts, e.event_type,
+        |       TRUE AS prune_ok
+        |FROM events e, p WHERE e.user_id IN (p.lo, p.hi)
+        |ORDER BY key, e.ts, e.event_type""".stripMargin)),
     QueryDef("d19_bucket_sketch_distinct", bucketSketchDistinctQ, Some(
       // exact weekly anchors in SQL; the sketch-merge estimate and its
       // tolerance verdict are validated in-query (q22 pattern) — HLL

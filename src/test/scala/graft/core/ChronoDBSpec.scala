@@ -663,6 +663,115 @@ class ChronoDBSpec extends SparkSuite {
         case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       }
     }
+  }
+
+  test("queryKey: bloom index prunes to the key's buckets at FILE granularity") {
+    val dir = Files.createTempDirectory("bloomprune").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      compactFileThreshold = 2))
+    db.createTable("t")
+    // 6 hour-buckets, disjoint key sets; "needle" lives in hours 1 and 4
+    db.insertSeq("t", (0 until 6).flatMap { h =>
+      Seq(row(s"k$h-a", f"2024-01-01 0$h%01d:10:00"),
+        row(s"k$h-b", f"2024-01-01 0$h%01d:20:00"))
+    } ++ Seq(
+      row("needle", "2024-01-01 01:30:00"),
+      row("needle", "2024-01-01 04:30:00")))
+    val root = java.nio.file.Paths.get(dir)
+    def filesIn(bucket: String): Int = {
+      val d = root.resolve("t").resolve(s"bucket=$bucket")
+      if (!Files.isDirectory(d)) 0
+      else { val s = Files.list(d)
+        try s.filter(_.toString.endsWith(".parquet")).count().toInt
+        finally s.close() }
+    }
+    val needleFiles = filesIn("2024-01-01-01") + filesIn("2024-01-01-04")
+    val total = (0 until 6).map(h => filesIn(f"2024-01-01-0$h%01d")).sum
+    assert(total > needleFiles) // non-vacuous
+    val q = db.queryKey("t", "needle")
+    val got = q.collect().map(_.getAs[Timestamp]("ts")).map(_.toString).sorted
+    assert(got.toSeq === Seq("2024-01-01 01:30:00.0", "2024-01-01 04:30:00.0"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    // the reference's findBlockForKey (index.go:231-238) touches one
+    // block; the bloom sidecar must do the same at file granularity —
+    // nearly-empty 4096-capacity filters make a cross-bucket false
+    // positive (the only legitimate over-read) essentially impossible
+    assert(numFiles === needleFiles,
+      s"queryKey read $numFiles files; only the $needleFiles in hours 01/04 hold the key")
+    // a key nobody inserted prunes to an empty scan but a correct result
+    assert(db.queryKey("t", "absent").count() === 0L)
+    db.close()
+  }
+
+  test("queryKey: a sidecar coverage gap (insert crash window) is never pruned") {
+    val dir = Files.createTempDirectory("bloomgap").toString
+    val seed = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
+    seed.createTable("t")
+    seed.insertSeq("t", Seq(row("a", "2024-01-01 00:15:00")))
+    seed.close()
+    // land data in hour 01 with NO sidecar rows at all — a config with
+    // every sketch family disabled (the observe path the crash would
+    // have interrupted simply never runs)
+    val bare = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0))
+    bare.insertSeq("t", Seq(row("ghost", "2024-01-01 01:15:00")))
+    bare.close()
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
+    assert(db.sidecarCoverageGaps("t") === Seq("2024-01-01-01"))
+    // the uncovered bucket's key must come back even though no bloom
+    // ever saw it — gaps are unconditional candidates
+    assert(db.queryKey("t", "ghost").count() === 1L)
+    db.close()
+  }
+
+  test("queryKey: pre-bloom sidecar rows read as null and disable pruning, not results") {
+    val dir = Files.createTempDirectory("prebloom").toString
+    // batch 1 written WITHOUT the bloom family (an old-version sidecar:
+    // rows exist, bloom column absent → null under the explicit schema)
+    val old = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      sketchBloomKeys = 0))
+    old.createTable("t")
+    old.insertSeq("t", Seq(row("legacy", "2024-01-01 00:10:00")))
+    old.close()
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
+    // batch 2 with blooms, same bucket: the fold null-poisons the
+    // bucket's bloom (a filter missing batch-1 keys would mis-prune)
+    db.insertSeq("t", Seq(row("fresh", "2024-01-01 00:40:00")))
+    assert(db.queryKey("t", "legacy").count() === 1L)
+    assert(db.queryKey("t", "fresh").count() === 1L)
+    db.close()
+  }
+
+  test("queryKey: compact folds per-batch blooms losslessly (OR-merge)") {
+    val db = freshDb()
+    db.createTable("t")
+    // 3 batches into ONE bucket → 3 sidecar rows, enough files to compact
+    (1 to 3).foreach(i =>
+      db.insertSeq("t", Seq(row(s"batch$i", s"2024-01-01 00:0$i:00"))))
+    assert(db.compact("t") === 1)
+    // after the fold there is one sidecar row per bucket, and every
+    // batch's key still resolves (a lossy fold would drop batch keys)
+    (1 to 3).foreach { i =>
+      assert(db.queryKey("t", s"batch$i").count() === 1L, s"batch$i lost")
+    }
+    assert(db.sidecarsConsistent("t"))
+    db.close()
+  }
+
+  test("queryKey: correct with the bloom family disabled (no pruning path)") {
+    val dir = Files.createTempDirectory("nobloom").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      sketchBloomKeys = 0))
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("x", "2024-01-01 00:10:00"), row("y", "2024-01-01 01:10:00")))
+    assert(db.queryKey("t", "x").count() === 1L)
+    assert(db.queryKey("t", "nope").count() === 0L)
+    db.close()
     db.close()
   }
 

@@ -39,7 +39,8 @@ class SketchAggsSpec extends SparkSuite {
     import org.apache.spark.unsafe.types.UTF8String
     val agg = BucketStatsAgg(
       BoundReference(0, StringType, nullable = true),
-      BoundReference(1, StringType, nullable = true), 12, 4, 64)
+      BoundReference(1, StringType, nullable = true), 12, 4, 64,
+      bloomKeys = 64L, bloomFpp = 0.03)
     def row(b: String, k: String) = InternalRow(
       if (b == null) null else UTF8String.fromString(b),
       if (k == null) null else UTF8String.fromString(k))
@@ -56,9 +57,12 @@ class SketchAggsSpec extends SparkSuite {
     val rows = agg.eval(m)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val byBucket = (0 until rows.numElements()).map { i =>
-      val r = rows.getStruct(i, 4)
+      val r = rows.getStruct(i, 7)
       r.getUTF8String(0).toString ->
-        (r.getLong(2), r.getBinary(1), r.getArray(3).toLongArray())
+        ((r.getLong(2), r.getBinary(1), r.getArray(3).toLongArray(),
+          if (r.isNullAt(4)) null else r.getUTF8String(4).toString,
+          if (r.isNullAt(5)) null else r.getUTF8String(5).toString,
+          if (r.isNullAt(6)) null else r.getBinary(6)))
     }.toMap
     // n counts all rows incl. the null-key one; null bucket dropped
     assert(byBucket.keySet === Set("h1", "h2", "h3"))
@@ -74,6 +78,16 @@ class SketchAggsSpec extends SparkSuite {
       assert(cm.slice(d * 64, (d + 1) * 64).sum === 3L,
         s"depth $d mass != 3 non-null keys")
     }
+    // key min/max survive the round-trip + merge (null keys skipped)
+    assert(byBucket("h1")._4 === "a" && byBucket("h1")._5 === "b")
+    assert(byBucket("h3")._4 === "c" && byBucket("h3")._5 === "c")
+    // the bloom covers exactly the bucket's own keys across both
+    // partials; keys of OTHER buckets are (at fpp=3%/64-cap sizing)
+    // absent — no false negatives is the property pruning rests on
+    val bl = SketchAggs.bloomFromBytes(byBucket("h1")._6)
+    for (k <- Seq("a", "b"))
+      assert(bl.mightContainBinary(k.getBytes("UTF-8")), s"h1 bloom missing $k")
+    assert(!bl.mightContainBinary("c".getBytes("UTF-8")))
   }
 
   test("adaptive vector codec round-trips sparse and dense buffers") {
