@@ -321,6 +321,112 @@ object Similarity {
     * eval loop; the HOF formulation evaluates interpreted, ~10× slower).
     * Plane components are hash-derived from (bit, dim, seed), so plans
     * are deterministic and reproducible. */
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", PAMI 2011) — the third production
+    * compression path next to int8 ([[quantizedTopK]]) and IVF
+    * ([[ivfTopKSeeded]]): the vector space is split into `m` subspaces
+    * of `dim/m` dims, each subspace gets its own `ks`-entry codebook,
+    * and a corpus vector is stored as `m` small codes (m bytes at
+    * ks=256 — 32× smaller than float32 at dim=64). Queries rank the
+    * whole corpus by ASYMMETRIC distance (ADC): exact query subvector
+    * vs reconstructed centroid per subspace, summed — a per-query
+    * lookup table of m×ks partial distances replaces every float
+    * multiply against corpus data. Codebooks here are SAMPLED (the
+    * first `ks` corpus vectors' subvectors — the d3c/d3e seeded-
+    * centroid convention) rather than k-means-fitted, which keeps
+    * every stage deterministic and cross-engine replicable; swap in
+    * fitted codebooks for recall at production scale.
+    *
+    * Scale shape: the codebook is ONE broadcast row (ks rows of the
+    * corpus); encoding is map-only over the corpus scan; ADC scoring
+    * streams the (id, m-byte code) projection — the float corpus is
+    * read once for encoding and once for the survivor rescore, and
+    * NEVER shuffles; the only exchanges are the two per-query ranking
+    * windows over narrow (qid, id, score) rows, the d3f shape. At
+    * 100 TB the corpus-side scan bytes drop from dim×4 to m per row —
+    * the difference between scanning 25 TB of floats and 0.1 TB of
+    * codes per ANN batch.
+    *
+    * Determinism (the oracle contract): subspace distances are ordered
+    * left folds of (float→double) arithmetic — `aggregate(zip_with(…))`
+    * here, `list_reduce(list_transform(list_zip(…)))` in DuckDB — so
+    * every distance, argmin (ties → smaller cell), ADC sum (ordered
+    * fold over j), candidate rank, and the final [[graft.functions
+    * .NativeExpressions.cosineNative]] rescore is bit-identical
+    * cross-engine. L2 ADC on RAW vectors: no normalization divide, no
+    * sqrt — squared distance ranks identically to distance.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, subDim: Int = 8, ks: Int = 16,
+      candidates: Int = 16): DataFrame = {
+    import graft.functions.NativeExpressions.cosineNative
+    require(m >= 1 && subDim >= 1 && ks >= 1, "pq: bad codebook shape")
+
+    // squared L2 between subspace j of v and of cv — ordered double fold
+    def subdist(v: Column, cv: Column, j: Column): Column =
+      aggregate(
+        zip_with(
+          slice(v, j * subDim + 1, lit(subDim)),
+          slice(cv, j * subDim + 1, lit(subDim)),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+
+    // codebook: the first ks corpus vectors, one broadcast row sorted
+    // by cell so element_at(cents, cell+1) is the lookup
+    val cents = corpus.filter(col(idCol) < ks)
+      .agg(collect_list(struct(col(idCol).cast("int").as("cell"),
+        col(vecCol).as("cv"))).as("cents"))
+      .select(array_sort(col("cents")).as("cents"))
+
+    // encode: per subspace, argmin-distance cell (ties → smaller cell,
+    // via lexicographic struct min on (dist, cell)) — map-only
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("neighbor_id"),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          array_min(transform(col("cents"), ct => struct(
+            subdist(col("vec"), ct.getField("cv"), j).as("d"),
+            ct.getField("cell").as("cell")))).getField("cell")).as("code"))
+
+    // ADC: exact query subvectors vs the code's reconstructed
+    // centroids, ordered sum over subspaces; the query set (with the
+    // codebook attached) broadcasts, the code stream never shuffles
+    val qSide = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad").asc, col("neighbor_id"))
+    val cand = codes.crossJoin(broadcast(qSide))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("ad",
+        aggregate(
+          transform(sequence(lit(0), lit(m - 1)), j =>
+            subdist(col("__qv"),
+              element_at(col("cents"),
+                element_at(col("code"), j + 1) + 1).getField("cv"), j)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // float rescore of the survivors — the quantizedTopK tail: tiny
+    // candidate set broadcast into the float scans, exact cosine, top-k
+    val cFloat = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qFloat = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cFloat.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qFloat), Seq("query_id"))
+      .withColumn("cos", cosineNative(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   private def signature(vec: Column, numBits: Int, seed: Int): Column =
     graft.functions.NativeExpressions.hyperplaneSig(vec, numBits, seed)
 

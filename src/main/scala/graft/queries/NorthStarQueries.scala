@@ -140,6 +140,22 @@ object NorthStarQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** D3h: product-quantization ANN (Jégou et al. 2011) — m=8 subspaces
+    * × 16 sampled centroids over the 64-dim embeddings, asymmetric-
+    * distance candidate ranking, float-cosine rescore of the 16
+    * survivors. Exactly oracle-checked end-to-end: codebook sampling,
+    * per-subspace argmin encoding (ordered double folds, ties → smaller
+    * cell), the ordered ADC sum, and the shared bit-identical cosine
+    * all replicate in DuckDB — see Similarity.pqTopK for the scale
+    * story (m bytes/row corpus scan; the float corpus never shuffles). */
+  def similarityPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, m = 8, subDim = 8, ks = 16,
+        candidates = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** D3b: LSH-bucketed approximate ANN (scale path). Exactly
     * oracle-checked even though it is approximate: the plane matrix is a
     * deterministic constant embedded in the oracle SQL (planesLiteral),
@@ -805,6 +821,17 @@ object NorthStarQueries {
        |     * sqrt(list_reduce(list_transform($b,
        |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x,y) -> x + y)))""".stripMargin
 
+  /** Bit-identical squared L2 between 8-wide subspace `j` of two
+    * vectors — the DuckDB twin of Similarity.pqTopK's `subdist`
+    * (ordered left fold of (float→double) arithmetic; the 0.0-seeded
+    * Spark fold and the seedless list_reduce agree exactly because
+    * 0.0 + x == x for the non-negative squares involved). */
+  private def sqdSql(a: String, b: String, j: String): String =
+    s"""list_reduce(list_transform(list_zip(
+       |          list_slice($a, $j*8+1, $j*8+8), list_slice($b, $j*8+1, $j*8+8)),
+       |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x,y) -> x + y)""".stripMargin
+
   /** Shared oracle skeleton for the hyperplane-LSH queries: recompute
     * signatures from the embedded plane matrix (sign-dot left fold in
     * the same order as HyperplaneSigExpr), join on (band, bucket) —
@@ -1105,6 +1132,50 @@ object NorthStarQueries {
          |      row_number() OVER (PARTITION BY query_id
          |                         ORDER BY qdot DESC, neighbor_id) AS crank
          |    FROM cand) WHERE crank <= 16),
+         |resc AS (
+         |  SELECT t.query_id, t.neighbor_id,
+         |    ${cosSql("qe.embedding", "e.embedding")} AS cos
+         |  FROM topc t
+         |  JOIN embeddings qe ON qe.vec_id = t.query_id
+         |  JOIN embeddings e ON e.vec_id = t.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM resc) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin)),
+    QueryDef("d3h_similarity_pq", similarityPq, Some(
+      // full PQ replication: sampled codebook, per-subspace argmin
+      // encoding (ordered fold, ties -> smaller cell), ordered ADC sum
+      // over subspaces, 16 ADC survivors rescored by the shared
+      // bit-identical cosine
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |g AS (SELECT CAST(j AS INTEGER) AS j FROM generate_series(0, 7) t(j)),
+         |code AS (
+         |  SELECT vec_id, j, cell FROM (
+         |    SELECT e.vec_id, g.j, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id, g.j
+         |        ORDER BY ${sqdSql("e.embedding", "c.cv", "g.j")} ASC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN g CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |ad AS (
+         |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(${sqdSql("q.embedding", "c.cv", "cd.j")} ORDER BY cd.j)),
+         |      (x,y) -> x + y) AS ad
+         |  FROM embeddings q
+         |  CROSS JOIN code cd
+         |  JOIN cent c ON c.cell = cd.cell
+         |  WHERE q.vec_id < 8 AND cd.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, cd.vec_id),
+         |topc AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY ad ASC, neighbor_id) AS crank
+         |    FROM ad) WHERE crank <= 16),
          |resc AS (
          |  SELECT t.query_id, t.neighbor_id,
          |    ${cosSql("qe.embedding", "e.embedding")} AS cos

@@ -114,6 +114,31 @@ class SimilaritySpec extends SparkSuite {
     assert(rComposed > 0.5, s"composed recall@5 = $rComposed")
   }
 
+  test("PQ ADC top-k: reasonable recall vs exact; tiny subspace sanity") {
+    // sanity on a hand-built space: with ks covering the corpus and
+    // m=1 (one subspace = the whole vector), ADC degenerates to exact
+    // L2 against the vectors themselves → top-k == brute force
+    val out = Similarity.pqTopK(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 3, m = 1, subDim = 3, ks = 4,
+        candidates = 4)
+      .orderBy($"rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L, 3L))
+
+    // fixture recall: 8 subspaces x 16 sampled centroids on the 64-dim
+    // embeddings; candidates=16 over k=5 absorbs quantization error.
+    // Near-uniform fixture vectors are PQ's hard case (like LSH's) —
+    // the bound is deliberately modest; deterministic, not flaky.
+    val emb = Tables.t(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 32)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        m = 8, subDim = 8, ks = 16, candidates = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall > 0.3, s"PQ recall@5 = $recall")
+  }
+
   test("bounded-heap aggregate top-k equals the window formulation") {
     val emb = Tables.t(spark, sf(), "embeddings")
     val queries = emb.filter($"vec_id" < 32)
