@@ -132,6 +132,21 @@ class PlanGuardSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d3h: codebook broadcasts to encode; ADC stream and rescore never shuffle the corpus") {
+    val p = plan("d3h_similarity_pq")
+    // codebook arrives at corpus encoding AND at the broadcast query
+    // side as a single-row build (two broadcast nested-loop joins)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"codebook broadcast joins missing:\n$p")
+    // rescore: survivor set + query floats broadcast into the float scan
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"candidate/query-float broadcasts missing:\n$p")
+    // both ranking windows (ADC candidate rank, final top-k) group-limit
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4,
+      s"candidate/final rankings should partial+final group-limit:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d3c: corpus assignment is map-only; ranking group-limits before exchange") {
     val p = plan("d3c_similarity_ivf")
     // centroid array arrives via broadcast nested-loop (single-row build
