@@ -62,6 +62,45 @@ object StreamingQueries {
     spark.read.parquet(s"$outDir/t")
   }
 
+  /** Two-source [[stagedReplay]]: stream-stream operators need BOTH
+    * inputs fed in lockstep micro-batches. Stage i drops one file into
+    * each landing dir, restarts the query from its checkpoint (state
+    * carries over — the restart is exactly a failure/recovery cycle,
+    * so the harness also exercises state restore), and blocks until
+    * data AND no-data batches (watermark-advance emissions — where
+    * outer-join null rows appear) commit. */
+  private def stagedReplay2(
+      spark: SparkSession,
+      leftBatches: Seq[DataFrame],
+      rightBatches: Seq[DataFrame],
+      pipeline: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(leftBatches.length == rightBatches.length,
+      "stream sides must advance in lockstep")
+    val landL = Files.createTempDirectory("stage2_l")
+    val landR = Files.createTempDirectory("stage2_r")
+    val outDir = Files.createTempDirectory("stage2_out").toString
+    val cp = Files.createTempDirectory("stage2_cp").toString
+    val (schemaL, schemaR) = (leftBatches.head.schema, rightBatches.head.schema)
+    def land(b: DataFrame, dir: java.nio.file.Path, i: Int, tag: String): Unit = {
+      val tmp = Files.createTempDirectory(s"stage2_$tag$i")
+      b.coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+      val part = new java.io.File(s"$tmp/d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, dir.resolve(f"batch$i%03d.parquet"))
+    }
+    leftBatches.zip(rightBatches).zipWithIndex.foreach { case ((lb, rb), i) =>
+      land(lb, landL, i, "l"); land(rb, landR, i, "r")
+      val srcL = spark.readStream.schema(schemaL).parquet(landL.toString)
+      val srcR = spark.readStream.schema(schemaR).parquet(landR.toString)
+      val q = pipeline(srcL, srcR).writeStream.format("parquet")
+        .option("path", s"$outDir/t").option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      q.processAllAvailable(); q.stop()
+    }
+    spark.read.parquet(s"$outDir/t")
+  }
+
   /** S3 (declared): watermark late-drop with hash evidence. Batch 1 is
     * the 2-hour "front" of events (sets watermark = max ts − 4 h);
     * batch 2 is everything older — rows whose 1-hour window already
@@ -279,7 +318,62 @@ object StreamingQueries {
     }
   }
 
+  /** S9 (declared): stream-stream LEFT OUTER interval join — the TRUE
+    * streaming form through [[stagedReplay2]], not a batch twin. Clicks
+    * and purchases arrive as two lockstep micro-batch pairs split at a
+    * fixed mid-fixture instant — TIME-ordered, as a replayed stream
+    * must be: a parity split would put batch 2 wholly behind batch 1's
+    * watermark and the join would (correctly!) drop it as late. Matches
+    * spanning the split boundary exercise live join state and its
+    * restore-from-checkpoint; batch 2's watermark advance also makes
+    * the early unmatched clicks emit their null rows MID-STREAM (state
+    * evicts incrementally, not only at flush). Then one flush pair
+    * (impossible users, DISTINCT per side so they cannot match each
+    * other, 10 h past the fixture max) advances BOTH
+    * watermarks so every real click's match window provably closes:
+    * unmatched clicks emit their null-extended row exactly once — the
+    * same instant their join state evicts. The flush rows self-exclude
+    * (their own windows never close before the final watermark), and no
+    * defensive filter hides that: a spuriously emitted flush row would
+    * fail the hash compare. Oracle: the plain batch LEFT JOIN — outer
+    * emission timing is streaming machinery, the RESULT SET must be
+    * batch-equivalent. */
+  def streamOuterIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ts"), col("event_type"))
+    def side(kind: String) = ev.filter(col("event_type") === kind)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val (clicks, purchases) = (side("click"), side("purchase"))
+    // fixture staging only (flush timestamp), not the data path
+    val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def flush(user: Long) = spark.range(1).select(lit(-1L).as("event_id"),
+      lit(user).as("user_id"),
+      (lit(mx) + expr("INTERVAL 10 HOURS")).as("ts"))
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    def batches(df: org.apache.spark.sql.DataFrame, flushUser: Long) = Seq(
+      df.filter(col("ts") < split),
+      df.filter(col("ts") >= split),
+      flush(flushUser))
+    stagedReplay2(spark, batches(clicks, -1L), batches(purchases, -2L), (l, r) =>
+      Streams.intervalJoin(l, r, "user_id", "ts",
+          lateness = "10 minutes", lookback = "1 hour", lookahead = "1 hour",
+          joinType = "leftOuter")
+        .select(col("l.event_id").as("click_id"),
+          col("l.user_id").as("user_id"), col("l.ts").as("c_ts"),
+          col("r.event_id").as("purchase_id"), col("r.ts").as("p_ts")))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s9_outer_interval_join", streamOuterIntervalJoin, Some(
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS c_ts,
+        |       p.event_id AS purchase_id, p.ts AS p_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id ASC NULLS FIRST""".stripMargin)),
     QueryDef("s8_latest_value", streamLatestValue, Some(
       """WITH c AS (
         |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_id % 3 AS bi,

@@ -125,13 +125,20 @@ object Streams {
   def intervalJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
-      lateness: String, lookback: String, lookahead: String): DataFrame = {
+      lateness: String, lookback: String, lookahead: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, lateness).alias("l")
     val r = right.withWatermark(tsCol, lateness).alias("r")
+    // with joinType = leftOuter, an unmatched left row emits its
+    // null-extended result exactly once — when the watermark passes
+    // l.ts + lookahead and the engine can prove no future match exists
+    // (the same instant its join state evicts); both sides need the
+    // watermark for that proof, which intervalJoin always sets
     l.join(r,
       expr(s"""l.$keyCol = r.$keyCol
               | AND r.$tsCol >= l.$tsCol - INTERVAL $lookback
-              | AND r.$tsCol <= l.$tsCol + INTERVAL $lookahead""".stripMargin))
+              | AND r.$tsCol <= l.$tsCol + INTERVAL $lookahead""".stripMargin),
+      joinType)
   }
 
   /** S7: the closed ingest→maintenance loop — a streaming sink writing
