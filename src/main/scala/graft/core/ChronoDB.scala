@@ -400,6 +400,42 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .select(col("key"), col("ts"), col("data"))
   }
 
+  /** Key-RANGE scan (inclusive [lo, hi] in binary key order — the
+    * prefix-scan access pattern: `queryKeyRange(t, "tenantX/", "tenantX/\uffff")`). The Bloom family cannot answer ranges, so
+    * pruning here rides the key_min/key_max interval alone: a bucket
+    * survives iff its key interval OVERLAPS [lo, hi] (or its coverage
+    * is unknown — null fold, coverage gap — which must never prune).
+    * The reference's lastKeys block index serves range seeks the same
+    * way (index.go:231 binary-searches the ordered block bounds); at
+    * scale this skips every bucket whose key population lies outside
+    * the prefix, and the pushed range predicate row-group-skips inside
+    * survivors ((ts, key)-clustered files carry useful key stats). */
+  def queryKeyRange(name: String, lo: String, hi: String): DataFrame = {
+    requireTable(name)
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val base = table(name)
+    // min/max are written whenever ANY sketch family runs (unlike the
+    // bloom gate in queryKey) — range pruning needs only the interval
+    val pruned =
+      if (!sketching || {
+        recoverSidecar(statsPath(name)); !Files.exists(statsPath(name))
+      }) base
+      else {
+        val folded = sidecarFold(name)
+          .select(col("bucket"), col("key_min"), col("key_max")).collect()
+        val covered = folded.map(_.getString(0)).toSet
+        val maybe = folded.filter { r =>
+          r.isNullAt(1) || r.isNullAt(2) ||
+            (u(hi).compareTo(u(r.getString(1))) >= 0 &&
+             u(lo).compareTo(u(r.getString(2))) <= 0)
+        }.map(_.getString(0))
+        val gaps = listBuckets(name).filterNot(covered)
+        base.filter(col("bucket").isin((maybe ++ gaps).distinct.sorted: _*))
+      }
+    pruned.filter(col("key") >= lit(lo) && col("key") <= lit(hi))
+      .select(col("key"), col("ts"), col("data"))
+  }
+
   /** The buckets that may contain `key`, from the sidecar alone — or
     * None when no pruning decision can be made (bloom family disabled,
     * or no sidecar on disk). Driver-side by design: the folded sidecar

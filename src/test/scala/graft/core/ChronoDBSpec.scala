@@ -762,6 +762,42 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  test("queryKeyRange: key-interval pruning at file granularity; boundaries inclusive") {
+    val dir = Files.createTempDirectory("keyrange").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      compactFileThreshold = 2))
+    db.createTable("t")
+    // key populations clustered per bucket: hour h holds tenant{h}/...
+    db.insertSeq("t", (0 until 6).flatMap { h =>
+      Seq(row(s"tenant$h/a", f"2024-01-01 0$h%01d:10:00"),
+        row(s"tenant$h/b", f"2024-01-01 0$h%01d:20:00"))
+    })
+    val q = db.queryKeyRange("t", "tenant2/", "tenant2/\uffff")
+    val got = q.collect().map(_.getString(0)).sorted
+    assert(got.toSeq === Seq("tenant2/a", "tenant2/b"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    val root = java.nio.file.Paths.get(dir)
+    def filesIn(bucket: String): Int = {
+      val d = root.resolve("t").resolve(s"bucket=$bucket")
+      if (!Files.isDirectory(d)) 0
+      else { val s = Files.list(d)
+        try s.filter(_.toString.endsWith(".parquet")).count().toInt
+        finally s.close() }
+    }
+    assert(numFiles === filesIn("2024-01-01-02"),
+      s"range scan read $numFiles files; only hour 02 overlaps the tenant2 interval")
+    // inclusive on both ends: exact-key bounds return the boundary rows
+    assert(db.queryKeyRange("t", "tenant3/a", "tenant4/a")
+      .collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("tenant3/a", "tenant3/b", "tenant4/a"))
+    // empty interval → empty result, not an error
+    assert(db.queryKeyRange("t", "zz", "zzz").count() === 0L)
+    db.close()
+  }
+
   test("queryKey: correct with the bloom family disabled (no pruning path)") {
     val dir = Files.createTempDirectory("nobloom").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
