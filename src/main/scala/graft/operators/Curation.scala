@@ -321,4 +321,36 @@ object Curation {
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", floor(col("offset") / budget).cast("long"))
   }
+
+  /** Document chunking — the pre-embedding/RAG splitter: each document
+    * becomes ceil((len − overlap) / stride) fixed-size character
+    * windows (stride = chunkChars − overlapChars; consecutive chunks
+    * share `overlapChars` characters so no boundary-spanning phrase is
+    * lost to the cut). A document shorter than one chunk yields itself
+    * as chunk 0 — empty documents included, so no row silently
+    * disappears from the corpus.
+    *
+    * Scale shape: pure map + a CONTROLLED posexplode (output mass =
+    * Σ len/stride, decided per row by arithmetic, not data-dependent
+    * joins) — no shuffle, no window; the chunker runs at scan speed in
+    * front of the embedding stage. Integer-only chunk-count arithmetic
+    * and 1-based substring windows replicate exactly in SQL.
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlapChars: Int): DataFrame = {
+    require(chunkChars > 0 && overlapChars >= 0 && overlapChars < chunkChars,
+      s"chunking needs 0 <= overlap < chunk, got ($chunkChars, $overlapChars)")
+    val stride = chunkChars - overlapChars
+    // integer-only ceil — bit-free of fp, same formula in the oracle SQL
+    val n = greatest(lit(1L), expr(
+      s"(length($textCol) - $overlapChars + ${stride - 1}) DIV $stride"))
+    df.select(col(idCol), col(textCol), n.as("n_chunks"))
+      .select(col(idCol), col("n_chunks"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
+          i => col(textCol).substr((i * stride + 1).cast("int"),
+            lit(chunkChars)))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_id"),
+        col("col").as("chunk"), col("n_chunks"))
+  }
 }

@@ -720,6 +720,16 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D22: document chunking — fixed 200-char windows with 50-char
+    * overlap (stride 150), the pre-embedding/RAG splitter. Pure map +
+    * controlled posexplode (see Curation.chunkDocuments); integer-only
+    * chunk counts and 1-based substring windows replicate exactly in
+    * the oracle's lateral generate_series. */
+  def docChunksQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(t(spark, dir, "documents"), "doc_id", "text",
+        chunkChars = 200, overlapChars = 50)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** D11: deterministic corpus shuffle — the seeded global permutation
     * a pretraining run applies before batching; one range-partitioned
     * sort, reproducible across reruns and engines. */
@@ -1704,6 +1714,20 @@ object NorthStarQueries {
         |       TRUE AS prune_ok
         |FROM events e, p WHERE e.user_id IN (p.lo, p.hi)
         |ORDER BY key, e.ts, e.event_type""".stripMargin)),
+    QueryDef("d22_doc_chunks", docChunksQ, Some(
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    greatest(CAST(1 AS BIGINT),
+        |             (length(text) - 50 + 149) // 150) AS n_chunks
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, text, n_chunks,
+        |         unnest(range(0, n_chunks)) AS i
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |       substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk,
+        |       CAST(n_chunks AS BIGINT) AS n_chunks
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
     QueryDef("d19_bucket_sketch_distinct", bucketSketchDistinctQ, Some(
       // exact weekly anchors in SQL; the sketch-merge estimate and its
       // tolerance verdict are validated in-query (q22 pattern) — HLL
