@@ -472,6 +472,79 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     Some((maybe ++ gaps).toSeq.distinct.sorted)
   }
 
+  /** Targeted key deletion — the right-to-be-forgotten verb the
+    * reference cannot express (its only deletes are whole-table,
+    * table.go:422-447, and whole-bucket TTL reaping). Cost model at
+    * 100 TB is the point: the Bloom key index prunes the candidate set
+    * before any data is read, a key-only scan of the candidates finds
+    * the buckets that ACTUALLY hold the key, and only those partitions
+    * are rewritten (dynamic overwrite, one sorted file each); every
+    * other file on disk is untouched. Affected buckets' sidecar rows
+    * are rebuilt from the surviving data in the same pass (HLL/CMS
+    * sketches cannot subtract — recompute is the only lossless
+    * update), so [[sidecarsConsistent]] holds by construction and the
+    * rebuilt Bloom no longer contains the key (point lookups prune
+    * again immediately). `_colstats` is invalidated (rows changed).
+    * Returns the number of rows deleted. */
+  def deleteKey(name: String, key: String): Long = {
+    requireTable(name)
+    if (!hasData(name)) return 0L
+    val cand = keyCandidateBuckets(name, key).getOrElse(listBuckets(name))
+    if (cand.isEmpty) return 0L
+    // bucket → (rows of key, total rows), candidates only — KB-scale
+    val hits = table(name).filter(col("bucket").isin(cand: _*))
+      .groupBy(col("bucket")).agg(
+        count(when(col("key") === key, 1)).as("hit"),
+        count(lit(1)).as("total"))
+      .filter(col("hit") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (hits.isEmpty) return 0L
+    val deleted = hits.map(_._2).sum
+    val (emptied, rewrite) = hits.partition { case (_, hit, total) => hit == total }
+    // a bucket losing ALL rows gets no row in the overwrite frame, and
+    // dynamic overwrite only replaces partitions PRESENT in new data —
+    // drop it directly instead (the cleanup() path)
+    emptied.foreach { case (b, _, _) =>
+      deleteRecursively(tablePath(name).resolve(s"bucket=$b"))
+    }
+    if (rewrite.nonEmpty) {
+      val bs = rewrite.map(_._1)
+      // null-safe inequality: a plain =!= evaluates NULL for null keys
+      // and would silently drop them from the rewritten bucket
+      val df = table(name)
+        .filter(col("bucket").isin(bs: _*) &&
+          !(col("key") <=> lit(key)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("ts"), col("key"))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try df.write.mode(SaveMode.Overwrite)
+        .option("compression", config.compression)
+        .partitionBy("bucket")
+        .parquet(tablePath(name).toString)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // sidecar: drop the emptied/rewritten buckets' rows, re-aggregate
+    // the rewritten buckets from their surviving data
+    recoverSidecar(statsPath(name))
+    if (sketching && Files.exists(statsPath(name))) {
+      val touched = hits.map(_._1)
+      val kept = sidecarFold(name).filter(!col("bucket").isin(touched: _*))
+      val folded =
+        if (rewrite.isEmpty) kept
+        else kept.unionByName(
+          table(name).filter(col("bucket").isin(rewrite.map(_._1): _*))
+            .groupBy(col("bucket"))
+            .agg(sidecarAggs.head, sidecarAggs.tail: _*))
+      rewriteSidecar(statsPath(name), folded)
+    }
+    invalidateColStats(name)
+    deleted
+  }
+
   // --- Maintenance (table.go:240-369, 517-552) ---
 
   /** Compaction (reference Merge/CompactAll): rewrite buckets holding

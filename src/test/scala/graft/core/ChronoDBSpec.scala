@@ -798,6 +798,45 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  test("deleteKey: rewrites only the key's buckets, rebuilds their sidecar rows") {
+    val dir = Files.createTempDirectory("delkey").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      compactFileThreshold = 2))
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("victim", "2024-01-01 00:10:00"),   // hour 00: victim + bystander
+      row("stay0", "2024-01-01 00:20:00"),
+      row("stay1", "2024-01-01 01:10:00"),    // hour 01: untouched
+      row("victim", "2024-01-01 02:10:00")))  // hour 02: victim ONLY → emptied
+    val root = java.nio.file.Paths.get(dir)
+    def filesOf(bucket: String): Set[String] = {
+      val d = root.resolve("t").resolve(s"bucket=$bucket")
+      if (!Files.isDirectory(d)) Set.empty
+      else { val s = Files.list(d)
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet }
+        finally s.close() }
+    }
+    val untouchedBefore = filesOf("2024-01-01-01")
+    assert(db.deleteKey("t", "victim") === 2L)
+    // rows: victim gone, bystanders intact
+    assert(db.table("t").select("key").as[String].collect().sorted.toSeq ===
+      Seq("stay0", "stay1"))
+    // hour 01's files are bit-identical (same names — never rewritten)
+    assert(filesOf("2024-01-01-01") === untouchedBefore)
+    // hour 02 lost its only rows → partition dir dropped entirely
+    assert(filesOf("2024-01-01-02").isEmpty)
+    // sidecar rebuilt from survivors: consistent, and the rebuilt bloom
+    // no longer claims the victim — the point lookup prunes to nothing
+    assert(db.sidecarsConsistent("t"))
+    assert(db.queryKey("t", "victim").count() === 0L)
+    assert(db.queryKey("t", "stay0").count() === 1L)
+    // deleting an absent key is a no-op reporting 0
+    assert(db.deleteKey("t", "nobody") === 0L)
+    db.close()
+  }
+
   test("queryKey: correct with the bloom family disabled (no pruning path)") {
     val dir = Files.createTempDirectory("nobloom").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
