@@ -224,6 +224,59 @@ object Resample {
         max_by(col(valueCol), struct(col(timeCol), col(valueCol))).as("close"),
         count(lit(1)).as("n"))
 
+  /** Time-weighted average per (key, bucket) — the irregular-sampling
+    * aggregate a plain AVG gets wrong: each observation holds its value
+    * until the next one arrives (LOCF weighting), the last one until
+    * the bucket ends, so a sensor that reports 100 for 59 minutes and 0
+    * for 1 minute averages ~98, not 50. Weights are exact integer µs
+    * (ties on ts collapse to weight 0 for all but the tie's last row —
+    * any order of full duplicates yields the same sums). The numerator
+    * Σ value·weight is EXACT decimal arithmetic: value casts to
+    * DECIMAL(15,10) (the [[graft.core.Det]] conversion, |v| < 1e5),
+    * the µs weight to DECIMAL(19,0) — wide enough that DuckDB computes
+    * in int128 instead of overflowing int64 — and their product (35
+    * digits,
+    * inside every engine's 38-digit width) multiplies and sums with
+    * zero rounding. Two double formulations were measured DIVERGENT
+    * first: value×(µs as double) overflows the decimal cast's 17
+    * significant digits at 1e12 magnitude, and (µs/width)×value lands
+    * products of low-precision values exactly on the 10th-decimal
+    * rounding boundary, where Spark (HALF_UP on the shortest repr) and
+    * DuckDB (true-value rounding) disagree. Exact integers sidestep
+    * both. The final ratio is ONE IEEE division of two exactly-known
+    * operands — hash-portable like the q29 frame sums.
+    *
+    * Scale shape: one shuffle on (key, bucket) feeding a lead() window
+    * and a partial-aggregated group-by — the q30g gap-report plan plus
+    * a map-side combine. */
+  def twa(
+      df: DataFrame,
+      keyCol: String, timeCol: String, valueCol: String,
+      unit: String): DataFrame = {
+    val bucketed = df
+      .select(col(keyCol), col(timeCol), col(valueCol))
+      .withColumn("bucket_start", date_trunc(unit, col(timeCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("bucket_start"))
+      .orderBy(col(timeCol), col(valueCol))
+    bucketed
+      .withColumn("next_ts", lead(col(timeCol), 1).over(w))
+      .withColumn("w_us",
+        coalesce(unix_micros(col("next_ts")),
+          unix_micros(col("bucket_start") + expr(s"INTERVAL 1 $unit")))
+          - unix_micros(col(timeCol)))
+      .groupBy(col(keyCol), col("bucket_start"))
+      .agg(
+        graft.core.Det.dec2dbl(
+          sum(col(valueCol).cast("decimal(15,10)") *
+            col("w_us").cast("decimal(19,0)"))).as("num"),
+        sum(col("w_us")).as("den_us"),
+        count(lit(1)).as("n"))
+      .select(col(keyCol), col("bucket_start"),
+        (col("num") / col("den_us").cast("double")).as("twa"),
+        col("n"))
+  }
+
   /** Gap detection — per-series intervals with no observations for
     * STRICTLY longer than `minGap` (a spacing of exactly minGap is not
     * a gap): (key, gap_start, gap_end, gap_us) for each pair of

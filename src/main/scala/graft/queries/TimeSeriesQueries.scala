@@ -165,7 +165,37 @@ object TimeSeriesQueries {
     Resample.gaps(t(spark, dir, "events"), "user_id", "ts", "1 DAY")
       .orderBy(col("user_id"), col("gap_start"), col("gap_end"))
 
+  /** Q26 (time-weighted form): per-event_type daily TWAP — LOCF
+    * weighting over irregular samples, exact µs weights, Det-exact
+    * numerator, one IEEE division (see Resample.twa). */
+  def twapQ(spark: SparkSession, dir: String): DataFrame =
+    Resample.twa(t(spark, dir, "events"),
+        "event_type", "ts", "value", unit = "day")
+      .orderBy(col("event_type"), col("bucket_start"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30h_twap", twapQ, Some(
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+         |         ts, value,
+         |         lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+         |                        ORDER BY ts, value) AS next_ts
+         |  FROM events),
+         |w AS (
+         |  SELECT event_type, bucket_start, value,
+         |         coalesce(epoch_us(next_ts),
+         |                  epoch_us(bucket_start + INTERVAL 1 DAY))
+         |           - epoch_us(ts) AS w_us
+         |  FROM b)
+         |SELECT event_type, bucket_start,
+         |       CAST(CAST(SUM(CAST(value AS DECIMAL(15,10))
+         |                     * CAST(w_us AS DECIMAL(19,0))) AS VARCHAR)
+         |            AS DOUBLE)
+         |         / CAST(SUM(w_us) AS DOUBLE) AS twa,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM w GROUP BY event_type, bucket_start
+         |ORDER BY event_type, bucket_start""".stripMargin)),
     QueryDef("q30f_ohlc_bars", ohlcQ, Some(
       // open/close via rank-1 rows under the same (ts, value) tie order
       // the Spark min_by/max_by struct ordering applies
