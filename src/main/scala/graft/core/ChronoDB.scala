@@ -910,6 +910,21 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     hinted.join(other, usingCols)
   }
 
+  /** ANALYZE-if-stale: rebuild the `_colstats` histogram sidecar iff it
+    * is currently absent (the post-insert invalidated state — histograms
+    * do not merge losslessly, so insert deletes rather than appends) and
+    * the table has data. Returns whether a rebuild ran. The maintenance
+    * ticker calls this so estimates never rot silently between manual
+    * ANALYZEs; the cost is one pruned (ts-only) scan of the table, so
+    * it is gated behind [[Maintenance]]'s opt-in flag rather than run
+    * on every insert. */
+  def analyzeIfStale(name: String, nHist: Int = 16): Boolean = {
+    requireTable(name)
+    recoverSidecar(colStatsPath(name))
+    if (Files.exists(colStatsPath(name)) || !hasData(name)) false
+    else { rebuildColStats(name, nHist); true }
+  }
+
   private def invalidateColStats(name: String): Unit = {
     deleteRecursively(colStatsPath(name))
     deleteRecursively(sidecarTmp(colStatsPath(name)))

@@ -12,7 +12,8 @@ import scala.util.control.NonFatal
   * [[start]] provides the reference's ticker behavior for embedded use.
   * On a real cluster these run as scheduled batch jobs instead. */
 final class Maintenance(db: ChronoDB, tables: () => Seq[String],
-    autoRepairSidecars: Boolean = false, fullCheckEvery: Int = 8) {
+    autoRepairSidecars: Boolean = false, fullCheckEvery: Int = 8,
+    autoAnalyze: Boolean = false) {
 
   require(fullCheckEvery >= 1, "fullCheckEvery must be >= 1")
 
@@ -39,9 +40,16 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
     val tickNo = ticks.incrementAndGet()
     val fullCheck = tickNo % fullCheckEvery == 0
     val bad = Seq.newBuilder[String]
+    val analyzedTables = Seq.newBuilder[String]
     tables().foreach { t =>
       compacted += db.compact(t)
       dropped += db.cleanup(t, now).size
+      // ANALYZE tick: an insert invalidates `_colstats` (histograms do
+      // not merge); with autoAnalyze the ticker rebuilds it here so
+      // estimateRowsInRange/rangeJoinAdaptive never silently degrade to
+      // their no-stats fallback between manual ANALYZEs. One pruned
+      // ts-only scan per STALE table — a no-op when stats are current.
+      if (autoAnalyze && db.analyzeIfStale(t)) analyzedTables += t
       val gaps = db.sidecarCoverageGaps(t)
       val inconsistent =
         gaps.nonEmpty || (fullCheck && !db.sidecarsConsistent(t))
@@ -65,8 +73,16 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
       }
     }
     lastInconsistent = bad.result()
+    lastAnalyzedTables = analyzedTables.result()
     (compacted, dropped)
   }
+
+  @volatile private var lastAnalyzedTables: Seq[String] = Seq.empty
+
+  /** Tables whose `_colstats` were rebuilt by the MOST RECENT tick's
+    * ANALYZE pass (empty unless autoAnalyze is set and stats were
+    * stale). */
+  def analyzedTables: Seq[String] = lastAnalyzedTables
 
   private val ticks = new AtomicInteger(0)
 

@@ -82,6 +82,34 @@ class MaintenanceSpec extends SparkSuite {
     db.close()
   }
 
+  test("autoAnalyze tick rebuilds stale _colstats; current stats are a no-op") {
+    val db = new ChronoDB(spark,
+      ChronoConfig(Files.createTempDirectory("maintan").toString))
+    db.createTable("t")
+    db.insertSeq("t", (0 until 30).map(i => row(s"k$i", f"2024-01-01 10:${2 * i}%02d:00")))
+    // post-insert state: stats invalidated → estimates have no sidecar
+    intercept[IllegalStateException](
+      db.estimateRowsInRange("t", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+    val m = new Maintenance(db, () => db.listTables(), autoAnalyze = true)
+    m.tick(ts("2024-01-01 11:00:00"))
+    assert(m.analyzedTables === Seq("t"))
+    // estimates now answered from the rebuilt sidecar
+    assert(db.estimateRowsInRange("t",
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:58:00")) > 0.0)
+    // second tick: stats current → ANALYZE is a no-op
+    m.tick(ts("2024-01-01 11:05:00"))
+    assert(m.analyzedTables.isEmpty)
+    // default-off ticker never analyzes
+    val db2 = new ChronoDB(spark,
+      ChronoConfig(Files.createTempDirectory("maintan2").toString))
+    db2.createTable("t")
+    db2.insertSeq("t", Seq(row("k", "2024-01-01 10:00:00")))
+    new Maintenance(db2, () => db2.listTables()).tick(ts("2024-01-01 11:00:00"))
+    intercept[IllegalStateException](
+      db2.estimateRowsInRange("t", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+    db.close(); db2.close()
+  }
+
   test("a throwing table doesn't kill the loop silently: counted, logged, recovers") {
     val db = new ChronoDB(spark,
       ChronoConfig(Files.createTempDirectory("maintfail").toString))
