@@ -173,7 +173,73 @@ object TimeSeriesQueries {
         "event_type", "ts", "value", unit = "day")
       .orderBy(col("event_type"), col("bucket_start"))
 
+  /** Q46: ordered funnel view → click → purchase (min-chained reach
+    * semantics, inclusive boundaries — see operators.Funnel). */
+  def funnelQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnelCounts(t(spark, dir, "events"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("step_no"))
+
+  /** Q47: weekly retention cohorts — users grouped by the week of
+    * their first event; for each later week, how many are still
+    * active. Week offsets are exact integer µs arithmetic (UTC-naive
+    * truncated weeks are exactly 7 days apart); counts are exact
+    * distincts. Scale: first-event and activity frames are both
+    * user-keyed (one reusable partitioning), the final rollup is a
+    * tiny (cohort, offset) aggregate. */
+  def retentionQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .select(col("cohort_week"),
+        ((unix_micros(col("week")) - unix_micros(col("cohort_week")))
+          / lit(7L * 86400000000L)).cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q47_retention_cohorts", retentionQ, Some(
+      """WITH f AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events)
+        |SELECT f.cohort_week,
+        |       CAST((epoch_us(a.week) - epoch_us(f.cohort_week))
+        |            // 604800000000 AS INTEGER) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS active_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("q46_funnel", funnelQ, Some(
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS rt FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS rt
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.rt GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS rt
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.rt GROUP BY 1)
+        |SELECT 1 AS step_no, 'view' AS step,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY step_no""".stripMargin)),
     QueryDef("q30h_twap", twapQ, Some(
       s"""WITH b AS (
          |  SELECT event_type,
