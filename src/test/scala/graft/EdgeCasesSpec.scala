@@ -90,6 +90,67 @@ class EdgeCasesSpec extends SparkSuite {
       ts("2024-01-01 00:00:00")).count() === 0)
   }
 
+  test("PQ with a corpus smaller than the codebook still ranks exactly") {
+    // ks=16 but only 3 vectors exist: every vector is its own centroid,
+    // codes reconstruct losslessly, ADC == exact L2 → brute-force order
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 2, m = 1, subDim = 2, ks = 16,
+        candidates = 4)
+      .orderBy($"rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+
+  test("chunking: empty, shorter-than-chunk, and boundary-length docs") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, ""),              // empty → itself as chunk 0
+      (2L, "ab"),            // shorter than one chunk
+      (3L, "a" * 10),        // exactly one chunk (chunk=10, overlap=4)
+      (4L, "b" * 11))        // one past the boundary → 2 chunks
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text", 10, 4)
+      .orderBy($"doc_id", $"chunk_id")
+      .select($"doc_id", $"chunk_id", $"chunk").as[(Long, Int, String)]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, 0, ""), (2L, 0, "ab"), (3L, 0, "a" * 10),
+      (4L, 0, "b" * 10), (4L, 1, "b" * 5))) // stride 6 → tail chunk chars 7..11
+    // overlap really overlaps: consecutive chunks share overlap chars
+    val big = Seq((9L, ('a' to 'z').mkString)).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(big, "doc_id", "text", 10, 4)
+      .orderBy($"chunk_id").select($"chunk").as[String].collect()
+    assert(chunks(0).takeRight(4) === chunks(1).take(4))
+  }
+
+  test("TWAP: single observation owns its whole bucket; value preserved") {
+    val one = Seq(("s", ts("2024-01-01 10:59:00"), 42.5))
+      .toDF("k", "t", "v")
+    val out = Resample.twa(one, "k", "t", "v", "hour").collect()
+    assert(out.length === 1)
+    // one sample → TWA is exactly its value regardless of position
+    assert(out(0).getAs[Double]("twa") === 42.5)
+    assert(out(0).getAs[Long]("n") === 1L)
+  }
+
+  test("funnel: a step with no events empties every later step, not earlier ones") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-01 11:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")))
+      .toDF("u", "et", "t")
+    val out = Funnel.funnelCounts(ev, "u", "et", "t",
+        Seq("view", "click", "purchase"))
+      .orderBy($"step_no")
+      .select($"step", $"users").as[(String, Long)].collect().toSeq
+    // no clicks anywhere: purchases exist but cannot be reached THROUGH
+    // the click step — order matters, that's the funnel
+    assert(out === Seq(("view", 2L), ("click", 0L), ("purchase", 0L)))
+  }
+
   test("empty insert batch through the observe-based sidecar path") {
     // an all-TTL-dropped (or simply empty) batch must write no sidecar
     // rows, leave the table consistent, and not hang on the observed
