@@ -446,30 +446,61 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * partial-failure window [[sidecarCoverageGaps]] detects) are always
     * candidates — pruning them would turn a stats gap into a wrong
     * answer. */
-  private def keyCandidateBuckets(name: String, key: String): Option[Seq[String]] = {
+  private def keyCandidateBuckets(name: String, key: String): Option[Seq[String]] =
+    multiKeyCandidateBuckets(name, Seq(key))
+
+  /** Candidate buckets for a SET of keys from ONE sidecar fold: each
+    * bucket's Bloom filter is deserialized once and probed with every
+    * key — the batch form [[queryKeys]] rides, amortizing the KB-scale
+    * index read across the whole probe set. Same safety contract as the
+    * single-key path: unknown coverage (null fold, gap) never prunes. */
+  private def multiKeyCandidateBuckets(
+      name: String, keys: Seq[String]): Option[Seq[String]] = {
     if (config.sketchBloomKeys <= 0) return None
     recoverSidecar(statsPath(name))
     if (!Files.exists(statsPath(name))) return None
-    val ku = org.apache.spark.unsafe.types.UTF8String.fromString(key)
-    val keyBytes = ku.getBytes
+    // UTF8String comparison, not java.lang.String: min/max in the
+    // sidecar are binary (UTF-8 byte) order, which diverges from UTF-16
+    // char order outside the BMP
+    val kus = keys.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     val folded = sidecarFold(name)
       .select(col("bucket"), col("key_min"), col("key_max"), col("bloom"))
       .collect()
     val covered = folded.map(_.getString(0)).toSet
-    // UTF8String comparison, not java.lang.String: min/max in the
-    // sidecar are binary (UTF-8 byte) order, which diverges from UTF-16
-    // char order outside the BMP
-    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     val maybe = folded.filter { r =>
-      val inRange = r.isNullAt(1) || r.isNullAt(2) ||
-        (ku.compareTo(u(r.getString(1))) >= 0 && ku.compareTo(u(r.getString(2))) <= 0)
-      val inBloom = r.isNullAt(3) ||
-        graft.functions.SketchAggs.bloomFromBytes(
-          r.getAs[Array[Byte]](3)).mightContainBinary(keyBytes)
-      inRange && inBloom
+      val bloom =
+        if (r.isNullAt(3)) null
+        else graft.functions.SketchAggs.bloomFromBytes(r.getAs[Array[Byte]](3))
+      kus.exists { ku =>
+        val inRange = r.isNullAt(1) || r.isNullAt(2) ||
+          (ku.compareTo(u(r.getString(1))) >= 0 &&
+           ku.compareTo(u(r.getString(2))) <= 0)
+        inRange && (bloom == null || bloom.mightContainBinary(ku.getBytes))
+      }
     }.map(_.getString(0))
     val gaps = listBuckets(name).filterNot(covered)
     Some((maybe ++ gaps).toSeq.distinct.sorted)
+  }
+
+  /** Batch point lookup — [[queryKey]] for a probe SET, one sidecar
+    * fold and ONE scan for all of them: the candidate buckets of every
+    * key union into a single partition-pruned read with a pushed
+    * `key IN (…)` predicate. The shape a feature-store-style "fetch
+    * these N entities" call takes at scale: index cost is amortized
+    * across probes, and the scan touches only buckets that may contain
+    * ANY of them. */
+  def queryKeys(name: String, keys: Seq[String]): DataFrame = {
+    requireTable(name)
+    val base = table(name)
+    if (keys.isEmpty)
+      return base.filter(lit(false)).select(col("key"), col("ts"), col("data"))
+    val pruned = multiKeyCandidateBuckets(name, keys.distinct) match {
+      case Some(cand) => base.filter(col("bucket").isin(cand: _*))
+      case None => base
+    }
+    pruned.filter(col("key").isin(keys.distinct: _*))
+      .select(col("key"), col("ts"), col("data"))
   }
 
   /** Targeted key deletion — the right-to-be-forgotten verb the

@@ -798,6 +798,35 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  test("queryKeys: batch lookup prunes to the union of the keys' buckets") {
+    val dir = Files.createTempDirectory("bloommulti").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      compactFileThreshold = 2))
+    db.createTable("t")
+    db.insertSeq("t", (0 until 6).flatMap { h =>
+      Seq(row(s"k$h-a", f"2024-01-01 0$h%01d:10:00"),
+        row(s"k$h-b", f"2024-01-01 0$h%01d:20:00"))
+    })
+    val q = db.queryKeys("t", Seq("k1-a", "k4-b", "k1-a")) // dup probe OK
+    val got = q.collect().map(_.getString(0)).sorted
+    assert(got.toSeq === Seq("k1-a", "k4-b"))
+    val numFiles = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.metrics("numFiles").value).sum
+    val root = java.nio.file.Paths.get(dir)
+    def filesIn(bucket: String): Int = {
+      val d = root.resolve("t").resolve(s"bucket=$bucket")
+      if (!Files.isDirectory(d)) 0
+      else { val s = Files.list(d)
+        try s.filter(_.toString.endsWith(".parquet")).count().toInt
+        finally s.close() }
+    }
+    // ONE scan over exactly the union of the two keys' buckets
+    assert(numFiles === filesIn("2024-01-01-01") + filesIn("2024-01-01-04"))
+    assert(db.queryKeys("t", Seq.empty).count() === 0L)
+    db.close()
+  }
+
   test("deleteKey: rewrites only the key's buckets, rebuilds their sidecar rows") {
     val dir = Files.createTempDirectory("delkey").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
