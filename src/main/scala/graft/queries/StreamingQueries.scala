@@ -335,10 +335,11 @@ object StreamingQueries {
     * same instant their join state evicts. The flush rows self-exclude
     * (their own windows never close before the final watermark), and no
     * defensive filter hides that: a spuriously emitted flush row would
-    * fail the hash compare. Oracle: the plain batch LEFT JOIN — outer
-    * emission timing is streaming machinery, the RESULT SET must be
-    * batch-equivalent. */
-  def streamOuterIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    * fail the hash compare. Oracle: the plain batch LEFT (or FULL)
+    * JOIN — outer emission timing is streaming machinery, the RESULT
+    * SET must be batch-equivalent. */
+  private def outerIntervalJoin(
+      spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"),
         timestamp_micros(expr("ts DIV 1000")).as("ts"), col("event_type"))
@@ -358,14 +359,35 @@ object StreamingQueries {
     stagedReplay2(spark, batches(clicks, -1L), batches(purchases, -2L), (l, r) =>
       Streams.intervalJoin(l, r, "user_id", "ts",
           lateness = "10 minutes", lookback = "1 hour", lookahead = "1 hour",
-          joinType = "leftOuter")
+          joinType = joinType)
         .select(col("l.event_id").as("click_id"),
-          col("l.user_id").as("user_id"), col("l.ts").as("c_ts"),
+          coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+          col("l.ts").as("c_ts"),
           col("r.event_id").as("purchase_id"), col("r.ts").as("p_ts")))
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  def streamOuterIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    outerIntervalJoin(spark, dir, "leftOuter")
+
+  /** S10 (declared): the FULL OUTER sibling of s9 — unmatched rows on
+    * BOTH sides emit their null-extended row exactly once when their
+    * window provably closes; the same two-source staged replay and
+    * flush discipline apply (side-distinct impossible users keep both
+    * flush rows out of the result). Oracle: the batch FULL JOIN. */
+  def streamFullOuterIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    outerIntervalJoin(spark, dir, "fullOuter")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s10_full_outer_interval_join", streamFullOuterIntervalJoin, Some(
+      """SELECT c.event_id AS click_id,
+        |       COALESCE(c.user_id, p.user_id) AS user_id, c.ts AS c_ts,
+        |       p.event_id AS purchase_id, p.ts AS p_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id ASC NULLS FIRST, purchase_id ASC NULLS FIRST""".stripMargin)),
     QueryDef("s9_outer_interval_join", streamOuterIntervalJoin, Some(
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS c_ts,
         |       p.event_id AS purchase_id, p.ts AS p_ts
