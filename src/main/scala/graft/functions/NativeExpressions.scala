@@ -69,6 +69,59 @@ object Kernels {
     out
   }
 
+  /** Product-quantization encoder: per subspace j of `m`, the argmin-L2
+    * centroid cell (ties → the smaller cell id — the array_min struct
+    * order; `cents` arrives sorted by cell, so first-strict-win
+    * iteration implements it). Each subspace distance is the SAME IEEE
+    * sequence as the columnar `aggregate(zip_with(slice,slice))` fold
+    * and its DuckDB `list_reduce` twin — 0.0-seeded left fold of
+    * (float→double diff)² in element order — so codes stay bit-exactly
+    * oracle-replicable; this kernel only removes the per-element
+    * boxing and per-centroid slice allocation of the HOF form
+    * (d3h measured 2.0 s → 0.94 s min-of-3 at sf0.1; the remainder is
+    * the ranking windows + rescore, not encode). Null when
+    * the vector is shorter than m×subDim (the HOF form would silently
+    * rank truncated slices). */
+  def pqEncode(vd: Any, cd: Any, m: Int, subDim: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val v = vd.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cents = cd.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (v.numElements() < m * subDim) return null
+    val ks = cents.numElements()
+    if (ks == 0) return null
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * subDim
+      var bestD = Double.PositiveInfinity
+      var bestCell = Int.MaxValue
+      var c = 0
+      while (c < ks) {
+        val row = cents.getStruct(c, 2)
+        val cv = row.getArray(1)
+        if (cv.numElements() >= off + subDim) {
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val diff = v.getFloat(off + i).toDouble -
+              cv.getFloat(off + i).toDouble
+            d += diff * diff
+            i += 1
+          }
+          val cell = row.getInt(0)
+          if (d < bestD || (d == bestD && cell < bestCell)) {
+            bestD = d; bestCell = cell
+          }
+        }
+        c += 1
+      }
+      if (bestCell == Int.MaxValue) return null
+      out(j) = bestCell
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Integer dot product of two int8 code vectors — exact int64
     * arithmetic, no FP anywhere. Long.MinValue is the length-mismatch
     * sentinel (mapped to SQL NULL by the expression). */
@@ -505,6 +558,34 @@ object NativeExpressions {
     override def prettyName: String = "shingle_jaccard"
   }
 
+  /** PQ subspace encoder — see [[Kernels.pqEncode]]. Codegen'd static
+    * call; null for under-length vectors or an empty codebook. */
+  case class PqEncodeExpr(vec: Expression, cents: Expression,
+      m: Int, subDim: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    require(m >= 1 && subDim >= 1, "pq_encode: bad subspace shape")
+    override def left: Expression = vec
+    override def right: Expression = cents
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any, c: Any): Any =
+      Kernels.pqEncode(v, c, m, subDim)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, c) =>
+        s"""
+           |${ev.value} = graft.functions.Kernels.pqEncode($v, $c, $m, $subDim);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+         """.stripMargin)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(vec = newLeft, cents = newRight)
+    override def prettyName: String = "pq_encode"
+  }
+
   // Spark 4 Column is ColumnNode-backed; the bridge exposes the
   // sql-private Expression<->Column conversions.
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -517,6 +598,9 @@ object NativeExpressions {
 
   def int8Dot(a: Column, b: Column): Column =
     column(Int8DotExpr(expression(a), expression(b)))
+
+  def pqEncodeNative(vec: Column, cents: Column, m: Int, subDim: Int): Column =
+    column(PqEncodeExpr(expression(vec), expression(cents), m, subDim))
 
   def shingleJaccardNative(a: Column, b: Column, k: Int): Column =
     column(ShingleJaccardExpr(expression(a), expression(b), k))

@@ -381,23 +381,30 @@ object Similarity {
         col(vecCol).as("cv"))).as("cents"))
       .select(array_sort(col("cents")).as("cents"))
 
-    // encode: per subspace, argmin-distance cell (ties → smaller cell,
-    // via lexicographic struct min on (dist, cell)) — map-only
+    // encode: per subspace, argmin-distance cell (ties → smaller cell)
+    // — map-only, via the native kernel (same IEEE fold as the columnar
+    // form and the oracle; the HOF formulation's per-centroid slice
+    // allocation and boxing measured d3h at 2.0 s vs 0.94 s with the kernel)
     val codes = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(cents))
       .select(col("neighbor_id"),
-        transform(sequence(lit(0), lit(m - 1)), j =>
-          array_min(transform(col("cents"), ct => struct(
-            subdist(col("vec"), ct.getField("cv"), j).as("d"),
-            ct.getField("cell").as("cell")))).getField("cell")).as("code"))
+        graft.functions.NativeExpressions.pqEncodeNative(
+          col("vec"), col("cents"), m, subDim).as("code"))
 
-    // ADC: exact query subvectors vs the code's reconstructed
-    // centroids, ordered sum over subspaces; the query set (with the
-    // codebook attached) broadcasts, the code stream never shuffles
+    // ADC: the per-query LOOKUP TABLE lut[j][cell] of partial distances
+    // (m×ks doubles, computed ONCE per query on the broadcast side)
+    // replaces every float multiply against corpus data — scoring a
+    // corpus row is m array lookups + an ordered m-term sum, not
+    // m×subDim multiply-adds. Same values in the same fold order as
+    // recomputing per pair, so the oracle replication is unchanged.
     val qSide = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(col("cents"), ct =>
+            subdist(col("__qv"), ct.getField("cv"), j))).as("lut"))
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("ad").asc, col("neighbor_id"))
     val cand = codes.crossJoin(broadcast(qSide))
@@ -405,9 +412,8 @@ object Similarity {
       .withColumn("ad",
         aggregate(
           transform(sequence(lit(0), lit(m - 1)), j =>
-            subdist(col("__qv"),
-              element_at(col("cents"),
-                element_at(col("code"), j + 1) + 1).getField("cv"), j)),
+            element_at(element_at(col("lut"), (j + 1).cast("int")),
+              element_at(col("code"), (j + 1).cast("int")) + 1)),
           lit(0.0), (acc, x) => acc + x))
       .withColumn("crank", row_number().over(wCand))
       .filter(col("crank") <= candidates)
