@@ -147,6 +147,24 @@ class PlanGuardSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q46: every funnel exchange is keyed on the user; aggs partial; no cartesian") {
+    val p = plan("q46_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    // step transitions are equi-joins on the user key, never broadcastless loops
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"step aggregates should be partial before their exchanges:\n$p")
+  }
+
+  test("d22: chunking is scan -> project -> generate; no join, no window") {
+    val p = plan("d22_doc_chunks")
+    assert(p.contains("Generate"), s"posexplode missing:\n$p")
+    assert(!p.contains("Join"), s"chunker must not join:\n$p")
+    assert(!p.contains("Window"), s"chunker must not window:\n$p")
+    // one exchange total: the canonical output sort
+    assert("Exchange".r.findAllIn(p).size <= 1, s"chunker grew exchanges:\n$p")
+  }
+
   test("d3c: corpus assignment is map-only; ranking group-limits before exchange") {
     val p = plan("d3c_similarity_ivf")
     // centroid array arrives via broadcast nested-loop (single-row build
