@@ -74,6 +74,9 @@ object Engine {
       es => Int8QuantizeExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("int8_dot",
       es => Int8DotExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_encode",
+      es => PqEncodeExpr(es.head, es(1),
+        intArg(es(2), "m"), intArg(es(3), "subDim")), "scala_udf")
     // aggregate (UDAF surface): SELECT g, topk_by_score(score, id, 5) ...
     reg.createOrReplaceTempFunction("topk_by_score",
       es => TopKByScoreAgg(es.head, es(1), intArg(es(2), "k"))

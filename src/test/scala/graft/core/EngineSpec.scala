@@ -48,6 +48,14 @@ class EngineSpec extends SparkSuite {
         |FROM embeddings ORDER BY vec_id LIMIT 1""".stripMargin).head()
     assert(i8.getAs[Int]("len") > 0)
     assert(i8.getAs[Long]("d") > 0L)
+    // pq_encode: a vector quantized against a codebook containing
+    // itself (cell 1) and an orthogonal one (cell 0) picks itself
+    val pq = spark.sql(
+      """SELECT pq_encode(array(1.0F, 0.0F),
+        |         array(named_struct('cell', 0, 'cv', array(0.0F, 1.0F)),
+        |               named_struct('cell', 1, 'cv', array(1.0F, 0.0F))),
+        |         1, 2) AS code""".stripMargin).head()
+    assert(pq.getAs[scala.collection.Seq[Int]]("code") === Seq(1))
   }
 
   test("registerFunctions exposes the UDAF and UDTF surfaces to SQL") {
