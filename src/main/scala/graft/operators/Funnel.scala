@@ -28,25 +28,37 @@ object Funnel {
 
   /** Per-step reach counts for the ordered funnel `steps`.
     *
+    * @param within optional conversion HORIZON, e.g. `Some("24 hours")`:
+    *   every step must complete within this interval of the user's
+    *   FIRST-step reach time (the product-analytics convention — a
+    *   purchase three weeks after the view is not that view's
+    *   conversion). None = unbounded, the pure ordered chain.
     * @return (step_no INT starting at 1, step STRING, users BIGINT) —
     *         one row per step, monotonically non-increasing counts.
     */
   def funnelCounts(
       df: DataFrame,
       userCol: String, typeCol: String, tsCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      within: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = df.select(col(userCol).as("__u"), col(typeCol).as("__et"),
       col(tsCol).as("__t"))
-    // reached(k): (user, earliest ts at which the user completed steps 0..k)
-    val reached = steps.tail.scanLeft(
-      e.filter(col("__et") === steps.head)
-        .groupBy(col("__u")).agg(min(col("__t")).as("__rt"))) {
+    // reached(k): (user, earliest ts completing steps 0..k, step-1 ts)
+    val first = e.filter(col("__et") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__t")).as("__rt"))
+      .withColumn("__t1", col("__rt"))
+    val reached = steps.tail.scanLeft(first) {
       case (prev, step) =>
+        val inHorizon = within
+          .map(iv => col("__t") <= col("__prev_t1") + expr(s"INTERVAL $iv"))
+          .getOrElse(lit(true))
         e.filter(col("__et") === step)
-          .join(prev.select(col("__u"), col("__rt").as("__prev_rt")), Seq("__u"))
-          .filter(col("__t") >= col("__prev_rt"))
-          .groupBy(col("__u")).agg(min(col("__t")).as("__rt"))
+          .join(prev.select(col("__u"), col("__rt").as("__prev_rt"),
+            col("__t1").as("__prev_t1")), Seq("__u"))
+          .filter(col("__t") >= col("__prev_rt") && inHorizon)
+          .groupBy(col("__u")).agg(min(col("__t")).as("__rt"),
+            min(col("__prev_t1")).as("__t1")) // constant per user
     }
     reached.zip(steps).zipWithIndex.map { case ((r, step), i) =>
       r.agg(count(lit(1)).as("users"))

@@ -720,6 +720,43 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D21b: key-RANGE scan through the sidecar min/max interval — the
+    * prefix-scan access pattern gate-checked on real data. Events are
+    * keyed `d<DD>/u<user>` (day-prefixed, so each hour bucket's key
+    * interval spans exactly its own day's prefix), and the scan asks
+    * for one day's prefix range: queryKeyRange must prune to that
+    * day's ~24 hourly buckets out of ~720 (prune_ok verdict) and
+    * return exactly the day's rows (hash vs the plain BETWEEN oracle).
+    * The Bloom family cannot serve ranges — this is the key_min/key_max
+    * half of the index earning its keep. */
+  def keyRangeScanQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d21b_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "hour",
+      sketchLgK = 0, sketchCmsDepth = 0, writersPerBucket = 1))
+    try {
+      db.createTable("ev")
+      val ev = t(spark, dir, "events")
+      db.insert("ev", ev.select(
+        concat(lit("d"), date_format(col("ts"), "dd"),
+          lit("/u"), col("user_id").cast("string")).as("key"),
+        col("ts"), encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      val total = db.stats("ev").numFiles
+      val q = db.queryKeyRange("ev", "d05/", "d05/\uffff")
+      q.collect()
+      val scanned = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numFiles").value).sum
+      val pruneOk = scanned > 0 && scanned < total
+      db.queryKeyRange("ev", "d05/", "d05/\uffff")
+        .select(col("key"), col("ts"),
+          decode(col("data"), "UTF-8").as("event_type"))
+        .withColumn("prune_ok", lit(pruneOk))
+        .orderBy(col("key"), col("ts"), col("event_type"))
+    } finally db.close()
+  }
+
   /** D22: document chunking — fixed 200-char windows with 50-char
     * overlap (stride 150), the pre-embedding/RAG splitter. Pure map +
     * controlled posexplode (see Curation.chunkDocuments); integer-only
@@ -1714,6 +1751,16 @@ object NorthStarQueries {
         |       TRUE AS prune_ok
         |FROM events e, p WHERE e.user_id IN (p.lo, p.hi)
         |ORDER BY key, e.ts, e.event_type""".stripMargin)),
+    QueryDef("d21b_key_range_scan", keyRangeScanQ, Some(
+      // the [d05/, d05/￿] binary interval over day-prefixed keys
+      // selects exactly day 05 — the oracle states it as the day
+      // filter; the pruning claim is the in-query prune_ok verdict
+      """SELECT 'd' || strftime(ts, '%d') || '/u' ||
+        |         CAST(user_id AS VARCHAR) AS key,
+        |       ts, event_type, TRUE AS prune_ok
+        |FROM events
+        |WHERE strftime(ts, '%d') = '05'
+        |ORDER BY key, ts, event_type""".stripMargin)),
     QueryDef("d22_doc_chunks", docChunksQ, Some(
       """WITH d AS (
         |  SELECT doc_id, text,

@@ -205,7 +205,36 @@ object TimeSeriesQueries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Q46b: the funnel with a 24-hour conversion horizon from the first
+    * step — the product-analytics form (late conversions don't count). */
+  def funnelWindowedQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnelCounts(t(spark, dir, "events"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), within = Some("24 hours"))
+      .orderBy(col("step_no"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q46b_funnel_windowed", funnelWindowedQ, Some(
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS rt, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS rt, min(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.rt
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS rt
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.rt
+        |    AND e.ts <= s2.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT 1 AS step_no, 'view' AS step,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY step_no""".stripMargin)),
     QueryDef("q47_retention_cohorts", retentionQ, Some(
       """WITH f AS (
         |  SELECT user_id,
