@@ -315,8 +315,17 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       return spark.createDataset(Seq.empty[ChronoRow]).toDF()
         .withColumn("bucket", lit(null).cast("string"))
         .select("key", "ts", "data", "bucket")
+    // bucket normalized to STRING at the read boundary: DAY labels
+    // ("2024-01-10") are otherwise partition-type-INFERRED as DATE,
+    // silently type-skewing every downstream consumer (driver-side
+    // getString, sidecar joins, unionByName of rebuilt sidecar rows)
+    // against the hour format's string labels. The cast is a
+    // deterministic function of the partition column alone, so
+    // partition PRUNING still applies to predicates on it (asserted at
+    // file granularity by the queryKey/range-scan specs).
     spark.read.parquet(tablePath(name).toString)
-      .select(col("key"), col("ts"), col("data"), col("bucket"))
+      .select(col("key"), col("ts"), col("data"),
+        col("bucket").cast("string").as("bucket"))
   }
 
   /** Inclusive [start,end] time-range scan — the reference's only query.
