@@ -103,22 +103,46 @@ object Bench {
     // Ingest section (skipped in args mode and with SPARK_GRAFT_INGEST=0):
     // the reference is first an INGEST engine, so the write path gets its
     // own timings — see IngestBench.
-    val ingest =
-      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_INGEST").contains("0")) ""
+    val (ingest, ingestCompact) =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_INGEST").contains("0"))
+        ("", "")
       else {
         val r = try IngestBench.run(spark, sfDir)
         catch { case e: Throwable =>
           errors += 1
           System.err.println(s"[bench] ingest failed: ${e.getMessage}")
-          ""
+          ("", "")
         }
-        if (r.isEmpty) "" else s""""ingest":$r,"""
+        (if (r._1.isEmpty) "" else s""""ingest":${r._1},""",
+         if (r._2.isEmpty) "" else s""""ingest":${r._2},""")
       }
     // host 1-minute load average: >> cpu count means the numbers above
     // were taken on a contended box
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_raw":$qsRaw,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"secondary_raw":$secRaw,$ingest"load_avg_1m":$load,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}""")
+    // Two artifacts. The driver captures only the LAST 2000 chars of
+    // this process's output, so the line printed to stdout must fit
+    // that window WITH room for sbt's trailing "[success]" line —
+    // BENCH_r01..r08 all record "parsed": null because the old
+    // everything-in-one-line form blew past it and lost its head.
+    // stdout gets the compact line (4-decimal medians, min_total,
+    // ingest headline rates); the full detail — per-run raw arrays,
+    // per-query minima, the ingest/sink breakdown — goes to
+    // BENCH_DETAIL.json beside the build so nothing is lost.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_raw":$qsRaw,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"secondary_raw":$secRaw,$ingest"load_avg_1m":$load,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    def r4(x: Double): String = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def objR(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    val qsC = objR(results.map(r => r._1 -> r._2))
+    val secC = objR(secResults.map(r => r._1 -> r._2))
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsC,"min_total":${r4(minTotal)},"secondary":$secC,$ingestCompact"load_avg_1m":${r4(load)},"cpus":$cpus,"errors":$errors,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

@@ -24,15 +24,21 @@ import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Tables}
   *
   * The overhead is measured at TWO batch sizes: the fixture's 100k-row
   * batch and the same fixture replicated `SPARK_GRAFT_INGEST_MULT`×
-  * (default 6× ≈ 600k rows, distinct keys per replica). The sidecar
-  * build PIGGYBACKS on the data-write job (Dataset.observe +
+  * (default 6× ≈ 600k rows, distinct keys per replica), in THREE
+  * configs: full sketches (HLL+CMS+Bloom), bloom-only (the cheapest
+  * useful index — Bloom + key min/max + n), and none (every sketch
+  * knob zeroed, so the observe/BucketStatsAgg path truly does not
+  * run — the r8 artifact's control left Bloom on and read ~0%). The
+  * sidecar build PIGGYBACKS on the data-write job (Dataset.observe +
   * BucketStatsAgg — the write tasks fold per-bucket HLL/n/CMS state as
   * rows stream by, and the sidecar file write is a driver-local
-  * KB-scale append), so the remaining overhead is the in-task sketch
-  * update work plus one tiny file commit — measured at ~10-20% at both
-  * sizes, against 50-75% for the earlier shape that re-scanned the
-  * batch in a dedicated sidecar job. Raw per-config seconds are
-  * emitted so the analysis can be re-done from the artifact.
+  * KB-scale append). Measured against the corrected control (load ~2):
+  * full family ~30-40% at 100k rows falling to ~1-10% at 600k (the
+  * cost is dominated by a fixed per-batch floor that amortizes with
+  * batch size), bloom-only ~20% at 100k — against 50-75% for the
+  * earlier shape that re-scanned the batch in a dedicated sidecar
+  * job. Raw per-config seconds are emitted so the analysis can be
+  * re-done from the artifact.
   *
   * Timing hygiene: the first-ever insert through a fresh JVM pays
   * JIT/codegen warm-up for the whole write+observe path (measured ~2×
@@ -60,9 +66,13 @@ import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Tables}
   */
 object IngestBench {
 
-  /** Returns a JSON object string (no trailing newline) with the ingest
-    * timings, e.g. {"rows":100000,"insert_sec":...}. */
-  def run(spark: SparkSession, sfDir: String): String = {
+  /** Returns (full, compact) JSON object strings (no trailing newline)
+    * with the ingest timings, e.g. {"rows":100000,"insert_sec":...}.
+    * `full` carries every raw array and breakdown (written to
+    * BENCH_DETAIL.json); `compact` carries the headline rates and
+    * overhead percentages only — it must fit, with the query section,
+    * inside the driver's 2000-char output-tail capture window. */
+  def run(spark: SparkSession, sfDir: String): (String, String) = {
     import spark.implicits._
 
     // (key, ts, data) rows from the events fixture: key = user id,
@@ -95,15 +105,23 @@ object IngestBench {
       try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
       finally s.close()
     }
-    def cfg(dir: Path, sketches: Boolean): ChronoConfig =
+    // Three measured configs. "none" must zero EVERY sketch knob:
+    // sketchBloomKeys left at its 4096 default keeps ChronoDB.sketching
+    // true, so the "control" still runs the observe/BucketStatsAgg path
+    // and writes sidecars — the overhead ratio then compares sketch-on
+    // vs sketch-mostly-on and reads ~0 (the BENCH_r08 artifact did
+    // exactly this). "bloom" isolates the cheapest useful index (key
+    // Bloom + min/max + n, no HLL/CMS) as its own point.
+    def cfg(dir: Path, mode: String): ChronoConfig =
       ChronoConfig(dir.toString, bucket = "day",
-        sketchLgK = if (sketches) 12 else 0,
-        sketchCmsDepth = if (sketches) 4 else 0)
+        sketchLgK = if (mode == "full") 12 else 0,
+        sketchCmsDepth = if (mode == "full") 4 else 0,
+        sketchBloomKeys = if (mode == "none") 0L else 4096L)
 
     def oneInsert(data: org.apache.spark.sql.Dataset[ChronoRow],
-        sketches: Boolean): Double = {
+        mode: String): Double = {
       val dir = freshDir()
-      val db = new ChronoDB(spark, cfg(dir, sketches))
+      val db = new ChronoDB(spark, cfg(dir, mode))
       try {
         db.createTable("events")
         val t0 = System.nanoTime()
@@ -114,18 +132,19 @@ object IngestBench {
 
     /** One untimed warm-up + three timed inserts; returns raw seconds. */
     def time3Insert(data: org.apache.spark.sql.Dataset[ChronoRow],
-        sketches: Boolean): Seq[Double] =
-      (0 to 3).map(_ => oneInsert(data, sketches)).drop(1)
+        mode: String): Seq[Double] =
+      (0 to 3).map(_ => oneInsert(data, mode)).drop(1)
 
     // cross-config warm-up (see scaladoc: JIT hygiene)
     (1 to 2).foreach { _ =>
-      oneInsert(rows, sketches = true); oneInsert(rows, sketches = false)
+      oneInsert(rows, "full"); oneInsert(rows, "none")
     }
 
-    val withSketch = time3Insert(rows, sketches = true)
-    val noSketch = time3Insert(rows, sketches = false)
-    val withSketchBig = time3Insert(bigRows, sketches = true)
-    val noSketchBig = time3Insert(bigRows, sketches = false)
+    val withSketch = time3Insert(rows, "full")
+    val bloomOnly = time3Insert(rows, "bloom")
+    val noSketch = time3Insert(rows, "none")
+    val withSketchBig = time3Insert(bigRows, "full")
+    val noSketchBig = time3Insert(bigRows, "none")
 
     // Streaming loop: 4 staged micro-batches (maxFilesPerTrigger=1)
     // through chronoSink with compactEvery=2, so the timing includes two
@@ -147,7 +166,7 @@ object IngestBench {
         (Double, graft.streaming.Streams.SinkMetrics) = {
       val sinkDir = freshDir()
       val cp = freshDir()
-      val sinkDb = new ChronoDB(spark, cfg(sinkDir, sketches = true))
+      val sinkDb = new ChronoDB(spark, cfg(sinkDir, "full"))
       val m = new graft.streaming.Streams.SinkMetrics
       val sec =
         try {
@@ -196,11 +215,28 @@ object IngestBench {
     val sinkInsert = sinkMetrics.insertSec
     val sinkMaint = sinkMetrics.maintSec
     val sinkHarness = sinkSec - sinkInsert - sinkMaint
-    s"""{"rows":$n,"insert_sec":${med(withSketch)},"insert_sec_min":${withSketch.min},""" +
+    def r2(x: Double): String = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def r4(x: Double): String = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val compact =
+      s"""{"rows":$n,"insert_sec":${r4(med(withSketch))},""" +
+      s""""insert_rows_per_sec":${r2(n / med(withSketch))},""" +
+      s""""sidecar_overhead_pct":${r2(pct(withSketch, noSketch))},""" +
+      s""""bloom_overhead_pct":${r2(pct(bloomOnly, noSketch))},""" +
+      s""""rows_large":$nBig,""" +
+      s""""insert_large_rows_per_sec":${r2(nBig / med(withSketchBig))},""" +
+      s""""sidecar_overhead_large_pct":${r2(pct(withSketchBig, noSketchBig))},""" +
+      s""""sink_rows_per_sec":${r2(n / sinkSec)},""" +
+      s""""sink1_foreachbatch_rows_per_sec":${r2(n / sink1Metrics.insertSec)}}"""
+    val full =
+      s"""{"rows":$n,"insert_sec":${med(withSketch)},"insert_sec_min":${withSketch.min},""" +
       s""""insert_raw":${arr(withSketch)},"insert_rows_per_sec":${n / med(withSketch)},""" +
       s""""insert_nosketch_sec":${med(noSketch)},"insert_nosketch_raw":${arr(noSketch)},""" +
+      s""""insert_bloom_sec":${med(bloomOnly)},"insert_bloom_raw":${arr(bloomOnly)},""" +
       s""""sidecar_overhead_pct":${pct(withSketch, noSketch)},""" +
       s""""sidecar_overhead_min_pct":${pctMin(withSketch, noSketch)},""" +
+      s""""bloom_overhead_pct":${pct(bloomOnly, noSketch)},""" +
       s""""rows_large":$nBig,"insert_large_sec":${med(withSketchBig)},""" +
       s""""insert_large_raw":${arr(withSketchBig)},""" +
       s""""insert_large_rows_per_sec":${nBig / med(withSketchBig)},""" +
@@ -216,5 +252,6 @@ object IngestBench {
       s""""sink1_insert_sec":${sink1Metrics.insertSec},""" +
       s""""sink1_maint_sec":${sink1Metrics.maintSec},""" +
       s""""sink1_foreachbatch_rows_per_sec":${n / sink1Metrics.insertSec}}"""
+    (full, compact)
   }
 }

@@ -550,12 +550,20 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (rewrite.nonEmpty) {
       val bs = rewrite.map(_._1)
       // null-safe inequality: a plain =!= evaluates NULL for null keys
-      // and would silently drop them from the rewritten bucket
+      // and would silently drop them from the rewritten bucket.
+      // localCheckpoint MATERIALIZES the survivors before the overwrite
+      // starts: the frame below reads the same parquet files the write
+      // replaces, and Spark's overwrite-while-reading guard only covers
+      // InsertIntoStatement — a task retry after the commit began could
+      // otherwise recompute from partially-replaced buckets and lose
+      // bystander rows. Cheap by construction: only buckets that
+      // actually hold the key are checkpointed, not the table.
       val df = table(name)
         .filter(col("bucket").isin(bs: _*) &&
           !(col("key") <=> lit(key)))
         .repartition(col("bucket"))
         .sortWithinPartitions(col("ts"), col("key"))
+        .localCheckpoint()
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try df.write.mode(SaveMode.Overwrite)

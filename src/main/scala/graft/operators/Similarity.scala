@@ -385,12 +385,17 @@ object Similarity {
     // — map-only, via the native kernel (same IEEE fold as the columnar
     // form and the oracle; the HOF formulation's per-centroid slice
     // allocation and boxing measured d3h at 2.0 s vs 0.94 s with the kernel)
+    // under-length vectors encode to null — EXCLUDE them here: the
+    // candidate window below orders by ad ASC, which in Spark is NULLS
+    // FIRST, so a null ad would otherwise occupy the top candidate
+    // slots ahead of every real neighbor
     val codes = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(cents))
       .select(col("neighbor_id"),
         graft.functions.NativeExpressions.pqEncodeNative(
           col("vec"), col("cents"), m, subDim).as("code"))
+      .filter(col("code").isNotNull)
 
     // ADC: the per-query LOOKUP TABLE lut[j][cell] of partial distances
     // (m×ks doubles, computed ONCE per query on the broadcast side)

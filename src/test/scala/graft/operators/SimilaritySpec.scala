@@ -139,6 +139,20 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.3, s"PQ recall@5 = $recall")
   }
 
+  test("PQ excludes under-length vectors instead of ranking them first") {
+    // a corpus row shorter than m*subDim encodes to a null code; its
+    // null ADC distance would sort NULLS FIRST in the candidate window
+    // and claim a top slot ahead of every real neighbor — it must be
+    // dropped at the encode boundary instead
+    val short = Seq((99L, Seq(1f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs.unionByName(short),
+        vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 3, m = 1, subDim = 3, ks = 4,
+        candidates = 4)
+      .orderBy($"rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L, 3L), s"short vector leaked: ${out.toSeq}")
+  }
+
   test("bounded-heap aggregate top-k equals the window formulation") {
     val emb = Tables.t(spark, sf(), "embeddings")
     val queries = emb.filter($"vec_id" < 32)
