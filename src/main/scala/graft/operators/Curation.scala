@@ -353,4 +353,87 @@ object Curation {
       .select(col(idCol), col("pos").cast("int").as("chunk_id"),
         col("col").as("chunk"), col("n_chunks"))
   }
+
+  /** BM25 retrieval: score every document against a fixed bag of query
+    * terms, return the global top-k. The retrieval primitive of a
+    * training-data pipeline (mine hard positives for a topic, rank a
+    * corpus slice against a probe query) — the reference has no text
+    * surface at all (SURVEY.md §2b).
+    *
+    * Scoring is BM25 with a RATIONAL idf: the classic
+    * ln((N-df+0.5)/(df+0.5)) is replaced by the ratio itself,
+    * (2N-2df+1)/(2df+1), computed as ONE correctly-rounded IEEE
+    * division of integral operands. ln is monotone, so per-term
+    * rankings are identical; the cross-term sum weights common terms
+    * somewhat higher than the log form — a deliberate, documented
+    * trade for an oracle-exact score (ln diverges 1 ulp between
+    * engines; see Det and tfIdfTopTerms precedent). The tf
+    * normalization tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) is standard
+    * BM25, every step an IEEE op on identical operand trees in both
+    * engines. The per-document score is an ORDERED fold of the
+    * per-term scores (term-ascending, 0.0 seed) — double addition is
+    * not associative, so an unordered SUM would be partition-order
+    * nondeterministic.
+    *
+    * Scale shape: corpus stats (df per query term, N, avgdl) are a few
+    * rows — computed once and broadcast into the map-side score; the
+    * only wide ops over corpus-sized data are the tokenize→tf
+    * aggregation (shuffled on (doc, term), map-side combined) and the
+    * final TakeOrderedAndProject top-k (per-partition heads, no global
+    * sort). Terms are filtered BEFORE the tf aggregation, so the
+    * shuffle carries query-term rows only — at 100 TB the tf shuffle
+    * is proportional to query-term hits, not corpus tokens. The dl/
+    * avgdl pass does aggregate all tokens, but as a map-side-combined
+    * per-doc count (longs), not token rows.
+    */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(k >= 1, s"topK must be >= 1, got $k")
+    val terms = queryTerms.distinct
+    val toks = df.select(
+      col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+    // per-doc length over ALL tokens (BM25's dl), map-side combinable
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // corpus constants: one row — n_docs from the corpus (docs with
+    // zero tokens still count), avgdl as an exact integral division
+    val stats = dl.agg(sum(col("dl")).as("sum_dl"))
+      .crossJoin(df.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // df per term: tf is already distinct per (doc, term)
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val scored = tf
+      .join(broadcast(docFreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (lit(2) * col("n_docs") - lit(2) * col("doc_freq") + lit(1))
+          .cast("double") /
+          (lit(2) * col("doc_freq") + lit(1)).cast("double"))
+      .withColumn("tfn",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("tscore", col("idf") * col("tfn"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(collect_list(struct(col("term"), col("tscore"))).as("ts"))
+      .select(col(idCol),
+        aggregate(array_sort(col("ts")), lit(0.0),
+          (acc, x) => acc + x.getField("tscore")).as("score"))
+    // global top-k: orderBy+limit compiles to TakeOrderedAndProject
+    // (per-partition bounded heaps); the rank window then runs over k
+    // rows, not the corpus
+    val topk = perDoc.orderBy(col("score").desc, col(idCol)).limit(k)
+    topk.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol)))
+          .cast("int"))
+      .select(col(idCol), col("score"), col("rank"))
+  }
 }

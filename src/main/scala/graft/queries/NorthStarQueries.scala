@@ -809,6 +809,20 @@ object NorthStarQueries {
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("doc_id"), col("rnk"))
 
+  /** D23: BM25 retrieval — the corpus ranked against a fixed probe
+    * query ("hash join merge stream"), global top-20. Rational idf
+    * (2N−2df+1)/(2df+1) instead of the log form (ln is 1-ulp divergent
+    * cross-engine; same trade as D14), ordered per-doc term fold, and
+    * a TakeOrderedAndProject top-k — see [[Curation.bm25TopK]] for the
+    * scale shape. Oracle constants are all ::DOUBLE-cast (DuckDB
+    * numeric literals are DECIMAL and would silently switch the whole
+    * score into decimal arithmetic). */
+  def bm25Q(spark: SparkSession, dir: String): DataFrame =
+    Curation.bm25TopK(t(spark, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "merge", "stream"), k = 20)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("rnk"))
+
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
     * that multi-dimensional range pruning sorts by at scale (the
     * reference's tablets are time-ordered only; this generalizes its
@@ -1775,6 +1789,41 @@ object NorthStarQueries {
         |       substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk,
         |       CAST(n_chunks AS BIGINT) AS n_chunks
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
+    QueryDef("d23_bm25_topk", bm25Q, Some(
+      // every constant ::DOUBLE (DuckDB literals are DECIMAL); score =
+      // one integral-operand division (idf) × the standard tf norm,
+      // identical operand trees to the Spark side; per-doc sum is an
+      // ordered term-ascending fold (double + is non-associative)
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE)
+        |                / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+        |       FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |       WHERE term IN ('hash', 'join', 'merge', 'stream') GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (CAST(2 * n_docs - 2 * doc_freq + 1 AS DOUBLE)
+        |       / CAST(2 * doc_freq + 1 AS DOUBLE))
+        |    * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |       / (CAST(tf AS DOUBLE)
+        |          + CAST(1.2 AS DOUBLE)
+        |            * (CAST(0.25 AS DOUBLE)
+        |               + CAST(0.75 AS DOUBLE)
+        |                 * (CAST(dl AS DOUBLE) / avgdl)))) AS tscore
+        |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |d AS (SELECT doc_id,
+        |             list_reduce(list(tscore ORDER BY term), (a, x) -> a + x) AS score
+        |      FROM s GROUP BY 1)
+        |SELECT doc_id, score,
+        |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+        |FROM d
+        |QUALIFY rnk <= 20
+        |ORDER BY rnk""".stripMargin)),
     QueryDef("d19_bucket_sketch_distinct", bucketSketchDistinctQ, Some(
       // exact weekly anchors in SQL; the sketch-merge estimate and its
       // tolerance verdict are validated in-query (q22 pattern) — HLL

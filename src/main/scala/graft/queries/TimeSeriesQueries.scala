@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Det, QueryDef, Tables}
-import graft.operators.{AsOfJoin, Resample}
+import graft.operators.{AsOfJoin, Resample, Sessionize}
 
 /** Time-series operators: as-of join and gap-filled resample
   * (SURVEY.md §2c Q9, Q26). */
@@ -213,7 +213,46 @@ object TimeSeriesQueries {
         Seq("view", "click", "purchase"), within = Some("24 hours"))
       .orderBy(col("step_no"))
 
+  /** Q48: batch sessionization — per-user 30-minute-gap sessions over
+    * the event stream (see [[Sessionize]] for the one-shuffle window
+    * formulation). event_id breaks timestamp ties so session numbering
+    * is deterministic. */
+  def sessionizeQ(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionize(
+        t(spark, dir, "events").select(
+          col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", gapUs = 30L * 60 * 1000000, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("session_no"),
+        col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_no"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q48_sessionize", sessionizeQ, Some(
+      // gap test on integral µs (epoch_ns // 1000 ≡ Spark unix_micros);
+      // session_no = running sum of start flags, BIGINT both sides
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(epoch_ns(ts) // 1000) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_us IS NULL
+        |                OR epoch_ns(ts) // 1000 - prev_us > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1, 2
+        |ORDER BY user_id, session_no""".stripMargin)),
     QueryDef("q46b_funnel_windowed", funnelWindowedQ, Some(
       """WITH s1 AS (
         |  SELECT user_id AS u, min(ts) AS rt, min(ts) AS t1 FROM events

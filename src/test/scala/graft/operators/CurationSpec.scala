@@ -222,4 +222,43 @@ class CurationSpec extends SparkSuite {
       assert(bins.zip(bins.tail).forall { case (x, y) => y == x || y == x + 1 || y > x })
     }
   }
+
+  test("bm25TopK matches the hand formula on a tiny corpus") {
+    val corpus = Seq(
+      (0L, "a a b"),
+      (1L, "b c"),
+      (2L, "c c c d"),
+      (3L, "a a a a") // no query terms -> absent from results
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25TopK(corpus, "doc_id", "text",
+        Seq("b", "c"), k = 10)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+
+    // independent reimplementation of the documented score: rational
+    // idf (2N-2df+1)/(2df+1), standard tf norm, term-ascending fold
+    val n = 4.0
+    val avgdl = (3 + 2 + 4 + 4).toDouble / n
+    def idf(df: Double) = (2 * n - 2 * df + 1) / (2 * df + 1)
+    def tfn(tf: Double, dl: Double) =
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    val s0 = idf(2) * tfn(1, 3)                     // doc 0: b
+    val s1 = idf(2) * tfn(1, 2) + idf(2) * tfn(1, 2) // doc 1: b then c
+    val s2 = idf(2) * tfn(3, 4)                     // doc 2: c
+    val expected = Seq(0L -> s0, 1L -> s1, 2L -> s2)
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    assert(out.toSeq === expected)
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("bm25TopK caps output at k with dense ranks") {
+    val out = Curation.bm25TopK(docs, "doc_id", "text",
+      Seq("hash", "join", "merge", "stream"), k = 20)
+    val rows = out.as[(Long, Double, Int)].collect()
+    assert(rows.length === 20)
+    assert(rows.map(_._3).sorted.toSeq === (1 to 20))
+    // scores non-increasing in rank order
+    val byRank = rows.sortBy(_._3).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
 }
