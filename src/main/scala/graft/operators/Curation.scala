@@ -375,16 +375,16 @@ object Curation {
     * not associative, so an unordered SUM would be partition-order
     * nondeterministic.
     *
-    * Scale shape: corpus stats (df per query term, N, avgdl) are a few
-    * rows — computed once and broadcast into the map-side score; the
-    * only wide ops over corpus-sized data are the tokenize→tf
-    * aggregation (shuffled on (doc, term), map-side combined) and the
-    * final TakeOrderedAndProject top-k (per-partition heads, no global
-    * sort). Terms are filtered BEFORE the tf aggregation, so the
-    * shuffle carries query-term rows only — at 100 TB the tf shuffle
-    * is proportional to query-term hits, not corpus tokens. The dl/
-    * avgdl pass does aggregate all tokens, but as a map-side-combined
-    * per-doc count (longs), not token rows.
+    * Scale shape: the tokenize→explode→tf aggregation is the ONLY
+    * wide op over token rows, and terms are filtered BEFORE it, so
+    * that shuffle carries query-term hits only — not corpus tokens.
+    * doc_freq is a window over the already-tiny tf frame (docs×terms
+    * rows), NOT a second corpus tokenization; dl is size(tokens(text))
+    * — a map-only projection with no explode and no shuffle (its
+    * global sum for avgdl re-runs that map lineage once: a second
+    * corpus SCAN, but zero shuffle and zero explode). Corpus stats
+    * (N, avgdl — one row) broadcast into the score; the final top-k is
+    * TakeOrderedAndProject (per-partition heads, no global sort).
     */
   def bm25TopK(
       df: DataFrame, idCol: String, textCol: String,
@@ -393,10 +393,10 @@ object Curation {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(k >= 1, s"topK must be >= 1, got $k")
     val terms = queryTerms.distinct
-    val toks = df.select(
-      col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
-    // per-doc length over ALL tokens (BM25's dl), map-side combinable
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // per-doc length over ALL tokens (BM25's dl): size of the token
+    // array — map-only, no explode, no shuffle
+    val dl = df.select(col(idCol),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
     // corpus constants: one row — n_docs from the corpus (docs with
     // zero tokens still count), avgdl as an exact integral division
     val stats = dl.agg(sum(col("dl")).as("sum_dl"))
@@ -404,12 +404,15 @@ object Curation {
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
-    val tf = toks.filter(col("term").isin(terms: _*))
+    val tf = df.select(
+        col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // df per term: tf is already distinct per (doc, term)
-    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    // df per term as a window over the tiny tf frame (one row per
+    // (doc, term)) — NOT a second corpus tokenization
     val scored = tf
-      .join(broadcast(docFreq), Seq("term"))
+      .withColumn("doc_freq",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
