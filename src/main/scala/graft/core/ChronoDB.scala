@@ -605,10 +605,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val perBucket = fileCountByBucket(name)
     val victims = perBucket.filter(_._2 > config.compactFileThreshold).keys.toSeq
     if (victims.isEmpty) return 0
+    // localCheckpoint for the same reason as deleteKey: the frame reads
+    // the files the dynamic overwrite replaces, and Spark's
+    // overwrite-while-reading guard covers only InsertIntoStatement.
+    // Bounded: only over-threshold buckets are materialized, and
+    // compaction victims are by definition small-file buckets.
     val df = table(name)
       .filter(col("bucket").isin(victims: _*))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("ts"), col("key"))
+      .localCheckpoint()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try df.write.mode(SaveMode.Overwrite)
