@@ -66,4 +66,49 @@ object Skew {
     phase1.groupBy(keys.map(col): _*)
       .agg(combined.head, combined.tail: _*)
   }
+
+  /** Skew-resilient equi-join: salt the big (skewed) side, replicate the
+    * small side once per salt bucket, join on (key, salt). A hot key's
+    * rows land on `saltBuckets` reducers instead of one.
+    *
+    * When to reach for this instead of the built-ins, in order: (1) if
+    * the small side fits in memory, `broadcast()` — no shuffle at all;
+    * (2) if it doesn't and the join is sort-merge, AQE's skew-join
+    * splits oversized partitions at runtime. Salting is the remaining
+    * case: a non-broadcastable small side combined with downstream ops
+    * that defeat AQE's splitting (a bucketed/co-partitioned pipeline
+    * that must preserve partitioning, or an engine without AQE), or a
+    * key so hot it exceeds a single task's memory even within one
+    * partition split. The small side is replicated `saltBuckets`× —
+    * size the bucket count to the skew, not higher: replication cost
+    * is saltBuckets × |small|.
+    *
+    * Salt derivation matches [[saltedGroupBy]]: a deterministic hash of
+    * the big side's non-map columns, so task retries re-derive the same
+    * assignment (no RNG, no partition id). Inner join only — salting an
+    * outer join would emit the small side's unmatched rows once per
+    * salt bucket.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int = 32): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = big.schema.fields.collect {
+      case f if !hasMap(f.dataType) => col(f.name)
+    }.toSeq
+    val saltedBig = big.withColumn("__salt",
+      if (hashable.isEmpty) lit(0)
+      else pmod(hash(hashable: _*), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(replicated, Seq(key, "__salt"), "inner")
+      .drop("__salt")
+  }
 }

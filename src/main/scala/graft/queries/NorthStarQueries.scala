@@ -379,6 +379,28 @@ object NorthStarQueries {
       .orderBy(col("event_type"))
   }
 
+  /** D24: salted skew join (Skew.saltedJoin) declared as a query —
+    * events (the skewable fact side) joined to customer attributes,
+    * rolled up per market segment. Hash-checkable against a PLAIN
+    * inner join + GROUP BY because the salt only changes physical
+    * distribution: the join result is set-identical (inner, key
+    * equality), counts are integers, and the sum is decimal-exact, so
+    * the rollup is salt-invariant bit for bit (d10's argument). */
+  def saltedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = t(spark, dir, "events")
+      .select(col("user_id").as("c_custkey"),
+        col("value").cast(DecimalType(25, 10)).as("v"))
+    val small = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(big, small, "c_custkey", saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("c_mktsegment"), col("n"),
+        graft.core.Det.dec2dbl(col("sv")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** D5b: multimodal feature extraction — documents stand in for media
     * payloads; the stub encoder's pseudo-embedding is deterministic, so
     * the whole binary→vector path (schema, partition-parallel decode,
@@ -1467,6 +1489,11 @@ object NorthStarQueries {
     QueryDef("d10_salted_agg", saltedAggQ, Some(
       s"""SELECT event_type, COUNT(*) AS n, ${graft.core.Det.dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("d24_salted_join", saltedJoinQ, Some(
+      s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${graft.core.Det.dsumSql("value")} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     QueryDef("d6_hash_sample", hashSampleQ, Some(
       // threshold derives from the same hexThreshold formula as the
       // Spark predicate (0.30 → 0x4ccccccc)

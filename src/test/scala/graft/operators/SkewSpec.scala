@@ -37,4 +37,34 @@ class SkewSpec extends SparkSuite {
       .orderBy("k").collect()
     assert(salted === direct)
   }
+
+  test("salted join equals plain inner join, row-level, on skewed data") {
+    val big = ((1 to 5000).map(i => (1L, i.toLong)) ++          // hot key
+      (1 to 50).map(i => (2L, i.toLong)) ++
+      Seq((99L, 0L))                                            // no match
+    ).toDF("k", "v")
+    val small = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"v", $"attr").as[(Long, Long, String)]
+        .collect().sorted.toSeq
+    val plain = rows(big.join(small, Seq("k"), "inner"))
+    assert(rows(Skew.saltedJoin(big, small, "k", saltBuckets = 8)) === plain)
+    // degenerate single bucket is the plain join
+    assert(rows(Skew.saltedJoin(big, small, "k", saltBuckets = 1)) === plain)
+  }
+
+  test("salted join spreads the hot key across salt buckets") {
+    val big = (1 to 5000).map(i => (1L, i.toLong)).toDF("k", "v")
+    val small = Seq((1L, "a")).toDF("k", "attr")
+    // the physical join keys must include the salt — that is the whole
+    // mechanism (one reducer per (key, salt) instead of per key)
+    val p = Skew.saltedJoin(big, small, "k", saltBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p)
+    // and the derived salt really fans a hot key out over >1 bucket
+    val nBuckets = big.withColumn("__salt",
+        pmod(hash($"k", $"v"), lit(8)))
+      .select("__salt").distinct().count()
+    assert(nBuckets > 1, s"hot key stayed in $nBuckets bucket")
+  }
 }
