@@ -43,7 +43,8 @@ object Bench {
     // runs); args-mode always skips (you asked for specific queries).
     val secondaryNames = Seq("d16_cross_source_dup", "d14_tfidf_topk",
       "d2e_dedup_pipeline", "d3c_similarity_ivf", "d3f_similarity_int8",
-      "d3g_similarity_ivf_int8", "d3h_similarity_pq")
+      "d3g_similarity_ivf_int8", "d3h_similarity_pq",
+      "d23_bm25_topk", "q48_sessionize")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =

@@ -526,15 +526,29 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * rebuilt Bloom no longer contains the key (point lookups prune
     * again immediately). `_colstats` is invalidated (rows changed).
     * Returns the number of rows deleted. */
-  def deleteKey(name: String, key: String): Long = {
+  def deleteKey(name: String, key: String): Long =
+    deleteKeys(name, Seq(key))
+
+  /** Batch form of [[deleteKey]] — the shape a real GDPR/erasure job
+    * takes: requests arrive in batches of thousands, and deleting them
+    * one-by-one pays the candidate scan + rewrite job per key. This
+    * pays it ONCE for the whole set: one sidecar fold probes every
+    * bucket Bloom with every key ([[multiKeyCandidateBuckets]], the
+    * queryKeys amortization), one key-only scan finds the buckets that
+    * actually hold any of them, one job rewrites exactly those
+    * partitions. Rewrite volume is the same as N single deletes; job
+    * count drops from N to 1. */
+  def deleteKeys(name: String, keys: Seq[String]): Long = {
     requireTable(name)
-    if (!hasData(name)) return 0L
-    val cand = keyCandidateBuckets(name, key).getOrElse(listBuckets(name))
+    val ks = keys.distinct
+    require(!ks.contains(null), "deleteKeys: null key not supported")
+    if (ks.isEmpty || !hasData(name)) return 0L
+    val cand = multiKeyCandidateBuckets(name, ks).getOrElse(listBuckets(name))
     if (cand.isEmpty) return 0L
-    // bucket → (rows of key, total rows), candidates only — KB-scale
+    // bucket → (rows of the keys, total rows), candidates only — KB-scale
     val hits = table(name).filter(col("bucket").isin(cand: _*))
       .groupBy(col("bucket")).agg(
-        count(when(col("key") === key, 1)).as("hit"),
+        count(when(col("key").isin(ks: _*), 1)).as("hit"),
         count(lit(1)).as("total"))
       .filter(col("hit") > 0)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -549,18 +563,18 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     }
     if (rewrite.nonEmpty) {
       val bs = rewrite.map(_._1)
-      // null-safe inequality: a plain =!= evaluates NULL for null keys
-      // and would silently drop them from the rewritten bucket.
+      // null-safe set complement: isin evaluates NULL for null keys and
+      // a bare NOT would silently drop them from the rewritten bucket.
       // localCheckpoint MATERIALIZES the survivors before the overwrite
       // starts: the frame below reads the same parquet files the write
       // replaces, and Spark's overwrite-while-reading guard only covers
       // InsertIntoStatement — a task retry after the commit began could
       // otherwise recompute from partially-replaced buckets and lose
       // bystander rows. Cheap by construction: only buckets that
-      // actually hold the key are checkpointed, not the table.
+      // actually hold a doomed key are checkpointed, not the table.
       val df = table(name)
         .filter(col("bucket").isin(bs: _*) &&
-          !(col("key") <=> lit(key)))
+          !coalesce(col("key").isin(ks: _*), lit(false)))
         .repartition(col("bucket"))
         .sortWithinPartitions(col("ts"), col("key"))
         .localCheckpoint()

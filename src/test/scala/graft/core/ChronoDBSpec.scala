@@ -866,6 +866,29 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  test("deleteKeys: one pass removes a key batch, keeps null-key rows") {
+    val dir = Files.createTempDirectory("delkeys").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 00:10:00"),
+      row("b", "2024-01-01 00:20:00"),       // same bucket as a
+      row("keep", "2024-01-01 00:30:00"),
+      row(null, "2024-01-01 00:40:00"),      // null key must survive
+      row("b", "2024-01-01 01:10:00"),       // b spans two buckets
+      row("only", "2024-01-01 02:10:00")))   // emptied bucket case
+    assert(db.deleteKeys("t", Seq("a", "b", "only", "absent", "b")) === 4L)
+    assert(db.table("t").select("key").as[String].collect().sorted(
+      Ordering[String].on[String](s => if (s == null) "" else s)).toSeq
+      === Seq(null, "keep"))
+    assert(db.sidecarsConsistent("t"))
+    assert(db.queryKeys("t", Seq("a", "b", "only")).count() === 0L)
+    assert(db.queryKey("t", "keep").count() === 1L)
+    // empty batch is a no-op
+    assert(db.deleteKeys("t", Seq.empty) === 0L)
+    db.close()
+  }
+
   test("queryKey: correct with the bloom family disabled (no pruning path)") {
     val dir = Files.createTempDirectory("nobloom").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
