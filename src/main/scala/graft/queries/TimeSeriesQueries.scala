@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Det, QueryDef, Tables}
-import graft.operators.{AsOfJoin, Resample, Sessionize}
+import graft.operators.{AsOfJoin, Intervals, Resample, Scd, Sessionize}
 
 /** Time-series operators: as-of join and gap-filled resample
   * (SURVEY.md §2c Q9, Q26). */
@@ -226,7 +226,100 @@ object TimeSeriesQueries {
         col("session_start"), col("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_no"))
 
+  /** Q49: SCD2 history — each user's event_type stream collapsed into
+    * validity intervals [valid_from, valid_to) (see [[Scd]] for the
+    * one-shuffle two-window formulation). The final sort adds `state`
+    * because two runs CAN share (user_id, valid_from) when distinct
+    * states land on the same microsecond. */
+  def scd2Q(spark: SparkSession, dir: String): DataFrame =
+    Scd.scd2(
+        t(spark, dir, "events").select(
+          col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "user_id", "ts", "event_type", tieBreak = Seq("event_id"))
+      .orderBy(col("user_id"), col("valid_from"), col("state"))
+
+  /** Q50: max concurrent sessions per day — q48's sessions swept by
+    * [[Intervals.maxConcurrencyByDay]] (day-clipped closed-interval
+    * sweep; the running sum partitions by day, never globally). */
+  def concurrencyQ(spark: SparkSession, dir: String): DataFrame =
+    Intervals.maxConcurrencyByDay(
+        Sessionize.sessionize(
+          t(spark, dir, "events").select(
+            col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", gapUs = 30L * 60 * 1000000,
+          tieBreak = Seq("event_id")),
+        "session_start", "session_end")
+      .orderBy(col("day"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q49_scd2", scd2Q, Some(
+      // run starts: first row per user, or state differs from previous
+      // (IS DISTINCT FROM — NULL states collapse like values, mirroring
+      // the builder's null-safe <=>); valid_to = next run's start
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |         row_number() OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |       lead(ts) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM c
+        |ORDER BY user_id, valid_from, state""".stripMargin)),
+    QueryDef("q50_max_concurrency", concurrencyQ, Some(
+      // q48's sessions -> day-clipped closed-interval sweep: +1/-1
+      // boundaries, per-day running sum ordered (ts, delta DESC) so
+      // simultaneous starts count before ends (closed intervals), max
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(epoch_ns(ts) // 1000) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_us IS NULL
+        |                OR epoch_ns(ts) // 1000 - prev_us > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session_no
+        |  FROM f),
+        |sess AS (
+        |  SELECT min(ts) AS session_start, max(ts) AS session_end
+        |  FROM s GROUP BY user_id, session_no),
+        |seg AS (
+        |  SELECT d.day,
+        |         greatest(session_start, d.day) AS seg_start,
+        |         least(session_end,
+        |               d.day + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND)
+        |           AS seg_end
+        |  FROM sess,
+        |       unnest(generate_series(date_trunc('day', session_start),
+        |                              date_trunc('day', session_end),
+        |                              INTERVAL 1 DAY)) AS d(day)),
+        |b AS (
+        |  SELECT day, seg_start AS ts, 1 AS delta FROM seg
+        |  UNION ALL
+        |  SELECT day, seg_end AS ts, -1 AS delta FROM seg),
+        |r AS (
+        |  SELECT day,
+        |         sum(delta) OVER
+        |           (PARTITION BY day ORDER BY ts, delta DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS running
+        |  FROM b)
+        |SELECT CAST(day AS DATE) AS day,
+        |       CAST(max(running) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY day ORDER BY day""".stripMargin)),
     QueryDef("q48_sessionize", sessionizeQ, Some(
       // gap test on integral µs (epoch_ns // 1000 ≡ Spark unix_micros);
       // session_no = running sum of start flags, BIGINT both sides
