@@ -86,4 +86,53 @@ object Stats {
         min(col(valueCol)).as("lo"),
         max(col(valueCol)).as("hi"))
   }
+
+  /** Rolling z-score anomaly detection over each key's ordered series:
+    * flag rows whose value deviates more than `zThreshold` sample
+    * standard deviations from the mean of the `lookback` PRECEDING
+    * rows (the row itself excluded — including it would let an outlier
+    * inflate its own baseline). Rows with fewer than `lookback`
+    * predecessors are never flagged (no baseline).
+    *
+    * The z-test runs in EXACT integer arithmetic — no sqrt, no
+    * division, no doubles. With xi the value scaled to an integer
+    * (2 decimal places), S1 = Σxi, S2 = Σxi² over the window, n =
+    * `lookback`, the test  |x−x̄| > z·s  squares (both sides are
+    * nonnegative: s ≥ 0, and |x−x̄| is an absolute value) and clears
+    * the n, n−1 denominators of x̄ = S1/n and s² = (S2−S1²/n)/(n−1)
+    * into
+    *
+    *   (n−1)·(n·xi − S1)² > z²·n·(n·S2 − S1²)
+    *
+    * which is decidable exactly in Long (safe for |xi| up to ~3·10⁷ at
+    * n=20 — far beyond any 2-decimal metric column) and therefore
+    * reproducible bit for bit by a SQL oracle — a double stddev
+    * formulation diverges in ulps across engines and flips boundary
+    * rows. Scale shape: ONE window exchange on the key; sum/count over
+    * a ROWS frame are O(1)-incremental in WindowExec, so a hot key
+    * streams through without frame re-scans.
+    */
+  def rollingAnomalies(
+      df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+      lookback: Int = 20, zThreshold: Int = 3,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    require(zThreshold >= 1, s"zThreshold must be >= 1, got $zThreshold")
+    val order = (col(timeCol) +: tieBreak.map(col)): Seq[org.apache.spark.sql.Column]
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(-lookback, -1)
+    val xi = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      * 100).cast("long")
+    val n = lit(lookback.toLong)
+    val dev = n * col("__xi") - col("__s1")
+    val varN = n * col("__s2") - col("__s1") * col("__s1")
+    df.withColumn("__xi", xi)
+      .withColumn("__s1", sum(col("__xi")).over(w))
+      .withColumn("__s2", sum(col("__xi") * col("__xi")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") === lookback &&
+        lit((lookback - 1).toLong) * dev * dev >
+          lit(zThreshold.toLong * zThreshold) * n * varN)
+      .drop("__xi", "__s1", "__s2", "__n")
+  }
 }

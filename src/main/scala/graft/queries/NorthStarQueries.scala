@@ -288,6 +288,20 @@ object NorthStarQueries {
         "event_type", "value_cents", nBuckets = 4)
       .orderBy(col("event_type"), col("bucket"))
 
+  /** D26: rolling z-score anomaly detection — per event type, flag
+    * events whose value sits more than 3 sample standard deviations
+    * from the trailing-20-event baseline (the row itself excluded).
+    * The z-test is exact integer arithmetic (see
+    * [[graft.operators.Stats.rollingAnomalies]]) so the flagged set is
+    * bit-reproducible by the SQL oracle — no stddev doubles, no sqrt. */
+  def anomalyQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.rollingAnomalies(
+        t(spark, dir, "events")
+          .select(col("event_type"), col("event_id"), col("ts"), col("value")),
+        "event_type", "ts", "value",
+        lookback = 20, zThreshold = 3, tieBreak = Seq("event_id"))
+      .orderBy(col("event_id"))
+
   /** D4: text statistics — token/char/punct/stopword measures. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
@@ -1708,6 +1722,28 @@ object NorthStarQueries {
         |       CAST(count(*) AS BIGINT) AS n,
         |       MIN(value_cents) AS lo, MAX(value_cents) AS hi
         |FROM e, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("d26_anomaly_zscore", anomalyQ, Some(
+      // the squared, denominator-cleared z-test in integer arithmetic:
+      // (n-1)(n·xi − S1)² > z²·n·(n·S2 − S1²); DuckDB's HUGEINT window
+      // sums are cast back to BIGINT to mirror Spark's Long
+      """WITH x AS (
+        |  SELECT event_type, event_id, ts, value,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS xi
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, event_id, ts, value, xi,
+        |         CAST(sum(xi) OVER win AS BIGINT) AS s1,
+        |         CAST(sum(xi * xi) OVER win AS BIGINT) AS s2,
+        |         count(*) OVER win AS n
+        |  FROM x
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, ts, value
+        |FROM w
+        |WHERE n = 20
+        |  AND 19 * (20 * xi - s1) * (20 * xi - s1)
+        |      > 9 * 20 * (20 * s2 - s1 * s1)
+        |ORDER BY event_id""".stripMargin)),
     QueryDef("d4g_fuzzy_match", fuzzyMatchQ, Some(
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 40) AS title FROM documents)

@@ -58,6 +58,55 @@ class StatsSpec extends SparkSuite {
     assert(g.map(_._3).sum === 2)
   }
 
+  test("rollingAnomalies flags a spike against its trailing baseline only") {
+    // 20 quiet rows (10.00 ± 0.05), then a spike, then quiet again
+    val base = (1 to 20).map(i =>
+      ("k", new java.sql.Timestamp(i * 60000L), i.toLong,
+        10.0 + (if (i % 2 == 0) 0.05 else -0.05)))
+    val rows = base ++ Seq(
+      ("k", new java.sql.Timestamp(21 * 60000L), 21L, 50.0), // spike
+      ("k", new java.sql.Timestamp(22 * 60000L), 22L, 10.0)) // back to quiet
+    val got = Stats.rollingAnomalies(
+        rows.toDF("k", "ts", "id", "v"), "k", "ts", "v",
+        lookback = 20, zThreshold = 3, tieBreak = Seq("id"))
+      .select($"id").as[Long].collect().toSet
+    // the spike is flagged; row 22 is NOT — its window now contains the
+    // spike, widening the baseline stddev
+    assert(got === Set(21L))
+  }
+
+  test("rollingAnomalies never flags rows with an incomplete baseline") {
+    val rows = (1 to 10).map(i =>
+      ("k", new java.sql.Timestamp(i * 1000L), i.toLong,
+        if (i == 10) 1e6 else 1.0))
+    val got = Stats.rollingAnomalies(
+        rows.toDF("k", "ts", "id", "v"), "k", "ts", "v",
+        lookback = 20, zThreshold = 3, tieBreak = Seq("id"))
+      .count()
+    assert(got === 0)
+  }
+
+  test("rollingAnomalies zero-variance baseline flags any deviation") {
+    // identical baseline values -> s = 0 -> any dev² > 0 trips the test
+    val rows = (1 to 5).map(i =>
+      ("k", new java.sql.Timestamp(i * 1000L), i.toLong, 7.0)) ++
+      Seq(("k", new java.sql.Timestamp(6000L), 6L, 7.01))
+    val got = Stats.rollingAnomalies(
+        rows.toDF("k", "ts", "id", "v"), "k", "ts", "v",
+        lookback = 5, zThreshold = 3, tieBreak = Seq("id"))
+      .select($"id").as[Long].collect().toSet
+    assert(got === Set(6L))
+  }
+
+  test("rollingAnomalies plan: one keyed exchange, no join") {
+    val ev = Tables.t(spark, sf(), "events")
+    val p = Stats.rollingAnomalies(ev, "event_type", "ts", "value",
+        tieBreak = Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("grouped histogram fails loudly when group cardinality exceeds maxGroups") {
     val ev = Tables.t(spark, sf(), "events")
     val e = intercept[Exception] {
