@@ -161,6 +161,111 @@ object Dedup {
   def shingleJaccard(a: Column, b: Column, k: Int): Column =
     NativeExpressions.shingleJaccardNative(a, b, k)
 
+  /** EXACT set-similarity join via prefix filtering (the PPJoin/
+    * AllPairs family): all document pairs whose distinct k-shingle
+    * sets have Jaccard ≥ pNum/pDen — with NO approximation. Unlike the
+    * MinHash-LSH path ([[minHashLsh]], probabilistic recall) the
+    * prefix filter is a THEOREM, not a heuristic: order every shingle
+    * set by a global canonical order (rarest shingle first — document
+    * frequency ascending, shingle ascending as tie-break) and take
+    * from each set of size s the first  s − ⌈t·s⌉ + 1  elements; any
+    * pair with J ≥ t must share at least one PREFIX element. (Why: J ≥
+    * t forces overlap o ≥ ⌈t·|x∪y|⌉ ≥ max(⌈t·|x|⌉, ⌈t·|y|⌉); the
+    * FIRST common element in the canonical order must sit inside both
+    * prefixes, because a set whose prefix misses it holds all ≥ o
+    * common elements in its suffix of length ⌈t·s⌉ − 1 < o.) So recall
+    * is exactly 1 and the oracle is the brute-force all-pairs join.
+    *
+    * Scale shape: document frequencies are one token-keyed aggregation
+    * (the shuffled token rows carry (id, shingle) only); the canonical
+    * rank is one doc-keyed window; the candidate join touches PREFIX
+    * rows only — on heavy-tailed corpora the prefix shingles are the
+    * RARE ones, so candidate pair mass stays near the true result size
+    * instead of the LSH bucket blowup (DedupSpec asserts candidates ≪
+    * all-pairs on the planted-dup fixture). A length filter
+    * (t·max ≤ min, integer cross-multiplied) prunes size-incompatible
+    * pairs inside the join condition before the shuffle fans out.
+    * Verify is exact: array_intersect on the (sorted, distinct)
+    * shingle arrays with integer cross-multiplied threshold test —
+    * no doubles anywhere until the reported jaccard itself.
+    *
+    * The threshold is an exact rational pNum/pDen (t = 0.5 →
+    * (1, 2)): ⌈t·s⌉ = (pNum·s + pDen − 1) div pDen stays in integer
+    * arithmetic, so prefix lengths — and therefore the candidate set —
+    * are bit-reproducible.
+    */
+  def setSimJoinPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, pNum: Int = 1, pDen: Int = 2): DataFrame = {
+    require(pNum > 0 && pDen > 0 && pNum <= pDen,
+      s"threshold must be a rational in (0,1]: $pNum/$pDen")
+    val sets = df.select(col(idCol).as("id"),
+        array_sort(array_distinct(
+          graft.functions.TextFunctions.shingles(col(textCol), shingleK)))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tok = sets.select(col("id"), size(col("sh")).as("s"),
+      explode(col("sh")).as("tk"))
+    val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("tk").asc)
+    val prefix = tok.join(dfreq, Seq("tk"))
+      .withColumn("pos", row_number().over(wDoc))
+      // prefix length s − ⌈t·s⌉ + 1, all-integer
+      .filter(col("pos") <=
+        col("s") - expr(s"(($pNum * s + ${pDen - 1}) div $pDen)") + 1)
+      .select(col("id"), col("s"), col("tk"))
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    val candidates = a.join(b,
+        col("a.tk") === col("b.tk") && col("a.id") < col("b.id") &&
+        // length filter: J ≥ t forces t·max(sa,sb) ≤ min(sa,sb)
+        col("a.s") * pNum <= col("b.s") * pDen &&
+        col("b.s") * pNum <= col("a.s") * pDen)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")))
+      .withColumn("n_b", size(col("sh_b")))
+      .filter(col("inter") * pDen >=
+        (col("n_a") + col("n_b") - col("inter")) * pNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Candidate-pair count of [[setSimJoinPrefix]]'s prefix filter —
+    * the pruning diagnostic (spec asserts ≪ n·(n−1)/2). */
+  private[operators] def setSimCandidateCount(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, pNum: Int = 1, pDen: Int = 2): Long = {
+    val sets = df.select(col(idCol).as("id"),
+        array_sort(array_distinct(
+          graft.functions.TextFunctions.shingles(col(textCol), shingleK)))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tok = sets.select(col("id"), size(col("sh")).as("s"),
+      explode(col("sh")).as("tk"))
+    val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("tk").asc)
+    val prefix = tok.join(dfreq, Seq("tk"))
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <=
+        col("s") - expr(s"(($pNum * s + ${pDen - 1}) div $pDen)") + 1)
+      .select(col("id"), col("s"), col("tk"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.tk") === col("b.tk") && col("a.id") < col("b.id") &&
+        col("a.s") * pNum <= col("b.s") * pDen &&
+        col("b.s") * pNum <= col("a.s") * pDen)
+      .select(col("a.id"), col("b.id")).distinct().count()
+  }
+
   /** SimHash: signature where bit j = sign of the sum over tokens of
     * (+1 / -1 from bit j of a portable polynomial token hash — see
     * NativeExpressions.portableTokenHash; 62 informative bits). Near-dups

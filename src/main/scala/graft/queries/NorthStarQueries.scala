@@ -56,6 +56,15 @@ object NorthStarQueries {
       .orderBy(col("id_a"))
   }
 
+  /** D27: EXACT all-pairs set-similarity join (3-shingle Jaccard ≥
+    * 1/2) via prefix filtering — recall 1 by theorem, so the oracle is
+    * the brute-force all-pairs join while the engine touches only
+    * rare-prefix candidate pairs (see [[Dedup.setSimJoinPrefix]]). */
+  def setSimJoinQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.setSimJoinPrefix(t(spark, dir, "documents"), "doc_id", "text",
+        shingleK = 3, pNum = 1, pDen = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D3: brute-force exact cosine top-k (query set = vec_id < 8).
     * Bit-exact oracle parity via explicit left-fold dot/norm. */
   def similarityTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -1722,6 +1731,29 @@ object NorthStarQueries {
         |       CAST(count(*) AS BIGINT) AS n,
         |       MIN(value_cents) AS lo, MAX(value_cents) AS hi
         |FROM e, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("d27_setsim_join", setSimJoinQ, Some(
+      // brute-force all-pairs oracle — valid BECAUSE the prefix filter
+      // has recall exactly 1 (d9b pattern: lossless pre-filters keep
+      // the exact path's SQL a true oracle); same shingle build as d2c
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(generate_series(1, len(w) - 2),
+        |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents)),
+        |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.sh, b.sh)) AS inter,
+        |         len(a.sh) AS n_a, len(b.sh) AS n_b
+        |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(n_a AS INTEGER) AS n_a, CAST(n_b AS INTEGER) AS n_b,
+        |       round(CAST(inter AS DOUBLE)
+        |             / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+        |FROM p
+        |WHERE inter * 2 >= n_a + n_b - inter
+        |ORDER BY id_a, id_b""".stripMargin)),
     QueryDef("d26_anomaly_zscore", anomalyQ, Some(
       // the squared, denominator-cleared z-test in integer arithmetic:
       // (n-1)(n·xi − S1)² > z²·n·(n·S2 − S1²); DuckDB's HUGEINT window

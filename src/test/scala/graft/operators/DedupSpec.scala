@@ -126,4 +126,57 @@ class DedupSpec extends SparkSuite {
       .select("id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 5L, 7L))
   }
+
+  test("setSimJoinPrefix equals the brute-force all-pairs join") {
+    def brute(th: Double) = {
+      val sets = docs.select($"id",
+        array_sort(array_distinct(
+          graft.functions.TextFunctions.shingles($"text", 3))).as("sh"))
+      sets.as("a").crossJoin(sets.as("b"))
+        .filter($"a.id" < $"b.id")
+        .withColumn("inter",
+          size(array_intersect($"a.sh", $"b.sh")).cast("long"))
+        .filter($"inter" / (size($"a.sh") + size($"b.sh") - $"inter") >= th)
+        .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+    }
+    val got = Dedup.setSimJoinPrefix(docs, "id", "text",
+        shingleK = 3, pNum = 1, pDen = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === brute(0.5))
+    assert(got.contains((1L, 4L)) && got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("setSimJoinPrefix at threshold 1 returns exact-dup pairs only") {
+    val got = Dedup.setSimJoinPrefix(docs, "id", "text",
+        shingleK = 3, pNum = 1, pDen = 1)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(got === Seq((1L, 4L, 1.0)))
+  }
+
+  test("prefix filter prunes: candidate pairs well under all-pairs on sf0.001") {
+    val d = graft.core.Tables.t(spark, sf(), "documents")
+    val n = d.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Dedup.setSimCandidateCount(d, "doc_id", "text",
+      shingleK = 3, pNum = 1, pDen = 2)
+    val result = Dedup.setSimJoinPrefix(d, "doc_id", "text",
+      shingleK = 3, pNum = 1, pDen = 2).count()
+    assert(cands >= result)        // lossless: candidates cover the answer
+    assert(cands < allPairs / 10,  // and actually prune
+      s"candidates $cands vs all-pairs $allPairs")
+  }
+
+  test("setSimJoinPrefix: too-short docs (no shingles) never pair") {
+    val tiny = Seq((1L, "one two"), (2L, "one two"), (3L, base),
+      (4L, base)).toDF("id", "text")
+    val got = Dedup.setSimJoinPrefix(tiny, "id", "text",
+        shingleK = 3, pNum = 1, pDen = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // docs 1/2 have < 3 tokens -> empty shingle sets -> excluded
+    // (empty sets have no well-defined Jaccard, matching the oracle's
+    // len(sh) > 0 guard)
+    assert(got === Set((3L, 4L)))
+  }
 }
