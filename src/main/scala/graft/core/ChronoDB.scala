@@ -35,7 +35,14 @@ final case class ChronoConfig(
                                        // positive rate (weaker pruning), NEVER
                                        // correctness — a Bloom filter has no false
                                        // negatives at any fill level.
-    sketchBloomFpp: Double = 0.03)     // Bloom false-positive rate at sized fill
+    sketchBloomFpp: Double = 0.03,     // Bloom false-positive rate at sized fill
+    rollupValue: Option[String] = None, // continuous-aggregate value: a SQL
+                                       // expression over (key, ts, data)
+                                       // yielding BIGINT (None disables the
+                                       // _rollup sidecar). Exact-integer by
+                                       // design: scale decimals at the
+                                       // expression level (cents, micros).
+    rollupSlotUs: Long = 3600000000L)  // rollup slot width in µs (default 1h)
 
 /** Table statistics — reference GetStats (table.go:390-414). */
 final case class TableStats(
@@ -199,14 +206,24 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // insert cost; the batch is now evaluated exactly ONCE, which also
     // retires the nondeterministic-source divergence caveat the re-read
     // carried).
-    val obs =
-      if (sketching) Some(org.apache.spark.sql.Observation()) else None
-    val writable = obs match {
-      case Some(o) => salted.observe(o,
-        graft.functions.SketchAggs.bucketStats(col("bucket"), col("key"),
+    // the `_rollup` continuous aggregate rides the SAME observe (a
+    // second aggregate column, not a second pass): per-(bucket, slot)
+    // n/nv/sum/min/max of the configured value expression
+    val aggCols =
+      (if (sketching)
+        Seq(graft.functions.SketchAggs.bucketStats(col("bucket"), col("key"),
           config.sketchLgK, config.sketchCmsDepth, config.sketchCmsWidth,
           config.sketchBloomKeys, config.sketchBloomFpp)
           .as("stats"))
+      else Seq.empty) ++
+      (if (rollupEnabled)
+        Seq(graft.functions.RollupAggs.timeRollup(col("bucket"), col("ts"),
+          rollupValueCol, config.rollupSlotUs).as("rollup"))
+      else Seq.empty)
+    val obs =
+      if (aggCols.nonEmpty) Some(org.apache.spark.sql.Observation()) else None
+    val writable = obs match {
+      case Some(o) => salted.observe(o, aggCols.head, aggCols.tail: _*)
       case None => salted
     }
     writable
@@ -223,19 +240,25 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // readers merge them losslessly (union for sketches, addition for n
     // and counters) and compact() folds them.
     obs.foreach { o =>
-      val stats = o.get("stats") match {
-        case s: scala.collection.Seq[_] =>
-          s.collect { case r: org.apache.spark.sql.Row => r }
-        case null => Seq.empty
-      }
-      if (stats.nonEmpty)
-        spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](stats.asJava),
-            sidecarSchema)
-          .coalesce(1)
-          .write.mode(SaveMode.Append)
-          .option("compression", config.compression)
-          .parquet(statsPath(name).toString)
+      def rowsOf(key: String): Seq[org.apache.spark.sql.Row] =
+        if (!o.get.contains(key)) Seq.empty
+        else o.get(key) match {
+          case s: scala.collection.Seq[_] =>
+            s.collect { case r: org.apache.spark.sql.Row => r }.toSeq
+          case null => Seq.empty
+        }
+      def append(rows: Seq[org.apache.spark.sql.Row],
+          schema: org.apache.spark.sql.types.StructType, dir: Path): Unit =
+        if (rows.nonEmpty)
+          spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+              schema)
+            .coalesce(1)
+            .write.mode(SaveMode.Append)
+            .option("compression", config.compression)
+            .parquet(dir.toString)
+      append(rowsOf("stats"), sidecarSchema, statsPath(name))
+      append(rowsOf("rollup"), rollupSchema, rollupPath(name))
     }
     // histograms don't merge losslessly across batches, so new data
     // INVALIDATES _colstats (rebuild at the next ANALYZE) — a stale
@@ -603,6 +626,18 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
             .agg(sidecarAggs.head, sidecarAggs.tail: _*))
       rewriteSidecar(statsPath(name), folded)
     }
+    // _rollup mirrors the _stats repair: drop the touched buckets'
+    // slots, re-aggregate the rewritten buckets from survivors
+    recoverSidecar(rollupPath(name))
+    if (rollupEnabled && Files.exists(rollupPath(name))) {
+      val touched = hits.map(_._1)
+      val kept = rollupFold(name).filter(!col("bucket").isin(touched: _*))
+      val folded =
+        if (rewrite.isEmpty) kept
+        else kept.unionByName(rollupGrouped(
+          table(name).filter(col("bucket").isin(rewrite.map(_._1): _*))))
+      rewriteSidecar(rollupPath(name), folded)
+    }
     invalidateColStats(name)
     deleted
   }
@@ -648,6 +683,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     recoverSidecar(statsPath(name))
     if (sketching && Files.exists(statsPath(name)))
       rewriteSidecar(statsPath(name), sidecarFold(name))
+    // same fold for the continuous aggregate: per-batch (bucket, slot)
+    // rows collapse to one (counts/sums add, min/max lattice-merge)
+    recoverSidecar(rollupPath(name))
+    if (rollupEnabled && Files.exists(rollupPath(name)))
+      rewriteSidecar(rollupPath(name), rollupFold(name))
     victims.size
   }
 
@@ -688,6 +728,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       if (Files.exists(colStatsPath(name)))
         rewriteSidecar(colStatsPath(name),
           colStats(name).filter(!col("tbucket").isin(dropped: _*)))
+      // _rollup rows are per-bucket too: retention drops their slots
+      // with their buckets (a stale slot would keep answering for
+      // deleted rows)
+      recoverSidecar(rollupPath(name))
+      if (rollupEnabled && Files.exists(rollupPath(name)))
+        rewriteSidecar(rollupPath(name),
+          rollupFold(name).filter(!col("bucket").isin(dropped: _*)))
     }
     dropped
   }
@@ -756,6 +803,106 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def sketching: Boolean =
     config.sketchLgK > 0 || config.sketchCmsDepth > 0 ||
       config.sketchBloomKeys > 0
+
+  // --- continuous-aggregate sidecar (_rollup): per-(bucket, slot)
+  // n/nv/sum/min/max of the configured value expression, maintained at
+  // insert (observe — zero extra passes), folded by compact, pruned by
+  // cleanup, re-aggregated by deleteKeys. The TimescaleDB
+  // "continuous aggregate" in sidecar form: aligned time-grain
+  // aggregates answered from kilobytes, never a data rescan. ---
+
+  private def rollupPath(name: String): Path =
+    tablePath(name).resolve("_rollup")
+
+  private def rollupEnabled: Boolean = config.rollupValue.isDefined
+
+  /** The configured value expression, evaluated over the raw
+    * (key, ts, data) row — BIGINT by contract (exactness: integer
+    * adds are order-free, so observe-built and rebuilt rows agree
+    * bit for bit; a double sum would depend on fold order). try_cast,
+    * not cast: one malformed row yields a null value (counted in `n`,
+    * absent from nv/sum/min/max), never a failed insert job. */
+  private def rollupValueCol: org.apache.spark.sql.Column =
+    expr(s"try_cast((${config.rollupValue.get}) as bigint)")
+
+  private val rollupSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("slot_us",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("nv",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("vmin",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("vmax",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
+  private def readRollup(name: String): DataFrame =
+    spark.read.schema(rollupSchema).parquet(rollupPath(name).toString)
+
+  /** Fold multi-batch rollup rows to one per (bucket, slot): counts
+    * and sums ADD, min/max lattice-merge — lossless, the same row a
+    * single-batch insert would have written. */
+  private def rollupFold(name: String): DataFrame = {
+    recoverSidecar(rollupPath(name))
+    readRollup(name)
+      .groupBy(col("bucket"), col("slot_us"))
+      .agg(sum(col("n")).as("n"), sum(col("nv")).as("nv"),
+        sum(col("sum")).as("sum"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+  }
+
+  /** The grouped twin of the observe-riding [[graft.functions
+    * .TimeRollupAgg]] build — used by repair/delete paths that
+    * recompute from landed data. Family-exact: same slot arithmetic,
+    * same null handling (null value counts into n, not nv/sum). */
+  private def rollupGrouped(df: DataFrame): DataFrame = {
+    // integral div (Spark `/` on longs is double division); ts ≥ epoch
+    // so truncating div ≡ the agg's floorDiv
+    val slot = expr(s"(unix_micros(ts) div ${config.rollupSlotUs})" +
+      s" * ${config.rollupSlotUs}")
+    val v = rollupValueCol
+    df.groupBy(col("bucket"), slot.as("slot_us"))
+      .agg(count(lit(1)).as("n"), count(v).as("nv"),
+        coalesce(sum(v), lit(0L)).as("sum"),
+        min(v).as("vmin"), max(v).as("vmax"))
+  }
+
+  /** Per-slot exact aggregates over the inclusive [start, end] range,
+    * answered ENTIRELY from the `_rollup` sidecar — no data files
+    * touched. Slots are aligned to `rollupSlotUs`; every slot
+    * INTERSECTING the range is returned (slot granularity, like
+    * [[approxDistinctKeys]]'s bucket granularity — the caller widens
+    * to whole slots). Output: (slot_start, n, nv, sum, vmin, vmax),
+    * where n counts all rows and nv/sum/vmin/vmax cover non-null
+    * values only. */
+  def rollupRange(name: String, start: Timestamp, end: Timestamp): DataFrame = {
+    requireTable(name)
+    require(rollupEnabled, s"no rollup configured for '$name'")
+    recoverSidecar(rollupPath(name))
+    if (!Files.exists(rollupPath(name)))
+      return spark.emptyDataFrame.select(
+        lit(null).cast("timestamp").as("slot_start"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("nv"),
+        lit(null).cast("long").as("sum"),
+        lit(null).cast("long").as("vmin"), lit(null).cast("long").as("vmax"))
+    val startSlot =
+      Math.floorDiv(start.getTime * 1000L, config.rollupSlotUs) *
+        config.rollupSlotUs
+    val endUs = end.getTime * 1000L
+    rollupFold(name)
+      .filter(col("slot_us") >= startSlot && col("slot_us") <= endUs)
+      .groupBy(col("slot_us"))
+      .agg(sum(col("n")).as("n"), sum(col("nv")).as("nv"),
+        sum(col("sum")).as("sum"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+      .select(timestamp_micros(col("slot_us")).as("slot_start"),
+        col("n"), col("nv"), col("sum"), col("vmin"), col("vmax"))
+  }
 
   /** The combined sidecar folded to ONE row per bucket — the exact
     * frame a fresh single-batch insert would have written: sketches
@@ -1089,9 +1236,30 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   def sidecarsConsistent(name: String): Boolean = {
     requireTable(name)
-    if (!sketching) return true
+    if (!sketching && !rollupEnabled) return true
     if (!hasData(name))
-      return !Files.exists(statsPath(name)) || sidecarFold(name).isEmpty
+      return (!sketching ||
+          !Files.exists(statsPath(name)) || sidecarFold(name).isEmpty) &&
+        (!rollupEnabled ||
+          !Files.exists(rollupPath(name)) || rollupFold(name).isEmpty)
+    // rollup anchor: every slot's n counts ALL of its rows (null values
+    // included), so per-bucket Σn must equal the bucket's row count —
+    // the same data-without-sidecar window detection as _stats.n
+    val rollupOk = !rollupEnabled || {
+      if (!Files.exists(rollupPath(name))) false
+      else {
+        val counts = table(name).groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_data"))
+        rollupFold(name).groupBy(col("bucket"))
+          .agg(sum(col("n")).as("n_roll"))
+          .join(counts, Seq("bucket"), "full")
+          .filter(col("n_roll").isNull || col("n_data").isNull ||
+            col("n_roll") =!= col("n_data"))
+          .isEmpty
+      }
+    }
+    if (!sketching) return rollupOk
+    if (!rollupOk) return false
     if (!Files.exists(statsPath(name))) return false
     // two anchors per bucket: `n` counts ALL rows, the CMS depth-0 mass
     // counts NON-NULL keys only (CmsDenseAgg skips null keys — anchoring
@@ -1126,9 +1294,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * construction. */
   def rebuildSidecars(name: String): Unit = {
     requireTable(name)
-    if (!sketching || !hasData(name)) return
-    rewriteSidecar(statsPath(name),
-      table(name).groupBy(col("bucket")).agg(sidecarAggs.head, sidecarAggs.tail: _*))
+    if (!hasData(name)) return
+    if (sketching)
+      rewriteSidecar(statsPath(name),
+        table(name).groupBy(col("bucket")).agg(sidecarAggs.head, sidecarAggs.tail: _*))
+    if (rollupEnabled)
+      rewriteSidecar(rollupPath(name), rollupGrouped(table(name)))
   }
 
   // --- helpers ---

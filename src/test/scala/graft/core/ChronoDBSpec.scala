@@ -913,4 +913,119 @@ class ChronoDBSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> new String(r.getAs[Array[Byte]]("data"), "UTF-8")).toMap
     assert(out === Map("k" -> "new", "j" -> "only"))
   }
+
+  // --- _rollup continuous aggregate ---
+
+  private def rollupDb(): ChronoDB = {
+    val dir = Files.createTempDirectory("chronodb_rollup").toString
+    new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      compactFileThreshold = 2,
+      rollupValue = Some("decode(data, 'UTF-8')")))
+  }
+
+  private def slots(db: ChronoDB, name: String,
+      lo: String, hi: String): Map[Timestamp, (Long, Long, Long, Option[Long], Option[Long])] =
+    db.rollupRange(name, ts(lo), ts(hi)).collect().map { r =>
+      r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toMap
+
+  test("rollup: insert maintains per-hour slots; multi-batch rows fold losslessly") {
+    val db = rollupDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 10:05:00", "3"),
+      row("b", "2024-01-01 10:50:00", "7"),
+      row("c", "2024-01-01 11:00:00", "10")))
+    db.insertSeq("t", Seq( // second batch, same 10:00 slot
+      row("d", "2024-01-01 10:20:00", "5")))
+    val got = slots(db, "t", "2024-01-01 10:00:00", "2024-01-01 12:00:00")
+    assert(got === Map(
+      ts("2024-01-01 10:00:00") -> (3L, 3L, 15L, Some(3L), Some(7L)),
+      ts("2024-01-01 11:00:00") -> (1L, 1L, 10L, Some(10L), Some(10L))))
+    assert(db.sidecarsConsistent("t"))
+    db.close()
+  }
+
+  test("rollup: un-castable data counts into n but not nv/sum (null value)") {
+    val db = rollupDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 10:05:00", "3"),
+      row("b", "2024-01-01 10:06:00", "not-a-number")))
+    val got = slots(db, "t", "2024-01-01 10:00:00", "2024-01-01 11:00:00")
+    assert(got === Map(ts("2024-01-01 10:00:00") -> (2L, 1L, 3L, Some(3L), Some(3L))))
+    assert(db.sidecarsConsistent("t"))
+    db.close()
+  }
+
+  test("rollup: compact folds batch rows; answers survive unchanged") {
+    val db = rollupDb()
+    db.createTable("t")
+    (1 to 4).foreach(i => db.insertSeq("t",
+      Seq(row("k" + i, "2024-01-01 10:00:0" + i, i.toString))))
+    val before = slots(db, "t", "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    assert(db.compact("t") === 1)
+    val after = slots(db, "t", "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    assert(before === after)
+    assert(before(ts("2024-01-01 10:00:00")) === (4L, 4L, 10L, Some(1L), Some(4L)))
+    db.close()
+  }
+
+  test("rollup: deleteKeys re-aggregates touched buckets from survivors") {
+    val db = rollupDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("gone", "2024-01-01 10:05:00", "100"),
+      row("kept", "2024-01-01 10:10:00", "1"),
+      row("gone", "2024-01-02 09:00:00", "200"), // whole bucket emptied
+      row("also", "2024-01-03 08:00:00", "9")))
+    assert(db.deleteKeys("t", Seq("gone")) === 2L)
+    val got = slots(db, "t", "2024-01-01 00:00:00", "2024-01-04 00:00:00")
+    assert(got === Map(
+      ts("2024-01-01 10:00:00") -> (1L, 1L, 1L, Some(1L), Some(1L)),
+      ts("2024-01-03 08:00:00") -> (1L, 1L, 9L, Some(9L), Some(9L))))
+    assert(db.sidecarsConsistent("t"))
+    db.close()
+  }
+
+  test("rollup: retention drops slots with their buckets") {
+    val dir = Files.createTempDirectory("chronodb_rollup_ttl").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      ttl = Some(3L * 86400),
+      rollupValue = Some("decode(data, 'UTF-8')")))
+    db.createTable("t")
+    // insert "at" Jan 7 so the TTL insert-gate keeps both rows; by the
+    // cleanup's `now` the 01-06 bucket has wholly expired
+    db.insert("t", spark.createDataset(Seq(
+      row("old", "2024-01-06 10:00:00", "5"),
+      row("new", "2024-01-09 10:00:00", "7"))), ts("2024-01-07 12:00:00"))
+    assert(db.cleanup("t", ts("2024-01-10 12:00:00")) === Seq("2024-01-06"))
+    val got = slots(db, "t", "2024-01-01 00:00:00", "2024-01-10 00:00:00")
+    assert(got === Map(ts("2024-01-09 10:00:00") -> (1L, 1L, 7L, Some(7L), Some(7L))))
+    assert(db.sidecarsConsistent("t"))
+    db.close()
+  }
+
+  test("rollup: consistency detects a data-without-rollup gap; rebuild repairs") {
+    val dir = Files.createTempDirectory("chronodb_rollup_gap").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      rollupValue = Some("decode(data, 'UTF-8')")))
+    db.createTable("t")
+    db.insertSeq("t", Seq(row("a", "2024-01-01 10:00:00", "3")))
+    assert(db.sidecarsConsistent("t"))
+    // simulate the crash window: data landed, rollup row lost
+    val p = java.nio.file.Paths.get(dir, "t", "_rollup")
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(Files.delete(_))
+    finally s.close()
+    assert(!db.sidecarsConsistent("t"))
+    db.rebuildSidecars("t")
+    assert(db.sidecarsConsistent("t"))
+    assert(slots(db, "t", "2024-01-01 00:00:00", "2024-01-02 00:00:00") ===
+      Map(ts("2024-01-01 10:00:00") -> (1L, 1L, 3L, Some(3L), Some(3L))))
+    db.close()
+  }
 }
