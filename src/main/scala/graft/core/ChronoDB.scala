@@ -174,12 +174,19 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def insert(name: String, rows: Dataset[ChronoRow],
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     requireTable(name)
+    // Normalize ts to session-zoned TimestampType at the ingest boundary:
+    // a Dataset[ChronoRow] built over a TIMESTAMP_NTZ source keeps the
+    // NTZ physical type (the as[] conversion is lazy and NTZ→LTZ is an
+    // accepted encoder upcast), which would otherwise propagate into the
+    // stored parquet and break µs arithmetic and Timestamp extraction in
+    // every reader of this table.
+    val normed = Tables.normTs(rows.toDF())
     // >= keeps a row aged exactly ttl — the reference drops only when
     // age strictly exceeds TTL (table.go:93).
     val fresh = config.ttl match {
       case Some(ttlSec) =>
-        rows.filter(col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
-      case None => rows.toDF()
+        normed.filter(col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
+      case None => normed
     }
     val batch = fresh.withColumn("bucket", bucketExpr)
     // salt the repartition inside each bucket: a hot hour would

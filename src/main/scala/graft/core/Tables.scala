@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table access. One parquet file per table under an sf dir
   * (TESTDATA.md). All queries read through here so a future move to a
@@ -13,21 +13,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize a file-borne event-time column to session-zoned
+    * TimestampType whatever representation the writer chose — the three
+    * that occur in the wild (and across driver testdata generations):
+    *  - int64 nanos (TIMESTAMP(NANOS) read under
+    *    spark.sql.legacy.parquet.nanosAsLong=true): integer-DIV to µs —
+    *    the truncation DuckDB applies on read, and integer DIV, not fp
+    *    division, because ns magnitudes exceed double's 2^53;
+    *  - TIMESTAMP_NTZ (naive µs, isAdjustedToUTC=false): cast to LTZ.
+    *    Sessions pin spark.sql.session.timeZone=UTC, so the cast
+    *    relabels the same instant — bit-identical µs to what DuckDB
+    *    sees — and downstream µs arithmetic (unix_micros) type-checks;
+    *  - already TimestampType: no-op.
+    * Every operator downstream of the read boundary can then assume
+    * TimestampType unconditionally. */
+  def normTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) in-file, which Spark's vectorized
-    // parquet reader rejects. Sessions set
-    // spark.sql.legacy.parquet.nanosAsLong=true at BUILD time (Bench/
-    // Verify/Engine.session/SparkSuite) so the nanos arrive as longs,
-    // truncated here to microseconds — the same truncation DuckDB
-    // applies on read, so the two engines see identical timestamps.
-    // (Reading through a session without the flag still works wherever
-    // the file's ts is already a timestamp type — the LongType branch
-    // below is a no-op then.)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // integer DIV, not fp division — ns values exceed double's 2^53
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") normTs(df) else df
   }
 
   /** events with an inclusive [lo, hi] time-range predicate applied on
@@ -44,10 +55,20 @@ object Tables {
     def us(t: java.sql.Timestamp): Long =
       t.toLocalDateTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
         t.getNanos / 1000L
-    if (df.schema("ts").dataType == LongType)
-      df.filter(col("ts") >= us(lo) * 1000L && col("ts") <= us(hi) * 1000L + 999L)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else
-      df.filter(col("ts").between(lit(lo), lit(hi)))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.filter(col("ts") >= us(lo) * 1000L && col("ts") <= us(hi) * 1000L + 999L)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // filter in the NTZ domain with NTZ literals (LocalDateTime), so
+        // the range predicate pushes to the parquet scan WITHOUT a cast
+        // wrapping the column (a cast on the column side would defeat
+        // row-group skipping — fatal at 100 TB); normalize to LTZ after
+        df.filter(col("ts").between(
+            lit(lo.toLocalDateTime), lit(hi.toLocalDateTime)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        df.filter(col("ts").between(lit(lo), lit(hi)))
+    }
   }
 }

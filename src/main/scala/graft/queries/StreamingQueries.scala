@@ -111,9 +111,8 @@ object StreamingQueries {
     * never emitted, so it self-excludes from the output). The oracle
     * recomputes the surviving-row set in SQL and aggregates it. */
   def streamWatermarkDrop(spark: SparkSession, dir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(timestamp_micros(expr("ts DIV 1000")).as("ts"),
-        col("event_type"), col("value"))
+    val ev = Tables.normTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("ts"), col("event_type"), col("value"))
     // fixture staging only (split point + flush row), not the data path
     val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     val front = ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 2 HOURS"))
@@ -139,9 +138,8 @@ object StreamingQueries {
     * = DISTINCT surviving triples, which is order-insensitive, so the
     * nondeterministic within-batch "which duplicate wins" never shows. */
   def streamDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("event_type"),
-        timestamp_micros(expr("ts DIV 1000")).as("ts"))
+    val ev = Tables.normTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("event_type"), col("ts"))
     val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     val front = ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 2 HOURS"))
     val late = ev.filter(col("ts") < lit(mx) - expr("INTERVAL 2 HOURS"))
@@ -163,7 +161,9 @@ object StreamingQueries {
     val src = spark.readStream
       .schema(staticSchema)
       .parquet(landing.toString)
-    val rows = src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // normTs only inspects the schema, so it applies to the streaming
+    // DataFrame exactly as to a batch one
+    val rows = Tables.normTs(src)
     val out = Files.createTempDirectory("s1_ingest").toString
     val cp = Files.createTempDirectory("s1_cp").toString
     val q = Streams.ingestWriter(rows, s"$out/events", cp,
@@ -340,9 +340,8 @@ object StreamingQueries {
     * SET must be batch-equivalent. */
   private def outerIntervalJoin(
       spark: SparkSession, dir: String, joinType: String): DataFrame = {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("user_id"),
-        timestamp_micros(expr("ts DIV 1000")).as("ts"), col("event_type"))
+    val ev = Tables.normTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     def side(kind: String) = ev.filter(col("event_type") === kind)
       .select(col("event_id"), col("user_id"), col("ts"))
     val (clicks, purchases) = (side("click"), side("purchase"))
