@@ -868,6 +868,40 @@ object NorthStarQueries {
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("rnk"))
 
+  /** D25: the `_rollup` continuous-aggregate sidecar end-to-end — the
+    * TimescaleDB continuous-aggregate idea in sidecar form. Events land
+    * in a day-bucketed ChronoDB table whose config maintains per-hour
+    * (n, nv, sum, vmin, vmax) of a value expression AT INSERT (the
+    * aggregate rides the data-write job via Dataset.observe — zero
+    * extra passes), and [[graft.core.ChronoDB.rollupRange]] then
+    * answers a 15.5-day per-hour aggregate sweep ENTIRELY from the
+    * kilobyte sidecar — no data files touched. Everything is exact
+    * BIGINT by contract (integer adds are order-free, so the
+    * observe-built rows equal a direct aggregation bit for bit), which
+    * is what makes the query fully hash-oracle-able: DuckDB recomputes
+    * the same slots from the raw events. The value expression exercises
+    * the null path (non-'view' rows only), so `nv < n` and the
+    * null-skipping min/max/sum semantics are all pinned. */
+  def rollupRangeQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d25_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      rollupValue = Some(
+        "case when decode(data, 'utf-8') <> 'view' then key end")))
+    try {
+      db.createTable("ev")
+      val ev = t(spark, dir, "events")
+      db.insert("ev", ev.select(col("user_id").cast("string").as("key"),
+        col("ts"), encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      db.rollupRange("ev",
+          java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-20 12:30:00"))
+        .orderBy(col("slot_start"))
+    } finally db.close()
+  }
+
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
     * that multi-dimensional range pruning sorts by at scale (the
     * reference's tablets are time-ordered only; this generalizes its
@@ -1884,6 +1918,29 @@ object NorthStarQueries {
         |       substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk,
         |       CAST(n_chunks AS BIGINT) AS n_chunks
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
+    QueryDef("d25_rollup_range", rollupRangeQ, Some(
+      // the oracle recomputes the hourly slots from raw events: slot =
+      // hour-floored epoch µs, v = user_id where event_type <> 'view'
+      // (the sidecar's null path), every aggregate exact BIGINT; range
+      // = slots INTERSECTING [2024-01-05, 2024-01-20 12:30] — start
+      // floored to its slot, end compared raw (slot granularity, the
+      // rollupRange contract)
+      """WITH v AS (
+        |  SELECT ts, CASE WHEN event_type <> 'view' THEN user_id END AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS slot_us,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(v) AS BIGINT) AS nv,
+        |         CAST(coalesce(sum(v), 0) AS BIGINT) AS sum,
+        |         CAST(min(v) AS BIGINT) AS vmin,
+        |         CAST(max(v) AS BIGINT) AS vmax
+        |  FROM v GROUP BY 1)
+        |SELECT make_timestamp(slot_us) AS slot_start, n, nv, sum, vmin, vmax
+        |FROM r
+        |WHERE slot_us >= (1704412800000000 // 3600000000) * 3600000000
+        |  AND slot_us <= 1705753800000000
+        |ORDER BY slot_start""".stripMargin)),
     QueryDef("d23_bm25_topk", bm25Q, Some(
       // every constant ::DOUBLE (DuckDB literals are DECIMAL); score =
       // one integral-operand division (idf) × the standard tf norm,
