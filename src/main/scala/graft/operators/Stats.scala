@@ -135,4 +135,78 @@ object Stats {
           lit(zThreshold.toLong * zThreshold) * n * varN)
       .drop("__xi", "__s1", "__s2", "__n")
   }
+
+  /** Distribution-drift report between two samples of a numeric column
+    * over FIXED literal bin boundaries — the dataset-monitoring
+    * primitive a training pipeline runs before mixing a new crawl into
+    * an established corpus (has the length/quality distribution moved?).
+    *
+    * `bounds` (b_0 < … < b_{m-1}) define m+1 bins: (-inf, b_0),
+    * [b_0, b_1), …, [b_{m-1}, +inf). Output: one row per NON-EMPTY bin
+    * with exact counts (bin_id, n_a, n_b), plus two whole-report
+    * columns repeated per row:
+    *  - `chi2`: the chi-squared-style divergence Σ (p_a − p_b)² /
+    *    (p_a + p_b) over non-empty bins. Every term is elementary IEEE
+    *    arithmetic on exact inputs (each proportion is ONE correctly-
+    *    rounded division of exact integers) and the sum is an ORDERED
+    *    bin-ascending fold — so the statistic is bit-reproducible in an
+    *    external oracle, unlike any log-based measure (ln is 1-ulp
+    *    divergent cross-engine; same trade as d14/d23).
+    *  - `psi_drifted`: the PSI verdict Σ (p'_a − p'_b) ln(p'_a / p'_b)
+    *    > threshold over the observed bins, on Laplace-smoothed
+    *    proportions p' = (n + ½) / (N + (m+1)/2) so a bin empty on ONE
+    *    side (ln 0 otherwise) is well-defined. The PSI VALUE
+    *    stays out of the output (ln); the boolean is stable because
+    *    ulp-level divergence cannot flip a comparison against a
+    *    threshold parted from psi by many orders of magnitude.
+    *
+    * Scale shape: two map-side bin assignments (a comparison against a
+    * broadcast-free literal array) and two m-key aggregations; the fold
+    * runs over one collected m-row array on a single tiny partition BY
+    * CONSTRUCTION (m is a config constant). No data-sized shuffle
+    * beyond the two per-bin counts.
+    */
+  def driftReport(
+      a: DataFrame, b: DataFrame, valueCol: String, bounds: Seq[Long],
+      psiThreshold: Double = 0.2): DataFrame = {
+    require(bounds.nonEmpty, "driftReport needs at least one bin bound")
+    require(bounds == bounds.sorted && bounds.distinct == bounds,
+      "bounds must be strictly increasing")
+    val arr = array(bounds.map(lit): _*)
+    def binned(df: DataFrame, cnt: String): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("bin_id", size(filter(arr, bd => bd <= col(valueCol))))
+      .groupBy(col("bin_id")).agg(count(lit(1)).as(cnt))
+    val nBins = bounds.size + 1
+    val joined = binned(a, "n_a").join(binned(b, "n_b"), Seq("bin_id"),
+        "full_outer")
+      .select(col("bin_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // whole-report fold: one row of bin-ascending (n_a, n_b) structs —
+    // the array_sort(collect_list) pins the fold order (d23 pattern)
+    val folded = joined
+      .agg(array_sort(collect_list(struct(col("bin_id"), col("n_a"),
+        col("n_b")))).as("bins"))
+      .select(col("bins"),
+        aggregate(col("bins"), lit(0L), (acc, x) => acc + x("n_a")).as("tot_a"),
+        aggregate(col("bins"), lit(0L), (acc, x) => acc + x("n_b")).as("tot_b"))
+      .select(col("bins"),
+        aggregate(col("bins"), lit(0.0), (acc, x) => {
+          val pa = x("n_a").cast("double") / col("tot_a").cast("double")
+          val pb = x("n_b").cast("double") / col("tot_b").cast("double")
+          acc + when(x("n_a") + x("n_b") === 0L, lit(0.0))
+            .otherwise((pa - pb) * (pa - pb) / (pa + pb))
+        }).as("chi2"),
+        aggregate(col("bins"), lit(0.0), (acc, x) => {
+          val pa = (x("n_a").cast("double") + lit(0.5)) /
+            (col("tot_a").cast("double") + lit(nBins * 0.5))
+          val pb = (x("n_b").cast("double") + lit(0.5)) /
+            (col("tot_b").cast("double") + lit(nBins * 0.5))
+          acc + (pa - pb) * log(pa / pb)
+        }).as("psi"))
+    joined.crossJoin(broadcast(folded.select(col("chi2"),
+        (col("psi") > psiThreshold).as("psi_drifted"))))
+      .orderBy(col("bin_id"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.functions.{NativeExpressions, TextFunctions}
-import graft.operators.{Curation, Dedup, Layout, Multimodal, Similarity, Sketches}
+import graft.operators.{Curation, Dedup, Fusion, Layout, Multimodal, Similarity, Sketches, Stats}
 
 /** LLM-data-pipeline operators (SURVEY.md §2c D1–D5): dedup family,
   * similarity search, text analysis, multimodal plumbing. */
@@ -900,6 +900,43 @@ object NorthStarQueries {
           java.sql.Timestamp.valueOf("2024-01-20 12:30:00"))
         .orderBy(col("slot_start"))
     } finally db.close()
+  }
+
+  /** D28: hybrid retrieval — BM25 lexical top-50 and dense cosine
+    * top-50 (query = vec_id 0's embedding, corpus ids aligned with
+    * doc ids) fused by reciprocal rank fusion into one top-20 (see
+    * [[Fusion.reciprocalRankFusion]] for the scale and determinism
+    * story: the fusion stage consumes kilobyte rank lists whatever the
+    * corpus size; each RRF summand is one exact-integer IEEE division
+    * and the sum order is fixed, so the fused scores hash-match the
+    * oracle bit for bit). */
+  def hybridRrfQ(spark: SparkSession, dir: String): DataFrame = {
+    val text = Curation.bm25TopK(t(spark, dir, "documents"), "doc_id",
+        "text", Seq("hash", "join", "merge", "stream"), k = 50)
+      .select(col("doc_id"), col("rank"))
+    val emb = t(spark, dir, "embeddings")
+    val vec = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Fusion.reciprocalRankFusion(Seq("text" -> text, "vec" -> vec),
+        "doc_id", "rank", kConst = 60, topK = 20)
+      .orderBy(col("fused_rank"))
+  }
+
+  /** D29: dataset drift report — the length distribution of the
+    * even-numbered sources vs the odd-numbered ones over fixed
+    * literal bins (the pre-mixing check a pipeline runs before
+    * admitting a new crawl; see [[Stats.driftReport]]). Counts are
+    * exact, the chi² divergence is an ordered fold of elementary IEEE
+    * terms (hash-exact), and the log-based PSI enters only as a
+    * thresholded verdict. */
+  def driftQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val par = regexp_extract(col("source"), "([0-9]+)$", 1)
+      .cast("int") % 2
+    Stats.driftReport(
+      docs.filter(par === 0), docs.filter(par === 1),
+      "n_chars", Seq(100L, 200L, 300L, 400L, 500L))
   }
 
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
@@ -1918,6 +1955,113 @@ object NorthStarQueries {
         |       substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk,
         |       CAST(n_chunks AS BIGINT) AS n_chunks
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
+    QueryDef("d28_hybrid_rrf", hybridRrfQ, Some(
+      // both rank lists fully replicated (BM25 = d23's rational-idf
+      // SQL at k=50; cosine = d3's ordered-fold SQL for the single
+      // query vec_id 0), then RRF: per-list 1/(60+rank) — one exact
+      // integer division each — summed text-then-vec (the builder's
+      // fixed fold order)
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE)
+        |                / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+        |       FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |       WHERE term IN ('hash', 'join', 'merge', 'stream') GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (CAST(2 * n_docs - 2 * doc_freq + 1 AS DOUBLE)
+        |       / CAST(2 * doc_freq + 1 AS DOUBLE))
+        |    * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |       / (CAST(tf AS DOUBLE)
+        |          + CAST(1.2 AS DOUBLE)
+        |            * (CAST(0.25 AS DOUBLE)
+        |               + CAST(0.75 AS DOUBLE)
+        |                 * (CAST(dl AS DOUBLE) / avgdl)))) AS tscore
+        |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |txt AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+        |           AS rank_text
+        |  FROM (SELECT doc_id,
+        |               list_reduce(list(tscore ORDER BY term), (a, x) -> a + x) AS score
+        |        FROM s GROUP BY 1)
+        |  QUALIFY rank_text <= 50),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |vp AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_reduce(list_transform(list_zip(q.qe, e.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(q.qe,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> 0),
+        |vec AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+        |           AS rank_vec
+        |  FROM vp QUALIFY rank_vec <= 50),
+        |f AS (
+        |  SELECT coalesce(txt.doc_id, vec.doc_id) AS doc_id, rank_text, rank_vec,
+        |    (CASE WHEN rank_text IS NOT NULL
+        |          THEN CAST(1 AS DOUBLE) / CAST(60 + rank_text AS DOUBLE)
+        |          ELSE CAST(0 AS DOUBLE) END)
+        |    + (CASE WHEN rank_vec IS NOT NULL
+        |            THEN CAST(1 AS DOUBLE) / CAST(60 + rank_vec AS DOUBLE)
+        |            ELSE CAST(0 AS DOUBLE) END) AS rrf_score
+        |  FROM txt FULL JOIN vec ON txt.doc_id = vec.doc_id)
+        |SELECT doc_id, rank_text, rank_vec, rrf_score,
+        |       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER)
+        |         AS fused_rank
+        |FROM f QUALIFY fused_rank <= 20 ORDER BY fused_rank""".stripMargin)),
+    QueryDef("d29_drift_report", driftQ, Some(
+      // exact per-bin counts; chi² = ordered bin-ascending fold of
+      // identical elementary-IEEE terms; PSI (ln-based) appears ONLY
+      // as the thresholded verdict — smoothing constant (m+1)/2 = 3.0
+      """WITH d AS (
+        |  SELECT CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 AS par,
+        |         n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |ba AS (SELECT CAST(len(list_filter([100, 200, 300, 400, 500],
+        |                bd -> bd <= n_chars)) AS INTEGER) AS bin_id,
+        |              CAST(count(*) AS BIGINT) AS n_a
+        |       FROM d WHERE par = 0 GROUP BY 1),
+        |bb AS (SELECT CAST(len(list_filter([100, 200, 300, 400, 500],
+        |                bd -> bd <= n_chars)) AS INTEGER) AS bin_id,
+        |              CAST(count(*) AS BIGINT) AS n_b
+        |       FROM d WHERE par = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(ba.bin_id, bb.bin_id) AS bin_id,
+        |             CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+        |             CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+        |      FROM ba FULL JOIN bb ON ba.bin_id = bb.bin_id),
+        |tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+        |               CAST(sum(n_b) AS DOUBLE) AS tb FROM j),
+        |terms AS (
+        |  SELECT bin_id,
+        |    CASE WHEN n_a + n_b = 0 THEN CAST(0 AS DOUBLE)
+        |         ELSE (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+        |            * (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+        |            / (CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb)
+        |    END AS chi_term,
+        |    ((CAST(n_a AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |       / (ta + CAST(3.0 AS DOUBLE))
+        |     - (CAST(n_b AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |       / (tb + CAST(3.0 AS DOUBLE)))
+        |    * ln(((CAST(n_a AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |            / (ta + CAST(3.0 AS DOUBLE)))
+        |         / ((CAST(n_b AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |            / (tb + CAST(3.0 AS DOUBLE)))) AS psi_term
+        |  FROM j CROSS JOIN tot),
+        |g AS (SELECT list_reduce(list(chi_term ORDER BY bin_id), (a, x) -> a + x) AS chi2,
+        |             list_reduce(list(psi_term ORDER BY bin_id), (a, x) -> a + x)
+        |               > CAST(0.2 AS DOUBLE) AS psi_drifted
+        |      FROM terms)
+        |SELECT bin_id, n_a, n_b, chi2, psi_drifted
+        |FROM j CROSS JOIN g ORDER BY bin_id""".stripMargin)),
     QueryDef("d25_rollup_range", rollupRangeQ, Some(
       // the oracle recomputes the hourly slots from raw events: slot =
       // hour-floored epoch µs, v = user_id where event_type <> 'view'

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Det, QueryDef, Tables}
-import graft.operators.{AsOfJoin, Intervals, Resample, Scd, Sessionize}
+import graft.operators.{AsOfJoin, Intervals, Merge, Resample, Scd, Sessionize}
 
 /** Time-series operators: as-of join and gap-filled resample
   * (SURVEY.md §2c Q9, Q26). */
@@ -251,7 +251,61 @@ object TimeSeriesQueries {
         "session_start", "session_end")
       .orderBy(col("day"))
 
+  /** Q51: MERGE-style upsert — the current-state snapshot as of
+    * Jan 16 (latest event per user) with the second half of the month
+    * applied as a change batch: purchases delete the key, anything
+    * else upserts the row, and per key only the LATEST change wins
+    * (see [[Merge.applyChanges]] for the dedup-then-full-outer shape
+    * and its one-shuffle-per-side scale story). */
+  def upsertMergeQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val base = ev.filter(col("ts") < split)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val changes = ev.filter(col("ts") >= split)
+      .withColumn("op",
+        when(col("event_type") === "purchase", lit("D")).otherwise(lit("U")))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        col("op"), col("event_id"))
+    Merge.applyChanges(base, changes, "user_id", "ts", "op",
+        tieBreak = Seq("event_id"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q51_upsert_merge", upsertMergeQ, Some(
+      // base = latest pre-split row per user; ch = latest post-split
+      // change per user with its op; MERGE: D deletes, U replaces or
+      // inserts, untouched keys keep the base row
+      """WITH base AS (
+        |  SELECT user_id, ts, event_type, value FROM (
+        |    SELECT user_id, ts, event_type, value,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+        |  WHERE rn = 1),
+        |ch AS (
+        |  SELECT user_id, ts, event_type, value,
+        |         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+        |  FROM (
+        |    SELECT user_id, ts, event_type, value, event_id,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |       CASE WHEN c.op IS NOT NULL THEN c.ts ELSE b.ts END AS ts,
+        |       CASE WHEN c.op IS NOT NULL THEN c.event_type
+        |            ELSE b.event_type END AS event_type,
+        |       CASE WHEN c.op IS NOT NULL THEN c.value ELSE b.value END AS value
+        |FROM base b FULL JOIN ch c ON b.user_id = c.user_id
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY user_id""".stripMargin)),
     QueryDef("q49_scd2", scd2Q, Some(
       // run starts: first row per user, or state differs from previous
       // (IS DISTINCT FROM — NULL states collapse like values, mirroring

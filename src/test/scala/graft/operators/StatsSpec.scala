@@ -117,4 +117,38 @@ class StatsSpec extends SparkSuite {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("exceeds maxGroups")))
   }
+
+  test("driftReport: identical samples → chi2 exactly 0, no drift verdict") {
+    import spark.implicits._
+    val xs = (1 to 400).map(_.toLong % 97).toDF("x")
+    val out = Stats.driftReport(xs, xs, "x", Seq(20L, 50L, 80L)).collect()
+    assert(out.forall(r => r.getLong(1) === r.getLong(2))) // n_a == n_b
+    assert(out.forall(_.getDouble(3) === 0.0))             // exact zero
+    assert(out.forall(!_.getBoolean(4)))
+  }
+
+  test("driftReport: disjoint samples drift; counts and bin edges exact") {
+    import spark.implicits._
+    val a = (1 to 100).map(_ => 10L).toDF("x")   // all below first bound
+    val b = (1 to 100).map(_ => 100L).toDF("x")  // all in a later bin
+    val out = Stats.driftReport(a, b, "x", Seq(20L, 50L, 80L))
+      .orderBy("bin_id").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((0, 100L, 0L), (3, 0L, 100L)))
+    assert(out.forall(_.getBoolean(4)))          // psi way past 0.2
+    assert(out.head.getDouble(3) > 1.9)          // chi2 → 2 for disjoint
+    // boundary lands in the UPPER bin: [20,50) starts AT 20
+    val edge = Stats.driftReport(Seq(20L).toDF("x"), Seq(19L).toDF("x"),
+      "x", Seq(20L, 50L, 80L)).orderBy("bin_id").collect()
+    assert(edge.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((0, 0L, 1L), (1, 1L, 0L)))
+  }
+
+  test("driftReport rejects unsorted bounds") {
+    import spark.implicits._
+    val xs = Seq(1L).toDF("x")
+    intercept[IllegalArgumentException] {
+      Stats.driftReport(xs, xs, "x", Seq(50L, 20L))
+    }
+  }
 }
