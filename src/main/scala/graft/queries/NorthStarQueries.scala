@@ -939,6 +939,34 @@ object NorthStarQueries {
       "n_chars", Seq(100L, 200L, 300L, 400L, 500L))
   }
 
+  /** D25b: the REAL-TIME continuous aggregate — an unaligned µs range
+    * answered exactly by [[graft.core.ChronoDB.rollupRangeRealtime]]:
+    * interior slots from the `_rollup` sidecar, the two partial edge
+    * slots recomputed from bucket-pruned data clipped to the range
+    * (the TimescaleDB real-time-aggregate / materialized-view-rewrite
+    * shape — the data scan is bounded by two slots regardless of range
+    * length). Same exact-BIGINT contract as d25, so the oracle is a
+    * plain range-filtered hourly aggregation. */
+  def rollupRealtimeQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d25b_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      rollupValue = Some(
+        "case when decode(data, 'utf-8') <> 'view' then key end")))
+    try {
+      db.createTable("ev")
+      val ev = t(spark, dir, "events")
+      db.insert("ev", ev.select(col("user_id").cast("string").as("key"),
+        col("ts"), encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      db.rollupRangeRealtime("ev",
+          java.sql.Timestamp.valueOf("2024-01-05 07:42:11.5"),
+          java.sql.Timestamp.valueOf("2024-01-20 18:15:00.25"))
+        .orderBy(col("slot_start"))
+    } finally db.close()
+  }
+
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
     * that multi-dimensional range pruning sorts by at scale (the
     * reference's tablets are time-ordered only; this generalizes its
@@ -2085,6 +2113,24 @@ object NorthStarQueries {
         |WHERE slot_us >= (1704412800000000 // 3600000000) * 3600000000
         |  AND slot_us <= 1705753800000000
         |ORDER BY slot_start""".stripMargin)),
+    QueryDef("d25b_rollup_realtime", rollupRealtimeQ, Some(
+      // range-exact: the oracle clips rows to the inclusive µs range
+      // FIRST, then aggregates hourly — precisely what the sidecar
+      // interior + clipped-edge union computes.
+      // 2024-01-05 07:42:11.5 = 1704440531500000 µs;
+      // 2024-01-20 18:15:00.25 = 1705774500250000 µs
+      """WITH v AS (
+        |  SELECT ts, CASE WHEN event_type <> 'view' THEN user_id END AS v
+        |  FROM events
+        |  WHERE epoch_ns(ts) // 1000 BETWEEN 1704440531500000 AND 1705774500250000)
+        |SELECT make_timestamp((epoch_ns(ts) // 1000 // 3600000000) * 3600000000)
+        |         AS slot_start,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(v) AS BIGINT) AS nv,
+        |       CAST(coalesce(sum(v), 0) AS BIGINT) AS sum,
+        |       CAST(min(v) AS BIGINT) AS vmin,
+        |       CAST(max(v) AS BIGINT) AS vmax
+        |FROM v GROUP BY 1 ORDER BY slot_start""".stripMargin)),
     QueryDef("d23_bm25_topk", bm25Q, Some(
       // every constant ::DOUBLE (DuckDB literals are DECIMAL); score =
       // one integral-operand division (idf) × the standard tf norm,

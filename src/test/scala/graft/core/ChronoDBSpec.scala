@@ -990,6 +990,70 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  private def realtimeSlots(db: ChronoDB, name: String,
+      lo: String, hi: String): Map[Timestamp, (Long, Long, Long, Option[Long], Option[Long])] =
+    db.rollupRangeRealtime(name, ts(lo), ts(hi)).collect().map { r =>
+      r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toMap
+
+  test("rollup realtime: unaligned edges are range-exact, interior from sidecar") {
+    val db = rollupDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 09:50:00", "1"),   // leading slot, OUT of range
+      row("b", "2024-01-01 09:59:00", "2"),   // leading slot, in range
+      row("c", "2024-01-01 10:30:00", "4"),   // interior slot
+      row("d", "2024-01-01 11:10:00", "8"),   // trailing slot, in range
+      row("e", "2024-01-01 11:40:00", "16"))) // trailing slot, OUT of range
+    val got = realtimeSlots(db, "t",
+      "2024-01-01 09:55:00", "2024-01-01 11:20:00")
+    assert(got === Map(
+      ts("2024-01-01 09:00:00") -> (1L, 1L, 2L, Some(2L), Some(2L)),
+      ts("2024-01-01 10:00:00") -> (1L, 1L, 4L, Some(4L), Some(4L)),
+      ts("2024-01-01 11:00:00") -> (1L, 1L, 8L, Some(8L), Some(8L))))
+    // slot-granular rollupRange would include ALL five rows
+    assert(slots(db, "t", "2024-01-01 09:55:00", "2024-01-01 11:20:00")
+      .values.map(_._1).sum === 5L)
+    db.close()
+  }
+
+  test("rollup realtime: aligned range ≡ rollupRange; sub-slot range works") {
+    val db = rollupDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 10:05:00", "3"),
+      row("b", "2024-01-01 10:50:00", "7"),
+      row("c", "2024-01-01 11:00:00", "10")))
+    // aligned: [10:00, 11:59:59.999999] covers slots 10 and 11 exactly
+    assert(realtimeSlots(db, "t", "2024-01-01 10:00:00", "2024-01-01 11:59:59.999999")
+      === slots(db, "t", "2024-01-01 10:00:00", "2024-01-01 11:59:59.999999"))
+    // sub-slot: both bounds inside slot 10 — single clipped data scan
+    assert(realtimeSlots(db, "t", "2024-01-01 10:10:00", "2024-01-01 10:55:00")
+      === Map(ts("2024-01-01 10:00:00") -> (1L, 1L, 7L, Some(7L), Some(7L))))
+    db.close()
+  }
+
+  test("rollup realtime: missing sidecar falls back to data, stays exact") {
+    val dir = Files.createTempDirectory("chronodb_rt_nofile").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      rollupValue = Some("decode(data, 'UTF-8')")))
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 10:05:00", "3"),
+      row("b", "2024-01-01 11:20:00", "5")))
+    val expect = realtimeSlots(db, "t",
+      "2024-01-01 09:30:00", "2024-01-01 12:30:00")
+    // simulate the crash window: sidecar gone, data intact
+    val side = java.nio.file.Paths.get(dir, "t", "_rollup")
+    import scala.jdk.CollectionConverters._
+    Files.walk(side).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    assert(realtimeSlots(db, "t",
+      "2024-01-01 09:30:00", "2024-01-01 12:30:00") === expect)
+    db.close()
+  }
+
   test("rollup: retention drops slots with their buckets") {
     val dir = Files.createTempDirectory("chronodb_rollup_ttl").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
