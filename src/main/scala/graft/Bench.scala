@@ -44,7 +44,8 @@ object Bench {
     val secondaryNames = Seq("d16_cross_source_dup", "d14_tfidf_topk",
       "d2e_dedup_pipeline", "d3c_similarity_ivf", "d3f_similarity_int8",
       "d3g_similarity_ivf_int8", "d3h_similarity_pq",
-      "d23_bm25_topk", "q48_sessionize")
+      "d23_bm25_topk", "q48_sessionize", "q51_upsert_merge",
+      "d28_hybrid_rrf")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =
@@ -56,13 +57,17 @@ object Bench {
         Seq.empty
       else SparkEntry.all.filter(q => secondaryNames.contains(q.name))
     // A failing query must not silently time as "fast": failures are
-    // logged, counted, and reported in the JSON line.
+    // logged, counted, reported in the JSON line — and the query's
+    // timing keys carry -1 instead of the (instant) failure time, so a
+    // broken query can never masquerade as a fast one (r9's q48 timed
+    // 0.06 s while failing analysis on every run).
     var errors = 0
-    def run(q: graft.core.QueryDef): Unit =
-      try q.build(spark, sfDir).count()
+    def run(q: graft.core.QueryDef): Boolean =
+      try { q.build(spark, sfDir).count(); true }
       catch { case e: Throwable =>
         errors += 1
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        false
       }
     // Warm-up: JVM/codegen/file listing (one pass, untimed), then a
     // headline RE-warm — the secondary warm-ups evict cache/JIT state
@@ -78,13 +83,15 @@ object Bench {
     // let a judge see WHICH run an outlier hit without re-running.
     def time3(qs: Seq[graft.core.QueryDef]): Seq[(String, Double, Double, Seq[Double])] =
       qs.map { q =>
+        var ok = true
         val raw = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          run(q)
+          ok = run(q) && ok
           (System.nanoTime() - t0) / 1e9
         }
         val sorted = raw.sorted
-        (q.name, sorted(1), sorted(0), raw)
+        if (ok) (q.name, sorted(1), sorted(0), raw)
+        else (q.name, -1.0, -1.0, raw.map(_ => -1.0))
       }
     val results = time3(headline)
     val secResults = time3(secondary)
@@ -99,8 +106,12 @@ object Bench {
     val sec = obj(secResults.map(r => r._1 -> r._2))
     val secMin = obj(secResults.map(r => r._1 -> r._3))
     val secRaw = objArr(secResults.map(r => r._1 -> r._4))
-    val total = results.map(_._2).sum
-    val minTotal = results.map(_._3).sum
+    // a failed headline query (-1 sentinel) must poison the totals
+    // loudly, not shave them: totals go negative iff anything failed
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+    val minTotal =
+      if (results.exists(_._3 < 0)) -1.0 else results.map(_._3).sum
     // Ingest section (skipped in args mode and with SPARK_GRAFT_INGEST=0):
     // the reference is first an INGEST engine, so the write path gets its
     // own timings — see IngestBench.

@@ -559,6 +559,28 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def deleteKey(name: String, key: String): Long =
     deleteKeys(name, Seq(key))
 
+  /** MERGE at the storage layer: replace ALL rows of every key present
+    * in `rows`, then insert the batch — the upsert a state-table user
+    * expects from a keyed store, which the reference's insert-only
+    * model lacks (SURVEY §1.2: `PrimaryKeys` is accepted and ignored,
+    * types.go:10-13; duplicates are returned). One [[deleteKeys]] job +
+    * one [[insert]] job for the whole batch, so sidecars stay
+    * consistent by construction (deleteKeys re-aggregates touched
+    * buckets from survivors; insert appends the batch's own rows). The
+    * batch's distinct keys are collected to the driver — an upsert
+    * batch is a change batch (thousands of keys), not a corpus; the
+    * DataFrame-level latest-change-wins MERGE over arbitrary-size
+    * change sets is [[graft.operators.Merge.applyChanges]]. Returns
+    * the number of replaced (deleted) rows. */
+  def upsert(name: String, rows: Dataset[ChronoRow],
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
+    requireTable(name)
+    val keys = rows.select(col("key")).distinct().as[String].collect().toSeq
+    val removed = deleteKeys(name, keys)
+    insert(name, rows, now)
+    removed
+  }
+
   /** Batch form of [[deleteKey]] — the shape a real GDPR/erasure job
     * takes: requests arrive in batches of thousands, and deleting them
     * one-by-one pays the candidate scan + rewrite job per key. This

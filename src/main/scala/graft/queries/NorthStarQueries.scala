@@ -967,6 +967,38 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D30: storage-layer upsert — [[graft.core.ChronoDB.upsert]]
+    * end-to-end on real data: the first half of the month lands as
+    * state, the second half is UPSERTED (every key in the batch has its
+    * old rows replaced — bloom-pruned bucket rewrites — and the batch
+    * inserted), and the final table content is read back. The oracle is
+    * the set-algebra of the contract: untouched keys' old rows + the
+    * batch. Complements q51 (the DataFrame MERGE): this is the mutable
+    * state TABLE the reference's ignored `PrimaryKeys` option promises
+    * (types.go:10-13). */
+  def chronoUpsertQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d30_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day"))
+    try {
+      db.createTable("st")
+      val ev = t(spark, dir, "events")
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      def chrono(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("user_id").cast("string").as("key"), col("ts"),
+          encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow]
+      db.insert("st", chrono(ev.filter(col("ts") < split)))
+      db.upsert("st", chrono(ev.filter(col("ts") >= split)))
+      db.query("st",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+        .select(col("key"), col("ts"),
+          decode(col("data"), "UTF-8").as("state"))
+        .orderBy(col("key"), col("ts"), col("state"))
+    } finally db.close()
+  }
+
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
     * that multi-dimensional range pruning sorts by at scale (the
     * reference's tablets are time-ordered only; this generalizes its
@@ -2113,6 +2145,22 @@ object NorthStarQueries {
         |WHERE slot_us >= (1704412800000000 // 3600000000) * 3600000000
         |  AND slot_us <= 1705753800000000
         |ORDER BY slot_start""".stripMargin)),
+    QueryDef("d30_chrono_upsert", chronoUpsertQ, Some(
+      // upsert contract in set algebra: rows of keys NOT in the batch
+      // survive; every batch key's state is exactly the batch's rows
+      """WITH touched AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |keep AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |    AND user_id NOT IN (SELECT user_id FROM touched)),
+        |ins AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type AS state
+        |FROM (SELECT * FROM keep UNION ALL SELECT * FROM ins)
+        |ORDER BY key, ts, state""".stripMargin)),
     QueryDef("d25b_rollup_realtime", rollupRealtimeQ, Some(
       // range-exact: the oracle clips rows to the inclusive µs range
       // FIRST, then aggregates hourly — precisely what the sidecar

@@ -990,6 +990,26 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  test("upsert replaces every batch key's rows, keeps bystanders, inserts new keys") {
+    val dir = Files.createTempDirectory("chronodb_upsert").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day"))
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 10:00:00", "v1"),
+      row("a", "2024-01-02 10:00:00", "v2"), // both a-rows must go
+      row("b", "2024-01-01 11:00:00", "keep")))
+    val removed = db.upsert("t", spark.createDataset(Seq(
+      row("a", "2024-01-05 09:00:00", "v3"),
+      row("c", "2024-01-05 09:30:00", "new"))))
+    assert(removed === 2L)
+    val got = db.query("t", ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"))
+      .collect().map(r => (r.getString(0),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).sorted.toSeq
+    assert(got === Seq(("a", "v3"), ("b", "keep"), ("c", "new")))
+    assert(db.sidecarsConsistent("t"))
+    db.close()
+  }
+
   private def realtimeSlots(db: ChronoDB, name: String,
       lo: String, hi: String): Map[Timestamp, (Long, Long, Long, Option[Long], Option[Long])] =
     db.rollupRangeRealtime(name, ts(lo), ts(hi)).collect().map { r =>
