@@ -39,6 +39,23 @@ object Curation {
   def hashSample(idCol: Column, fraction: Double): Column =
     substring(md5(idCol.cast("string")), 1, 8) < lit(hexThreshold(fraction))
 
+  /** Weighted deterministic Bernoulli sample: keep a row with
+    * probability `rateCol` (a per-row column in [0,1] — the per-source
+    * mixing rates of a dataset recipe, a quality-score ramp, …), decided
+    * by the same portable md5 draw as [[hashSample]] but against a
+    * PER-ROW threshold. Still a pure map-side filter — no shuffle, no
+    * RNG state, reproducible across reruns and engines. The threshold
+    * is floor(rate·2³²) rendered as 8 lowercase hex digits (hex strings
+    * sort numerically), so an oracle reproduces the exact sample;
+    * double→long truncation equals floor for the non-negative rates.
+    * `rate >= 1` short-circuits to keep-all (the hex comparison alone
+    * would drop the single maximal draw `ffffffff`). */
+  def weightedSample(idCol: Column, rateCol: Column): Column = {
+    val draw = substring(md5(idCol.cast("string")), 1, 8)
+    val thr = (rateCol.cast("double") * lit(4294967296.0)).cast("long")
+    rateCol.cast("double") >= 1.0 || draw < lpad(lower(hex(thr)), 8, "0")
+  }
+
   /** The seeded per-row draw shared by [[shuffleOrder]] and
     * [[assignSplit]]: md5("<seed>:<id>") — changing the seed produces an
     * independent permutation/split without touching the data. */

@@ -999,6 +999,20 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D31: weighted sampling — per-SOURCE acceptance rates (0.1–0.5,
+    * derived from the source number: the dataset-mixing recipe shape)
+    * applied as [[Curation.weightedSample]]'s deterministic md5 draw
+    * against a per-row threshold. A pure map-side filter at any scale;
+    * the oracle reproduces the exact sample from the same formula. */
+  def weightedSampleQ(spark: SparkSession, dir: String): DataFrame = {
+    val srcn = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val rate = ((srcn % 5) + 1).cast("double") / lit(10.0)
+    t(spark, dir, "documents")
+      .filter(Curation.weightedSample(col("doc_id"), rate))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
     * that multi-dimensional range pruning sorts by at scale (the
     * reference's tablets are time-ordered only; this generalizes its
@@ -2145,6 +2159,19 @@ object NorthStarQueries {
         |WHERE slot_us >= (1704412800000000 // 3600000000) * 3600000000
         |  AND slot_us <= 1705753800000000
         |ORDER BY slot_start""".stripMargin)),
+    QueryDef("d31_weighted_sample", weightedSampleQ, Some(
+      // identical draw (first 8 md5 hex chars) and identical per-row
+      // threshold arithmetic: floor((r/10)·2^32) as 8 lowercase hex
+      // digits; max rate is 0.5 so the keep-all branch never fires
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 5 + 1 AS r
+        |  FROM documents)
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < printf('%08x',
+        |          CAST(floor((CAST(r AS DOUBLE) / CAST(10 AS DOUBLE))
+        |                     * 4294967296.0) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("d30_chrono_upsert", chronoUpsertQ, Some(
       // upsert contract in set algebra: rows of keys NOT in the batch
       // survive; every batch key's state is exactly the batch's rows

@@ -9,6 +9,21 @@ class CurationSpec extends SparkSuite {
 
   private lazy val docs = Tables.t(spark, sf(), "documents")
 
+  test("weightedSample: rate 0 keeps none, 1 keeps all, monotone in rate, ≈fraction") {
+    val n = docs.count()
+    assert(docs.filter(Curation.weightedSample(col("doc_id"), lit(0.0))).count() === 0)
+    assert(docs.filter(Curation.weightedSample(col("doc_id"), lit(1.0))).count() === n)
+    val at = (r: Double) => docs
+      .filter(Curation.weightedSample(col("doc_id"), lit(r)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (s2, s5) = (at(0.2), at(0.5))
+    assert(s2.subsetOf(s5), "a higher rate must keep a superset")
+    assert(math.abs(s5.size.toDouble / n - 0.5) < 0.1)
+    // constant rate coincides with hashSample's fixed-fraction draw
+    assert(at(0.3) === docs.filter(Curation.hashSample(col("doc_id"), 0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("hashSample is deterministic and near the requested fraction") {
     val n = docs.count()
     val sampled = docs.filter(Curation.hashSample(col("doc_id"), 0.30))

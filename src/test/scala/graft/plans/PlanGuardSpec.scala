@@ -174,4 +174,30 @@ class PlanGuardSpec extends SparkSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
       s"expected partial+final WindowGroupLimit on candidate ranking:\n$p")
   }
+
+  test("q51: change dedup group-limits map-side; the MERGE join never loops") {
+    val p = plan("q51_upsert_merge")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the row_number()=1 latest-change filter must keep top-1 per key
+    // BEFORE its shuffle (partial) and after (final)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"latest-change dedup should partial+final group-limit:\n$p")
+    // base-side dedup + change-side dedup + canonical output sort: the
+    // full-outer join itself must reuse the windows' key partitioning
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      s"MERGE grew exchanges beyond the per-side windows + sort:\n$p")
+  }
+
+  test("d28: corpus scans never shuffle; fusion joins only rank lists") {
+    val p = plan("d28_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // dense half: query vector reaches the corpus scan as a broadcast
+    // (d3 shape) — at least the query-side and corpus-stats broadcasts
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"query/stats broadcasts missing:\n$p")
+    // final fused top-20 group-limits
+    assert(p.contains("WindowGroupLimit"),
+      s"fused ranking should group-limit:\n$p")
+  }
 }
