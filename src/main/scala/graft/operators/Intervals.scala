@@ -64,4 +64,41 @@ object Intervals {
       .agg(max(col("running")).as("max_concurrent"))
       .select(to_date(col("day")).as("day"), col("max_concurrent"))
   }
+
+  /** Overlap join of two CLOSED-interval sets: every (a, b) pair with
+    * `a.start <= b.end AND b.start <= a.end`, with the overlap window.
+    *
+    * The naive formulation is a theta-join — a cartesian product that
+    * Spark can only nested-loop. The scalable shape here is the
+    * standard spatial-grid join in one dimension: each interval
+    * explodes onto the `gridUs`-wide time cells it touches, candidates
+    * equi-join ON THE CELL (a plain hash-partitioned join), and the
+    * exact overlap predicate filters candidates. A pair co-occurring in
+    * several cells is credited ONLY in the first cell both touch
+    * (`cell == max(firstCell_a, firstCell_b)` — that cell is always
+    * touched by both: the later start lies before the earlier end
+    * whenever the intervals overlap), so no distinct/dedup pass is
+    * needed. Cost at scale: explode factor = interval span / gridUs
+    * (pick the grid near the typical interval length to keep it O(1)),
+    * one cell-keyed shuffle each side; a hot cell = a busy hour, and
+    * the cell key salts/refines like any join key. */
+  def overlapJoin(
+      a: DataFrame, b: DataFrame,
+      idColA: String, idColB: String,
+      startCol: String, endCol: String, gridUs: Long): DataFrame = {
+    require(gridUs > 0, s"gridUs must be positive, got $gridUs")
+    def cells(df: DataFrame, id: String, tag: String): DataFrame = df
+      .select(col(id).as(s"${tag}_id"),
+        unix_micros(col(startCol)).as(s"${tag}_s"),
+        unix_micros(col(endCol)).as(s"${tag}_e"))
+      .withColumn("cell", explode(sequence(
+        expr(s"${tag}_s div $gridUs"), expr(s"${tag}_e div $gridUs"))))
+    cells(a, idColA, "a").join(cells(b, idColB, "b"), Seq("cell"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .filter(col("cell") ===
+        greatest(expr(s"a_s div $gridUs"), expr(s"b_s div $gridUs")))
+      .select(col("a_id"), col("b_id"),
+        timestamp_micros(greatest(col("a_s"), col("b_s"))).as("overlap_start"),
+        timestamp_micros(least(col("a_e"), col("b_e"))).as("overlap_end"))
+  }
 }

@@ -277,7 +277,62 @@ object TimeSeriesQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Q52: interval overlap join — which sessions of DIFFERENT users
+    * were open at the same time (2-hour-gap sessions of the first 40
+    * users; the cross-entity concurrency question every incident/
+    * attribution analysis asks). [[Intervals.overlapJoin]] grid-buckets
+    * both sides so there is NO cartesian — candidates equi-join on the
+    * 4-hour cell and each pair is credited in exactly one cell. The
+    * session id packs (user, session_no) so the different-user filter
+    * is integer arithmetic on the join output. */
+  def intervalOverlapQ(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessionize(
+        t(spark, dir, "events").filter(col("user_id") < 40)
+          .select(col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", gapUs = 2L * 3600 * 1000000,
+        tieBreak = Seq("event_id"))
+      .select((col("user_id") * 100000 + col("session_no")).as("sid"),
+        col("session_start"), col("session_end"))
+    Intervals.overlapJoin(sess, sess, "sid", "sid",
+        "session_start", "session_end", gridUs = 4L * 3600 * 1000000)
+      .filter(expr("a_id div 100000") < expr("b_id div 100000"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q52_interval_overlap", intervalOverlapQ, Some(
+      // sessions rebuilt as in q48 (2-hour gap, user < 40), ids packed
+      // user*100000+session_no, then the plain theta join the grid
+      // formulation must exactly reproduce; closed-interval overlap
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(epoch_ns(ts) // 1000) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events WHERE user_id < 40),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_us IS NULL
+        |                OR epoch_ns(ts) // 1000 - prev_us > 7200000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_no
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id * 100000 + session_no AS sid,
+        |         min(ts) AS s, max(ts) AS e
+        |  FROM s GROUP BY user_id, session_no)
+        |SELECT a.sid AS a_id, b.sid AS b_id,
+        |       greatest(a.s, b.s) AS overlap_start,
+        |       least(a.e, b.e) AS overlap_end
+        |FROM sess a JOIN sess b
+        |  ON a.sid // 100000 < b.sid // 100000
+        | AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY a_id, b_id""".stripMargin)),
     QueryDef("q51_upsert_merge", upsertMergeQ, Some(
       // base = latest pre-split row per user; ch = latest post-split
       // change per user with its op; MERGE: D deletes, U replaces or

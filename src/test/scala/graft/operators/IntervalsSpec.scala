@@ -65,4 +65,38 @@ class IntervalsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Union"), p)
   }
+
+  test("overlapJoin equals the naive theta join, at several grid widths") {
+    // deterministic pseudo-random closed intervals over ~3 days,
+    // lengths from minutes to a day — pairs span many grid cells
+    val base = 1704067200000000L
+    val iv = (0 until 60).map { i =>
+      val s = base + (i * 2654435761L % 259200L) * 1000000L
+      val len = (1L + i * 40503L % 86400L) * 1000000L
+      (i.toLong, new java.sql.Timestamp(s / 1000),
+        new java.sql.Timestamp((s + len) / 1000))
+    }.toDF("id", "s", "e")
+    val naive = iv.as("a").crossJoin(iv.as("b"))
+      .filter(col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (gridUs <- Seq(600000000L, 3600000000L, 86400000000L)) {
+      val got = Intervals.overlapJoin(iv, iv, "id", "id", "s", "e", gridUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size,
+        s"grid $gridUs emitted duplicate pairs") // cell-dedup exact
+      assert(got.toSet === naive, s"grid $gridUs diverged from naive")
+    }
+  }
+
+  test("overlapJoin closed semantics: touching endpoints DO pair; windows exact") {
+    val a = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))).toDF("id", "s", "e")
+    val b = Seq((2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")),
+      (3L, ts("2024-01-01 11:00:00.000001"), ts("2024-01-01 12:00:00"))).toDF("id", "s", "e")
+    val got = Intervals.overlapJoin(a, b, "id", "id", "s", "e", 3600000000L)
+      .collect()
+    assert(got.length === 1 && got.head.getLong(1) === 2L)
+    assert(got.head.getTimestamp(2) === ts("2024-01-01 11:00:00"))
+    assert(got.head.getTimestamp(3) === ts("2024-01-01 11:00:00"))
+  }
 }
