@@ -318,6 +318,46 @@ object StreamingQueries {
     }
   }
 
+  /** S11 (declared): transformWithState over MAP state —
+    * Streams.CategoryCountsProcessor (per-user per-event_type running
+    * counts in RocksDB MapState) through the staged-replay harness.
+    * Batches are event_id mod 3 in order (the s7/s8 split); the
+    * processor emits the CURRENT count for every (user, type) the
+    * batch touched, so the Append sink accumulates one row per
+    * (user, type, batch-it-appeared-in) and the oracle recomputes
+    * exactly that as a cumulative per-(user, type) sum over the batch
+    * index. The hash check pins per-entry map-state arithmetic across
+    * batch AND restart boundaries (stagedReplay restarts the query per
+    * batch, so state restore is exercised too). Output rows ordered by
+    * (user, type, n) — unique because counts strictly increase. */
+  def streamCategoryCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        col("user_id").cast("string").as("user_id"), col("event_type"))
+    val batches = (0 until 3).map(i =>
+      ev.filter(col("event_id") % 3 === i)
+        .select(col("user_id"), col("event_type")))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = stagedReplay(spark, batches, src => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        src.as[(String, String)]
+          .groupByKey(_._1)
+          .transformWithState(new Streams.CategoryCountsProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "event_type", "n")
+      })
+      out.orderBy(col("user_id"), col("event_type"), col("n"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   /** S9 (declared): stream-stream LEFT OUTER interval join — the TRUE
     * streaming form through [[stagedReplay2]], not a batch twin. Clicks
     * and purchases arrive as two lockstep micro-batch pairs split at a
@@ -395,6 +435,20 @@ object StreamingQueries {
         |  ON p.user_id = c.user_id
         | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id ASC NULLS FIRST""".stripMargin)),
+    QueryDef("s11_category_counts", streamCategoryCounts, Some(
+      // one emission per (user, type, batch-it-appeared-in) carrying
+      // the cumulative count up to that batch — the per-entry MapState
+      // arithmetic in SQL
+      """WITH b AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_type,
+        |         event_id % 3 AS bi
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, bi, COUNT(*) AS nb
+        |      FROM b GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type,
+        |       CAST(SUM(nb) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY bi) AS BIGINT) AS n
+        |FROM c ORDER BY user_id, event_type, n""".stripMargin)),
     QueryDef("s8_latest_value", streamLatestValue, Some(
       """WITH c AS (
         |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_id % 3 AS bi,

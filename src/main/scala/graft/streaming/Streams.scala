@@ -235,6 +235,39 @@ object Streams {
     }
   }
 
+  /** Spark 4 transformWithState processor over MAP state: per-key
+    * per-category running counts (user → {event_type → n}) — the
+    * feature-store/profile-building state shape, and the MapState
+    * complement of [[LatestValueProcessor]]'s ValueState (each map
+    * entry is read/updated individually in RocksDB; a ValueState
+    * holding the whole map would rewrite it per row). Emits the
+    * CURRENT (key, category, count) for every category the batch
+    * touched — each emission is a final fact about that batch, so the
+    * operator composes with Append-mode sinks. */
+  class CategoryCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String), (String, String, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState("counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, String)],
+        timerValues: TimerValues): Iterator[(String, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, cat) =>
+        val cur = if (counts.containsKey(cat)) counts.getValue(cat) else 0L
+        counts.updateValue(cat, cur + 1L)
+        touched += cat
+      }
+      touched.iterator.map(c => (key, c, counts.getValue(c)))
+    }
+  }
+
   /** Custom keyed state (flatMapGroupsWithState): per-key lifetime
     * counters emitted on every update — the pattern for state the
     * built-in windows can't express (the reference keeps no state at
