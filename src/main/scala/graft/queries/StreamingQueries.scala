@@ -358,6 +358,43 @@ object StreamingQueries {
     }
   }
 
+  /** S12 (declared): transformWithState over LIST state —
+    * Streams.TopIdsProcessor (per-user bounded top-3 event-id buffer
+    * in RocksDB ListState) through the staged replay; batches are
+    * event_id mod 3 in order. Each batch a user appears in emits the
+    * user's CURRENT top-3 ids, so the oracle enumerates, per (user,
+    * batch-present), the 3 largest ids with batch index ≤ that batch.
+    * Output carries a per-emission rank so rows are unique up to
+    * legitimate cross-batch repeats (a top-3 that survives unchanged
+    * re-emits identically — identical rows hash stably). */
+  def streamTopIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        col("user_id").cast("string").as("user_id"))
+    val batches = (0 until 3).map(i =>
+      ev.filter(col("event_id") % 3 === i)
+        .select(col("user_id"), col("event_id")))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = stagedReplay(spark, batches, src => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        src.as[(String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new Streams.TopIdsProcessor(3),
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "event_id")
+      })
+      out.orderBy(col("user_id"), col("event_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   /** S9 (declared): stream-stream LEFT OUTER interval join — the TRUE
     * streaming form through [[stagedReplay2]], not a batch twin. Clicks
     * and purchases arrive as two lockstep micro-batch pairs split at a
@@ -435,6 +472,25 @@ object StreamingQueries {
         |  ON p.user_id = c.user_id
         | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id ASC NULLS FIRST""".stripMargin)),
+    QueryDef("s12_top_ids", streamTopIds, Some(
+      // per (user, batch-present): the 3 largest ids with batch index
+      // <= that batch — the ListState buffer's contents at each emit
+      """WITH b AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_id,
+        |         event_id % 3 AS bi
+        |  FROM events),
+        |present AS (SELECT DISTINCT user_id, bi FROM b),
+        |pairs AS (
+        |  SELECT p.user_id, p.bi, x.event_id
+        |  FROM present p JOIN b x
+        |    ON x.user_id = p.user_id AND x.bi <= p.bi),
+        |r AS (
+        |  SELECT user_id, bi, event_id,
+        |         row_number() OVER (PARTITION BY user_id, bi
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM pairs)
+        |SELECT user_id, event_id
+        |FROM r WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin)),
     QueryDef("s11_category_counts", streamCategoryCounts, Some(
       // one emission per (user, type, batch-it-appeared-in) carrying
       // the cumulative count up to that batch — the per-entry MapState

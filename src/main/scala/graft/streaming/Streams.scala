@@ -268,6 +268,38 @@ object Streams {
     }
   }
 
+  /** Spark 4 transformWithState processor over LIST state: per-key
+    * bounded top-N buffer (the N largest event ids seen so far) —
+    * completes the state-type trio (ValueState s8, MapState s11,
+    * ListState here). The list holds at most `n` ids sorted descending;
+    * each batch merges its ids, trims, and emits the key's CURRENT
+    * top-N — a final fact per batch, Append-composable, and
+    * deterministic whatever the within-batch row order (max-N is
+    * order-insensitive, unlike a recency buffer). */
+  class TopIdsProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+    @transient private var top: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState("top", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      val incoming = rows.map(_._2).toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val merged = (top.get().toSeq ++ incoming)
+          .distinct.sorted(Ordering[Long].reverse).take(n)
+        top.put(merged.toArray)
+        merged.iterator.map(id => (key, id))
+      }
+    }
+  }
+
   /** Custom keyed state (flatMapGroupsWithState): per-key lifetime
     * counters emitted on every update — the pattern for state the
     * built-in windows can't express (the reference keeps no state at
