@@ -56,6 +56,36 @@ object Curation {
     rateCol.cast("double") >= 1.0 || draw < lpad(lower(hex(thr)), 8, "0")
   }
 
+  /** Deterministic negative-pair mining for contrastive training: each
+    * id pairs with the next `k` ids in a SEEDED content-hash order —
+    * pseudo-random partners (hash order is independent of any data
+    * attribute), reproducible across reruns and engines, no RNG state.
+    *
+    * Scale shape: a global hash order would need one global sort; this
+    * partitions the order by the hash's first byte (256 buckets —
+    * uniform by construction, so each window partition holds ~n/256
+    * rows) and pairs WITHIN the bucket: one hash exchange + per-bucket
+    * sorts, and k lead() columns over one window spec. The last rows
+    * of each bucket yield fewer than k pairs (no wrap-around) — at
+    * corpus scale that tail is 256·k rows, noise. Changing the seed
+    * redraws the entire pairing without touching the data. */
+  def negativePairs(
+      df: DataFrame, idCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 1 && k <= 16, s"k out of range: $k")
+    val base = df.select(col(idCol).as("id_a"))
+      .withColumn("__h", seededKey(col("id_a"), seed))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col("id_a"))
+    // windows must be materialized in a Project BEFORE the generator —
+    // Spark rejects window expressions inside explode()'s argument
+    val leads = (1 to k).map(i => lead(col("id_a"), i).over(w).as(s"__n$i"))
+    base
+      .select(col("id_a") +: leads: _*)
+      .select(col("id_a"),
+        explode(array((1 to k).map(i => col(s"__n$i")): _*)).as("id_b"))
+      .filter(col("id_b").isNotNull)
+  }
+
   /** The seeded per-row draw shared by [[shuffleOrder]] and
     * [[assignSplit]]: md5("<seed>:<id>") — changing the seed produces an
     * independent permutation/split without touching the data. */

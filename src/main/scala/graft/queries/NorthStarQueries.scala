@@ -1013,6 +1013,16 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D32: negative-pair mining — 2 deterministic pseudo-random
+    * negatives per document via [[Curation.negativePairs]] (seeded
+    * hash-ring order, 256-bucket partitioned windows; the contrastive-
+    * training pair generator). Seed 7 pins the draw; the oracle
+    * replicates the hash order exactly. */
+  def negativePairsQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.negativePairs(t(spark, dir, "documents"), "doc_id",
+        k = 2, seed = 7L)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
     * that multi-dimensional range pruning sorts by at scale (the
     * reference's tablets are time-ordered only; this generalizes its
@@ -2172,6 +2182,25 @@ object NorthStarQueries {
         |          CAST(floor((CAST(r AS DOUBLE) / CAST(10 AS DOUBLE))
         |                     * 4294967296.0) AS BIGINT))
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("d32_negative_pairs", negativePairsQ, Some(
+      // identical seeded draw md5('7:'||id), identical bucket (first
+      // hex byte) and in-bucket order (hash, id), identical no-wrap
+      // lead semantics
+      """WITH h AS (
+        |  SELECT doc_id AS id_a,
+        |         md5('7:' || CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents),
+        |o AS (SELECT id_a, hh, substring(hh, 1, 2) AS b FROM h),
+        |l AS (SELECT id_a,
+        |        lead(id_a, 1) OVER (PARTITION BY b ORDER BY hh, id_a) AS n1,
+        |        lead(id_a, 2) OVER (PARTITION BY b ORDER BY hh, id_a) AS n2
+        |      FROM o)
+        |SELECT id_a, id_b FROM (
+        |  SELECT id_a, n1 AS id_b FROM l
+        |  UNION ALL
+        |  SELECT id_a, n2 AS id_b FROM l)
+        |WHERE id_b IS NOT NULL
+        |ORDER BY id_a, id_b""".stripMargin)),
     QueryDef("d30_chrono_upsert", chronoUpsertQ, Some(
       // upsert contract in set algebra: rows of keys NOT in the batch
       // survive; every batch key's state is exactly the batch's rows

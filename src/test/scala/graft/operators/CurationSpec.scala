@@ -24,6 +24,20 @@ class CurationSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("negativePairs: deterministic, seed-sensitive, self-free, bounded") {
+    val n = docs.count()
+    def pairs(seed: Long) = Curation.negativePairs(docs, "doc_id", k = 2, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p7 = pairs(7L)
+    assert(p7 === pairs(7L), "same seed must reproduce the same pairs")
+    assert(p7 != pairs(8L), "a different seed must redraw the pairing")
+    assert(p7.forall { case (a, b) => a != b }, "no self pairs")
+    // at most k per id; at least (n - 256·k) ids got a full k partners
+    val perId = p7.groupBy(_._1).view.mapValues(_.size)
+    assert(perId.values.forall(_ <= 2))
+    assert(perId.count(_._2 == 2) >= n - 256 * 2)
+  }
+
   test("hashSample is deterministic and near the requested fraction") {
     val n = docs.count()
     val sampled = docs.filter(Curation.hashSample(col("doc_id"), 0.30))
