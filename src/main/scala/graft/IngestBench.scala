@@ -112,11 +112,16 @@ object IngestBench {
     // vs sketch-mostly-on and reads ~0 (the BENCH_r08 artifact did
     // exactly this). "bloom" isolates the cheapest useful index (key
     // Bloom + min/max + n, no HLL/CMS) as its own point.
+    // "rollup" isolates the _rollup continuous aggregate on its own
+    // (every sketch knob zeroed): its per-(bucket, slot) states ride
+    // the same observe pass, so its marginal cost over "none" is the
+    // price of a continuous aggregate at ingest.
     def cfg(dir: Path, mode: String): ChronoConfig =
       ChronoConfig(dir.toString, bucket = "day",
         sketchLgK = if (mode == "full") 12 else 0,
         sketchCmsDepth = if (mode == "full") 4 else 0,
-        sketchBloomKeys = if (mode == "none") 0L else 4096L)
+        sketchBloomKeys = if (mode == "none" || mode == "rollup") 0L else 4096L,
+        rollupValue = if (mode == "rollup") Some("length(data)") else None)
 
     def oneInsert(data: org.apache.spark.sql.Dataset[ChronoRow],
         mode: String): Double = {
@@ -142,6 +147,7 @@ object IngestBench {
 
     val withSketch = time3Insert(rows, "full")
     val bloomOnly = time3Insert(rows, "bloom")
+    val rollupOnly = time3Insert(rows, "rollup")
     val noSketch = time3Insert(rows, "none")
     val withSketchBig = time3Insert(bigRows, "full")
     val noSketchBig = time3Insert(bigRows, "none")
@@ -224,6 +230,7 @@ object IngestBench {
       s""""insert_rows_per_sec":${r2(n / med(withSketch))},""" +
       s""""sidecar_overhead_pct":${r2(pct(withSketch, noSketch))},""" +
       s""""bloom_overhead_pct":${r2(pct(bloomOnly, noSketch))},""" +
+      s""""rollup_overhead_pct":${r2(pct(rollupOnly, noSketch))},""" +
       s""""rows_large":$nBig,""" +
       s""""insert_large_rows_per_sec":${r2(nBig / med(withSketchBig))},""" +
       s""""sidecar_overhead_large_pct":${r2(pct(withSketchBig, noSketchBig))},""" +
@@ -234,6 +241,8 @@ object IngestBench {
       s""""insert_raw":${arr(withSketch)},"insert_rows_per_sec":${n / med(withSketch)},""" +
       s""""insert_nosketch_sec":${med(noSketch)},"insert_nosketch_raw":${arr(noSketch)},""" +
       s""""insert_bloom_sec":${med(bloomOnly)},"insert_bloom_raw":${arr(bloomOnly)},""" +
+      s""""insert_rollup_sec":${med(rollupOnly)},"insert_rollup_raw":${arr(rollupOnly)},""" +
+      s""""rollup_overhead_pct":${pct(rollupOnly, noSketch)},""" +
       s""""sidecar_overhead_pct":${pct(withSketch, noSketch)},""" +
       s""""sidecar_overhead_min_pct":${pctMin(withSketch, noSketch)},""" +
       s""""bloom_overhead_pct":${pct(bloomOnly, noSketch)},""" +

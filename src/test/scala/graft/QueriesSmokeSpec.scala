@@ -20,4 +20,12 @@ class QueriesSmokeSpec extends SparkSuite {
   test("all oracle keys correspond to declared queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("every declared query carries a full oracle — the correctness contract") {
+    // a query without an oracle gets only the driver's weak rows>0
+    // check; the engine's standing claim is that EVERY declared query
+    // is hash-verified, so an oracle-less declaration is a regression
+    val missing = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"oracle-less queries: ${missing.mkString(", ")}")
+  }
 }
