@@ -395,6 +395,50 @@ object StreamingQueries {
     }
   }
 
+  /** S13 (declared): event-time TIMERS through transformWithState —
+    * Streams.TimerCountsProcessor holds per-user counts and emits ONLY
+    * when the watermark passes (last event + 60 days): no input row
+    * triggers output, the timer machinery does. Fixture: a time-ordered
+    * two-batch split of events plus a flush row 61 days past the front
+    * — the flush watermark stands past every real user's expiry, so
+    * each emits its TOTAL count exactly once (the gap exceeds the
+    * fixture span, so no mid-stream closes), while the flush key's own
+    * timer never fires and it self-excludes. Oracle: plain per-user
+    * counts. What the hash pins: timer registration/re-arm/delete
+    * across batches AND restarts, watermark-driven firing, and the
+    * emit-exactly-once-then-clear close semantics. */
+  def streamTimerCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.normTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id").cast("string").as("user_id"), col("ts"))
+    val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val split = lit(mx) - expr("INTERVAL 15 DAYS")
+    val flush = spark.range(1).select(lit("zz_flush").as("user_id"),
+      (lit(mx) + expr("INTERVAL 61 DAYS")).as("ts"))
+    val batches = Seq(
+      ev.filter(col("ts") < split), ev.filter(col("ts") >= split), flush)
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = stagedReplay(spark, batches, src => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        src.withWatermark("ts", "1 minute")
+          .as[(String, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new Streams.TimerCountsProcessor(60L * 86400 * 1000),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "n")
+      })
+      out.orderBy(col("user_id"), col("n"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   /** S9 (declared): stream-stream LEFT OUTER interval join — the TRUE
     * streaming form through [[stagedReplay2]], not a batch twin. Clicks
     * and purchases arrive as two lockstep micro-batch pairs split at a
@@ -472,6 +516,13 @@ object StreamingQueries {
         |  ON p.user_id = c.user_id
         | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id ASC NULLS FIRST""".stripMargin)),
+    QueryDef("s13_timer_counts", streamTimerCounts, Some(
+      // every real user's close timer fires under the flush watermark
+      // and emits its total count exactly once; the flush key's own
+      // timer never fires
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY user_id, n""".stripMargin)),
     QueryDef("s12_top_ids", streamTopIds, Some(
       // per (user, batch-present): the 3 largest ids with batch index
       // <= that batch — the ListState buffer's contents at each emit

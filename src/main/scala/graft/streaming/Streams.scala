@@ -300,6 +300,52 @@ object Streams {
     }
   }
 
+  /** Spark 4 transformWithState processor exercising EVENT-TIME TIMERS
+    * — the last piece of the state API (ValueState s8, MapState s11,
+    * ListState s12, timers here). Counts rows per key and re-arms a
+    * close timer at (last event time + gapMs) on every batch the key
+    * appears in; when the WATERMARK passes that expiry,
+    * handleExpiredTimer emits (key, total) once and clears state — the
+    * timer-driven session-close/flush shape (emit-on-silence), which no
+    * input row can trigger. Deterministic under staged replay: batches
+    * are time-ordered, so firing order is a pure function of the
+    * watermark sequence. */
+  class TimerCountsProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp), (String, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var n: ValueState[Long] = _
+    @transient private var lastMs: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      n = getHandle.getValueState("n", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      lastMs = getHandle.getValueState("last", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      val oldLast = if (lastMs.exists()) Some(lastMs.get()) else None
+      var cnt = if (n.exists()) n.get() else 0L
+      var last = oldLast.getOrElse(Long.MinValue)
+      rows.foreach { r => cnt += 1; last = math.max(last, r._2.getTime) }
+      oldLast.filter(_ < last).foreach(o => getHandle.deleteTimer(o + gapMs))
+      getHandle.registerTimer(last + gapMs)
+      n.update(cnt); lastMs.update(last)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(
+        key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Long)] = {
+      val out =
+        if (n.exists()) Iterator.single((key, n.get())) else Iterator.empty
+      n.clear(); lastMs.clear()
+      out
+    }
+  }
+
   /** Custom keyed state (flatMapGroupsWithState): per-key lifetime
     * counters emitted on every update — the pattern for state the
     * built-in windows can't express (the reference keeps no state at
