@@ -83,4 +83,47 @@ object CurationProps extends Properties("curation") {
       counts.zip(counts.tail).forall { case (a, b) => a >= b } &&
         firstExact && counts == shuffled
     }
+
+  // Negative-pair invariants: the pairing is a pure function of the ID
+  // SET and the seed — independent of input row order and of any other
+  // column — every id pairs with at most k partners, and never itself.
+  property("negativePairs: order-invariant, self-free, k-bounded") =
+    forAll(Gen.choose(5, 60), Gen.choose(1, 4), Gen.choose(0L, 99L)) {
+      (n, k, seed) =>
+        import spark.implicits._
+        val ids = (0 until n).map(i => i.toLong * 17 + 3)
+        def pairs(xs: Seq[Long]) =
+          Curation.negativePairs(xs.toDF("id"), "id", k, seed)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val p = pairs(ids)
+        val pShuffled = pairs(new scala.util.Random(seed).shuffle(ids))
+        p == pShuffled &&
+          p.forall { case (a, b) => a != b } &&
+          p.groupBy(_._1).values.forall(_.size <= k)
+    }
+
+  // Overlap-join invariant: the grid formulation equals the naive
+  // theta join for ANY interval set and ANY grid width — each
+  // overlapping pair exactly once, with the exact overlap window.
+  property("overlapJoin ≡ naive theta join at any grid width") =
+    forAll(Gen.choose(2, 30), Gen.choose(1L, 500L), Gen.choose(0L, 99L)) {
+      (n, gridSec, seed) =>
+        import spark.implicits._
+        val rnd = new scala.util.Random(seed)
+        val base = 1704067200000000L
+        val iv = (0 until n).map { i =>
+          val s = base + rnd.nextInt(172800).toLong * 1000000L
+          val len = (1L + rnd.nextInt(36000).toLong) * 1000000L
+          (i.toLong, new java.sql.Timestamp(s / 1000),
+            new java.sql.Timestamp((s + len) / 1000))
+        }.toDF("id", "s", "e")
+        val naive = iv.as("a").crossJoin(iv.as("b"))
+          .filter(col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+          .select(col("a.id"), col("b.id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = Intervals.overlapJoin(iv, iv, "id", "id", "s", "e",
+            gridSec * 1000000L)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        got.length == got.toSet.size && got.toSet == naive
+    }
 }
