@@ -563,21 +563,41 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * in `rows`, then insert the batch — the upsert a state-table user
     * expects from a keyed store, which the reference's insert-only
     * model lacks (SURVEY §1.2: `PrimaryKeys` is accepted and ignored,
-    * types.go:10-13; duplicates are returned). One [[deleteKeys]] job +
+    * types.go:10-13; duplicates are returned). One delete job +
     * one [[insert]] job for the whole batch, so sidecars stay
-    * consistent by construction (deleteKeys re-aggregates touched
+    * consistent by construction (the delete re-aggregates touched
     * buckets from survivors; insert appends the batch's own rows). The
-    * batch's distinct keys are collected to the driver — an upsert
-    * batch is a change batch (thousands of keys), not a corpus; the
-    * DataFrame-level latest-change-wins MERGE over arbitrary-size
-    * change sets is [[graft.operators.Merge.applyChanges]]. Returns
-    * the number of replaced (deleted) rows. */
+    * key set stays a DataFrame end-to-end ([[deleteMatching]]): small
+    * batches collect and ride the Bloom-pruned literal path, large CDC
+    * batches (10^5+ keys) run one broadcast anti-join pass with no
+    * driver materialization. The DataFrame-level latest-change-wins
+    * MERGE over arbitrary-size change sets is
+    * [[graft.operators.Merge.applyChanges]]. Returns the number of
+    * replaced (deleted) rows.
+    *
+    * NOT atomic: delete and insert are two independent jobs. A crash
+    * between them loses the batch keys' previous state with the
+    * replacement absent — recover by re-running the SAME batch (the
+    * verb is idempotent: the re-run's delete is a no-op for already-
+    * cleared keys and the insert lands the rows). A transactional
+    * table format is explicitly out of scope (SURVEY §1.2: the
+    * reference has no atomicity across its memtable flush either). */
   def upsert(name: String, rows: Dataset[ChronoRow],
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
     requireTable(name)
-    val keys = rows.select(col("key")).distinct().as[String].collect().toSeq
-    val removed = deleteKeys(name, keys)
-    insert(name, rows, now)
+    // TTL-gate the change batch BEFORE deriving its key set: with a TTL
+    // configured, a change row already past TTL would otherwise delete
+    // the key's live rows while insert's own TTL filter drops the
+    // replacement — silent key erasure. An expired change row now takes
+    // part in NEITHER verb, so the key's live state survives. (insert
+    // re-applies the same >= cutoff; harmless.)
+    val fresh = config.ttl match {
+      case Some(ttlSec) => rows.filter(
+        col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
+      case None => rows
+    }
+    val removed = deleteMatching(name, fresh.select(col("key")).toDF())
+    insert(name, fresh, now)
     removed
   }
 
@@ -595,6 +615,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val ks = keys.distinct
     require(!ks.contains(null), "deleteKeys: null key not supported")
     if (ks.isEmpty || !hasData(name)) return 0L
+    // past the literal budget, ride the DataFrame path: a 10^5-key
+    // erasure batch as an In-list is analyzer poison (one giant
+    // expression tree) and per-key Bloom probing is O(buckets × keys)
+    // driver work
+    if (ks.size > literalKeyLimit) return deleteMatching(name, ks.toDF("key"))
     val cand = multiKeyCandidateBuckets(name, ks).getOrElse(listBuckets(name))
     if (cand.isEmpty) return 0L
     // bucket → (rows of the keys, total rows), candidates only — KB-scale
@@ -604,6 +629,89 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         count(lit(1)).as("total"))
       .filter(col("hit") > 0)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    finishDelete(name, hits, bs =>
+      // null-safe set complement: isin evaluates NULL for null keys and
+      // a bare NOT would silently drop them from the rewritten bucket
+      table(name).filter(col("bucket").isin(bs: _*) &&
+        !coalesce(col("key").isin(ks: _*), lit(false))))
+  }
+
+  /** Literal-In budget for the delete verbs: at or below this many
+    * distinct keys the Bloom-pruned `isin` path wins (per-bucket Bloom
+    * probes prune the scan, the In-list is analyzer-cheap); above it
+    * [[deleteMatching]]'s broadcast-join path takes over. */
+  private val literalKeyLimit = 10000
+
+  /** [[deleteKeys]] with the key set as a DataFrame — the 100-TB shape
+    * of the erasure/CDC verb: a 10^5–10^6-key batch never materializes
+    * on the driver and never becomes a literal In-expression. Small
+    * sets (≤ [[literalKeyLimit]] after dedup) are collected and ride
+    * the Bloom-pruned literal path instead — per-key Bloom probing
+    * beats a scan only while the probe set is small. Large sets: bucket
+    * pruning falls back to the key-envelope [min,max] interval check
+    * against the sidecar ([[rangeCandidateBuckets]], driver cost
+    * O(buckets) — NOT O(buckets × keys) like Bloom probing), then ONE
+    * broadcast outer-join pass finds per-bucket hit counts and ONE
+    * broadcast anti-join rewrites the survivors. Returns rows deleted. */
+  def deleteMatching(name: String, keysDf: DataFrame): Long = {
+    requireTable(name)
+    if (!hasData(name)) return 0L
+    // materialize the deduped probe set once: it feeds three jobs, and
+    // must never be re-derived from the table mid-overwrite
+    val k = keysDf.select(col("key").cast("string").as("key"))
+      .where(col("key").isNotNull).distinct().localCheckpoint()
+    val sample = k.limit(literalKeyLimit + 1).as[String].collect()
+    if (sample.length <= literalKeyLimit)
+      return if (sample.isEmpty) 0L else deleteKeys(name, sample.toSeq)
+    val mm = k.agg(min(col("key")), max(col("key"))).collect()(0)
+    val cand = rangeCandidateBuckets(name, mm.getString(0), mm.getString(1))
+      .getOrElse(listBuckets(name))
+    if (cand.isEmpty) return 0L
+    val marked = broadcast(k.withColumn("_doomed", lit(1)))
+    val hits = table(name).filter(col("bucket").isin(cand: _*))
+      .join(marked, Seq("key"), "left_outer")
+      .groupBy(col("bucket")).agg(
+        count(col("_doomed")).as("hit"), count(lit(1)).as("total"))
+      .filter(col("hit") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    finishDelete(name, hits, bs =>
+      table(name).filter(col("bucket").isin(bs: _*))
+        .join(broadcast(k), Seq("key"), "left_anti"))
+  }
+
+  /** Candidate buckets whose sidecar [key_min, key_max] interval
+    * overlaps [lo, hi] — the Bloom-free prune for probe sets too large
+    * to test per key. Same safety contract as
+    * [[multiKeyCandidateBuckets]]: unknown coverage (no sidecar, gap
+    * buckets, null min/max) never prunes. UTF8String comparison to
+    * match the sidecar's binary collation. */
+  private def rangeCandidateBuckets(
+      name: String, lo: String, hi: String): Option[Seq[String]] = {
+    if (!sketching) return None
+    recoverSidecar(statsPath(name))
+    if (!Files.exists(statsPath(name))) return None
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val folded = sidecarFold(name)
+      .select(col("bucket"), col("key_min"), col("key_max")).collect()
+    val covered = folded.map(_.getString(0)).toSet
+    val maybe = folded.filter { r =>
+      r.isNullAt(1) || r.isNullAt(2) ||
+        (u(hi).compareTo(u(r.getString(1))) >= 0 &&
+         u(lo).compareTo(u(r.getString(2))) <= 0)
+    }.map(_.getString(0))
+    val gaps = listBuckets(name).filterNot(covered)
+    Some((maybe ++ gaps).toSeq.distinct.sorted)
+  }
+
+  /** Shared tail of the delete verbs: given per-bucket
+    * (bucket, doomedRows, totalRows) hit counts and a survivor-frame
+    * builder for the buckets that need a rewrite, drop emptied buckets,
+    * overwrite rewritten ones (dynamic partition overwrite, one sorted
+    * file each), and repair the `_stats`/`_rollup` sidecars from the
+    * survivors. Returns rows deleted. */
+  private def finishDelete(name: String,
+      hits: Array[(String, Long, Long)],
+      survivors: Seq[String] => DataFrame): Long = {
     if (hits.isEmpty) return 0L
     val deleted = hits.map(_._2).sum
     val (emptied, rewrite) = hits.partition { case (_, hit, total) => hit == total }
@@ -615,8 +723,6 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     }
     if (rewrite.nonEmpty) {
       val bs = rewrite.map(_._1)
-      // null-safe set complement: isin evaluates NULL for null keys and
-      // a bare NOT would silently drop them from the rewritten bucket.
       // localCheckpoint MATERIALIZES the survivors before the overwrite
       // starts: the frame below reads the same parquet files the write
       // replaces, and Spark's overwrite-while-reading guard only covers
@@ -624,9 +730,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       // otherwise recompute from partially-replaced buckets and lose
       // bystander rows. Cheap by construction: only buckets that
       // actually hold a doomed key are checkpointed, not the table.
-      val df = table(name)
-        .filter(col("bucket").isin(bs: _*) &&
-          !coalesce(col("key").isin(ks: _*), lit(false)))
+      val df = survivors(bs)
         .repartition(col("bucket"))
         .sortWithinPartitions(col("ts"), col("key"))
         .localCheckpoint()

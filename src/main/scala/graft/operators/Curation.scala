@@ -49,11 +49,17 @@ object Curation {
     * sort numerically), so an oracle reproduces the exact sample;
     * double→long truncation equals floor for the non-negative rates.
     * `rate >= 1` short-circuits to keep-all (the hex comparison alone
-    * would drop the single maximal draw `ffffffff`). */
+    * would drop the single maximal draw `ffffffff`). The rate is
+    * clamped to [0, 1] first: a negative rate's long threshold would
+    * otherwise hex-render as 16 f's, and the lpad truncation to
+    * "ffffffff" would silently KEEP almost every row — the exact
+    * opposite of the keep-none a caller handing in a broken rate
+    * column should degrade to. */
   def weightedSample(idCol: Column, rateCol: Column): Column = {
     val draw = substring(md5(idCol.cast("string")), 1, 8)
-    val thr = (rateCol.cast("double") * lit(4294967296.0)).cast("long")
-    rateCol.cast("double") >= 1.0 || draw < lpad(lower(hex(thr)), 8, "0")
+    val rate = greatest(lit(0.0), least(lit(1.0), rateCol.cast("double")))
+    val thr = (rate * lit(4294967296.0)).cast("long")
+    rate >= 1.0 || draw < lpad(lower(hex(thr)), 8, "0")
   }
 
   /** Deterministic negative-pair mining for contrastive training: each

@@ -80,25 +80,66 @@ object Intervals {
     * whenever the intervals overlap), so no distinct/dedup pass is
     * needed. Cost at scale: explode factor = interval span / gridUs
     * (pick the grid near the typical interval length to keep it O(1)),
-    * one cell-keyed shuffle each side; a hot cell = a busy hour, and
-    * the cell key salts/refines like any join key. */
+    * one cell-keyed shuffle each side.
+    *
+    * Hot-cell guard: a single cell holding a large slice of both sides
+    * (a busy hour) is the one skew this join can hit — all its
+    * candidates land in ONE task's equal-key group, and neither AQE
+    * partition-splitting nor more shuffle partitions divides an equal
+    * KEY. Cells whose A-side candidate count exceeds `hotCellRows` are
+    * S-way salted: A rows take salt = hash(id) mod `salts`, B rows
+    * duplicate across all salts, and the join keys on (cell, salt) —
+    * each (a, b) candidate pair still meets exactly once (at a's
+    * salt), results are IDENTICAL, but the per-task group shrinks
+    * `salts`-fold. Cost when no cell is hot: one map-side-combined
+    * per-cell count plus two broadcast probes against an (empty)
+    * hot-cell list — no extra exchange on the data path. */
   def overlapJoin(
       a: DataFrame, b: DataFrame,
       idColA: String, idColB: String,
-      startCol: String, endCol: String, gridUs: Long): DataFrame = {
-    require(gridUs > 0, s"gridUs must be positive, got $gridUs")
-    def cells(df: DataFrame, id: String, tag: String): DataFrame = df
-      .select(col(id).as(s"${tag}_id"),
-        unix_micros(col(startCol)).as(s"${tag}_s"),
-        unix_micros(col(endCol)).as(s"${tag}_e"))
-      .withColumn("cell", explode(sequence(
-        expr(s"${tag}_s div $gridUs"), expr(s"${tag}_e div $gridUs"))))
-    cells(a, idColA, "a").join(cells(b, idColB, "b"), Seq("cell"))
+      startCol: String, endCol: String, gridUs: Long,
+      hotCellRows: Long = 100000L, salts: Int = 16): DataFrame = {
+    val (ac, bc) = saltedGridSides(a, b, idColA, idColB,
+      startCol, endCol, gridUs, hotCellRows, salts)
+    ac.join(bc, Seq("cell", "salt"))
       .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
       .filter(col("cell") ===
         greatest(expr(s"a_s div $gridUs"), expr(s"b_s div $gridUs")))
       .select(col("a_id"), col("b_id"),
         timestamp_micros(greatest(col("a_s"), col("b_s"))).as("overlap_start"),
         timestamp_micros(least(col("a_e"), col("b_e"))).as("overlap_end"))
+  }
+
+  /** The two salted candidate sides of [[overlapJoin]], exposed so the
+    * skew property test can assert the per-(cell, salt) group bound
+    * directly on the frames the join consumes. */
+  private[graft] def saltedGridSides(
+      a: DataFrame, b: DataFrame,
+      idColA: String, idColB: String,
+      startCol: String, endCol: String, gridUs: Long,
+      hotCellRows: Long, salts: Int): (DataFrame, DataFrame) = {
+    require(gridUs > 0, s"gridUs must be positive, got $gridUs")
+    require(hotCellRows > 0 && salts >= 2,
+      s"bad hot-cell guard: hotCellRows=$hotCellRows salts=$salts")
+    def cells(df: DataFrame, id: String, tag: String): DataFrame = df
+      .select(col(id).as(s"${tag}_id"),
+        unix_micros(col(startCol)).as(s"${tag}_s"),
+        unix_micros(col(endCol)).as(s"${tag}_e"))
+      .withColumn("cell", explode(sequence(
+        expr(s"${tag}_s div $gridUs"), expr(s"${tag}_e div $gridUs"))))
+    val ac = cells(a, idColA, "a")
+    val bc = cells(b, idColB, "b")
+    val hot = broadcast(ac.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > hotCellRows)
+      .select(col("cell"), lit(1).as("__hot")))
+    val aSalted = ac.join(hot, Seq("cell"), "left_outer")
+      .withColumn("salt", when(col("__hot").isNotNull,
+        pmod(xxhash64(col("a_id")), lit(salts)).cast("int")).otherwise(lit(0)))
+      .drop("__hot")
+    val bSalted = bc.join(hot, Seq("cell"), "left_outer")
+      .withColumn("salt", explode(when(col("__hot").isNotNull,
+        sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
+      .drop("__hot")
+    (aSalted, bSalted)
   }
 }

@@ -35,7 +35,20 @@ object Merge {
   /** Applies `changes` to `base` and returns the new snapshot, with
     * exactly `base`'s columns. `changes` must carry `base`'s columns
     * plus `opCol` (extra columns — e.g. a tie-break id — are allowed
-    * and ignored in the output). */
+    * and ignored in the output).
+    *
+    * Determinism precondition: (tsCol, tieBreak*) must totally order
+    * each key's changes — with ties left unbroken, "latest" is
+    * whichever tied row the window sort happened to place first, and
+    * two runs can produce different snapshots. Pass a unique change id
+    * in `tieBreak` when change times can collide.
+    *
+    * Change-presence is tracked by a dedicated marker column, NOT by
+    * `opCol` nullness — a change row whose op value is NULL is a
+    * malformed change, and conflating it with "key absent from the
+    * batch" would silently ignore it for existing keys and emit an
+    * all-null payload row for new keys. A null-op winning change is
+    * applied as an upsert (it is not the delete op). */
   def applyChanges(
       base: DataFrame, changes: DataFrame,
       keyCol: String, tsCol: String, opCol: String,
@@ -50,12 +63,14 @@ object Merge {
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col(keyCol) +: col(opCol) +:
+      .select(col(keyCol) +: col(opCol) +: lit(1).as("__hit") +:
         payload.map(c => col(c).as(s"__ch_$c")): _*)
     base.join(latest, Seq(keyCol), "full_outer")
-      .filter(col(opCol).isNull || col(opCol) =!= deleteOp)
+      // keep unless a change is PRESENT and its op is the delete op;
+      // <=> so a null op compares false (upsert), not null (drop)
+      .filter(!(col("__hit").isNotNull && (col(opCol) <=> deleteOp)))
       .select(col(keyCol) +: payload.map(c =>
-        when(col(opCol).isNotNull, col(s"__ch_$c"))
+        when(col("__hit").isNotNull, col(s"__ch_$c"))
           .otherwise(col(c)).as(c)): _*)
   }
 }

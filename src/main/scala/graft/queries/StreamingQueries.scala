@@ -191,6 +191,68 @@ object StreamingQueries {
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** S4 (declared, TRUE streaming): session windows through the staged
+    * micro-batch replay — the streaming twin of [[sessionWindows]],
+    * checked against the SAME gaps-and-islands oracle. Batches arrive
+    * in TIME ORDER (older half, newer half, flush), so no row is late
+    * and every event participates; what the replay exercises is the
+    * real streaming machinery: RocksDB-free session state carried
+    * across restarts, cross-batch session MERGE (a session open at the
+    * split extends when the next batch's rows fall inside its gap),
+    * and watermark-driven append-mode finalization. The flush row
+    * (user −1, 10 h past the front) advances the watermark past every
+    * real session's end; its own session stays beyond the final
+    * watermark and self-excludes from the output. Safe by
+    * construction: a session emitted after batch N has end ≤ wm, and
+    * batch N+1 rows are ≥ 4 h (the lateness) newer than wm, so no row
+    * can ever extend an already-emitted session. */
+  def streamSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.normTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("ts"), col("user_id"), col("value"))
+    // fixture staging only (split point + flush row), not the data path
+    val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val older = ev.filter(col("ts") < lit(mx) - expr("INTERVAL 2 HOURS"))
+    val newer = ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 2 HOURS"))
+    val flush = spark.range(1).select(
+      (lit(mx) + expr("INTERVAL 10 HOURS")).as("ts"),
+      lit(-1L).as("user_id"), lit(0.0).as("value"))
+    stagedReplay(spark, Seq(older, newer, flush), src =>
+      Streams.sessionAgg(src, "ts", "1 hour", lateness = "4 hours",
+          keys = Seq(col("user_id")),
+          aggs = Seq(count(lit(1)).as("n_events"),
+            Det.dsum(col("value")).as("sum_value")))
+        .select(col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("user_id"), col("n_events"), col("sum_value")))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  /** S2 (declared, TRUE streaming): tumbling 1-hour windows through the
+    * staged replay — the streaming twin of the tumbling aggregation,
+    * same time-ordered batch protocol as [[streamSessionWindows]]
+    * (older, newer, flush; nothing late, every real window finalized by
+    * the flush-advanced watermark, the flush's own window
+    * self-excluded). Oracle: plain hour-truncated GROUP BY over the
+    * whole events table. */
+  def streamTumblingWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.normTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("ts"), col("event_type"), col("value"))
+    val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val older = ev.filter(col("ts") < lit(mx) - expr("INTERVAL 2 HOURS"))
+    val newer = ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 2 HOURS"))
+    val flush = spark.range(1).select(
+      (lit(mx) + expr("INTERVAL 10 HOURS")).as("ts"),
+      lit("zz_flush").as("event_type"), lit(0.0).as("value"))
+    stagedReplay(spark, Seq(older, newer, flush), src =>
+      Streams.windowedAgg(src, "ts", "1 hour", None, lateness = "4 hours",
+          keys = Seq(col("event_type")),
+          aggs = Seq(count(lit(1)).as("n_events"),
+            Det.dsum(col("value")).as("sum_value")))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value")))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** S2 (sliding form, batch-checkable): 2-hour windows sliding by
     * 1 hour — each event lands in exactly 2 windows, the same assignment
     * `window(ts, "2 hours", "1 hour")` makes in the streaming path
@@ -364,9 +426,10 @@ object StreamingQueries {
     * event_id mod 3 in order. Each batch a user appears in emits the
     * user's CURRENT top-3 ids, so the oracle enumerates, per (user,
     * batch-present), the 3 largest ids with batch index ≤ that batch.
-    * Output carries a per-emission rank so rows are unique up to
-    * legitimate cross-batch repeats (a top-3 that survives unchanged
-    * re-emits identically — identical rows hash stably). */
+    * Cross-batch repeats (a top-3 that survives a batch unchanged
+    * re-emits identically) are legitimate duplicates on both sides —
+    * the driver's compare hashes the multiset, so they pin rather than
+    * break the check. */
   def streamTopIds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = spark.read.parquet(s"$dir/events.parquet")
@@ -644,6 +707,28 @@ object StreamingQueries {
          |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,
          |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
          |FROM x GROUP BY win_start, event_type
+         |ORDER BY win_start, event_type""".stripMargin)),
+    QueryDef("s14_stream_session", streamSessionWindows, Some(
+      s"""WITH o AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM o)
+         |SELECT min(ts) AS sess_start,
+         |       max(ts) + INTERVAL 1 HOUR AS sess_end,
+         |       user_id, COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
+         |FROM s GROUP BY user_id, sess
+         |ORDER BY user_id, sess_start""".stripMargin)),
+    QueryDef("s15_stream_tumbling", streamTumblingWindows, Some(
+      s"""SELECT date_trunc('hour', ts) AS win_start, event_type,
+         |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY win_start, event_type
          |ORDER BY win_start, event_type""".stripMargin)),
     QueryDef("s3_session_window", sessionWindows, Some(
       s"""WITH o AS (

@@ -1092,6 +1092,75 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  test("deleteMatching: 100k-key batch rides the broadcast-join path") {
+    val dir = Files.createTempDirectory("chronodb_bigdel").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
+    db.createTable("t")
+    import org.apache.spark.sql.functions._
+    // 120k rows across 3 hourly buckets (2024-01-01 10:00/11:00/12:00 UTC)
+    val rows = spark.range(120000).select(
+      format_string("k%06d", col("id")).as("key"),
+      expr("timestamp_micros(1704103200000000L + (id % 3) * 3600000000L)")
+        .as("ts"),
+      lit("x".getBytes("UTF-8")).as("data")).as[ChronoRow]
+    db.insert("t", rows)
+    // 100k doomed keys — far past literalKeyLimit, so this MUST take the
+    // keys-DataFrame join path (no driver collect, no isin literal)
+    val doomed = spark.range(100000)
+      .select(format_string("k%06d", col("id")).as("key"))
+    assert(db.deleteMatching("t", doomed) === 100000L)
+    assert(db.table("t").count() === 20000L)
+    // same sidecar-consistency contract as the literal path
+    assert(db.sidecarsConsistent("t"))
+    assert(db.queryKey("t", "k000000").count() === 0L)
+    assert(db.queryKey("t", "k119999").count() === 1L)
+    // a >limit Seq to deleteKeys routes through the same path; the
+    // 20k survivors all match → every bucket empties
+    assert(db.deleteKeys("t",
+      (100000 until 120000).map(i => f"k$i%06d")) === 20000L)
+    assert(db.table("t").count() === 0L)
+    db.close()
+  }
+
+  test("deleteMatching: small key set falls back to the Bloom literal path") {
+    val dir = Files.createTempDirectory("chronodb_smalldel").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 00:10:00"),
+      row("b", "2024-01-01 00:20:00"),
+      row("keep", "2024-01-01 01:30:00")))
+    assert(db.deleteMatching("t", Seq("a", "b", "absent").toDF("key")) === 2L)
+    assert(db.table("t").select("key").as[String].collect().toSeq === Seq("keep"))
+    assert(db.sidecarsConsistent("t"))
+    // empty / all-null key frames are no-ops
+    assert(db.deleteMatching("t", Seq.empty[String].toDF("key")) === 0L)
+    db.close()
+  }
+
+  test("upsert: TTL-expired change rows neither delete nor insert (no silent erasure)") {
+    val dir = Files.createTempDirectory("chronodb_upsert_ttl").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      ttl = Some(3L * 86400)))
+    db.createTable("t")
+    val now = ts("2024-01-10 00:00:00")
+    db.insert("t", spark.createDataset(Seq(
+      row("a", "2024-01-09 10:00:00", "live"))), now)
+    // the change row for `a` is already past TTL at `now` — deleting its
+    // live rows while insert drops the replacement would silently erase
+    // the key; the TTL gate must run BEFORE the key set is derived
+    val removed = db.upsert("t", spark.createDataset(Seq(
+      row("a", "2024-01-02 00:00:00", "stale"),
+      row("b", "2024-01-09 11:00:00", "new"))), now)
+    assert(removed === 0L)
+    val got = db.query("t", ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"))
+      .collect().map(r => (r.getString(0),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).sorted.toSeq
+    assert(got === Seq(("a", "live"), ("b", "new")))
+    assert(db.sidecarsConsistent("t"))
+    db.close()
+  }
+
   test("rollup: consistency detects a data-without-rollup gap; rebuild repairs") {
     val dir = Files.createTempDirectory("chronodb_rollup_gap").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",

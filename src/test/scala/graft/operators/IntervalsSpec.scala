@@ -89,6 +89,49 @@ class IntervalsSpec extends SparkSuite {
     }
   }
 
+  test("hot-cell guard: degenerate all-overlapping hour — results unchanged, group bounded") {
+    // 400 intervals ALL inside the same hour cell: the degenerate skew
+    // case where every candidate lands on one join key
+    val base = 1704067200000000L
+    val iv = (0 until 400).map { i =>
+      (i.toLong, new Timestamp((base + i * 1000000L) / 1000),
+        new Timestamp((base + 3000000000L + i * 1000000L) / 1000))
+    }.toDF("id", "s", "e")
+    val gridUs = 3600000000L
+    // results must be IDENTICAL with the guard engaged (threshold 50 ≪
+    // 400 forces salting) vs effectively off
+    val guarded = Intervals.overlapJoin(iv, iv, "id", "id", "s", "e",
+        gridUs, hotCellRows = 50L, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val plain = Intervals.overlapJoin(iv, iv, "id", "id", "s", "e",
+        gridUs, hotCellRows = Long.MaxValue / 2, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(guarded.length === guarded.toSet.size, "salting duplicated pairs")
+    assert(guarded.toSet === plain.toSet)
+    // the bound itself: no (cell, salt) group on the probe (A) side may
+    // keep the whole hot cell — salting must divide the equal-key group
+    val (ac, bc) = Intervals.saltedGridSides(iv, iv, "id", "id", "s", "e",
+      gridUs, hotCellRows = 50L, salts = 8)
+    val maxGroup = ac.groupBy("cell", "salt").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxGroup < 400L / 8L * 3L, s"hot cell not divided: $maxGroup")
+    assert(ac.select("salt").distinct().count() === 8L)
+    // B side duplicates hot-cell rows across every salt
+    val hotCellBRows = bc.groupBy("cell").count().agg(max("count")).as[Long].head()
+    assert(hotCellBRows >= 400L * 8L)
+  }
+
+  test("hot-cell guard off-path: cold cells keep salt 0 and no B-side blowup") {
+    val iv = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00"))
+    ).toDF("id", "s", "e")
+    val (ac, bc) = Intervals.saltedGridSides(iv, iv, "id", "id", "s", "e",
+      3600000000L, hotCellRows = 100000L, salts = 16)
+    assert(ac.select("salt").distinct().as[Int].collect().toSeq === Seq(0))
+    assert(bc.count() === 2L) // one row per (interval, cell), no explode
+  }
+
   test("overlapJoin closed semantics: touching endpoints DO pair; windows exact") {
     val a = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))).toDF("id", "s", "e")
     val b = Seq((2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")),
