@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries.defs ++ TimeSeriesQueries.defs ++ JoinQueries.defs ++
       SubqueryQueries.defs ++ AggQueries.defs ++ WindowQueries.defs ++
       SetOpQueries.defs ++ ScalarFnQueries.defs ++ NorthStarQueries.defs ++
-      StreamingQueries.defs ++ SourceQueries.defs
+      StreamingQueries.defs ++ SourceQueries.defs ++ SqlQueries.defs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

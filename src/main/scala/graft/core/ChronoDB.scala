@@ -492,32 +492,38 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * bucket's Bloom filter is deserialized once and probed with every
     * key — the batch form [[queryKeys]] rides, amortizing the KB-scale
     * index read across the whole probe set. Same safety contract as the
-    * single-key path: unknown coverage (null fold, gap) never prunes. */
-  private def multiKeyCandidateBuckets(
+    * single-key path: unknown coverage (null fold, gap) never prunes.
+    *
+    * The range+bloom probe itself runs on EXECUTORS
+    * ([[graft.functions.SidecarKeyProbeExpr]] filters the folded rows
+    * before collect), so the driver receives bucket NAMES and a hit
+    * bit — O(buckets × ~30 B) — never the per-bucket ~4 KB blooms
+    * (whose total grows linearly with table age; measured budget in
+    * SCALE.md §5). UTF8String binary comparison inside the expression,
+    * matching the order the sidecar min/max were folded in. */
+  private[core] def multiKeyCandidateBuckets(
       name: String, keys: Seq[String]): Option[Seq[String]] = {
     if (config.sketchBloomKeys <= 0) return None
     recoverSidecar(statsPath(name))
     if (!Files.exists(statsPath(name))) return None
-    // UTF8String comparison, not java.lang.String: min/max in the
-    // sidecar are binary (UTF-8 byte) order, which diverges from UTF-16
-    // char order outside the BMP
-    val kus = keys.map(org.apache.spark.unsafe.types.UTF8String.fromString)
-    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    val folded = sidecarFold(name)
-      .select(col("bucket"), col("key_min"), col("key_max"), col("bloom"))
+    // Per-ROW probe, not fold-then-probe: a key present in the bucket
+    // was inserted by SOME batch, and that batch's sidecar row covers
+    // it (its min/max span the batch's keys; its bloom has no false
+    // negatives; a pre-bloom/disabled-family batch writes nulls, which
+    // admit). So OR-of-per-row-probes ≥ the truth, and is TIGHTER than
+    // probing the bucket-folded row (a key can be outside batch A's
+    // range even when inside the folded range A∪B). The payoff at
+    // scale: the groupBy exchange carries (bucket, boolean) — the
+    // ~4 KB-per-row blooms stay in the scan stage and never shuffle
+    // (measured 2× at 10 k buckets, BloomBudget).
+    val hits = readSidecar(name)
+      .select(col("bucket"),
+        graft.functions.SketchAggs.sidecarKeyProbe(
+          col("key_min"), col("key_max"), col("bloom"), keys).as("hit"))
+      .groupBy(col("bucket")).agg(max(col("hit")).as("hit"))
       .collect()
-    val covered = folded.map(_.getString(0)).toSet
-    val maybe = folded.filter { r =>
-      val bloom =
-        if (r.isNullAt(3)) null
-        else graft.functions.SketchAggs.bloomFromBytes(r.getAs[Array[Byte]](3))
-      kus.exists { ku =>
-        val inRange = r.isNullAt(1) || r.isNullAt(2) ||
-          (ku.compareTo(u(r.getString(1))) >= 0 &&
-           ku.compareTo(u(r.getString(2))) <= 0)
-        inRange && (bloom == null || bloom.mightContainBinary(ku.getBytes))
-      }
-    }.map(_.getString(0))
+    val covered = hits.map(_.getString(0)).toSet
+    val maybe = hits.filter(_.getBoolean(1)).map(_.getString(0))
     val gaps = listBuckets(name).filterNot(covered)
     Some((maybe ++ gaps).toSeq.distinct.sorted)
   }

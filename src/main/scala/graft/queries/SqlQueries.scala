@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Det, Engine, QueryDef}
+
+/** SQL-string entry point — the analytics-engine UX the reference's
+  * README promises ("Advanced querying capabilities", README.md:109-112)
+  * layered over the same engine surface: register the fixture tables as
+  * views + the native expressions as SQL functions, then run plain
+  * `spark.sql(...)`. Declared here so the DRIVER's hash gate proves the
+  * view/catalog/function-registry path end-to-end, not just EngineSpec.
+  *
+  * Three queries cover the three registry surfaces:
+  *  - q53: composite flagship (TPC-H Q5 shape, q45's semantics) through
+  *    views — join reorder/pushdown/broadcast all negotiated by the SQL
+  *    planner rather than the DataFrame builder;
+  *  - q54: a native Catalyst Expression (doc_fingerprint) called AS a
+  *    SQL function (d4c's semantics + oracle);
+  *  - q55: the native Generator (ngrams_explode) through LATERAL VIEW
+  *    (d4e's semantics + oracle).
+  */
+object SqlQueries {
+  private def sql(q: String)(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerTables(spark, dir)
+    Engine.registerFunctions(spark)
+    spark.sql(q)
+  }
+
+  // Spark-side SQL: identical semantics to the DuckDB oracles below;
+  // only dialect-forced spellings differ (STRING vs VARCHAR in the
+  // Det.dsum exact-sum cast chain).
+  private val q53Sql =
+    s"""SELECT /*+ BROADCAST(nation, region) */ n_name,
+       |  CAST(CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(25,10))) AS STRING) AS DOUBLE) AS revenue,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val q54Sql =
+    """SELECT doc_id, doc_fingerprint(text) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val q55Sql =
+    """SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+      |FROM documents LATERAL VIEW ngrams_explode(text, 3) g AS pos, ngram
+      |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q53_sql_entry", sql(q53Sql), Some(
+      s"""SELECT n_name,
+         |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+    QueryDef("q54_sql_native_fn", sql(q54Sql), Some(
+      // d4c's oracle (NorthStarQueries) — the polynomial hash chain mod
+      // 2^31-1 emulated with DuckDB list_reduce
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(split(array_to_string(
+        |          regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q55_sql_generator", sql(q55Sql), Some(
+      // d4e's oracle: word-trigram counts over >=3-word documents
+      """WITH tk AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |           i -> array_to_string(w[i:i+2], ' '))) AS ngram
+        |  FROM tk WHERE len(w) >= 3)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM grams
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin))
+  )
+}

@@ -27,7 +27,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def run_verify():
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    names = " ".join(ONLY)
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT} {names}'.strip()]
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     for line in r.stdout.splitlines():
         if "[verify]" in line or "error" in line.lower():
