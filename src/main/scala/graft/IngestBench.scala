@@ -116,12 +116,16 @@ object IngestBench {
     // (every sketch knob zeroed): its per-(bucket, slot) states ride
     // the same observe pass, so its marginal cost over "none" is the
     // price of a continuous aggregate at ingest.
-    def cfg(dir: Path, mode: String): ChronoConfig =
-      ChronoConfig(dir.toString, bucket = "day",
-        sketchLgK = if (mode == "full") 12 else 0,
-        sketchCmsDepth = if (mode == "full") 4 else 0,
-        sketchBloomKeys = if (mode == "none" || mode == "rollup") 0L else 4096L,
-        rollupValue = if (mode == "rollup") Some("length(data)") else None)
+    // "bloom" IS ChronoConfig.smallBatch — the shipped small-batch
+    // preset is the thing being measured, not a bench-local config.
+    def cfg(dir: Path, mode: String): ChronoConfig = mode match {
+      case "bloom" => ChronoConfig.smallBatch(dir.toString, bucket = "day")
+      case "full"  => ChronoConfig.fullStats(dir.toString, bucket = "day")
+      case _ =>
+        ChronoConfig(dir.toString, bucket = "day",
+          sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0L,
+          rollupValue = if (mode == "rollup") Some("length(data)") else None)
+    }
 
     def oneInsert(data: org.apache.spark.sql.Dataset[ChronoRow],
         mode: String): Double = {
@@ -172,7 +176,11 @@ object IngestBench {
         (Double, graft.streaming.Streams.SinkMetrics) = {
       val sinkDir = freshDir()
       val cp = freshDir()
-      val sinkDb = new ChronoDB(spark, cfg(sinkDir, "full"))
+      // the sink loop IS the small-batch regime — it runs the shipped
+      // preset (bloom-only), full family stays the batch-insert config
+      // above (r11 change: r10 and earlier ran the sink with the full
+      // family, so sink_* keys step slightly faster from here on)
+      val sinkDb = new ChronoDB(spark, cfg(sinkDir, "bloom"))
       val m = new graft.streaming.Streams.SinkMetrics
       val sec =
         try {
@@ -234,6 +242,7 @@ object IngestBench {
       s""""rows_large":$nBig,""" +
       s""""insert_large_rows_per_sec":${r2(nBig / med(withSketchBig))},""" +
       s""""sidecar_overhead_large_pct":${r2(pct(withSketchBig, noSketchBig))},""" +
+      s""""sink_preset":"small_batch_bloom",""" +
       s""""sink_rows_per_sec":${r2(n / sinkSec)},""" +
       s""""sink1_foreachbatch_rows_per_sec":${r2(n / sink1Metrics.insertSec)}}"""
     val full =
@@ -253,6 +262,7 @@ object IngestBench {
       s""""insert_large_nosketch_raw":${arr(noSketchBig)},""" +
       s""""sidecar_overhead_large_pct":${pct(withSketchBig, noSketchBig)},""" +
       s""""sidecar_overhead_large_min_pct":${pctMin(withSketchBig, noSketchBig)},""" +
+      s""""sink_preset":"small_batch_bloom",""" +
       s""""sink_sec":$sinkSec,"sink_rows_per_sec":${n / sinkSec},"sink_batches":${sinkMetrics.batches.get()},""" +
       s""""sink_insert_sec":$sinkInsert,"sink_maint_sec":$sinkMaint,""" +
       s""""sink_harness_sec":$sinkHarness,""" +

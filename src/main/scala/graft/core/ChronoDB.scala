@@ -44,6 +44,28 @@ final case class ChronoConfig(
                                        // expression level (cents, micros).
     rollupSlotUs: Long = 3600000000L)  // rollup slot width in µs (default 1h)
 
+object ChronoConfig {
+  /** SHIPPED small-batch / streaming-ingest preset: key Bloom +
+    * min/max + n only, HLL and CMS off. At micro-batch sizes (~100 k
+    * rows) the full family's cost is a real fraction of the write
+    * (~30-40% median, r9-corrected protocol) while bloom-only measures
+    * ~11-20% — and the Bloom+min/max family is what the READ path's
+    * pruning actually consumes ([[ChronoDB.queryKey]]/queryKeys/
+    * deleteKeys). Range-distinct/frequency sketches amortize fine on
+    * large batches — opt into [[fullStats]] there. */
+  def smallBatch(dataDir: String, bucket: String = "hour"): ChronoConfig =
+    ChronoConfig(dataDir, bucket = bucket, sketchLgK = 0, sketchCmsDepth = 0)
+
+  /** Full-statistics preset (HLL + CMS + Bloom + min/max): the batch /
+    * analytic-ingest configuration, where per-batch sketch cost
+    * amortizes (~1-16% at 600 k rows) and buys sidecar-answered
+    * range-distinct (d19) and key-frequency (d19b) queries. Same as
+    * the bare constructor defaults, named so call sites state the
+    * intent. */
+  def fullStats(dataDir: String, bucket: String = "hour"): ChronoConfig =
+    ChronoConfig(dataDir, bucket = bucket)
+}
+
 /** Table statistics — reference GetStats (table.go:390-414). */
 final case class TableStats(
     name: String, numFiles: Long, numRows: Long, sizeBytes: Long,

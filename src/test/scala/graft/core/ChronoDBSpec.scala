@@ -1181,4 +1181,24 @@ class ChronoDBSpec extends SparkSuite {
       Map(ts("2024-01-01 10:00:00") -> (1L, 1L, 3L, Some(3L), Some(3L))))
     db.close()
   }
+
+  test("config presets: smallBatch is bloom-only, fullStats keeps every family") {
+    val sb = ChronoConfig.smallBatch("x")
+    assert(sb.sketchLgK === 0 && sb.sketchCmsDepth === 0)
+    assert(sb.sketchBloomKeys > 0, "the preset must keep the key index on")
+    val fs = ChronoConfig.fullStats("x")
+    assert(fs.sketchLgK > 0 && fs.sketchCmsDepth > 0 && fs.sketchBloomKeys > 0)
+
+    // smallBatch still answers key lookups with pruning (bloom + min/max
+    // land in the sidecar) but writes no HLL: sketchStats is empty
+    val dir = Files.createTempDirectory("preset").toString
+    val db = new ChronoDB(spark, ChronoConfig.smallBatch(dir))
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 10:00:00"), row("b", "2024-01-01 11:00:00")))
+    assert(db.queryKey("t", "a").count() === 1)
+    assert(db.queryKey("t", "nope").count() === 0)
+    assert(db.sketchStats("t").count() === 0)
+    db.close()
+  }
 }

@@ -200,4 +200,32 @@ class PlanGuardSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"),
       s"fused ranking should group-limit:\n$p")
   }
+
+  test("q52: grid overlap join is a cell equi-join, never a cartesian") {
+    val p = plan("q52_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must stay a bucketed equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi-join on the grid cell:\n$p")
+  }
+
+  test("q51: MERGE dedups changes with a group-limit and applies via one full-outer join") {
+    val p = plan("q51_upsert_merge")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-key change dedup must group-limit below the window:\n$p")
+    assert("FullOuter".r.findAllIn(p).size === 1,
+      s"expected exactly one full-outer apply join:\n$p")
+  }
+
+  test("d28: RRF fusion windows rank only the per-list top-k candidates") {
+    val p = plan("d28_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion must never cross the corpus with itself:\n$p")
+    // both retrieval arms cap candidates before the rank windows: the
+    // window inputs are k-bounded, so every Window node sits above a
+    // limit/group-limit, never above a full-corpus exchange
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"expected k-bounded candidate lists feeding the fusion windows:\n$p")
+  }
 }
