@@ -37,6 +37,21 @@ object Engine {
       Tables.t(spark, dir, name).createOrReplaceTempView(name)
     }
 
+  /** Register every table of a [[ChronoDB]] as a temp view
+    * (`<prefix><table>`, default `chrono_`), so the STORAGE layer is
+    * reachable through plain SQL too — `spark.sql("SELECT ... FROM
+    * chrono_events WHERE ts BETWEEN ...")` plans against the same
+    * partition-pruned parquet frame [[ChronoDB.table]] serves (the
+    * reference's "Advanced querying capabilities" promise, README.md:
+    * 109-112, over its storage engine). The view SNAPSHOTS the parquet
+    * file listing at registration (Spark caches the relation's
+    * FileIndex): after out-of-band inserts, re-register — or
+    * `spark.catalog.refreshByPath(dataDir)` — to see new files. */
+  def registerChronoViews(db: ChronoDB, prefix: String = "chrono_"): Unit =
+    db.listTables().foreach { name =>
+      db.table(name).createOrReplaceTempView(prefix + name)
+    }
+
   /** Expose the native expressions to SQL:
     * minhash_sig(text, k, n), simhash64(text), hyperplane_sig(vec, bits,
     * seed), cosine_native(a, b), shingle_jaccard(a, b, k),

@@ -77,4 +77,27 @@ class EngineSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getString(1)))
     assert(grams.toSeq === Seq((0, "the quick"), (1, "quick brown"), (2, "brown fox")))
   }
+
+  test("registerChronoViews exposes storage tables through spark.sql") {
+    val dir = java.nio.file.Files.createTempDirectory("chronosql").toString
+    val db = new ChronoDB(spark, ChronoConfig.smallBatch(dir))
+    db.createTable("events")
+    db.insertSeq("events", Seq(
+      ChronoRow("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "x".getBytes),
+      ChronoRow("a", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "y".getBytes),
+      ChronoRow("b", java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), "z".getBytes)))
+    Engine.registerChronoViews(db)
+    val got = spark.sql(
+      """SELECT key, COUNT(*) AS n FROM chrono_events
+        |WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        |GROUP BY key ORDER BY key""".stripMargin)
+      .as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("a", 2L)))
+    // the view snapshots the file listing — re-register after inserts
+    db.insertSeq("events", Seq(
+      ChronoRow("c", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "w".getBytes)))
+    Engine.registerChronoViews(db)
+    assert(spark.sql("SELECT COUNT(*) FROM chrono_events").head().getLong(0) === 4L)
+    db.close()
+  }
 }
