@@ -492,4 +492,39 @@ object Curation {
           .cast("int"))
       .select(col(idCol), col("score"), col("rank"))
   }
+
+  /** D34 — model-based quality scoring with a hashed linear classifier:
+    * the fastText/CCNet filtering recipe (Joulin et al. 2016; Wenzek et
+    * al. 2020) with the feature-hashing trick (Weinberger et al. 2009).
+    * Each token hashes into one of 256 feature buckets (first two hex
+    * chars of md5 — the portable-draw convention of [[hashSample]]);
+    * the model is a weight per bucket; a document's score is the mean
+    * weight of its tokens, and `score >= 0` is the keep decision.
+    *
+    * The weights here are a DETERMINISTIC function of the bucket id
+    * (Knuth multiplicative hash into [-1, 1], exact int64 arithmetic)
+    * so the whole scorer — hashing, lookup, fold — is reproducible
+    * cross-engine and the oracle recomputes it from scratch; a real
+    * deployment broadcasts trained weights instead (same plan shape:
+    * the lookup is a map-side array index either way).
+    *
+    * Scale shape: zero shuffles — tokenize, hash, fold, and threshold
+    * are one codegen'd map stage over the corpus scan (builtin HOFs,
+    * no explode: the token array folds in place). At 100 TB this is
+    * the cheapest possible full-corpus pass; the left fold over each
+    * doc's token array gives one defined fp summation order, so scores
+    * are bit-identical across engines and reruns.
+    */
+  def hashedQualityScore(textCol: Column): Column = {
+    val words = TextFunctions.tokens(textCol)
+    def weight(w: Column): Column = {
+      val b = conv(substring(md5(w), 1, 2), 16, 10).cast("long")
+      ((b * lit(2654435761L) + lit(104729L)) % lit(2001L)).cast("double") /
+        lit(1000.0) - lit(1.0)
+    }
+    when(size(words) === 0, lit(0.0))
+      .otherwise(
+        aggregate(words, lit(0.0), (acc, w) => acc + weight(w)) /
+          size(words).cast("double"))
+  }
 }

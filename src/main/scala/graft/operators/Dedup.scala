@@ -487,4 +487,68 @@ object Dedup {
         bitsPerBand = bitsPerBand, maxBucket = maxBucket)
       .filter(col("cos") >= threshold && col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("cos"))
+
+  /** D33 — semantic dedup, the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then drop any
+    * point whose cosine to a LOWER-id point in the SAME cluster meets
+    * `threshold`. Unlike [[embeddingNearDup]]'s LSH pairing this is the
+    * published cluster-then-filter formulation — candidate pairs exist
+    * only within a cluster, so global pair mass is Σ|cluster|²/2
+    * instead of n²/2, and the keeper rule is the greedy per-pair drop
+    * (no connected components — SemDeDup §3 deliberately removes the
+    * transitive closure step).
+    *
+    * Clustering is the seeded-quantizer assignment shared with
+    * Similarity.ivfTopKSeeded: the first `nlist` ids act as centroids
+    * (deterministic, oracle-expressible; a production run substitutes
+    * fitted k-means centroids — Similarity.ivfTopK shows that path),
+    * collapsed into ONE broadcast row, so assignment is a map-only
+    * argmax over the in-row centroid array (ties toward the smaller
+    * cell). No shuffle touches the corpus until the within-cluster
+    * equi-join on `cell`.
+    *
+    * Scale shape: one broadcast (KBs), one hash exchange on `cell` for
+    * the self-join, one anti-join reusing the id partitioning. Pair
+    * mass is bounded by the cluster-size distribution — at corpus
+    * scale pick nlist ≈ n/⟨cluster⟩ (SemDeDup uses ~100 k clusters for
+    * ~5 B points); a degenerate hot cluster is the LSH maxBucket
+    * problem in different clothes and takes the same chain-cap fix if
+    * a quantizer collapses (documented, not needed for the declared
+    * fixture shape — assignment over near-uniform vectors spreads).
+    *
+    * Returns keepers as (idCol, cell) — the surviving corpus with its
+    * cluster assignment. Reference intent: ChronoBase has no dedup at
+    * all (SURVEY.md §1.2); this extends the D2 family with the
+    * embedding-native method a training-data pipeline actually runs.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16): DataFrame = {
+    val cos = NativeExpressions.cosineNative _
+    val cents = df.filter(col(idCol) < nlist)
+      .agg(collect_list(struct(col(idCol).cast("int").as("cell"),
+        col(vecCol).as("cv"))).as("cents"))
+      .select(array_sort(col("cents")).as("cents"))
+    // argmax cosine over the broadcast centroid array — struct ordering
+    // (cos, -cell) makes array_max pick max cos, ties to smaller cell
+    val assigned = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", array_max(transform(col("cents"), ct => struct(
+        cos(col("__vec"), ct.getField("cv")).as("cos"),
+        (-ct.getField("cell")).as("negcell"),
+        ct.getField("cell").as("cell")))).getField("cell"))
+      .select(col("__id"), col("__vec"), col("cell"))
+    // within-cluster duplicate ids: any point with a lower-id neighbor
+    // at >= threshold. Duplicate loser rows are fine — left_anti needs
+    // no distinct pass.
+    val losers = assigned.select(col("cell"), col("__id").as("id_a"),
+        col("__vec").as("va"))
+      .join(assigned.select(col("cell"), col("__id").as("id_b"),
+        col("__vec").as("vb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b") && cos(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol))
+    assigned.select(col("__id").as(idCol), col("cell"))
+      .join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -1023,6 +1023,32 @@ object NorthStarQueries {
         k = 2, seed = 7L)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D33: semantic dedup — the SemDeDup cluster-then-filter recipe over
+    * the embedding corpus ([[Dedup.semanticDedup]]): seeded-quantizer
+    * assignment into 16 clusters, then drop any vector with a lower-id
+    * same-cluster neighbor at cosine >= 0.35 (the fixture's vectors are
+    * near-uniform — 0.35 marks the same near-dup tail d2d uses; a real
+    * corpus runs 0.95+). Output: the surviving corpus with its cluster.
+    */
+  def semanticDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nlist = 16)
+      .orderBy(col("vec_id"))
+
+  /** D34: model-based quality filtering — the hashed linear scorer
+    * ([[Curation.hashedQualityScore]]) over every document; emits the
+    * score and the keep decision rather than filtering, so the oracle
+    * pins the full score surface (the filter form is `WHERE kept = 1`).
+    * Scores are bit-identical cross-engine (exact int64 weights, one
+    * defined fold order), so no rounding is needed. */
+  def qualityClassifierQ(spark: SparkSession, dir: String): DataFrame = {
+    val score = Curation.hashedQualityScore(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), score.as("q_score"))
+      .withColumn("kept", (col("q_score") >= 0.0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
     * that multi-dimensional range pruning sorts by at scale (the
     * reference's tablets are time-ordered only; this generalizes its
@@ -2201,6 +2227,45 @@ object NorthStarQueries {
         |  SELECT id_a, n2 AS id_b FROM l)
         |WHERE id_b IS NOT NULL
         |ORDER BY id_a, id_b""".stripMargin)),
+    QueryDef("d33_semantic_dedup", semanticDedupQ, Some(
+      // same seeded centroids (vec_id < 16), same argmax assignment
+      // (cos DESC, cell ASC), same greedy lower-id-wins drop rule —
+      // cosine via the shared bit-identical left-fold formulation
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |asgn AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |losers AS (
+         |  SELECT b.vec_id FROM asgn a JOIN asgn b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT vec_id, cell FROM asgn
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin)),
+    QueryDef("d34_quality_classifier", qualityClassifierQ, Some(
+      // same tokenization, same 256-bucket md5 feature hash (first two
+      // hex chars), same exact-int64 bucket→weight map, same left-fold
+      // mean — scores compare unrounded
+      """SELECT doc_id, q_score,
+        |       CASE WHEN q_score >= 0.0 THEN 1 ELSE 0 END AS kept
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      list_reduce(list_transform(w, t ->
+        |        CAST((((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+        |               + strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1)
+        |              * 2654435761 + 104729) % 2001 AS DOUBLE) / 1000.0 - 1.0),
+        |        (a, b) -> a + b) / len(w)
+        |    END AS q_score
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("d30_chrono_upsert", chronoUpsertQ, Some(
       // upsert contract in set algebra: rows of keys NOT in the batch
       // survive; every batch key's state is exactly the batch's rows

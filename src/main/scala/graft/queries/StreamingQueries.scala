@@ -253,6 +253,56 @@ object StreamingQueries {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** S16 (declared, TRUE streaming): CDC apply — a change stream
+    * continuously materializes a keyed state table through
+    * [[Streams.chronoUpsertSink]] (foreachBatch → ChronoDB.upsert).
+    * Three time-ordered change batches land one file each; the query
+    * RESTARTS from its checkpoint between batches (the harness's
+    * failure/recovery protocol), so what the hash gate pins is the
+    * full loop: file-source offset tracking across restarts, per-batch
+    * key replacement in storage (delete-then-insert with Bloom-pruned
+    * bucket rewrites), and the idempotence that makes replay safe. The
+    * final table state per key = the rows of the LAST batch that
+    * touched the key — the CDC consumer contract, fixed literal split
+    * points so the oracle recomputes it in set algebra. */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB}
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id").cast("string").as("key"), col("ts"),
+        encode(col("event_type"), "UTF-8").as("data"))
+    val t1 = lit("2024-01-11 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-21 00:00:00").cast("timestamp")
+    val batches = Seq(
+      ev.filter(col("ts") < t1),
+      ev.filter(col("ts") >= t1 && col("ts") < t2),
+      ev.filter(col("ts") >= t2))
+    val root = Files.createTempDirectory("s16_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day"))
+    try {
+      db.createTable("st")
+      val landing = Files.createTempDirectory("s16_landing")
+      val cp = Files.createTempDirectory("s16_cp").toString
+      val schema = batches.head.schema
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = Files.createTempDirectory(s"s16_b$i")
+        b.coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+        val part = new java.io.File(s"$tmp/d").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, landing.resolve(f"batch$i%03d.parquet"))
+        val q = Streams.chronoUpsertSink(
+          spark.readStream.schema(schema).parquet(landing.toString),
+          db, "st", cp, trigger = Trigger.ProcessingTime(0)).start()
+        q.processAllAvailable(); q.stop()
+      }
+      db.query("st",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+        .select(col("key"), col("ts"),
+          decode(col("data"), "UTF-8").as("state"))
+        .orderBy(col("key"), col("ts"), col("state"))
+    } finally db.close()
+  }
+
   /** S2 (sliding form, batch-checkable): 2-hour windows sliding by
     * 1 hour — each event lands in exactly 2 windows, the same assignment
     * `window(ts, "2 hours", "1 hour")` makes in the streaming path
@@ -725,6 +775,20 @@ object StreamingQueries {
          |       user_id, COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
          |FROM s GROUP BY user_id, sess
          |ORDER BY user_id, sess_start""".stripMargin)),
+    QueryDef("s16_stream_upsert", streamUpsert, Some(
+      // the CDC contract in set algebra: each key's state is the rows
+      // of the last time-third that contains the key
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1
+        |         ELSE 2 END AS b
+        |  FROM events),
+        |m AS (SELECT user_id, max(b) AS mb FROM e GROUP BY user_id)
+        |SELECT CAST(e.user_id AS VARCHAR) AS key, e.ts,
+        |       e.event_type AS state
+        |FROM e JOIN m ON e.user_id = m.user_id AND e.b = m.mb
+        |ORDER BY key, ts, state""".stripMargin)),
     QueryDef("s15_stream_tumbling", streamTumblingWindows, Some(
       s"""SELECT date_trunc('hour', ts) AS win_start, event_type,
          |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value

@@ -202,6 +202,44 @@ object Streams {
       }
   }
 
+  /** Streaming CDC-apply sink: each micro-batch of (key, ts, data)
+    * change rows REPLACES the state of every key it touches via
+    * ChronoDB.upsert — the continuous materialization of a state table
+    * from a change stream (the streaming twin of the batch d30 path;
+    * reference intent: the dead PrimaryKeys declaration, types.go:10-13).
+    *
+    * Failure semantics, which is the point: upsert is IDEMPOTENT per
+    * batch (delete-the-batch-keys then insert-the-batch-rows — replay
+    * deletes the failed attempt's own rows first), so a micro-batch
+    * re-run after a crash converges to the same table state and the
+    * checkpoint's at-least-once delivery composes to effectively-once
+    * table contents. Ordering across batches is the stream's
+    * micro-batch order, exactly a CDC consumer's contract.
+    *
+    * Scale shape per batch: one Bloom-pruned candidate scan + rewrite
+    * of the touched buckets (small-batch literal path / large-batch
+    * semi-join path chosen by ChronoDB.literalKeyLimit), one insert —
+    * cost tracks batch size and touched-bucket count, never table
+    * size. */
+  def chronoUpsertSink(
+      rows: DataFrame,
+      db: graft.core.ChronoDB,
+      tableName: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        db.upsert(tableName,
+          batch.select(col("key"), col("ts"), col("data"))
+            .as[graft.core.ChronoRow])
+        ()
+      }
+
   /** Spark 4 transformWithState processor: per-key latest row — the
     * reference's key → most-recent-value semantics (its dead PrimaryKeys
     * intent) held as streaming state. Requires the RocksDB state store

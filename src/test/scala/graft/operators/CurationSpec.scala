@@ -290,4 +290,43 @@ class CurationSpec extends SparkSuite {
     val byRank = rows.sortBy(_._3).map(_._2)
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
   }
+
+  /** The scorer's contract, recomputed from first principles on the
+    * JVM: md5 → first-byte bucket → Knuth weight → left-fold mean. */
+  private def referenceQualityScore(text: String): Double = {
+    val words = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    if (words.isEmpty) 0.0
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ws = words.map { w =>
+        val b = md.digest(w.getBytes("UTF-8"))(0) & 0xff
+        ((b.toLong * 2654435761L + 104729L) % 2001L).toDouble / 1000.0 - 1.0
+      }
+      ws.foldLeft(0.0)(_ + _) / words.size
+    }
+  }
+
+  test("hashedQualityScore matches the JVM reference implementation exactly") {
+    val texts = Seq(
+      (1L, "The quick brown fox, JUMPS over 42 lazy dogs!"),
+      (2L, "spark catalyst tungsten codegen shuffle partition"),
+      (3L, ""), (4L, "   ...!!!   "), (5L, "a"),
+      (6L, "word word word word word")) // repeated token: weight counted per occurrence
+    val out = texts.toDF("doc_id", "text")
+      .select($"doc_id", Curation.hashedQualityScore($"text").as("s"))
+      .as[(Long, Double)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(out(id) === referenceQualityScore(t), s"doc $id")
+    }
+    assert(out(3L) === 0.0 && out(4L) === 0.0) // no tokens -> neutral 0
+    assert(out.values.forall(s => s >= -1.0 && s <= 1.001))
+  }
+
+  test("hashedQualityScore splits the fixture corpus non-trivially at 0") {
+    val docs = graft.core.Tables.t(spark, sf(), "documents")
+      .select(Curation.hashedQualityScore($"text").as("s"))
+    val n = docs.count()
+    val kept = docs.filter($"s" >= 0.0).count()
+    assert(kept > 0 && kept < n, s"degenerate split: $kept of $n")
+  }
 }

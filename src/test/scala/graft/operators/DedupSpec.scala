@@ -179,4 +179,62 @@ class DedupSpec extends SparkSuite {
     // len(sh) > 0 guard)
     assert(got === Set((3L, 4L)))
   }
+
+  private lazy val semVecs = Seq(
+    // ids < 4 are the seeded centroids (unit axes)
+    (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+    (2L, Array(0f, 0f, 1f, 0f)), (3L, Array(0f, 0f, 0f, 1f)),
+    (10L, Array(0.9f, 0.1f, 0f, 0f)),  // cluster 0, dup of 0
+    (11L, Array(1f, 0.05f, 0f, 0f)),   // cluster 0, dup of 0 and 10
+    (20L, Array(0f, 0.9f, 0.2f, 0f)),  // cluster 1, dup of 1
+    (30L, Array(0.6f, 0f, 0.75f, 0f))  // cluster 2, NOT a dup (cos≈0.78)
+  ).toDF("vec_id", "embedding")
+
+  test("semanticDedup keeps one representative per within-cluster dup set") {
+    val out = Dedup.semanticDedup(semVecs, "vec_id", "embedding",
+        threshold = 0.95, nlist = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 30L))
+    assert(out(30L) === 2)      // assigned to the z-axis cluster
+    assert(out(0L) === 0 && out(1L) === 1)
+  }
+
+  test("semanticDedup drop rule matches the brute-force greedy oracle") {
+    val vecs = semVecs.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val cents = vecs.filter(_._1 < 4)
+    val cell = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos(v, cv), -cid) }.max._2 * -1
+    }.toMap
+    val expected = vecs.map(_._1).filter { id =>
+      !vecs.exists { case (oid, ov) =>
+        oid < id && cell(oid) == cell(id) &&
+          cos(ov, vecs.find(_._1 == id).get._2) >= 0.95
+      }
+    }.toSet
+    val got = Dedup.semanticDedup(semVecs, "vec_id", "embedding",
+        threshold = 0.95, nlist = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got === expected)
+  }
+
+  test("semanticDedup pairs only within clusters: cross-cluster dups survive") {
+    // 0/1 are centroids; 10 sits near the 0/1 bisector but lands in
+    // cluster 0 (tie-break toward smaller cell is irrelevant here:
+    // 0.71 > 0.70); 20 is nearly identical to 10 but tips into
+    // cluster 1 — SemDeDup's greedy rule never compares them
+    val v = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (10L, Array(0.71f, 0.70f)), (20L, Array(0.70f, 0.71f))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(v, "vec_id", "embedding",
+        threshold = 0.95, nlist = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 10L, 20L)) // 10 vs 20: cos≈0.9998 but split
+  }
 }
