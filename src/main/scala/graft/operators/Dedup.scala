@@ -541,13 +541,15 @@ object Dedup {
       .select(col("__id"), col("__vec"), col("cell"))
     // within-cluster duplicate ids: any point with a lower-id neighbor
     // at >= threshold. Duplicate loser rows are fine — left_anti needs
-    // no distinct pass.
-    val losers = assigned.select(col("cell"), col("__id").as("id_a"),
-        col("__vec").as("va"))
-      .join(assigned.select(col("cell"), col("__id").as("id_b"),
-        col("__vec").as("vb")), Seq("cell"))
-      .filter(col("id_a") < col("id_b") && cos(col("va"), col("vb")) >= threshold)
-      .select(col("id_b").as(idCol))
+    // no distinct pass. Alias self-join keeps both sides the IDENTICAL
+    // plan subtree, so at scale the cell exchange is planned once and
+    // the probe side is a ReusedExchange — one corpus pass for the
+    // pairing instead of two.
+    val losers = assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell"))
+      .filter(col("a.__id") < col("b.__id") &&
+        cos(col("a.__vec"), col("b.__vec")) >= threshold)
+      .select(col("b.__id").as(idCol))
     assigned.select(col("__id").as(idCol), col("cell"))
       .join(losers, Seq(idCol), "left_anti")
   }
