@@ -40,6 +40,31 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Dedup.dedupByClusters(oneDoc, "id", noPairs).count() === 1)
   }
 
+  test("semanticDedup on degenerate corpora: empty, singleton, all-identical") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(empty, "vec_id", "embedding", 0.9).count() === 0)
+    val one = Seq((5L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    // a corpus smaller than nlist still works: every available point
+    // below nlist seeds a centroid; the single point keeps itself
+    assert(Dedup.semanticDedup(one, "vec_id", "embedding", 0.9, nlist = 16)
+      .select("vec_id").as[Long].collect().toSeq === Seq(5L))
+    // all-identical vectors collapse to the lowest id
+    val same = (0L to 9L).map(i => (i, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(same, "vec_id", "embedding", 0.99, nlist = 4)
+      .select("vec_id").as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("hashedQualityScore: null text scores null, not a crash") {
+    import graft.operators.Curation
+    val df = Seq((1L, Option("some real words")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+      .select($"id", Curation.hashedQualityScore($"text").as("s"))
+    val rows = df.as[(Long, Option[Double])].collect().toMap
+    assert(rows(1L).isDefined)
+    assert(rows(2L).isEmpty) // null in -> null out (SQL semantics)
+  }
+
   test("similarity on singleton corpus excludes self and returns empty") {
     val one = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
     assert(Similarity.bruteForceTopK(one, one, "vec_id", "embedding", 5)

@@ -228,4 +228,30 @@ class PlanGuardSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
       s"expected k-bounded candidate lists feeding the fusion windows:\n$p")
   }
+
+  test("d33: pairing is a cell equi-join; the only nested-loop nodes attach the single-row centroid array") {
+    val p = plan("d33_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup must never cross the corpus with itself:\n$p")
+    // the centroid set collapses to ONE broadcast row (d3c pattern);
+    // any BNLJ in this plan must be that attachment, which always
+    // builds on a BroadcastExchange of an ObjectHashAggregate
+    // (collect_list into a single row) — the corpus-vs-corpus pairing
+    // itself must be a hash/merge equi-join on the cell
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the cluster cell:\n$p")
+    assert("LeftAnti".r.findAllIn(p).size === 1,
+      s"expected exactly one keeper anti-join:\n$p")
+  }
+
+  test("d34: the scorer is one map stage — no exchange except the output sort, pruned scan") {
+    val p = plan("d34_quality_classifier")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"quality scoring must not shuffle before the canonical sort:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"),
+      s"scan must prune to (doc_id, text):\n$read")
+  }
 }
