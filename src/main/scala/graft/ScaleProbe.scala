@@ -11,12 +11,20 @@ import org.apache.spark.sql.SparkSession
   * the derived fixtures so BASELINE.md's scaling section reports the
   * production path with numbers, not an argument.
   *
+  * Second use: the large-batch upsert/delete path — ChronoDB routes
+  * key sets past `literalKeyLimit` through the semi-join
+  * (`deleteMatching`) path instead of driver literals; this measures
+  * that path end-to-end on a derived-scale events table so SCALE.md §5
+  * carries a number, not an adjective.
+  *
   * Usage: sbt "runMain graft.ScaleProbe <sfDir> <nlist> [threshold]"
+  *        sbt "runMain graft.ScaleProbe upsert <sfDir>"
   * Prints one JSON line: {"probe":"semantic_dedup","nlist":N,
-  * "rows":n,"keepers":k,"warm_sec":…,"min_sec":…}
+  * "rows":n,"keepers":k,"warm_sec":…,"min_sec":…} or the upsert twin.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("upsert")) return upsertProbe(args(1))
     val sfDir = args(0)
     val nlist = args(1).toInt
     val threshold = if (args.length > 2) args(2).toDouble else 0.35
@@ -44,6 +52,44 @@ object ScaleProbe {
       val keepers = runs.head._1
       val minSec = runs.map(_._2).min
       println(f"""{"probe":"semantic_dedup","nlist":$nlist,"rows":$rows,"keepers":$keepers,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f}""")
+    } finally spark.stop()
+  }
+
+  private def upsertProbe(sfDir: String): Unit = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    try {
+      val root = java.nio.file.Files.createTempDirectory("upsert_probe").toString
+      val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day"))
+      try {
+        db.createTable("st")
+        val ev = graft.core.Tables.normTs(
+            spark.read.parquet(s"$sfDir/events.parquet"))
+          .select(col("user_id").cast("string").as("key"), col("ts"),
+            encode(col("event_type"), "UTF-8").as("data"))
+        val split = lit("2024-01-25 00:00:00").cast("timestamp")
+        val t0 = System.nanoTime()
+        db.insert("st", ev.filter(col("ts") < split).as[ChronoRow])
+        val t1 = System.nanoTime()
+        val batch = ev.filter(col("ts") >= split)
+        val batchRows = batch.count()
+        val keys = batch.select(col("key")).distinct().count()
+        val t2 = System.nanoTime()
+        val removed = db.upsert("st", batch.as[ChronoRow])
+        val t3 = System.nanoTime()
+        val base = ev.filter(col("ts") < split).count()
+        println(f"""{"probe":"upsert","base_rows":$base,"batch_rows":$batchRows,"batch_keys":$keys,"removed":$removed,"insert_sec":${(t1 - t0) / 1e9}%.2f,"upsert_sec":${(t3 - t2) / 1e9}%.2f}""")
+      } finally db.close()
     } finally spark.stop()
   }
 }

@@ -511,10 +511,16 @@ object Dedup {
     * the self-join, one anti-join reusing the id partitioning. Pair
     * mass is bounded by the cluster-size distribution — at corpus
     * scale pick nlist ≈ n/⟨cluster⟩ (SemDeDup uses ~100 k clusters for
-    * ~5 B points); a degenerate hot cluster is the LSH maxBucket
-    * problem in different clothes and takes the same chain-cap fix if
-    * a quantizer collapses (documented, not needed for the declared
-    * fixture shape — assignment over near-uniform vectors spreads).
+    * ~5 B points). MEASURED (graft.ScaleProbe, 200 k vectors,
+    * BASELINE.md round-11 section): nlist pinned at 16 → 77 s (the
+    * n²/nlist quadratic), nlist=160 → 11 s; overshooting to 512 →
+    * 25 s because the O(nlist)-per-row broadcast argmax then
+    * dominates — past ~10³ centroids production replaces the linear
+    * scan with an ANN/tree quantizer. A degenerate hot cluster is the
+    * LSH maxBucket problem in different clothes and takes the same
+    * chain-cap fix if a quantizer collapses (documented, not needed
+    * for the declared fixture shape — assignment over near-uniform
+    * vectors spreads).
     *
     * Returns keepers as (idCol, cell) — the surviving corpus with its
     * cluster assignment. Reference intent: ChronoBase has no dedup at
