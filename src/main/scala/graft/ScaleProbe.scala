@@ -24,7 +24,10 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("upsert")) return upsertProbe(args(1))
+    if (args.headOption.contains("upsert"))
+      return upsertProbe(args(1),
+        if (args.length > 2) args(2) else "user_id")
+    if (args.headOption.contains("bucketjoin")) return bucketJoinProbe(args(1))
     val sfDir = args(0)
     val nlist = args(1).toInt
     val threshold = if (args.length > 2) args(2).toDouble else 0.35
@@ -55,7 +58,55 @@ object ScaleProbe {
     } finally spark.stop()
   }
 
-  private def upsertProbe(sfDir: String): Unit = {
+  /** Bucketed-layout payoff at derived scale: the same fact-fact join +
+    * aggregation over (a) plain parquet (two join exchanges every query)
+    * and (b) bucketed tables co-located on the join key (zero join
+    * exchanges — the write pays the shuffle ONCE). BucketingSpec pins
+    * the plan property at fixture scale; this measures the wall-clock
+    * gap where the exchange actually costs something. */
+  private def bucketJoinProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("bj_wh").toString
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      def shape(l: org.apache.spark.sql.DataFrame,
+          o: org.apache.spark.sql.DataFrame) =
+        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity")).as("q"))
+      def time3(mk: () => org.apache.spark.sql.DataFrame): Double = {
+        mk().collect() // warm
+        Seq.fill(3) {
+          val t0 = System.nanoTime()
+          mk().collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val direct = time3(() => shape(li, ord))
+      val tw0 = System.nanoTime()
+      li.write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_b")
+      ord.write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_b")
+      val writeSec = (System.nanoTime() - tw0) / 1e9
+      val bucketed = time3(() =>
+        shape(spark.table("li_b"), spark.table("ord_b")))
+      println(f"""{"probe":"bucket_join","rows":${li.count()},"direct_min_sec":$direct%.3f,"bucketed_min_sec":$bucketed%.3f,"bucket_write_sec":$writeSec%.2f}""")
+    } finally spark.stop()
+  }
+
+  private def upsertProbe(sfDir: String, keyCol: String): Unit = {
     import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -75,7 +126,7 @@ object ScaleProbe {
         db.createTable("st")
         val ev = graft.core.Tables.normTs(
             spark.read.parquet(s"$sfDir/events.parquet"))
-          .select(col("user_id").cast("string").as("key"), col("ts"),
+          .select(col(keyCol).cast("string").as("key"), col("ts"),
             encode(col("event_type"), "UTF-8").as("data"))
         val split = lit("2024-01-25 00:00:00").cast("timestamp")
         val t0 = System.nanoTime()
