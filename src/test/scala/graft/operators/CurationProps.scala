@@ -126,4 +126,34 @@ object CurationProps extends Properties("curation") {
           .collect().map(r => (r.getLong(0), r.getLong(1)))
         got.length == got.toSet.size && got.toSet == naive
     }
+
+  // Quality-scorer invariant: the distributed HOF fold equals a JVM
+  // reference recomputation (md5 first byte -> Knuth weight -> ordered
+  // left-fold mean) for ANY ascii text, including token-free ones.
+  private def refScore(text: String): Double = {
+    val words = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    if (words.isEmpty) 0.0
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      words.map { w =>
+        val b = md.digest(w.getBytes("UTF-8"))(0) & 0xff
+        ((b.toLong * 2654435761L + 104729L) % 2001L).toDouble / 1000.0 - 1.0
+      }.foldLeft(0.0)(_ + _) / words.size
+    }
+  }
+
+  private val genText: Gen[String] = Gen.listOfN(30, Gen.frequency(
+    6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+    1 -> Gen.oneOf('.', ',', '!', '-', '_', '"'),
+    1 -> Gen.const('\n'))).map(_.mkString)
+
+  property("hashedQualityScore == JVM reference for any text") =
+    forAll(Gen.listOfN(10, genText)) { texts =>
+      import spark.implicits._
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), Curation.hashedQualityScore(col("text")).as("s"))
+        .as[(Long, Double)].collect().toMap
+      texts.zipWithIndex.forall { case (t, i) => got(i.toLong) == refScore(t) }
+    }
 }

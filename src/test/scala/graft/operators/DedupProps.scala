@@ -130,4 +130,49 @@ object DedupProps extends Properties("dedup") {
           .as[(Long, Long)].collect().toMap
     }
   }
+
+  /** The exact double-fold Kernels.cosine computes (same accumulation
+    * order), so argmax ties and threshold boundaries agree bit for
+    * bit with the distributed path. */
+  private def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    var na = 0.0; i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    var nb = 0.0; i = 0
+    while (i < b.length) { val y = b(i).toDouble; nb += y * y; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** SemDeDup semantics for ANY corpus/nlist/threshold: assignment is
+    * argmax cosine over the id<nlist centroids (ties to the smaller
+    * cell), a point drops iff a lower-id same-cluster point sits at
+    * cos >= threshold, keepers carry their cell. Integer-grid vectors
+    * make exact ties common — the property covers the tie-break path,
+    * not just generic positions. */
+  property("semanticDedup == greedy within-cluster oracle for any corpus") =
+    forAll(Gen.choose(1, 18), Gen.choose(2, 6),
+        Gen.oneOf(0.5, 0.8, 0.95), Gen.choose(0L, 9999L)) {
+      (n, nlist, thr, seed) =>
+        import spark.implicits._
+        val rnd = new scala.util.Random(seed)
+        val vecs = (0L until n.toLong).map { i =>
+          val v = Seq.fill(4)((rnd.nextInt(5) - 2).toFloat)
+          (i, if (v.exists(_ != 0f)) v else Seq(1f, 0f, 0f, 0f))
+        }
+        val cents = vecs.filter(_._1 < nlist)
+        val cell = vecs.map { case (id, v) =>
+          id -> -cents.map { case (cid, cv) => (cosRef(v, cv), -cid) }.max._2
+        }.toMap
+        val expected = vecs.collect {
+          case (id, v) if !vecs.exists { case (oid, ov) =>
+            oid < id && cell(oid) == cell(id) && cosRef(ov, v) >= thr
+          } => id -> cell(id).toInt
+        }.toMap
+        val got = Dedup.semanticDedup(
+            vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+            threshold = thr, nlist = nlist)
+          .as[(Long, Int)].collect().toMap
+        got == expected
+    }
 }
