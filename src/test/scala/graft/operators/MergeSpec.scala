@@ -66,6 +66,21 @@ class MergeSpec extends SparkSuite {
       === base.orderBy("k").collect())
   }
 
+  test("a winning change with NULL op is applied as an upsert, never a drop or a ghost") {
+    // op nullness must not be conflated with key-absent-from-batch:
+    // a null-op change replaces an existing key's payload and inserts
+    // a new key with ITS payload (not an all-null row).
+    val changes = Seq(
+      ("a", ts("2024-01-10 00:00:00"), 11.0, null.asInstanceOf[String], 1L),
+      ("e", ts("2024-01-10 00:00:00"), 50.0, null.asInstanceOf[String], 2L))
+      .toDF("k", "ts", "v", "op", "cid")
+    val out = Merge.applyChanges(base, changes, "k", "ts", "op",
+      tieBreak = Seq("cid")).orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c", "e"))
+    assert(out(0).getDouble(2) === 11.0)  // a replaced, not silently kept
+    assert(!out(3).isNullAt(2) && out(3).getDouble(2) === 50.0) // e real, not all-null
+  }
+
   test("changes missing a snapshot column fail loudly") {
     val bad = Seq(("a", ts("2024-01-10 00:00:00"), "U"))
       .toDF("k", "ts", "op") // no v
