@@ -28,6 +28,9 @@ object ScaleProbe {
       return upsertProbe(args(1),
         if (args.length > 2) args(2) else "user_id")
     if (args.headOption.contains("bucketjoin")) return bucketJoinProbe(args(1))
+    if (args.headOption.contains("semantic2"))
+      return semantic2Probe(args(1), args(2).toInt, args(3).toInt,
+        args(4).toInt, if (args.length > 5) args(5).toDouble else 0.35)
     val sfDir = args(0)
     val nlist = args(1).toInt
     val threshold = if (args.length > 2) args(2).toDouble else 0.35
@@ -55,6 +58,54 @@ object ScaleProbe {
       val keepers = runs.head._1
       val minSec = runs.map(_._2).min
       println(f"""{"probe":"semantic_dedup","nlist":$nlist,"rows":$rows,"keepers":$keepers,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f}""")
+    } finally spark.stop()
+  }
+
+  /** Two-level-quantizer lever for semantic dedup (the r12 follow-up to
+    * the flat-nlist sweep): measures [[graft.operators.Dedup.semanticDedupTwoLevel]]
+    * at a given (nlist, ncoarse, nprobe) against the same derived
+    * fixture, so BASELINE.md can show the O(nlist) flat-assignment wall
+    * falling to O(ncoarse + nprobe·nlist/ncoarse). Also reports the
+    * assignment-agreement fraction vs the flat argmax at the same nlist
+    * — the recall half of the trade, in the same artifact line. */
+  private def semantic2Probe(sfDir: String, nlist: Int, ncoarse: Int,
+      nprobe: Int, threshold: Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val rows = emb.count()
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val k = graft.operators.Dedup.semanticDedupTwoLevel(
+            emb, "vec_id", "embedding", threshold, nlist, ncoarse, nprobe)
+          .count()
+        (k, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, warm) = once()
+      val runs = Seq.fill(3)(once())
+      val keepers = runs.head._1
+      val minSec = runs.map(_._2).min
+      // agreement vs the flat argmax: threshold > 1 keeps every row, so
+      // both outputs are the raw assignment surface (id -> cell)
+      val flat = graft.operators.Dedup
+        .semanticDedup(emb, "vec_id", "embedding", 1.1, nlist)
+        .withColumnRenamed("cell", "cell_flat")
+      val agree = graft.operators.Dedup
+        .semanticDedupTwoLevel(emb, "vec_id", "embedding", 1.1,
+          nlist, ncoarse, nprobe)
+        .join(flat, Seq("vec_id"))
+        .agg(avg((col("cell") === col("cell_flat")).cast("double")))
+        .collect()(0).getDouble(0)
+      println(f"""{"probe":"semantic_dedup_two_level","nlist":$nlist,"ncoarse":$ncoarse,"nprobe":$nprobe,"rows":$rows,"keepers":$keepers,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"assign_agree":$agree%.4f}""")
     } finally spark.stop()
   }
 

@@ -545,12 +545,20 @@ object Dedup {
         (-ct.getField("cell")).as("negcell"),
         ct.getField("cell").as("cell")))).getField("cell"))
       .select(col("__id"), col("__vec"), col("cell"))
-    // within-cluster duplicate ids: any point with a lower-id neighbor
-    // at >= threshold. Duplicate loser rows are fine — left_anti needs
-    // no distinct pass. Alias self-join keeps both sides the IDENTICAL
-    // plan subtree, so at scale the cell exchange is planned once and
-    // the probe side is a ReusedExchange — one corpus pass for the
-    // pairing instead of two.
+    greedyDropWithinCluster(assigned, idCol, threshold)
+  }
+
+  /** Shared tail of the semantic-dedup family: given the clustered
+    * corpus (`__id`, `__vec`, `cell`), apply SemDeDup's greedy per-pair
+    * drop — any point with a LOWER-id same-cluster neighbor at cosine
+    * >= `threshold` loses. Duplicate loser rows are fine — left_anti
+    * needs no distinct pass. Alias self-join keeps both sides the
+    * IDENTICAL plan subtree, so at scale the cell exchange is planned
+    * once and the probe side is a ReusedExchange — one corpus pass for
+    * the pairing instead of two. */
+  private def greedyDropWithinCluster(
+      assigned: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val cos = NativeExpressions.cosineNative _
     val losers = assigned.as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell"))
       .filter(col("a.__id") < col("b.__id") &&
@@ -558,5 +566,96 @@ object Dedup {
       .select(col("b.__id").as(idCol))
     assigned.select(col("__id").as(idCol), col("cell"))
       .join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDedup]] with a TWO-LEVEL (coarse-then-fine) quantizer —
+    * the assignment that makes SemDeDup's production cluster counts
+    * affordable. The flat path prices every corpus row at O(nlist)
+    * cosines, which caps nlist around 10³ (measured: the nlist=512
+    * point on the r11 ScaleProbe sweep cost MORE than nlist=160
+    * because assignment flops dominated the shrinking pair mass);
+    * SemDeDup itself runs ~10⁵ clusters at 5 B points. Here the nlist
+    * fine centroids are themselves bucketed under `ncoarse` coarse
+    * cells (coarse centroids = the first ncoarse fine centroids, the
+    * same seeded rule), and each corpus row
+    *
+    *   1. scores the ncoarse coarse centroids and keeps the `nprobe`
+    *      nearest (O(ncoarse) cosines),
+    *   2. argmaxes over ONLY the fine centroids living under those
+    *      probed coarse cells (expected O(nprobe·nlist/ncoarse)),
+    *
+    * so per-row work is O(ncoarse + nprobe·nlist/ncoarse) — at
+    * nlist=4096, ncoarse=64, nprobe=4: ~320 cosines instead of 4096.
+    * The fine→coarse membership map is built once at centroid scale
+    * (nlist × ncoarse cosines — negligible) and ships as ONE broadcast
+    * row: a sorted coarse array plus a map<coarse cell → sorted member
+    * array>, so assignment stays map-only with `element_at` doing the
+    * per-cell member lookup in O(1) — no per-row pass over all nlist
+    * entries. The probed coarse centroids ride along as candidates of
+    * their own cell, so the candidate array is provably non-empty even
+    * if a tie emptied some coarse cell's member list.
+    *
+    * With nprobe = ncoarse this is EXHAUSTIVE — every fine centroid is
+    * a candidate and the assignment equals the flat argmax exactly
+    * (same (cos, -cell) tie rule; DedupSpec pins that equivalence).
+    * Smaller nprobe trades exactness for the flop cut the way every
+    * IVF probe does; the same measured-recall discipline as
+    * [[Similarity.ivfTopKSeeded]] applies. Not the DECLARED d33 form —
+    * probe-limited assignment is approximate, so the oracle keeps the
+    * flat quantizer; this is the production path ScaleProbe measures.
+    */
+  def semanticDedupTwoLevel(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int, ncoarse: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(ncoarse > 0 && ncoarse <= nlist,
+      s"ncoarse must be in [1, nlist]; got ncoarse=$ncoarse nlist=$nlist")
+    val cos = NativeExpressions.cosineNative _
+    val fine = df.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("cell"), col(vecCol).as("cv"))
+    val coarse = fine.filter(col("cell") < ncoarse)
+      .agg(collect_list(struct(col("cell").as("ccell"), col("cv").as("cv")))
+        .as("coarse"))
+      .select(array_sort(col("coarse")).as("coarse"))
+    // tag each fine centroid with its nearest coarse cell (ties toward
+    // the smaller ccell — the family's rule), then pack the membership
+    // as one map<ccell, sorted array<(cell, cv)>> row. Centroid-scale
+    // work: nlist rows against an ncoarse-entry broadcast array.
+    val packed = fine.crossJoin(broadcast(coarse))
+      .withColumn("ccell", array_max(transform(col("coarse"), c => struct(
+        cos(col("cv"), c.getField("cv")).as("cos"),
+        (-c.getField("ccell")).as("negccell"),
+        c.getField("ccell").as("ccell")))).getField("ccell"))
+      .groupBy(col("ccell"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv"))))
+        .as("members"))
+      .agg(map_from_entries(collect_list(struct(col("ccell"), col("members"))))
+        .as("finemap"))
+      .crossJoin(coarse)
+    val assigned = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(packed))
+      // nprobe nearest coarse cells: sort (-cos, ccell) asc, slice.
+      // Each probed entry carries its centroid vector so it can stand
+      // in as a candidate of its own cell below.
+      .withColumn("probed", slice(array_sort(transform(col("coarse"),
+        c => struct(
+          (-cos(col("__vec"), c.getField("cv"))).as("ncos"),
+          c.getField("ccell").as("ccell"),
+          c.getField("cv").as("cv")))), 1, nprobe))
+      // candidates = the probed cells' fine members (O(1) map lookup
+      // per probed cell) + the probed coarse centroids themselves
+      .withColumn("cands", concat(
+        flatten(transform(col("probed"), p => coalesce(
+          element_at(col("finemap"), p.getField("ccell")),
+          array().cast("array<struct<cell:int,cv:array<float>>>")))),
+        transform(col("probed"), p => struct(
+          p.getField("ccell").as("cell"), p.getField("cv").as("cv")))))
+      .withColumn("cell", array_max(transform(col("cands"), ct => struct(
+        cos(col("__vec"), ct.getField("cv")).as("cos"),
+        (-ct.getField("cell")).as("negcell"),
+        ct.getField("cell").as("cell")))).getField("cell"))
+      .select(col("__id"), col("__vec"), col("cell"))
+    greedyDropWithinCluster(assigned, idCol, threshold)
   }
 }

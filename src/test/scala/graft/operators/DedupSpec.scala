@@ -237,4 +237,64 @@ class DedupSpec extends SparkSuite {
       .select($"vec_id").as[Long].collect().toSet
     assert(kept === Set(0L, 1L, 10L, 20L)) // 10 vs 20: cos≈0.9998 but split
   }
+
+  /** Deterministic pseudo-random corpus for the two-level quantizer
+    * pins: 200 vectors in 8 dims, coordinates derived from a hash so
+    * the fixture is stable without an RNG. */
+  private lazy val twoLevelVecs = {
+    val rows = (0L until 200L).map { id =>
+      val v = Array.tabulate(8) { d =>
+        // xorshift-ish mix, mapped into [-1, 1)
+        val h = (id * 2654435761L + d * 40503L + 7L) * 0x9e3779b97f4a7c15L
+        ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      }
+      (id, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("semanticDedupTwoLevel with nprobe=ncoarse equals the flat argmax exactly") {
+    // exhaustive probing makes every fine centroid a candidate, so the
+    // two-level assignment must reproduce the flat path bit-for-bit —
+    // same (cos DESC, cell ASC) tie rule, same keeper set. threshold
+    // 1.1 keeps every row, turning the output into the raw assignment
+    // surface; the second call pins the keeper set at a real threshold.
+    val flat = Dedup.semanticDedup(twoLevelVecs, "vec_id", "embedding",
+        threshold = 1.1, nlist = 32)
+      .as[(Long, Int)].collect().toMap
+    val two = Dedup.semanticDedupTwoLevel(twoLevelVecs, "vec_id", "embedding",
+        threshold = 1.1, nlist = 32, ncoarse = 8, nprobe = 8)
+      .as[(Long, Int)].collect().toMap
+    assert(two === flat)
+    val flatKept = Dedup.semanticDedup(twoLevelVecs, "vec_id", "embedding",
+        threshold = 0.5, nlist = 32)
+      .select($"vec_id").as[Long].collect().toSet
+    val twoKept = Dedup.semanticDedupTwoLevel(twoLevelVecs, "vec_id",
+        "embedding", threshold = 0.5, nlist = 32, ncoarse = 8, nprobe = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(twoKept === flatKept)
+  }
+
+  test("semanticDedupTwoLevel probe-limited assignment stays near the flat argmax") {
+    // nprobe=2 of 8 coarse cells: the IVF trade. Agreement is a recall
+    // measure, not an identity — the pin is a floor far under the
+    // measured rate (~0.9+ on this fixture) so jitter can't flip it.
+    val flat = Dedup.semanticDedup(twoLevelVecs, "vec_id", "embedding",
+        threshold = 1.1, nlist = 32)
+      .as[(Long, Int)].collect().toMap
+    val two = Dedup.semanticDedupTwoLevel(twoLevelVecs, "vec_id", "embedding",
+        threshold = 1.1, nlist = 32, ncoarse = 8, nprobe = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(two.keySet === flat.keySet)
+    val agree = flat.count { case (id, c) => two(id) == c }
+    assert(agree >= (flat.size * 0.75).toInt,
+      s"two-level nprobe=2 agreement $agree/${flat.size} below floor")
+  }
+
+  test("semanticDedupTwoLevel on the axis fixture: same keepers as flat") {
+    val kept = Dedup.semanticDedupTwoLevel(semVecs, "vec_id", "embedding",
+        threshold = 0.95, nlist = 4, ncoarse = 2, nprobe = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 2L, 3L, 30L))
+  }
 }
