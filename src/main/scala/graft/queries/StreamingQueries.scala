@@ -316,22 +316,21 @@ object StreamingQueries {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
 
-  /** S6 (batch-checkable form): the stream-stream interval join run on
-    * batch inputs — `withWatermark` is eliminated by the analyzer in
-    * batch mode, so this drives the EXACT library code path
-    * (Streams.intervalJoin) whose streaming behavior StreamsSpec
-    * checks, and the oracle verifies the join predicate itself. */
-  def intervalJoinBatch(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.t(spark, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-    val purchases = ev.filter(col("event_type") === "purchase")
-    Streams.intervalJoin(clicks, purchases, "user_id", "ts",
-        lateness = "10 minutes", lookback = "1 hour", lookahead = "1 hour")
-      .select(col("l.event_id").as("click_id"),
-        col("l.user_id").as("user_id"), col("l.ts").as("c_ts"),
-        col("r.event_id").as("purchase_id"), col("r.ts").as("p_ts"))
-      .orderBy(col("click_id"), col("purchase_id"))
-  }
+  /** S6 (declared): stream-stream INNER interval join — TRUE streaming
+    * through [[stagedReplay2]] since round 12 (rounds ≤11 declared the
+    * batch twin; s9/s10 proved the staged harness on the outer forms
+    * first). Same lockstep time-ordered split as s9: matches spanning
+    * the split boundary exercise live join state and its
+    * restore-from-checkpoint. Inner semantics need no watermark close
+    * to emit — a match fires as soon as both rows are present — but the
+    * flush pair stays: it advances both watermarks so the early rows'
+    * join state provably evicts inside the run, and its impossible
+    * side-distinct users can never match, so a spuriously emitted flush
+    * row would fail the hash compare. Oracle: the plain batch inner
+    * join — emission timing is streaming machinery, the RESULT SET must
+    * be batch-equivalent. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    stagedIntervalJoin(spark, dir, "inner")
 
   /** S5c (declared): streaming NEAR-dup dedup (Streams.nearDupDedup —
     * SimHash fingerprint + dropDuplicatesWithinWatermark). Documents get
@@ -572,7 +571,7 @@ object StreamingQueries {
     * fail the hash compare. Oracle: the plain batch LEFT (or FULL)
     * JOIN — outer emission timing is streaming machinery, the RESULT
     * SET must be batch-equivalent. */
-  private def outerIntervalJoin(
+  private def stagedIntervalJoin(
       spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val ev = Tables.normTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
@@ -601,7 +600,7 @@ object StreamingQueries {
   }
 
   def streamOuterIntervalJoin(spark: SparkSession, dir: String): DataFrame =
-    outerIntervalJoin(spark, dir, "leftOuter")
+    stagedIntervalJoin(spark, dir, "leftOuter")
 
   /** S10 (declared): the FULL OUTER sibling of s9 — unmatched rows on
     * BOTH sides emit their null-extended row exactly once when their
@@ -609,7 +608,7 @@ object StreamingQueries {
     * flush discipline apply (side-distinct impossible users keep both
     * flush rows out of the result). Oracle: the batch FULL JOIN. */
   def streamFullOuterIntervalJoin(spark: SparkSession, dir: String): DataFrame =
-    outerIntervalJoin(spark, dir, "fullOuter")
+    stagedIntervalJoin(spark, dir, "fullOuter")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s10_full_outer_interval_join", streamFullOuterIntervalJoin, Some(
@@ -693,7 +692,7 @@ object StreamingQueries {
         |  FROM c)
         |SELECT user_id, n_events FROM cum
         |ORDER BY user_id, n_events""".stripMargin)),
-    QueryDef("s6_interval_join", intervalJoinBatch, Some(
+    QueryDef("s6_interval_join", streamIntervalJoin, Some(
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS c_ts,
         |       p.event_id AS purchase_id, p.ts AS p_ts
         |FROM events c JOIN events p ON p.user_id = c.user_id
