@@ -210,7 +210,19 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         normed.filter(col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
       case None => normed
     }
-    val batch = fresh.withColumn("bucket", bucketExpr)
+    // the stored ts column carries the bucket granularity as FIELD
+    // METADATA (parquet footers round-trip Spark field metadata, so it
+    // reappears on the read relation's own attribute — the one place
+    // alias collapse can't strip it): graft.plans.BucketPruneRule keys
+    // on it to derive bucket-partition predicates from plain `ts`
+    // bounds, giving `WHERE ts BETWEEN …` — DataFrame or chrono_ SQL
+    // view — the same file pruning [[query]] spells by hand
+    val tsMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(graft.plans.BucketPruneRule.GranularityKey, config.bucket)
+      .build()
+    val batch = fresh
+      .withMetadata("ts", tsMeta)
+      .withColumn("bucket", bucketExpr)
     // salt the repartition inside each bucket: a hot hour would
     // otherwise funnel through ONE writer task (skew at ingest — the
     // usual shape is "all of right now lands in the current bucket").
@@ -676,11 +688,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * sets (≤ [[literalKeyLimit]] after dedup) are collected and ride
     * the Bloom-pruned literal path instead — per-key Bloom probing
     * beats a scan only while the probe set is small. Large sets: bucket
-    * pruning falls back to the key-envelope [min,max] interval check
-    * against the sidecar ([[rangeCandidateBuckets]], driver cost
-    * O(buckets) — NOT O(buckets × keys) like Bloom probing), then ONE
-    * broadcast outer-join pass finds per-bucket hit counts and ONE
-    * broadcast anti-join rewrites the survivors. Returns rows deleted. */
+    * pruning goes through the PER-BUCKET key-envelope check
+    * ([[perBucketCandidateBuckets]] — each bucket kept only if some
+    * batch key lands inside its own sidecar [key_min,key_max], one
+    * distributed broadcast range-join pass, no O(buckets × keys)
+    * driver work), then ONE broadcast outer-join pass finds per-bucket
+    * hit counts and ONE broadcast anti-join rewrites the survivors.
+    * Returns rows deleted. */
   def deleteMatching(name: String, keysDf: DataFrame): Long = {
     requireTable(name)
     if (!hasData(name)) return 0L
@@ -691,8 +705,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val sample = k.limit(literalKeyLimit + 1).as[String].collect()
     if (sample.length <= literalKeyLimit)
       return if (sample.isEmpty) 0L else deleteKeys(name, sample.toSeq)
-    val mm = k.agg(min(col("key")), max(col("key"))).collect()(0)
-    val cand = rangeCandidateBuckets(name, mm.getString(0), mm.getString(1))
+    val cand = perBucketCandidateBuckets(name, k)
       .getOrElse(listBuckets(name))
     if (cand.isEmpty) return 0L
     val marked = broadcast(k.withColumn("_doomed", lit(1)))
@@ -707,28 +720,47 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         .join(broadcast(k), Seq("key"), "left_anti"))
   }
 
-  /** Candidate buckets whose sidecar [key_min, key_max] interval
-    * overlaps [lo, hi] — the Bloom-free prune for probe sets too large
-    * to test per key. Same safety contract as
-    * [[multiKeyCandidateBuckets]]: unknown coverage (no sidecar, gap
-    * buckets, null min/max) never prunes. UTF8String comparison to
-    * match the sidecar's binary collation. */
-  private def rangeCandidateBuckets(
-      name: String, lo: String, hi: String): Option[Seq[String]] = {
+  /** Candidate buckets that may hold at least one key of `keysDf`,
+    * decided PER BUCKET against the sidecar [key_min, key_max]
+    * envelope — the Bloom-free prune for probe sets too large to test
+    * per key. Until round 11 this was one GLOBAL [batch_min, batch_max]
+    * interval overlap, which a single outlier key inflates to cover
+    * every bucket (a clustered erasure batch plus one stray key would
+    * rewrite-scan the whole table); instead each bucket is kept only if
+    * SOME batch key falls inside ITS OWN envelope. The membership test
+    * is one distributed pass: the KB-scale envelope list (collected
+    * from the sidecar fold anyway) goes back out as a broadcast
+    * nested-loop range join against the key DataFrame — O(keys ×
+    * buckets) comparisons across executors, never on the driver, and
+    * the result is the DISTINCT bucket list (≤ bucket count rows).
+    * Same safety contract as [[multiKeyCandidateBuckets]]: unknown
+    * coverage (no sidecar, gap buckets, null min/max) never prunes.
+    * Envelope comparison inherits parquet's binary collation because
+    * both sides travel as Spark UTF8 strings. */
+  private def perBucketCandidateBuckets(
+      name: String, keysDf: DataFrame): Option[Seq[String]] = {
     if (!sketching) return None
     recoverSidecar(statsPath(name))
     if (!Files.exists(statsPath(name))) return None
-    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     val folded = sidecarFold(name)
       .select(col("bucket"), col("key_min"), col("key_max")).collect()
     val covered = folded.map(_.getString(0)).toSet
-    val maybe = folded.filter { r =>
-      r.isNullAt(1) || r.isNullAt(2) ||
-        (u(hi).compareTo(u(r.getString(1))) >= 0 &&
-         u(lo).compareTo(u(r.getString(2))) <= 0)
-    }.map(_.getString(0))
+    val unknown = folded.filter(r => r.isNullAt(1) || r.isNullAt(2))
+      .map(_.getString(0))
+    val enveloped = folded.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val hit =
+      if (enveloped.isEmpty) Array.empty[String]
+      else {
+        val envDf =
+          broadcast(enveloped.toIndexedSeq.toDF("__b", "__lo", "__hi"))
+        keysDf.join(envDf,
+            col("key") >= col("__lo") && col("key") <= col("__hi"))
+          .select(col("__b")).distinct()
+          .collect().map(_.getString(0))
+      }
     val gaps = listBuckets(name).filterNot(covered)
-    Some((maybe ++ gaps).toSeq.distinct.sorted)
+    Some((hit ++ unknown ++ gaps).toSeq.distinct.sorted)
   }
 
   /** Shared tail of the delete verbs: given per-bucket

@@ -1,0 +1,21 @@
+package graft.core
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Executed-plan metric extraction for the self-validating prune
+  * verdicts (d21/d21b/q56 pattern). AQE hides finalized subtrees behind
+  * leaf nodes (AdaptiveSparkPlanExec / QueryStageExec /
+  * ReusedExchangeExec), so a plain TreeNode.collect misses scans once a
+  * plan contains an exchange — this walker unwraps each explicitly.
+  * Call AFTER an action has materialized the plan. */
+object PlanMetrics {
+  def scannedFiles(p: SparkPlan): Long = p match {
+    case a: AdaptiveSparkPlanExec => scannedFiles(a.executedPlan)
+    case q: QueryStageExec => scannedFiles(q.plan)
+    case r: ReusedExchangeExec => scannedFiles(r.child)
+    case s: FileSourceScanExec => s.metrics("numFiles").value
+    case other => other.children.map(scannedFiles).sum
+  }
+}

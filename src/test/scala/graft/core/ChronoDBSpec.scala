@@ -1122,6 +1122,95 @@ class ChronoDBSpec extends SparkSuite {
     db.close()
   }
 
+  test("deleteMatching: clustered large batch touches only its own buckets (per-bucket envelopes)") {
+    // 5 day-buckets with DISJOINT key populations (u1_* .. u5_*); the
+    // doomed batch is every key of buckets 1 and 5 — 24k keys, past
+    // literalKeyLimit, clustered at BOTH ends of the key space. The
+    // GLOBAL envelope [u1_00000, u5_11999] covers all five buckets; the
+    // per-bucket envelope check must keep only 1 and 5, so every table
+    // scan the delete runs (hit counting, the rewrite, sidecar repair)
+    // stays inside those two buckets' files — asserted from the scans'
+    // numFiles metrics via a QueryExecutionListener, plus untouched
+    // mtimes on buckets 2-4.
+    val dir = Files.createTempDirectory("chronodb_envdel").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day"))
+    db.createTable("t")
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val rows = spark.range(60000).select(
+      format_string("u%d_%05d", col("id") % 5 + 1,
+        (col("id") / 5).cast("long")).as("key"),
+      expr("timestamp_micros(1704067200000000L + ((id % 5) * 86400000000L))")
+        .as("ts"),
+      lit("x".getBytes("UTF-8")).as("data")).as[ChronoRow]
+    db.insert("t", rows)
+    val root = java.nio.file.Paths.get(dir).resolve("t")
+    def bucketFiles(day: Int): Map[String, java.nio.file.attribute.FileTime] = {
+      val d = root.resolve(f"bucket=2024-01-0$day%d")
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p))
+        .toMap
+      finally s.close()
+    }
+    val untouchedBefore = (2 to 4).map(bucketFiles)
+    val ownFiles = bucketFiles(1).size + bucketFiles(5).size
+    val scanFiles = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      // AQE hides its finalized subtree behind leaf nodes
+      // (AdaptiveSparkPlanExec / QueryStageExec / ReusedExchangeExec),
+      // so a plain TreeNode.collect never reaches the scans — unwrap
+      // each explicitly
+      private def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            walk(r.child)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            if (s.relation.location.rootPaths
+                .exists(_.toString.contains("chronodb_envdel")))
+              scanFiles.add(s.metrics("numFiles").value)
+          case other => other.children.foreach(walk)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = walk(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val doomed = spark.range(24000).select(
+        format_string("u%d_%05d", when(col("id") < 12000, 1).otherwise(5),
+          col("id") % 12000).as("key"))
+      assert(db.deleteMatching("t", doomed) === 24000L)
+      // listener events are async — wait until the scan count stabilizes
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(150)
+        val n = scanFiles.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    assert(!scanFiles.isEmpty, "no table scans observed by the listener")
+    scanFiles.asScala.foreach { n =>
+      assert(n <= ownFiles,
+        s"a delete-path scan read $n files; buckets 1+5 only hold $ownFiles")
+    }
+    assert((2 to 4).map(bucketFiles) === untouchedBefore,
+      "buckets outside the batch's envelopes were rewritten")
+    assert(db.table("t").count() === 36000L)
+    assert(db.queryKey("t", "u1_00000").count() === 0L)
+    assert(db.queryKey("t", "u3_00000").count() === 1L)
+    assert(db.sidecarsConsistent("t"))
+    db.close()
+  }
+
   test("deleteMatching: small key set falls back to the Bloom literal path") {
     val dir = Files.createTempDirectory("chronodb_smalldel").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
