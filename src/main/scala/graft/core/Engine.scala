@@ -21,13 +21,14 @@ object Engine {
     spark
   }
 
-  /** Install the engine's optimizer rules (idempotent) — currently the
-    * raw-ns range-pushdown rewrite (graft.plans.NsEpochRangeRule). */
+  /** Install the engine's optimizer rules (idempotent): the raw-ns
+    * range-pushdown rewrite (graft.plans.NsEpochRangeRule) and the
+    * chrono bucket-partition deriver (graft.plans.BucketPruneRule). */
   def installOptimizations(spark: SparkSession): Unit = {
+    val rules = Seq(graft.plans.NsEpochRangeRule, graft.plans.BucketPruneRule)
     val cur = spark.sessionState.experimentalMethods.extraOptimizations
-    if (!cur.contains(graft.plans.NsEpochRangeRule))
-      spark.sessionState.experimentalMethods.extraOptimizations =
-        cur :+ graft.plans.NsEpochRangeRule
+    spark.sessionState.experimentalMethods.extraOptimizations =
+      cur ++ rules.filterNot(cur.contains)
   }
 
   /** Register every fixture table as a temp view so the full engine

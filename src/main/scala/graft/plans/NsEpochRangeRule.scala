@@ -97,6 +97,8 @@ object NsEpochRangeRule extends Rule[LogicalPlan] {
   * runtime `spark.sessionState.experimentalMethods.extraOptimizations`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NsEpochRangeRule)
+    e.injectOptimizerRule(_ => BucketPruneRule)
+  }
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.core.{Det, Engine, QueryDef}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, Engine, PlanMetrics, QueryDef, Tables}
 
 /** SQL-string entry point — the analytics-engine UX the reference's
   * README promises ("Advanced querying capabilities", README.md:109-112)
@@ -10,14 +11,17 @@ import graft.core.{Det, Engine, QueryDef}
   * `spark.sql(...)`. Declared here so the DRIVER's hash gate proves the
   * view/catalog/function-registry path end-to-end, not just EngineSpec.
   *
-  * Three queries cover the three registry surfaces:
+  * Four queries cover the registry surfaces:
   *  - q53: composite flagship (TPC-H Q5 shape, q45's semantics) through
   *    views — join reorder/pushdown/broadcast all negotiated by the SQL
   *    planner rather than the DataFrame builder;
   *  - q54: a native Catalyst Expression (doc_fingerprint) called AS a
   *    SQL function (d4c's semantics + oracle);
   *  - q55: the native Generator (ngrams_explode) through LATERAL VIEW
-  *    (d4e's semantics + oracle).
+  *    (d4e's semantics + oracle);
+  *  - q56: the STORAGE layer through a chrono_ view, with the
+  *    BucketPruneRule optimizer rule turning the SQL `ts` range into
+  *    file-level partition pruning (in-query numFiles verdict).
   */
 object SqlQueries {
   private def sql(q: String)(spark: SparkSession, dir: String): DataFrame = {
@@ -53,7 +57,53 @@ object SqlQueries {
       |FROM documents LATERAL VIEW ngrams_explode(text, 3) g AS pos, ngram
       |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin
 
+  /** Q56: the STORAGE layer through plain SQL — a `chrono_` view
+    * ([[Engine.registerChronoViews]]) queried with nothing but a `ts`
+    * range, where the [[graft.plans.BucketPruneRule]] optimizer rule
+    * derives the bucket-partition predicate the caller didn't write, so
+    * the scan touches only the window's hourly partition files. Gate
+    * semantics (d21 pattern): the RESULT is hash-exact against the raw
+    * events fixture (the pruned path must return precisely what a full
+    * scan would), and the file-level pruning claim rides along as the
+    * in-query `prune_ok` verdict read from the executed scan's numFiles
+    * metric (48 in-window hour buckets of ~720 — a >90% file cut a SQL
+    * user gets for free). */
+  def sqlStorageQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("q56_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "hour",
+      sketchLgK = 0, sketchCmsDepth = 0, writersPerBucket = 1))
+    try {
+      db.createTable("ev")
+      db.insert("ev", Tables.t(spark, dir, "events")
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      Engine.registerChronoViews(db)
+      val total = db.stats("ev").numFiles
+      val q = spark.sql(
+        """SELECT key, ts, decode(data, 'UTF-8') AS event_type
+          |FROM chrono_ev
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+          |ORDER BY key, ts, event_type""".stripMargin)
+      q.collect()
+      val scanned = PlanMetrics.scannedFiles(q.queryExecution.executedPlan)
+      q.withColumn("prune_ok", lit(scanned > 0 && scanned < total))
+    } finally db.close()
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q56_sql_storage", sqlStorageQ, Some(
+      // result exact vs the raw fixture; the pruning claim is the
+      // in-query prune_ok verdict (scan metrics have no SQL twin)
+      """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+        |       TRUE AS prune_ok
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY key, ts, event_type""".stripMargin)),
     QueryDef("q53_sql_entry", sql(q53Sql), Some(
       s"""SELECT n_name,
          |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

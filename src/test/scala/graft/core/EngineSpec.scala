@@ -100,4 +100,37 @@ class EngineSpec extends SparkSuite {
     assert(spark.sql("SELECT COUNT(*) FROM chrono_events").head().getLong(0) === 4L)
     db.close()
   }
+
+  test("BucketPruneRule: SQL ts range over a chrono_ view prunes partition files") {
+    Engine.installOptimizations(spark)
+    val dir = java.nio.file.Files.createTempDirectory("chronoprune").toString
+    // hour buckets, one writer → exactly one file per bucket
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      sketchLgK = 0, sketchCmsDepth = 0, writersPerBucket = 1))
+    db.createTable("ev")
+    db.insertSeq("ev", (0 until 12).map { h =>
+      ChronoRow(s"k$h",
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"), "x".getBytes)
+    })
+    Engine.registerChronoViews(db)
+    assert(db.stats("ev").numFiles === 12)
+    // no bucket predicate in the SQL — the rule must derive it from the
+    // ts bounds: [03:00, 06:00) spans hour buckets 03..06 (the <-bound
+    // relaxes to its own bucket), so exactly 4 of 12 files scan
+    val q = spark.sql(
+      """SELECT key FROM chrono_ev
+        |WHERE ts >= TIMESTAMP '2024-01-01 03:00:00'
+        |  AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        |ORDER BY key""".stripMargin)
+    assert(q.collect().map(_.getString(0)).toSeq === Seq("k3", "k4", "k5"))
+    assert(PlanMetrics.scannedFiles(q.queryExecution.executedPlan) === 4L)
+    // the same range through the DataFrame API (no view) prunes too
+    val df = db.table("ev")
+      .filter(org.apache.spark.sql.functions.col("ts")
+        .between("2024-01-01 07:30:00", "2024-01-01 08:30:00"))
+      .select("key")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("k7", "k8"))
+    assert(PlanMetrics.scannedFiles(df.queryExecution.executedPlan) === 2L)
+    db.close()
+  }
 }
