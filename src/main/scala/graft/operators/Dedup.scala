@@ -604,6 +604,48 @@ object Dedup {
     * probe-limited assignment is approximate, so the oracle keeps the
     * flat quantizer; this is the production path ScaleProbe measures.
     */
+  /** Fitted-k-means clustering for the semantic-dedup family — the
+    * quantizer a production SemDeDup run actually uses (Abbas et al.
+    * 2023 §3 cluster the corpus with k-means; the seeded quantizer in
+    * [[semanticDedup]] exists so the DECLARED query is oracle-
+    * expressible). K-means assigns by Euclidean distance; the corpus
+    * embeddings are L2-normalized, so the nearest-centroid order
+    * matches the cosine order the rest of the family uses. One fit
+    * (centroids broadcast by Spark ML), one map-only transform —
+    * the corpus never shuffles for assignment. Returns (idCol, cell).
+    */
+  def semanticClustersFitted(
+      df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      seed: Long = 42L, maxIter: Int = 10): DataFrame =
+    fittedAssign(df, idCol, vecCol, nlist, seed, maxIter)
+      .select(col("__id").as(idCol), col("cell"))
+
+  /** [[semanticDedup]] over a FITTED k-means clustering
+    * ([[semanticClustersFitted]]) instead of the seeded quantizer —
+    * the production path, declared as d33e with a d3e-style
+    * self-validating verdict (fitted centroids are float aggregates,
+    * not oracle literals). Same greedy lower-id-wins drop rule, same
+    * within-cluster pairing plan. */
+  def semanticDedupFitted(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int,
+      seed: Long = 42L, maxIter: Int = 10): DataFrame =
+    greedyDropWithinCluster(
+      fittedAssign(df, idCol, vecCol, nlist, seed, maxIter), idCol, threshold)
+
+  private def fittedAssign(
+      df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      seed: Long, maxIter: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("features", array_to_vector(col("__vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .fit(c.select(col("features")))
+    model.transform(c)
+      .select(col("__id"), col("__vec"), col("prediction").as("cell"))
+  }
+
   def semanticDedupTwoLevel(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int, ncoarse: Int,

@@ -1035,6 +1035,71 @@ object NorthStarQueries {
         threshold = 0.35, nlist = 16)
       .orderBy(col("vec_id"))
 
+  /** D33e: semantic dedup over the FITTED-k-means clustering
+    * ([[Dedup.semanticDedupFitted]]) — the quantizer SemDeDup actually
+    * runs — declared with a d3e-style self-validating verdict row,
+    * since fitted centroids are float aggregates and cannot be oracle
+    * literals. Three in-query verdicts ride one SQL-exact anchor (the
+    * corpus count):
+    *   - keepers_ok: the greedy drop kept a non-empty strict subset
+    *     bound (1 ≤ keepers ≤ n);
+    *   - dupfree_ok: NO two keepers sharing a fitted cell sit at
+    *     cosine ≥ threshold — the structural postcondition of the
+    *     greedy lower-id-wins rule, falsifiable by any pairing bug;
+    *   - pair_recall_ok: of ALL brute-force duplicate pairs (cosine ≥
+    *     threshold over the full corpus — bounded: fixture-scale n²),
+    *     the fitted clustering co-locates at least 2× the CHANCE rate
+    *     Σ(|cluster|/n)² — the co-location probability of a random
+    *     pair, computed in-query from the fitted cluster sizes.
+    *     SemDeDup's recall is exactly this co-location fraction
+    *     (cross-cluster dups are BY DESIGN never compared), and
+    *     normalizing by chance makes the verdict scale-stable where an
+    *     absolute floor is not: measured 5.7×/6.7×/4.1× chance at
+    *     sf0.001/0.01/0.1 (recall 0.354/0.417/0.258 against ~0.0625),
+    *     so the 2× floor sits far under every shipped point — same
+    *     margin discipline as d3e. */
+  def semanticDedupFittedQ(spark: SparkSession, dir: String): DataFrame = {
+    val cos = NativeExpressions.cosineNative _
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val kept = Dedup.semanticDedupFitted(emb, "vec_id", "embedding",
+      threshold = 0.35, nlist = 16)
+    val kv = kept.join(emb, Seq("vec_id"))
+    val viol = kv.as("a")
+      .join(kv.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cos(col("a.embedding"), col("b.embedding")) >= 0.35)
+      .agg(count(lit(1)).as("n_viol"))
+    val asg = Dedup.semanticClustersFitted(emb, "vec_id", "embedding", 16)
+    val pairs = emb.as("x")
+      .join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .filter(cos(col("x.embedding"), col("y.embedding")) >= 0.35)
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
+    val recall = pairs
+      .join(asg.select(col("vec_id").as("ida"), col("cell").as("ca")), Seq("ida"))
+      .join(asg.select(col("vec_id").as("idb"), col("cell").as("cb")), Seq("idb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("ca") === col("cb"), 1)).as("n_coloc"))
+    // chance co-location of a random pair under these cluster sizes
+    val chance = asg.groupBy(col("cell"))
+      .agg(count(lit(1)).cast("double").as("m"))
+      .agg(sum(col("m") * col("m")).as("ss"))
+    emb.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_keepers")))
+      .crossJoin(viol)
+      .crossJoin(recall)
+      .crossJoin(chance)
+      .select(col("n_vecs"), lit(16).as("nlist"),
+        (col("n_keepers") >= 1 && col("n_keepers") <= col("n_vecs"))
+          .as("keepers_ok"),
+        (col("n_viol") === 0).as("dupfree_ok"),
+        (col("n_pairs") === 0 ||
+          col("n_coloc").cast("double") / col("n_pairs") >=
+            lit(2.0) * col("ss") /
+              (col("n_vecs").cast("double") * col("n_vecs")))
+          .as("pair_recall_ok"))
+  }
+
   /** D34: model-based quality filtering — the hashed linear scorer
     * ([[Curation.hashedQualityScore]]) over every document; emits the
     * score and the keep decision rather than filtering, so the oracle
@@ -2248,6 +2313,15 @@ object NorthStarQueries {
          |SELECT vec_id, cell FROM asgn
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |ORDER BY vec_id""".stripMargin)),
+    QueryDef("d33e_semantic_dedup_fitted", semanticDedupFittedQ, Some(
+      // self-validating (d3e pattern): exact anchor = corpus count; the
+      // keeper-bound, dupfree-postcondition and co-location-recall
+      // verdicts are computed in-query and must come out TRUE — see
+      // semanticDedupFittedQ's threshold margins
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs, 16 AS nlist,
+        |       TRUE AS keepers_ok, TRUE AS dupfree_ok,
+        |       TRUE AS pair_recall_ok
+        |FROM embeddings""".stripMargin)),
     QueryDef("d34_quality_classifier", qualityClassifierQ, Some(
       // same tokenization, same 256-bucket md5 feature hash (first two
       // hex chars), same exact-int64 bucket→weight map, same left-fold
