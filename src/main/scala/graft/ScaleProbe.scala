@@ -31,6 +31,8 @@ object ScaleProbe {
     if (args.headOption.contains("semantic2"))
       return semantic2Probe(args(1), args(2).toInt, args(3).toInt,
         args(4).toInt, if (args.length > 5) args(5).toDouble else 0.35)
+    if (args.headOption.contains("skewjoin")) return skewJoinProbe(args(1))
+    if (args.headOption.contains("skewlsh")) return skewLshProbe(args(1))
     val sfDir = args(0)
     val nlist = args(1).toInt
     val threshold = if (args.length > 2) args(2).toDouble else 0.35
@@ -106,6 +108,162 @@ object ScaleProbe {
         .agg(avg((col("cell") === col("cell_flat")).cast("double")))
         .collect()(0).getDouble(0)
       println(f"""{"probe":"semantic_dedup_two_level","nlist":$nlist,"ncoarse":$ncoarse,"nprobe":$nprobe,"rows":$rows,"keepers":$keepers,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"assign_agree":$agree%.4f}""")
+    } finally spark.stop()
+  }
+
+  /** Skew-stress join probe (r12, VERDICT item 7): ONE deliberately hot
+    * join key at derived scale, measured through the three defenses in
+    * preference order. The derived events fact gets ~25% of its rows
+    * remapped to a single user (hot_frac=0.5 — one key carries half the
+    * fact), then joins a non-broadcastable per-user dim (broadcast
+    * disabled to force the shuffle join a 100-TB dim would): (a) AQE
+    * skew-join ON — the default guard; the probe reads the
+    * AQEShuffleRead `numSkewedSplits` metric to prove the hot partition
+    * actually split; (b) AQE skew-join OFF — the straggler baseline the
+    * guard exists for; (c) Skew.saltedJoin — the no-AQE fallback for
+    * pipelines that must preserve partitioning. The AQE skew thresholds
+    * are scaled to the fixture (32 MB where the cluster default is
+    * 256 MB): at 100 TB the hot partition crosses the DEFAULT threshold
+    * naturally, and what is under test is the MECHANISM engaging, not
+    * the threshold constant. One JSON line with all three wall-clocks
+    * and the split count. */
+  private def skewJoinProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val ev0 = graft.core.Tables.normTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      // hot key: every 2nd row lands on user -7 (deterministic)
+      val ev = ev0.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(2)) === 0, lit(-7L))
+          .otherwise(col("user_id")))
+        .select(col("user_id"), col("event_type"), col("value"))
+        .persist()
+      val rows = ev.count()
+      // dim goes to parquet and back: a PERSISTED dim would arrive at
+      // the join pre-partitioned from its own build (no shuffle stage
+      // on that side), and OptimizeSkewedJoin can only split when BOTH
+      // sides are shuffle reads it can re-slice/replicate
+      val dimDir = java.nio.file.Files.createTempDirectory("skew_dim").toString
+      ev.select(col("user_id")).distinct()
+        .withColumn("w", pmod(xxhash64(col("user_id")), lit(97)).cast("double"))
+        .write.mode("overwrite").parquet(s"$dimDir/dim")
+      val dim = spark.read.parquet(s"$dimDir/dim")
+      val dimRows = dim.count()
+      def shape(joined: org.apache.spark.sql.DataFrame) = joined
+        .groupBy(col("event_type"))
+        .agg(sum(col("value") * col("w")).as("wv"), count(lit(1)).as("n"))
+      def time3(mk: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        var skewSplits = 0L
+        mk().collect() // warm
+        val t = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          val df = mk()
+          df.collect()
+          skewSplits = collectMetric(df.queryExecution.executedPlan,
+            "numSkewedSplits")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (t, skewSplits)
+      }
+      val (aqeOn, splitsOn) =
+        time3(() => shape(ev.join(dim, Seq("user_id"))))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (aqeOff, _) =
+        time3(() => shape(ev.join(dim, Seq("user_id"))))
+      val (salted, _) =
+        time3(() => shape(graft.operators.Skew.saltedJoin(ev, dim, "user_id")))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      println(f"""{"probe":"skew_join","rows":$rows,"dim_rows":$dimRows,"hot_frac":0.5,"aqe_skew_sec":$aqeOn%.3f,"aqe_skew_splits":$splitsOn,"no_guard_sec":$aqeOff%.3f,"salted_sec":$salted%.3f}""")
+    } finally spark.stop()
+  }
+
+  /** Sum a named SQLMetric over the executed plan, unwrapping the AQE
+    * leaf wrappers (PlanMetrics pattern). */
+  private def collectMetric(
+      p: org.apache.spark.sql.execution.SparkPlan, name: String): Long = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p match {
+      case a: AdaptiveSparkPlanExec => collectMetric(a.executedPlan, name)
+      case q: QueryStageExec => collectMetric(q.plan, name)
+      case r: ReusedExchangeExec => collectMetric(r.child, name)
+      case other =>
+        val own = other.metrics.get(name).map(_.value).getOrElse(0L)
+        own + other.children.map(collectMetric(_, name)).sum
+    }
+  }
+
+  /** Hot-LSH-bucket stress (r12, VERDICT item 7): 20k documents with
+    * IDENTICAL text join the derived corpus — every band maps them to
+    * ONE bucket, where uncapped pairing would emit
+    * bands × C(20k, 2) ≈ 3.2e9 verify pairs from single tasks. The
+    * maxBucket chain+anchor cap bounds the hot bucket to linear pair
+    * mass (≈ members × (chainWidth + 1) per band) while keeping the
+    * duplicate CLASS connected through the anchor, so the dedup result
+    * is unchanged where it matters: the probe asserts every hot doc
+    * still pairs (transitively) with the class representative. One JSON
+    * line: wall-clock, verified-pair count, and the capped-vs-uncapped
+    * pair-mass arithmetic from lshBucketStats. */
+  private def skewLshProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val base = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+      val hotN = 20000
+      val hot = spark.range(hotN).select(
+        (col("id") + base).as("doc_id"),
+        lit("the one hot duplicate document that floods a single " +
+          "minhash bucket with identical shingle sets").as("text"))
+      val corpus = docs.unionByName(hot).persist()
+      val rows = corpus.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minHashLsh(corpus, "doc_id", "text",
+        shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .persist()
+      val nPairs = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // connectivity: every hot doc reachable from the class anchor —
+      // with identical texts the anchor rule guarantees a direct pair
+      // to the bucket's first member, so the hot class collapses to one
+      // component; count hot ids that appear in ANY >=0.99 pair
+      val hotIds = pairs.filter(col("jaccard") >= 0.99)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .filter(col("id") >= base).distinct().count()
+      val stats = graft.operators.Dedup.lshBucketStats(
+        graft.operators.Dedup.bandBuckets(corpus, "doc_id", "text",
+          shingleK = 3, bands = 16, rowsPerBand = 4),
+        maxBucket = 1024)
+        .agg(max(col("size")).as("max_members"),
+          sum(col("pairs_emitted")).as("pairs_emitted"),
+          sum(col("pairs_uncapped")).as("pairs_uncapped"))
+        .collect()(0)
+      println(f"""{"probe":"skew_lsh","rows":$rows,"hot_docs":$hotN,"lsh_sec":$sec%.3f,"verified_pairs":$nPairs,"hot_connected":${hotIds == hotN},"max_bucket_members":${stats.getLong(0)},"pair_mass_emitted":${stats.getLong(1)},"pair_mass_uncapped":${stats.getLong(2)}}""")
     } finally spark.stop()
   }
 

@@ -45,24 +45,7 @@ object Dedup {
       threshold: Double = 0.7, maxBucket: Int = 1024,
       chainWidth: Int = 4): DataFrame = {
 
-    val numHashes = bands * rowsPerBand
-    val base = df.select(
-      col(idCol).as("id"),
-      col(textCol).as("text"),
-      minHashSignature(col(textCol), shingleK, numHashes).as("sig"))
-
-    // Band buckets via ONE posexplode over the signature — a per-band
-    // union would recompute the (expensive) signature once per band.
-    // Only (band, bucket, id) enters the shuffle: carrying text would
-    // shuffle every document `bands` times (measured: dominates runtime).
-    val banded = base
-      .select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(to_json(struct(
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("s")))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = bandBuckets(df, idCol, textCol, shingleK, bands, rowsPerBand)
 
     // pair extraction without a self-join (signatures evaluated once).
     // Verify: per-doc sorted shingle-hash arrays joined back ONLY for
@@ -82,6 +65,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** (band, bucket, id) rows for the MinHash banding — via ONE
+    * posexplode over the signature (a per-band union would recompute
+    * the expensive signature once per band), and only (band, bucket,
+    * id) enters the shuffle: carrying text would shuffle every document
+    * `bands` times (measured: dominates runtime). Shared by
+    * [[minHashLsh]] and the [[lshBucketStats]] monitoring surface. */
+  def bandBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        minHashSignature(col(textCol), shingleK, bands * rowsPerBand).as("sig"))
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(to_json(struct(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("s")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
 
   /** Distinct candidate pairs (id_a < id_b) from bucketed rows, WITHOUT a
     * self-join: each row pairs with its in-bucket predecessors (id order)
