@@ -33,6 +33,7 @@ object ScaleProbe {
         args(4).toInt, if (args.length > 5) args(5).toDouble else 0.35)
     if (args.headOption.contains("skewjoin")) return skewJoinProbe(args(1))
     if (args.headOption.contains("skewlsh")) return skewLshProbe(args(1))
+    if (args.headOption.contains("envdelete")) return envDeleteProbe(args(1))
     val sfDir = args(0)
     val nlist = args(1).toInt
     val threshold = if (args.length > 2) args(2).toDouble else 0.35
@@ -312,6 +313,83 @@ object ScaleProbe {
       val bucketed = time3(() =>
         shape(spark.table("li_b"), spark.table("ord_b")))
       println(f"""{"probe":"bucket_join","rows":${li.count()},"direct_min_sec":$direct%.3f,"bucketed_min_sec":$bucketed%.3f,"bucket_write_sec":$writeSec%.2f}""")
+    } finally spark.stop()
+  }
+
+  /** Per-bucket key-envelope delete at derived scale (r12, VERDICT item
+    * 6 measured): a 10 M-row table with day buckets and DAY-PREFIXED
+    * keys (`d<DD>/u<user>` — each bucket's [key_min, key_max] envelope
+    * covers exactly its own day's prefix), then ONE erasure batch of
+    * every key from days 05–07 PLUS one stray high key ("zzz…") — the
+    * r11 worst case: the stray inflates the GLOBAL envelope to cover
+    * every bucket, so the pre-r12 prune would scan all 30; the
+    * per-bucket check must touch only the 3 clustered days. Reports
+    * wall-clock, rows deleted, and buckets rewritten (mtime evidence,
+    * not a claim). */
+  private def envDeleteProbe(sfDir: String): Unit = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("envdel_probe").toString
+      val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day"))
+      try {
+        db.createTable("ev")
+        val ev = graft.core.Tables.normTs(
+            spark.read.parquet(s"$sfDir/events.parquet"))
+          .select(concat(lit("d"), date_format(col("ts"), "dd"), lit("/u"),
+              col("user_id").cast("string")).as("key"),
+            col("ts"), encode(col("event_type"), "UTF-8").as("data"))
+        db.insert("ev", ev.as[ChronoRow])
+        val total = ev.count()
+        val tdir = java.nio.file.Paths.get(root, "ev")
+        def mtimes(): Map[String, Long] = {
+          val s = java.nio.file.Files.walk(tdir)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(_.toString.endsWith(".parquet"))
+              .map(p => p.toString ->
+                java.nio.file.Files.getLastModifiedTime(p).toMillis)
+              .toMap
+          } finally s.close()
+        }
+        val before = mtimes()
+        val bucketsTotal = java.nio.file.Files.list(tdir).count()
+        val doomed = ev.filter(col("key") < lit("d08"))
+          .filter(col("key") >= lit("d05"))
+          .select(col("key")).distinct()
+          .unionByName(Seq("zzz_stray_key").toDF("key"))
+        val batchKeys = doomed.count()
+        val t0 = System.nanoTime()
+        val deleted = db.deleteMatching("ev", doomed)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = mtimes()
+        def bucketOf(p: String): Option[String] =
+          "bucket=([0-9-]+)".r.findFirstMatchIn(p).map(_.group(1))
+        // a fully-doomed bucket is DROPPED (dir gone), a partly-doomed
+        // one is rewritten (new file mtimes); both count as touched
+        // rewrites land as NEW part files, so count both new paths and
+        // changed mtimes; a dropped bucket is one with no files left
+        val afterBuckets = after.keySet.flatMap(bucketOf)
+        val dropped = before.keySet.diff(after.keySet).flatMap(bucketOf)
+          .diff(afterBuckets)
+        val rewritten = (after.keySet.diff(before.keySet).flatMap(bucketOf) ++
+          after.filter { case (p, m) => before.contains(p) && before(p) != m }
+            .keys.flatMap(bucketOf)).toSet
+        val touched = (dropped ++ rewritten).toSeq.sorted
+        println(f"""{"probe":"env_delete","rows":$total,"batch_keys":$batchKeys,"deleted":$deleted,"delete_sec":$sec%.2f,"buckets_total":$bucketsTotal,"buckets_dropped":${dropped.size},"buckets_rewritten":${rewritten.size},"touched":"${touched.mkString(",")}"}""")
+      } finally db.close()
     } finally spark.stop()
   }
 

@@ -56,8 +56,9 @@ object Engine {
   /** Expose the native expressions to SQL:
     * minhash_sig(text, k, n), simhash64(text), hyperplane_sig(vec, bits,
     * seed), cosine_native(a, b), shingle_jaccard(a, b, k),
+    * shingle_hashes(text, k), sorted_jaccard(ha, hb),
     * doc_fingerprint(text), token_hash62(s), int8_quantize(vec),
-    * int8_dot(a, b),
+    * int8_dot(a, b), pq_encode(vec, cents, m, subDim),
     * topk_by_score(score, id, k) (aggregate),
     * ngrams_explode(text, n) (table-generating). */
   def registerFunctions(spark: SparkSession): Unit = {
@@ -93,6 +94,14 @@ object Engine {
     reg.createOrReplaceTempFunction("pq_encode",
       es => PqEncodeExpr(es.head, es(1),
         intArg(es(2), "m"), intArg(es(3), "subDim")), "scala_udf")
+    // the set-similarity decomposition (the d2/d27 verify hot path):
+    // shingle_hashes(text, k) pre-hashes each side ONCE, sorted_jaccard
+    // merge-walks two pre-hashed sets — `SELECT sorted_jaccard(
+    // shingle_hashes(a.text, 3), shingle_hashes(b.text, 3))`
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashesExpr(es.head, intArg(es(1), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_jaccard",
+      es => SortedJaccardExpr(es.head, es(1)), "scala_udf")
     // aggregate (UDAF surface): SELECT g, topk_by_score(score, id, 5) ...
     reg.createOrReplaceTempFunction("topk_by_score",
       es => TopKByScoreAgg(es.head, es(1), intArg(es(2), "k"))

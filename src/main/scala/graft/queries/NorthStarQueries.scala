@@ -1035,6 +1035,44 @@ object NorthStarQueries {
         threshold = 0.35, nlist = 16)
       .orderBy(col("vec_id"))
 
+  /** Shared oracle for d33/d33f: same seeded centroids (vec_id < 16),
+    * same argmax assignment (cos DESC, cell ASC), same greedy
+    * lower-id-wins drop rule — cosine via the shared bit-identical
+    * left-fold formulation. */
+  private lazy val semanticDedupOracle: String =
+    s"""WITH cent AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 16),
+       |asgn AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |losers AS (
+       |  SELECT b.vec_id FROM asgn a JOIN asgn b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+       |SELECT vec_id, cell FROM asgn
+       |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+       |ORDER BY vec_id""".stripMargin
+
+  /** D33f: the TWO-LEVEL (coarse-then-fine) assignment path of
+    * [[Dedup.semanticDedupTwoLevel]] inside the hash gate. With
+    * nprobe = ncoarse the probe is EXHAUSTIVE — every fine centroid is
+    * a candidate, so the assignment provably equals the flat argmax
+    * (same (cos DESC, cell ASC) tie rule) and d33's oracle applies
+    * verbatim. What the gate then checks is the two-level MACHINERY —
+    * the fine→coarse membership map, the in-row member lookup, the
+    * candidate concat, the nested argmax — bit-for-bit against DuckDB;
+    * the probe-limited speed/recall trade is measured in BASELINE.md §D
+    * (ScaleProbe semantic2). */
+  def semanticDedupTwoLevelQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupTwoLevel(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.35, nlist = 16, ncoarse = 4, nprobe = 4)
+      .orderBy(col("vec_id"))
+
   /** D33e: semantic dedup over the FITTED-k-means clustering
     * ([[Dedup.semanticDedupFitted]]) — the quantizer SemDeDup actually
     * runs — declared with a d3e-style self-validating verdict row,
@@ -2292,27 +2330,13 @@ object NorthStarQueries {
         |  SELECT id_a, n2 AS id_b FROM l)
         |WHERE id_b IS NOT NULL
         |ORDER BY id_a, id_b""".stripMargin)),
-    QueryDef("d33_semantic_dedup", semanticDedupQ, Some(
-      // same seeded centroids (vec_id < 16), same argmax assignment
-      // (cos DESC, cell ASC), same greedy lower-id-wins drop rule —
-      // cosine via the shared bit-identical left-fold formulation
-      s"""WITH cent AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cv
-         |  FROM embeddings WHERE vec_id < 16),
-         |asgn AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN cent c)
-         |  WHERE rn = 1),
-         |losers AS (
-         |  SELECT b.vec_id FROM asgn a JOIN asgn b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
-         |SELECT vec_id, cell FROM asgn
-         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
-         |ORDER BY vec_id""".stripMargin)),
+    QueryDef("d33_semantic_dedup", semanticDedupQ,
+      Some(semanticDedupOracle)),
+    QueryDef("d33f_semantic_dedup_twolevel", semanticDedupTwoLevelQ,
+      // EXHAUSTIVE probe (nprobe = ncoarse) makes the two-level
+      // assignment equal the flat argmax, so the d33 oracle applies
+      // VERBATIM — the hash compare covers the two-level machinery
+      Some(semanticDedupOracle)),
     QueryDef("d33e_semantic_dedup_fitted", semanticDedupFittedQ, Some(
       // self-validating (d3e pattern): exact anchor = corpus count; the
       // keeper-bound, dupfree-postcondition and co-location-recall

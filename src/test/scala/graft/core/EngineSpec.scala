@@ -56,6 +56,18 @@ class EngineSpec extends SparkSuite {
         |               named_struct('cell', 1, 'cv', array(1.0F, 0.0F))),
         |         1, 2) AS code""".stripMargin).head()
     assert(pq.getAs[scala.collection.Seq[Int]]("code") === Seq(1))
+    // the decomposed set-similarity pair: pre-hash once per side, then
+    // merge-walk — must equal the one-shot shingle_jaccard
+    val sj = spark.sql(
+      """SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |       sorted_jaccard(shingle_hashes(a.text, 3),
+        |                      shingle_hashes(b.text, 3)) AS j2,
+        |       shingle_jaccard(a.text, b.text, 3) AS j1
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id LIMIT 5""".stripMargin).collect()
+    assert(sj.nonEmpty)
+    sj.foreach(r =>
+      assert(r.getAs[Double]("j2") === r.getAs[Double]("j1")))
   }
 
   test("registerFunctions exposes the UDAF and UDTF surfaces to SQL") {
