@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   *
   * Fully deterministic (hash-derived jitter, no RNG), one job per table,
   * ~32 output files per fact table. Usage:
-  *   sbt "runMain graft.ScaleGen <outDir> [replication=10] [sfDir=/root/testdata/sf0.1]"
+  *   sbt "runMain graft.ScaleGen <outDir> [replication=10] [sfDir=/root/testdata/sf0.1] [tables=all]"
+  * (tables: comma-separated subset, e.g. "documents,embeddings" for a
+  * third-decade corpus without the 600 M-row fact tables)
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -51,13 +53,20 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, sfDir, outDir, k)
+    val tables =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty[String]
+    try generate(spark, sfDir, outDir, k, tables)
     finally spark.stop()
   }
 
-  def generate(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
+  /** @param only restrict generation to these tables (empty = all) —
+    *   lets a THIRD-decade corpus (documents/embeddings at 1000×) be
+    *   derived without also writing a 600 M-row lineitem. */
+  def generate(spark: SparkSession, sfDir: String, outDir: String, k: Int,
+      only: Set[String] = Set.empty): Unit = {
     def src(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
     def write(df: DataFrame, name: String, parts: Int): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       df.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scalegen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
     }

@@ -23,6 +23,11 @@ import org.apache.spark.sql.SparkSession
   * "rows":n,"keepers":k,"warm_sec":…,"min_sec":…} or the upsert twin.
   */
 object ScaleProbe {
+  /** Timed-run count after the warm-up (default 3; SPARK_GRAFT_PROBE_RUNS
+    * trims it for third-decade points where one run is minutes). */
+  private def probeRuns: Int =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("upsert"))
       return upsertProbe(args(1),
@@ -57,10 +62,10 @@ object ScaleProbe {
         (k, (System.nanoTime() - t0) / 1e9)
       }
       val (_, warm) = once()
-      val runs = Seq.fill(3)(once())
+      val runs = Seq.fill(probeRuns)(once())
       val keepers = runs.head._1
       val minSec = runs.map(_._2).min
-      println(f"""{"probe":"semantic_dedup","nlist":$nlist,"rows":$rows,"keepers":$keepers,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f}""")
+      println(f"""{"probe":"semantic_dedup","nlist":$nlist,"rows":$rows,"keepers":$keepers,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
     } finally spark.stop()
   }
 
@@ -94,21 +99,26 @@ object ScaleProbe {
         (k, (System.nanoTime() - t0) / 1e9)
       }
       val (_, warm) = once()
-      val runs = Seq.fill(3)(once())
+      val runs = Seq.fill(probeRuns)(once())
       val keepers = runs.head._1
       val minSec = runs.map(_._2).min
       // agreement vs the flat argmax: threshold > 1 keeps every row, so
-      // both outputs are the raw assignment surface (id -> cell)
+      // both outputs are the raw assignment surface (id -> cell).
+      // SPARK_GRAFT_PROBE_AGREE=0 skips it — at third-decade corpus
+      // sizes the flat argmax inside the agreement pass costs more than
+      // the probe itself
       val flat = graft.operators.Dedup
         .semanticDedup(emb, "vec_id", "embedding", 1.1, nlist)
         .withColumnRenamed("cell", "cell_flat")
-      val agree = graft.operators.Dedup
-        .semanticDedupTwoLevel(emb, "vec_id", "embedding", 1.1,
-          nlist, ncoarse, nprobe)
-        .join(flat, Seq("vec_id"))
-        .agg(avg((col("cell") === col("cell_flat")).cast("double")))
-        .collect()(0).getDouble(0)
-      println(f"""{"probe":"semantic_dedup_two_level","nlist":$nlist,"ncoarse":$ncoarse,"nprobe":$nprobe,"rows":$rows,"keepers":$keepers,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"assign_agree":$agree%.4f}""")
+      val agree =
+        if (sys.env.get("SPARK_GRAFT_PROBE_AGREE").contains("0")) -1.0
+        else graft.operators.Dedup
+          .semanticDedupTwoLevel(emb, "vec_id", "embedding", 1.1,
+            nlist, ncoarse, nprobe)
+          .join(flat, Seq("vec_id"))
+          .agg(avg((col("cell") === col("cell_flat")).cast("double")))
+          .collect()(0).getDouble(0)
+      println(f"""{"probe":"semantic_dedup_two_level","nlist":$nlist,"ncoarse":$ncoarse,"nprobe":$nprobe,"rows":$rows,"keepers":$keepers,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"assign_agree":$agree%.4f,"timed_runs":$probeRuns}""")
     } finally spark.stop()
   }
 
