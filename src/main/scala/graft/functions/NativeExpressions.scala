@@ -122,6 +122,115 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Two-level coarse-then-fine argmax assignment — the semantic-dedup
+    * production quantizer's hot loop ([[graft.operators.Dedup.semanticDedupTwoLevel]])
+    * as ONE primitive-loop kernel. The HOF formulation (array_sort +
+    * slice + flatten + element_at + array_max over structs) evaluates
+    * interpreted with per-element boxing — this kernel does the same
+    * work on raw ArrayData/MapData and replicates its ORDERING
+    * semantics exactly, so the d33f exhaustive-equality contract is
+    * preserved:
+    *  - probe selection = top `nprobe` coarse cells by (cos DESC,
+    *    ccell ASC);
+    *  - candidates = the probed cells' fine members (MapData lookup —
+    *    linear key scan; MapData is not hashed, and ncoarse int
+    *    compares per probe are noise next to the cosines saved) PLUS
+    *    the probed coarse centroids themselves (non-empty guarantee);
+    *  - winner = (cos DESC, cell ASC);
+    *  - double comparisons follow Spark's total order (NaN greatest,
+    *    ±0.0 equal — normalized before compare), matching what the
+    *    struct sort/argmax did.
+    * Returns null only for an empty coarse array.
+    *
+    * @param cd coarse: ArrayData of struct(ccell: Int, cv: Array[Float])
+    * @param md finemap: MapData ccell -> ArrayData of struct(cell, cv)
+    */
+  def twoLevelAssign(vd: Any, cd: Any, md: Any, nprobe: Int): Any = {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+    val coarse = cd.asInstanceOf[ArrayData]
+    val map = md.asInstanceOf[MapData]
+    val nc = coarse.numElements()
+    if (nc == 0 || nprobe < 1) return null
+    def norm(c: Double): Double = if (c == 0.0) 0.0 else c // -0.0 -> +0.0
+    // cosines against every coarse centroid (the O(ncoarse) half)
+    val cosArr = new Array[Double](nc)
+    val cellArr = new Array[Int](nc)
+    var i = 0
+    while (i < nc) {
+      val row = coarse.getStruct(i, 2)
+      cellArr(i) = row.getInt(0)
+      cosArr(i) = norm(cosine(vd, row.getArray(1)))
+      i += 1
+    }
+    // select top-nprobe by (cos desc, ccell asc): repeated max scan —
+    // nprobe * ncoarse compares, negligible next to the cosines
+    val p = math.min(nprobe, nc)
+    val taken = new Array[Boolean](nc)
+    var k = 0
+    val probeIdx = new Array[Int](p)
+    while (k < p) {
+      var bi = -1; var bc = 0.0; var bl = 0
+      i = 0
+      while (i < nc) {
+        if (!taken(i)) {
+          val cmp =
+            if (bi < 0) 1
+            else {
+              val dc = java.lang.Double.compare(cosArr(i), bc)
+              if (dc != 0) dc else Integer.compare(bl, cellArr(i))
+            }
+          if (cmp > 0) { bi = i; bc = cosArr(i); bl = cellArr(i) }
+        }
+        i += 1
+      }
+      taken(bi) = true
+      probeIdx(k) = bi
+      k += 1
+    }
+    // argmax over the probed cells' members + the probed centroids
+    var haveBest = false
+    var bCos = 0.0
+    var bCell = 0
+    def consider(cell: Int, cos: Double): Unit = {
+      val c = norm(cos)
+      val better =
+        if (!haveBest) true
+        else {
+          val dc = java.lang.Double.compare(c, bCos)
+          dc > 0 || (dc == 0 && cell < bCell)
+        }
+      if (better) { haveBest = true; bCos = c; bCell = cell }
+    }
+    val keys = map.keyArray()
+    val vals = map.valueArray()
+    val nm = map.numElements()
+    k = 0
+    while (k < p) {
+      val ci = probeIdx(k)
+      val ccell = cellArr(ci)
+      // the probed coarse centroid stands in as its own cell's candidate
+      consider(ccell, cosArr(ci))
+      var mi = 0
+      var found = -1
+      while (found < 0 && mi < nm) {
+        if (keys.getInt(mi) == ccell) found = mi
+        mi += 1
+      }
+      if (found >= 0) {
+        val members = vals.getArray(found)
+        val nMem = members.numElements()
+        var j = 0
+        while (j < nMem) {
+          val m = members.getStruct(j, 2)
+          consider(m.getInt(0), cosine(vd, m.getArray(1)))
+          j += 1
+        }
+      }
+      k += 1
+    }
+    Integer.valueOf(bCell)
+  }
+
   /** Integer dot product of two int8 code vectors — exact int64
     * arithmetic, no FP anywhere. Long.MinValue is the length-mismatch
     * sentinel (mapped to SQL NULL by the expression). */
@@ -586,6 +695,35 @@ object NativeExpressions {
     override def prettyName: String = "pq_encode"
   }
 
+  /** Two-level quantizer assignment — see [[Kernels.twoLevelAssign]].
+    * Codegen'd static call; null only for an empty coarse array. */
+  case class TwoLevelAssignExpr(vec: Expression, coarse: Expression,
+      finemap: Expression, nprobe: Int)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    require(nprobe >= 1, "two_level_assign: nprobe must be >= 1")
+    override def first: Expression = vec
+    override def second: Expression = coarse
+    override def third: Expression = finemap
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any, c: Any, m: Any): Any =
+      Kernels.twoLevelAssign(v, c, m, nprobe)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, c, m) =>
+        s"""
+           |Object r = graft.functions.Kernels.twoLevelAssign($v, $c, $m, $nprobe);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((java.lang.Integer) r).intValue(); }
+         """.stripMargin)
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Expression =
+      copy(vec = newFirst, coarse = newSecond, finemap = newThird)
+    override def prettyName: String = "two_level_assign"
+  }
+
   // Spark 4 Column is ColumnNode-backed; the bridge exposes the
   // sql-private Expression<->Column conversions.
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -601,6 +739,11 @@ object NativeExpressions {
 
   def pqEncodeNative(vec: Column, cents: Column, m: Int, subDim: Int): Column =
     column(PqEncodeExpr(expression(vec), expression(cents), m, subDim))
+
+  def twoLevelAssign(vec: Column, coarse: Column, finemap: Column,
+      nprobe: Int): Column =
+    column(TwoLevelAssignExpr(expression(vec), expression(coarse),
+      expression(finemap), nprobe))
 
   def shingleJaccardNative(a: Column, b: Column, k: Int): Column =
     column(ShingleJaccardExpr(expression(a), expression(b), k))

@@ -592,11 +592,12 @@ object Dedup {
     * The fine→coarse membership map is built once at centroid scale
     * (nlist × ncoarse cosines — negligible) and ships as ONE broadcast
     * row: a sorted coarse array plus a map<coarse cell → sorted member
-    * array>, so assignment stays map-only with `element_at` doing the
-    * per-cell member lookup in O(1) — no per-row pass over all nlist
-    * entries. The probed coarse centroids ride along as candidates of
-    * their own cell, so the candidate array is provably non-empty even
-    * if a tie emptied some coarse cell's member list.
+    * array>; per-row assignment is the native
+    * [[NativeExpressions.twoLevelAssign]] kernel (primitive loops over
+    * the broadcast structures — no per-row pass over all nlist
+    * entries, no HOF boxing). The probed coarse centroids ride along
+    * as candidates of their own cell, so the candidate set is provably
+    * non-empty even if a tie emptied some coarse cell's member list.
     *
     * With nprobe = ncoarse this is EXHAUSTIVE — every fine centroid is
     * a candidate and the assignment equals the flat argmax exactly
@@ -677,29 +678,18 @@ object Dedup {
       .agg(map_from_entries(collect_list(struct(col("ccell"), col("members"))))
         .as("finemap"))
       .crossJoin(coarse)
+    // assignment is ONE native expression
+    // (NativeExpressions.twoLevelAssign): probe the nprobe nearest
+    // coarse cells, argmax over their members + the probed centroids —
+    // the HOF formulation (array_sort + slice + flatten + element_at +
+    // array_max over structs) computes identically but evaluates
+    // interpreted with per-element boxing; measured 1.8–3.0× slower
+    // across the 200 k / 2 M-vector sweeps (BASELINE.md §D)
     val assigned = df
       .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
       .crossJoin(broadcast(packed))
-      // nprobe nearest coarse cells: sort (-cos, ccell) asc, slice.
-      // Each probed entry carries its centroid vector so it can stand
-      // in as a candidate of its own cell below.
-      .withColumn("probed", slice(array_sort(transform(col("coarse"),
-        c => struct(
-          (-cos(col("__vec"), c.getField("cv"))).as("ncos"),
-          c.getField("ccell").as("ccell"),
-          c.getField("cv").as("cv")))), 1, nprobe))
-      // candidates = the probed cells' fine members (O(1) map lookup
-      // per probed cell) + the probed coarse centroids themselves
-      .withColumn("cands", concat(
-        flatten(transform(col("probed"), p => coalesce(
-          element_at(col("finemap"), p.getField("ccell")),
-          array().cast("array<struct<cell:int,cv:array<float>>>")))),
-        transform(col("probed"), p => struct(
-          p.getField("ccell").as("cell"), p.getField("cv").as("cv")))))
-      .withColumn("cell", array_max(transform(col("cands"), ct => struct(
-        cos(col("__vec"), ct.getField("cv")).as("cos"),
-        (-ct.getField("cell")).as("negcell"),
-        ct.getField("cell").as("cell")))).getField("cell"))
+      .withColumn("cell", NativeExpressions.twoLevelAssign(
+        col("__vec"), col("coarse"), col("finemap"), nprobe))
       .select(col("__id"), col("__vec"), col("cell"))
     greedyDropWithinCluster(assigned, idCol, threshold)
   }

@@ -175,4 +175,32 @@ class NativeExpressionsSpec extends SparkSuite {
       }
     }
   }
+
+  test("twoLevelAssign survives strict codegen and picks the nearest fine centroid") {
+    // coarse cells 0 (x-axis) and 1 (y-axis); fine members: cell 0
+    // holds {0: x-axis, 2: xy-diagonal}, cell 1 holds {1: y-axis}.
+    // A vector near the diagonal probes cell 0 first (nprobe=1) and
+    // must pick fine cell 2; a vector near y probes cell 1 -> cell 1.
+    withCodegenStrict {
+      import org.apache.spark.sql.functions._
+      val df = Seq(
+        (10L, Seq(0.9f, 0.8f)),
+        (11L, Seq(0.1f, 1.0f))
+      ).toDF("id", "v")
+        .withColumn("coarse", array(
+          struct(lit(0).as("ccell"), array(lit(1.0f), lit(0.0f)).as("cv")),
+          struct(lit(1).as("ccell"), array(lit(0.0f), lit(1.0f)).as("cv"))))
+        .withColumn("finemap", map_from_entries(array(
+          struct(lit(0), array(
+            struct(lit(0).as("cell"), array(lit(1.0f), lit(0.0f)).as("cv")),
+            struct(lit(2).as("cell"), array(lit(0.7f), lit(0.7f)).as("cv")))),
+          struct(lit(1), array(
+            struct(lit(1).as("cell"), array(lit(0.0f), lit(1.0f)).as("cv")))))))
+      val out = df.select(col("id"),
+          NativeExpressions.twoLevelAssign(col("v"), col("coarse"),
+            col("finemap"), 1).as("cell"))
+        .as[(Long, Int)].collect().toMap
+      assert(out === Map(10L -> 2, 11L -> 1))
+    }
+  }
 }
