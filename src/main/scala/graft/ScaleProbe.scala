@@ -36,6 +36,8 @@ object ScaleProbe {
     if (args.headOption.contains("semantic2"))
       return semantic2Probe(args(1), args(2).toInt, args(3).toInt,
         args(4).toInt, if (args.length > 5) args(5).toDouble else 0.35)
+    if (args.headOption.contains("substr"))
+      return substrProbe(args(1), if (args.length > 2) args(2).toInt else 8)
     if (args.headOption.contains("skewjoin")) return skewJoinProbe(args(1))
     if (args.headOption.contains("skewlsh")) return skewLshProbe(args(1))
     if (args.headOption.contains("envdelete")) return envDeleteProbe(args(1))
@@ -138,6 +140,45 @@ object ScaleProbe {
     * naturally, and what is under test is the MECHANISM engaging, not
     * the threshold constant. One JSON line with all three wall-clocks
     * and the split count. */
+  /** d35 substring-span-removal scaling: runs
+    * [[graft.operators.Dedup.substringDedup]] over a documents fixture
+    * and reports corpus size, dup-span mass, and wall time. The derived
+    * fixtures word-scramble replicas >0, so the duplicated-span mass
+    * stays roughly constant while the corpus grows k× — exactly the
+    * production shape (rare boilerplate in a huge corpus), which makes
+    * the probe measure the gram-shuffle cost, the term that dominates
+    * at 100 TB. */
+  private def substrProbe(sfDir: String, w: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val rows = docs.count()
+      def once(): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val agg = graft.operators.Dedup
+          .substringDedup(docs, "doc_id", "text", w)
+          .agg(sum(col("n_removed")).as("removed"),
+            sum((col("n_removed") > 0).cast("long")).as("docs_hit"))
+          .collect()(0)
+        (agg.getLong(0), agg.getLong(1), (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, _, warm) = once()
+      val runs = Seq.fill(probeRuns)(once())
+      val (removed, docsHit) = (runs.head._1, runs.head._2)
+      val minSec = runs.map(_._3).min
+      println(f"""{"probe":"substring_dedup","w":$w,"rows":$rows,"tokens_removed":$removed,"docs_hit":$docsHit,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
+    } finally spark.stop()
+  }
+
   private def skewJoinProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkSession.builder()

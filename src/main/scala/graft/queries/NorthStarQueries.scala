@@ -1152,6 +1152,20 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D35: cross-document repeated-span REMOVAL
+    * ([[Dedup.substringDedup]], the Lee-et-al substring-dedup recipe
+    * window-wise) — w=8 token windows shared by ≥2 docs mark positions
+    * to drop; output is the REWRITTEN corpus plus removal counts, so
+    * the oracle pins span detection, position cover, and text
+    * reconstruction in one hash. w=8 is long enough that natural
+    * prose never collides (d13's 3-gram boilerplate metric saturates
+    * at that length) and short enough that the fixture's near-dup
+    * documents produce real spans. */
+  def substringDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(
+        t(spark, dir, "documents"), "doc_id", "text", w = 8)
+      .orderBy(col("doc_id"))
+
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
     * that multi-dimensional range pruning sorts by at scale (the
     * reference's tablets are time-ordered only; this generalizes its
@@ -2346,6 +2360,33 @@ object NorthStarQueries {
         |       TRUE AS keepers_ok, TRUE AS dupfree_ok,
         |       TRUE AS pair_recall_ok
         |FROM embeddings""".stripMargin)),
+    QueryDef("d35_substring_dedup", substringDedupQ, Some(
+      // same tokenizer as every text oracle; grams are exact strings
+      // (collision-free), cover = union of [i, i+7] for dup windows,
+      // reconstruction = surviving tokens in position order
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |wn AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+        |dg AS (SELECT g FROM wn GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p
+        |        FROM wn JOIN dg USING (g),
+        |             unnest(generate_series(i, i + 7)) AS v(p)),
+        |cd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |       FROM cov GROUP BY doc_id),
+        |tp AS (SELECT doc_id, p, toks[p] AS tok
+        |       FROM t, unnest(generate_series(1, len(toks))) AS u(p)),
+        |keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |         ANTI JOIN cov USING (doc_id, p)),
+        |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |       FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(cd.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(cl.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN cd USING (doc_id) LEFT JOIN cl USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)),
     QueryDef("d34_quality_classifier", qualityClassifierQ, Some(
       // same tokenization, same 256-bucket md5 feature hash (first two
       // hex chars), same exact-int64 bucket→weight map, same left-fold

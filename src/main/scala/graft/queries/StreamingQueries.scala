@@ -253,6 +253,36 @@ object StreamingQueries {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** S2 sliding variant (declared, TRUE streaming): 2-hour windows
+    * sliding every hour through the staged replay — the streaming twin
+    * of [[slidingWindows]], same time-ordered batch protocol as
+    * [[streamTumblingWindows]]. What the sliding form adds over the
+    * tumbling one: each event expands to TWO window rows (an Expand
+    * node inside the streaming agg), so window state spans overlapping
+    * ranges and the cross-batch merge must reconcile both copies; the
+    * flush row's own two windows both end past the final watermark and
+    * self-exclude. Oracle: the same generate_series expansion the s2b
+    * batch twin pins. */
+  def streamSlidingWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.normTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("ts"), col("event_type"), col("value"))
+    val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val older = ev.filter(col("ts") < lit(mx) - expr("INTERVAL 2 HOURS"))
+    val newer = ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 2 HOURS"))
+    val flush = spark.range(1).select(
+      (lit(mx) + expr("INTERVAL 10 HOURS")).as("ts"),
+      lit("zz_flush").as("event_type"), lit(0.0).as("value"))
+    stagedReplay(spark, Seq(older, newer, flush), src =>
+      Streams.windowedAgg(src, "ts", "2 hours", Some("1 hour"),
+          lateness = "4 hours", keys = Seq(col("event_type")),
+          aggs = Seq(count(lit(1)).as("n_events"),
+            Det.dsum(col("value")).as("sum_value")))
+        .select(col("window.start").as("win_start"),
+          col("window.end").as("win_end"), col("event_type"),
+          col("n_events"), col("sum_value")))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** S16 (declared, TRUE streaming): CDC apply — a change stream
     * continuously materializes a keyed state table through
     * [[Streams.chronoUpsertSink]] (foreachBatch → ChronoDB.upsert).
@@ -788,6 +818,15 @@ object StreamingQueries {
         |       e.event_type AS state
         |FROM e JOIN m ON e.user_id = m.user_id AND e.b = m.mb
         |ORDER BY key, ts, state""".stripMargin)),
+    QueryDef("s17_stream_sliding", streamSlidingWindows, Some(
+      s"""WITH x AS (
+         |  SELECT event_type, value,
+         |         date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start
+         |  FROM events, generate_series(0, 1) g(k))
+         |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,
+         |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
+         |FROM x GROUP BY win_start, event_type
+         |ORDER BY win_start, event_type""".stripMargin)),
     QueryDef("s15_stream_tumbling", streamTumblingWindows, Some(
       s"""SELECT date_trunc('hour', ts) AS win_start, event_type,
          |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS sum_value

@@ -336,4 +336,57 @@ class DedupSpec extends SparkSuite {
       .select($"vec_id").as[Long].collect().toSet
     assert(kept === Set(0L, 1L, 2L, 3L, 30L))
   }
+
+  test("substringDedup removes cross-doc spans, keeps unique text") {
+    // docs 1 & 2 share the 10-token run t1..t10 (> w=4), padded with
+    // distinct prefixes/suffixes; doc 3 is unrelated; doc 4 is short
+    val shared = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zeta eta $shared theta iota"),
+      (3L, "nothing here repeats across any other document at all"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // every window of the shared run is dup (10 - 4 + 1 starts, cover
+    // = positions 3..12 in doc 1 / 3..12 in doc 2 → 10 tokens removed)
+    assert(out(1L) === ((14L, 10L, "alpha beta gamma delta")))
+    assert(out(2L) === ((14L, 10L, "zeta eta theta iota")))
+    assert(out(3L) === ((9L, 0L, "nothing here repeats across any other document at all")))
+    assert(out(4L) === ((2L, 0L, "tiny doc")))
+  }
+
+  test("substringDedup: within-doc repetition alone is not removed") {
+    // the repeated run lives in ONE doc only — count(DISTINCT doc) = 1
+    val run = (1 to 6).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$run filler $run"),
+      (2L, "some other words that never repeat anywhere else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 0L)
+    assert(out(2L) === 0L)
+  }
+
+  test("substringDedup: overlapping dup windows merge into one cover") {
+    // doc 3 shares t1..t6 with doc 1 and t5..t10 with doc 2: the two
+    // covers overlap at t5,t6 and the union (not the sum) is removed
+    val a = (1 to 6).map(i => s"t$i").mkString(" ")
+    val b = (5 to 10).map(i => s"t$i").mkString(" ")
+    val full = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, s"pad1 $a pad2"),
+      (2L, s"pad3 $b pad4"),
+      (3L, s"lead $full tail")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(out(3L) === ((10L, "lead tail")))
+    assert(out(1L) === ((6L, "pad1 pad2")))
+    assert(out(2L) === ((6L, "pad3 pad4")))
+  }
 }
