@@ -53,7 +53,7 @@ object Bench {
       "d3g_similarity_ivf_int8", "d3h_similarity_pq",
       "d23_bm25_topk", "q48_sessionize", "q51_upsert_merge",
       "d28_hybrid_rrf", "d33_semantic_dedup", "d34_quality_classifier",
-      "d33f_semantic_dedup_twolevel")
+      "d33f_semantic_dedup_twolevel", "d35_substring_dedup")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =

@@ -37,7 +37,11 @@ object ScaleProbe {
       return semantic2Probe(args(1), args(2).toInt, args(3).toInt,
         args(4).toInt, if (args.length > 5) args(5).toDouble else 0.35)
     if (args.headOption.contains("substr"))
-      return substrProbe(args(1), if (args.length > 2) args(2).toInt else 8)
+      return substrProbe(args(1), if (args.length > 2) args(2).toInt else 8,
+        hashGrams = false)
+    if (args.headOption.contains("substrh"))
+      return substrProbe(args(1), if (args.length > 2) args(2).toInt else 8,
+        hashGrams = true)
     if (args.headOption.contains("skewjoin")) return skewJoinProbe(args(1))
     if (args.headOption.contains("skewlsh")) return skewLshProbe(args(1))
     if (args.headOption.contains("envdelete")) return envDeleteProbe(args(1))
@@ -148,7 +152,7 @@ object ScaleProbe {
     * production shape (rare boilerplate in a huge corpus), which makes
     * the probe measure the gram-shuffle cost, the term that dominates
     * at 100 TB. */
-  private def substrProbe(sfDir: String, w: Int): Unit = {
+  private def substrProbe(sfDir: String, w: Int, hashGrams: Boolean): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -165,7 +169,7 @@ object ScaleProbe {
       def once(): (Long, Long, Double) = {
         val t0 = System.nanoTime()
         val agg = graft.operators.Dedup
-          .substringDedup(docs, "doc_id", "text", w)
+          .substringDedup(docs, "doc_id", "text", w, hashGrams)
           .agg(sum(col("n_removed")).as("removed"),
             sum((col("n_removed") > 0).cast("long")).as("docs_hit"))
           .collect()(0)
@@ -175,7 +179,7 @@ object ScaleProbe {
       val runs = Seq.fill(probeRuns)(once())
       val (removed, docsHit) = (runs.head._1, runs.head._2)
       val minSec = runs.map(_._3).min
-      println(f"""{"probe":"substring_dedup","w":$w,"rows":$rows,"tokens_removed":$removed,"docs_hit":$docsHit,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
+      println(f"""{"probe":"substring_dedup","w":$w,"hash_grams":$hashGrams,"rows":$rows,"tokens_removed":$removed,"docs_hit":$docsHit,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
     } finally spark.stop()
   }
 

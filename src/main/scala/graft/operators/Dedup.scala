@@ -720,11 +720,20 @@ object Dedup {
     * positions as range pairs instead of exploded ints; the declared
     * form keeps exact grams so the oracle is collision-free.
     *
+    * `hashGrams = true` IS that production lever: gram keys become
+    * xxhash64 longs before the shuffle (8 bytes vs ~10·w chars — the
+    * dominant shuffle-byte term measured in SCALE.md §4). A collision
+    * can only mark an extra span as duplicated (never corrupt
+    * reconstruction); at 64 bits the expected extra-span count passes
+    * 1 only beyond ~10¹⁰ distinct windows. Equivalence with the exact
+    * form on collision-free corpora is spec-pinned.
+    *
     * Output: (id, n_tokens, n_removed, clean_text) — one row per input
     * document, clean_text = surviving tokens joined by ' '.
     */
   def substringDedup(
-      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, w: Int,
+      hashGrams: Boolean = false): DataFrame = {
     require(w >= 2, s"window must span at least 2 tokens; got $w")
     val toks = df.select(
       col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
@@ -734,7 +743,10 @@ object Dedup {
         when(size(col("toks")) < w, array().cast("array<string>"))
           .otherwise(transform(
             sequence(lit(1), size(col("toks")) - (w - 1)),
-            i => concat_ws(" ", slice(col("toks"), i, lit(w)))))))
+            i => {
+              val g = concat_ws(" ", slice(col("toks"), i, lit(w)))
+              if (hashGrams) xxhash64(g) else g
+            }))))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("gram"))
     val dupGrams = wins.groupBy(col("gram"))
       .agg(count_distinct(col(idCol)).as("nd"))

@@ -389,4 +389,13 @@ class DedupSpec extends SparkSuite {
     assert(out(1L) === ((6L, "pad1 pad2")))
     assert(out(2L) === ((6L, "pad3 pad4")))
   }
+
+  test("substringDedup hashed-gram lever equals the exact form on sf0.001") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(h: Boolean) =
+      Dedup.substringDedup(docs, "doc_id", "text", w = 8, hashGrams = h)
+        .select($"doc_id", $"n_removed", $"clean_text")
+        .as[(Long, Long, String)].collect().toSet
+    assert(run(true) === run(false))
+  }
 }
