@@ -477,6 +477,32 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware keeper selection: like [[dedupByClusters]] but keeps
+    * the HIGHEST-`score` member of each near-dup cluster (ties → lowest
+    * id) instead of the lowest id — what a production pipeline actually
+    * wants, since near-dup clusters mix clean and boilerplate-laden
+    * copies and min-id keeps an arbitrary one. Winner selection is ONE
+    * `max_by` aggregate over (score, −id) structs — no per-cluster
+    * window sort, so a degenerate giant cluster costs a partial-agg
+    * merge, not a single-task sort. Singletons (docs in no pair) are
+    * kept untouched. `score` must be deterministic for the keeper set
+    * to be reproducible (the declared form uses the bit-identical
+    * [[graft.operators.Curation.hashedQualityScore]]). */
+  def dedupByClustersBest(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val comp = connectedComponentsAdaptive(pairs)
+    val members = df.select(col(idCol).as("id"), score.as("__score"))
+      .join(comp, Seq("id"))
+    val winners = members.groupBy(col("component"))
+      .agg(max_by(col("id"),
+        struct(col("__score"), (-col("id")).as("negid"))).as("keep_id"))
+    val losers = members.join(winners, Seq("component"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** D2c — embedding-cosine near-dup pairs via the LSH candidate path
     * (reuses Similarity's bucketing through a self top-k, then filters by
     * similarity threshold). For corpora where near-dup = same content

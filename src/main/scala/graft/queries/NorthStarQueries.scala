@@ -202,6 +202,22 @@ object NorthStarQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D36: quality-aware dedup — the d2e pipeline with the keeper rule a
+    * production pipeline actually uses: within each near-dup cluster
+    * keep the HIGHEST [[Curation.hashedQualityScore]] member (ties →
+    * lowest id), not the lowest id. Output carries the score so the
+    * oracle pins both the cluster structure and the argmax selection. */
+  def qualityDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    Dedup.dedupByClustersBest(docs, "doc_id", pairs,
+        Curation.hashedQualityScore(col("text")))
+      .select(col("doc_id"),
+        Curation.hashedQualityScore(col("text")).as("q_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D16: cross-source duplication audit — how much each source pair
     * duplicates each other, the diagnostic a corpus-mixing decision
     * reads before weighting sources (inter-source near-dups inflate a
@@ -1368,6 +1384,46 @@ object NorthStarQueries {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("d36_quality_dedup", qualityDedupQ, Some(
+      // d2e's cluster CTE + d34's exact score expression; keeper =
+      // per-component argmax by (q_score DESC, id ASC)
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(generate_series(1, len(w) - 2),
+        |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      list_reduce(list_transform(w, t ->
+        |        CAST((((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+        |               + strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1)
+        |              * 2654435761 + 104729) % 2001 AS DOUBLE) / 1000.0 - 1.0),
+        |        (a, b) -> a + b) / len(w)
+        |    END AS q_score
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents)),
+        |m AS (SELECT comp.id, comp.component, s.q_score
+        |      FROM comp JOIN s ON s.doc_id = comp.id),
+        |wi AS (SELECT id, row_number() OVER (
+        |         PARTITION BY component ORDER BY q_score DESC, id ASC) AS rk
+        |       FROM m)
+        |SELECT s.doc_id, s.q_score FROM s
+        |WHERE s.doc_id NOT IN (SELECT id FROM wi WHERE rk > 1)
+        |ORDER BY s.doc_id""".stripMargin)),
     QueryDef("d3_similarity_topk", similarityTopK, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |pairs AS (

@@ -390,6 +390,28 @@ class DedupSpec extends SparkSuite {
     assert(out(2L) === ((6L, "pad3 pad4")))
   }
 
+  test("dedupByClustersBest keeps the max-score member, ties to min id") {
+    // component {1,2,4}: scores 1:0.3, 2:0.9, 4:0.9 → keep 2 (tie min
+    // id); 3 is a singleton (no pair) and survives with any score
+    val scored = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, -5.0), (4L, 0.9)
+    ).toDF("id", "sc")
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClustersBest(scored, "id", pairs, $"sc")
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
+  test("dedupByClustersBest with a constant score degenerates to min-id") {
+    val docs4 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "t")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val best = Dedup.dedupByClustersBest(docs4, "id", pairs, lit(1.0))
+      .select($"id").as[Long].collect().toSet
+    val minid = Dedup.dedupByClusters(docs4, "id", pairs)
+      .select($"id").as[Long].collect().toSet
+    assert(best === minid && best === Set(1L, 3L))
+  }
+
   test("substringDedup hashed-gram lever equals the exact form on sf0.001") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(h: Boolean) =
