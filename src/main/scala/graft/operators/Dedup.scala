@@ -720,6 +720,59 @@ object Dedup {
     greedyDropWithinCluster(assigned, idCol, threshold)
   }
 
+  /** Within-document repeated-span removal — the self-dedup complement
+    * of [[substringDedup]]: a w-token window is duplicated iff the SAME
+    * gram started at an earlier position in the SAME document (scraped
+    * pages repeating nav blocks / paragraphs); every position covered
+    * by a duplicated window is dropped and the document re-emitted.
+    * Keep-first semantics: the earliest start of each gram is never a
+    * dup window, though its tokens can still fall inside another
+    * duplicated window's cover (the defined, oracle-pinned behavior for
+    * degenerate runs like a single token repeated n times, which
+    * collapse to their first w tokens).
+    *
+    * Scale shape: one shuffle on (id, gram) — the document id is in the
+    * key, so no gram is ever a global hot key and partial aggregation
+    * collapses per-doc repeats map-side; cover union and reconstruction
+    * group on the doc id. Strictly cheaper than the cross-doc form at
+    * equal corpus size.
+    *
+    * Output schema matches [[substringDedup]].
+    */
+  def substringSelfDedup(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w >= 2, s"window must span at least 2 tokens; got $w")
+    val toks = df.select(
+      col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+    val wins = toks
+      .select(col(idCol), posexplode(
+        when(size(col("toks")) < w, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("toks")) - (w - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(w)))))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val firsts = wins.groupBy(col(idCol), col("gram"))
+      .agg(min(col("pos")).as("first_pos"))
+    val covered = wins.join(firsts, Seq(idCol, "gram"))
+      .filter(col("pos") > col("first_pos"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .distinct()
+    val cov = covered.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("p"))).as("cov"),
+        count(lit(1)).cast("long").as("n_removed"))
+    toks.join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_except(
+            when(size(col("toks")) === 0, array().cast("array<int>"))
+              .otherwise(sequence(lit(1), size(col("toks")))),
+            coalesce(col("cov"), array().cast("array<int>"))),
+          i => element_at(col("toks"), i))).as("clean_text"))
+  }
+
   /** D2 substring form — cross-document repeated-SPAN removal: any run
     * of `w` consecutive tokens appearing in ≥2 distinct documents is
     * duplicated text (license boilerplate, mirrored passages, templated

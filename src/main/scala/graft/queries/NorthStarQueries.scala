@@ -1182,6 +1182,17 @@ object NorthStarQueries {
         t(spark, dir, "documents"), "doc_id", "text", w = 8)
       .orderBy(col("doc_id"))
 
+  /** D37: within-document repeated-span removal
+    * ([[Dedup.substringSelfDedup]]) — the self-dedup complement of d35:
+    * w=6 windows whose gram started earlier in the SAME document mark
+    * positions to drop (keep-first). w=6 < d35's 8 because within-doc
+    * repetition (nav blocks, chorus lines) is shorter-period than
+    * cross-doc boilerplate. */
+  def substringSelfDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSelfDedup(
+        t(spark, dir, "documents"), "doc_id", "text", w = 6)
+      .orderBy(col("doc_id"))
+
   /** D15: Z-order layout key — the Morton interleave of (user_id, ts)
     * that multi-dimensional range pruning sorts by at scale (the
     * reference's tablets are time-ordered only; this generalizes its
@@ -2416,6 +2427,34 @@ object NorthStarQueries {
         |       TRUE AS keepers_ok, TRUE AS dupfree_ok,
         |       TRUE AS pair_recall_ok
         |FROM embeddings""".stripMargin)),
+    QueryDef("d37_selfdedup", substringSelfDedupQ, Some(
+      // d35's oracle shape with the dup rule turned inward: a window is
+      // dup iff the same gram started EARLIER in the same doc
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |wn AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:i+5], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 5)) AS u(i)),
+        |fi AS (SELECT doc_id, g, min(i) AS first_i
+        |       FROM wn GROUP BY doc_id, g),
+        |cov AS (SELECT DISTINCT wn.doc_id, p
+        |        FROM wn JOIN fi USING (doc_id, g),
+        |             unnest(generate_series(i, i + 5)) AS v(p)
+        |        WHERE wn.i > fi.first_i),
+        |cd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |       FROM cov GROUP BY doc_id),
+        |tp AS (SELECT doc_id, p, toks[p] AS tok
+        |       FROM t, unnest(generate_series(1, len(toks))) AS u(p)),
+        |keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |         ANTI JOIN cov USING (doc_id, p)),
+        |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |       FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(cd.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(cl.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN cd USING (doc_id) LEFT JOIN cl USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)),
     QueryDef("d35_substring_dedup", substringDedupQ, Some(
       // same tokenizer as every text oracle; grams are exact strings
       // (collision-free), cover = union of [i, i+7] for dup windows,

@@ -390,6 +390,31 @@ class DedupSpec extends SparkSuite {
     assert(out(2L) === ((6L, "pad3 pad4")))
   }
 
+  test("substringSelfDedup removes later repeats of a within-doc run") {
+    val run = (1 to 6).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      // run repeats: second occurrence (positions 8..13) removed
+      (1L, s"$run filler $run"),
+      (2L, "unique words only in this one document here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSelfDedup(df, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((13L, 6L, s"$run filler")))
+    assert(out(2L) === ((8L, 0L,
+      "unique words only in this one document here")))
+  }
+
+  test("substringSelfDedup collapses a degenerate same-token run") {
+    // "a a a ... a" (10 copies), w=4: windows 2..7 are dups of window 1
+    // → cover = positions 2..10, leaving only the first token
+    val df = Seq((1L, Seq.fill(10)("a").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.substringSelfDedup(df, "doc_id", "text", w = 4).collect()(0)
+    assert(out.getLong(1) === 10L)
+    assert(out.getLong(2) === 9L)
+    assert(out.getString(3) === "a")
+  }
+
   test("dedupByClustersBest keeps the max-score member, ties to min id") {
     // component {1,2,4}: scores 1:0.3, 2:0.9, 4:0.9 → keep 2 (tie min
     // id); 3 is a singleton (no pair) and survives with any score
