@@ -175,4 +175,61 @@ object DedupProps extends Properties("dedup") {
           .as[(Long, Int)].collect().toMap
         got == expected
     }
+
+  /** JVM reference for the span-removal family: windows, dup rule,
+    * cover union, reconstruction — shared by the cross-doc and
+    * within-doc properties below (`crossDoc` flips the dup rule). */
+  private def refSpans(
+      docs: Seq[(Long, Seq[String])], w: Int, crossDoc: Boolean)
+      : Map[Long, (Long, Long, String)] = {
+    val wins = docs.flatMap { case (id, ts) =>
+      if (ts.length < w) Nil
+      else (0 to ts.length - w).map(i => (id, i + 1, ts.slice(i, i + w).mkString(" ")))
+    }
+    val dupOf: ((Long, Int, String)) => Boolean =
+      if (crossDoc) {
+        val dupGrams = wins.groupBy(_._3)
+          .filter(_._2.map(_._1).distinct.size >= 2).keySet
+        x => dupGrams(x._3)
+      } else {
+        val firsts = wins.groupBy(x => (x._1, x._3))
+          .map { case (k, v) => k -> v.map(_._2).min }
+        x => x._2 > firsts((x._1, x._3))
+      }
+    docs.map { case (id, ts) =>
+      val cov = wins.filter(x => x._1 == id && dupOf(x))
+        .flatMap(x => x._2 to (x._2 + w - 1)).toSet
+      val keep = (1 to ts.length).filterNot(cov).map(p => ts(p - 1))
+      id -> ((ts.length.toLong, cov.size.toLong, keep.mkString(" ")))
+    }.toMap
+  }
+
+  private val genCorpus: Gen[List[List[String]]] =
+    Gen.choose(2, 5).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, 5).map(i => s"w$i")))))
+
+  property("substringDedup == reference cover/reconstruction for any corpus") =
+    forAll(genCorpus, Gen.choose(2, 4)) { (corpus, w) =>
+      import spark.implicits._
+      val docs = corpus.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.substringDedup(df, "doc_id", "text", w)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      got == refSpans(docs, w, crossDoc = true)
+    }
+
+  property("substringSelfDedup == reference keep-first for any corpus") =
+    forAll(genCorpus, Gen.choose(2, 4)) { (corpus, w) =>
+      import spark.implicits._
+      val docs = corpus.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.substringSelfDedup(df, "doc_id", "text", w)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      got == refSpans(docs, w, crossDoc = false)
+    }
 }

@@ -254,4 +254,39 @@ class PlanGuardSpec extends SparkSuite {
       !read.contains("lang") && !read.contains("source"),
       s"scan must prune to (doc_id, text):\n$read")
   }
+
+  test("d35: span removal is gram-keyed aggregation — no all-pairs, pruned scans, partial distinct-doc count") {
+    val p = plan("d35_substring_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"substring dedup must never pair documents:\n$p")
+    // the gram → distinct-doc-count aggregate must partial-aggregate
+    // before its exchange (the shuffle the scaladoc's cost model rests on)
+    assert(p.contains("partial_count(distinct"),
+      s"gram doc-frequency must partial-aggregate map-side:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      !r.contains("lang") && !r.contains("source")),
+      s"document scans must prune to (doc_id, text):\n${reads.mkString("\n")}")
+  }
+
+  test("d37: self-dedup shuffle key carries the doc id (no global gram key)") {
+    val p = plan("d37_selfdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // first-occurrence aggregate groups on (doc_id, gram): hot-key-free
+    // by construction — the plan must show both keys in the same
+    // hashpartitioning
+    val hp = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hp.exists(l => l.contains("doc_id") && l.contains("gram")),
+      s"expected (doc_id, gram) shuffle key:\n${hp.mkString("\n")}")
+  }
+
+  test("d36: keeper selection is an aggregate, not a per-cluster window sort") {
+    val p = plan("d36_quality_dedup")
+    assert(p.contains("max_by"),
+      s"winner must come from max_by aggregation:\n$p")
+    assert(!p.contains("Window("),
+      s"no window sort may appear in keeper selection:\n$p")
+    assert("LeftAnti".r.findAllIn(p).size === 1,
+      s"expected exactly one loser anti-join:\n$p")
+  }
 }
