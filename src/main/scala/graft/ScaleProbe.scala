@@ -42,6 +42,8 @@ object ScaleProbe {
     if (args.headOption.contains("substrh"))
       return substrProbe(args(1), if (args.length > 2) args(2).toInt else 8,
         hashGrams = true)
+    if (args.headOption.contains("skewsubstr"))
+      return skewSubstrProbe(args(1))
     if (args.headOption.contains("skewjoin")) return skewJoinProbe(args(1))
     if (args.headOption.contains("skewlsh")) return skewLshProbe(args(1))
     if (args.headOption.contains("envdelete")) return envDeleteProbe(args(1))
@@ -180,6 +182,45 @@ object ScaleProbe {
       val (removed, docsHit) = (runs.head._1, runs.head._2)
       val minSec = runs.map(_._3).min
       println(f"""{"probe":"substring_dedup","w":$w,"hash_grams":$hashGrams,"rows":$rows,"tokens_removed":$removed,"docs_hit":$docsHit,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
+    } finally spark.stop()
+  }
+
+  /** d35 hot-gram stress: EVERY document gets the same 8-token header
+    * (universal boilerplate — both the operator's worst skew case and
+    * its actual production use case). The distinct-doc count for the
+    * hot gram funnels |docs| rows into one reducer group; this measures
+    * that straggler (8-byte hashed keys, so the hot group is ~8·n bytes,
+    * not strings) and asserts the header is removed from every doc. */
+  private def skewSubstrProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val header = "common site header terms of service all rights reserved"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("text", concat(lit(header + " "), col("text")))
+      val rows = docs.count()
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val hit = graft.operators.Dedup
+          .substringDedup(docs, "doc_id", "text", 8, hashGrams = true)
+          .filter(col("n_removed") >= 8).count()
+        (hit, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, warm) = once()
+      val runs = Seq.fill(probeRuns)(once())
+      val hit = runs.head._1
+      require(hit == rows,
+        s"universal header must be removed from every doc: $hit of $rows")
+      val minSec = runs.map(_._2).min
+      println(f"""{"probe":"skew_substr","rows":$rows,"docs_cleaned":$hit,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
     } finally spark.stop()
   }
 
