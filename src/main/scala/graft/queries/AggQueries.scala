@@ -30,6 +30,47 @@ object AggQueries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Q57: statistical moment aggregates — var_samp / stddev_samp /
+    * Pearson corr, built CROSS-ENGINE-EXACT from decimal power sums.
+    * Spark's native stddev/corr stream Welford-style partial states
+    * whose float order differs per partitioning, so they can never
+    * hash-match a sequential engine; instead Σx, Σx², Σy, Σy², Σxy
+    * accumulate EXACTLY in decimal (order-independent — the Det
+    * pattern extended to second moments; scale 6 so the square (37,12)
+    * stays inside decimal-38), convert once via decimal→string→double,
+    * and the textbook formulas then run as single correctly-rounded
+    * IEEE ops on bit-identical operands in both engines. Fixture
+    * domains make the scale-6 casts lossless (quantities integral,
+    * prices 2-decimal). At 100 TB this is also the FASTER plan: exact
+    * decimal sums partial-aggregate map-side like any sum, and the
+    * moment row per group is mergeable state (the same five sums
+    * underlie incremental/rollup variance). */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val xd = col("l_quantity").cast(d18)
+    val yd = col("l_extendedprice").cast(d18)
+    val nd = col("n").cast("double")
+    val vxNum = nd * col("sxx") - col("sx") * col("sx")
+    val vyNum = nd * col("syy") - col("sy") * col("sy")
+    val denom = (col("n") * (col("n") - 1)).cast("double")
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dec2dbl(sum(xd)).as("sx"),
+        Det.dec2dbl(sum(yd)).as("sy"),
+        Det.dec2dbl(sum(xd * xd)).as("sxx"),
+        Det.dec2dbl(sum(yd * yd)).as("syy"),
+        Det.dec2dbl(sum(xd * yd)).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / nd).as("mean_qty"),
+        (vxNum / denom).as("var_qty"),
+        sqrt(vxNum / denom).as("stddev_qty"),
+        ((nd * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(vxNum) * sqrt(vyNum))).as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Q18: distinct. */
   def distinctQ(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -215,6 +256,30 @@ object AggQueries {
         |       quantile_cont(l_quantity, 0.75) AS p75,
         |       MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q57_stats_moments", statsMoments, Some(
+      // exact decimal power sums (order-independent), THEN the textbook
+      // formulas as single IEEE ops on bit-identical operands — the op
+      // tree below mirrors the Spark expressions node for node
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |                  * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+        |                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sx / CAST(n AS DOUBLE) AS mean_qty,
+        |  (CAST(n AS DOUBLE) * sxx - sx * sx) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+        |  sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin)),
     QueryDef("q26_cond_agg", condAgg, Some(
       s"""SELECT event_type,
          |  CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,

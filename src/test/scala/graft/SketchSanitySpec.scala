@@ -36,4 +36,29 @@ class SketchSanitySpec extends SparkSuite {
       assert(p50lo <= p50hi && p95lo <= p95hi && p50hi <= p95lo)
     }
   }
+
+  test("q57 decimal-moment stats agree with Spark's native estimators") {
+    // the moment formulas are exact-decimal reformulations; Spark's
+    // Welford-streaming var_samp/stddev_samp/corr are float-order
+    // dependent but must agree to fp tolerance on the same data
+    val got = AggQueries.statsMoments(spark, sf("sf0.01"))
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val native = graft.core.Tables.t(spark, sf("sf0.01"), "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("m"),
+        var_samp(col("l_quantity")).as("v"),
+        stddev_samp(col("l_quantity")).as("s"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    got.foreach { case (flag, n, mean, vr, sd, cr) =>
+      val (nm, nv, ns, nc) = native(flag)
+      assert(n > 1)
+      assert(math.abs(mean - nm) <= 1e-9 * math.abs(nm), s"$flag mean")
+      assert(math.abs(vr - nv) <= 1e-6 * math.abs(nv), s"$flag var")
+      assert(math.abs(sd - ns) <= 1e-6 * math.abs(ns), s"$flag stddev")
+      assert(math.abs(cr - nc) <= 1e-6, s"$flag corr: $cr vs $nc")
+    }
+  }
 }
