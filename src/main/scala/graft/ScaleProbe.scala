@@ -44,6 +44,7 @@ object ScaleProbe {
         hashGrams = true)
     if (args.headOption.contains("skewsubstr"))
       return skewSubstrProbe(args(1))
+    if (args.headOption.contains("zorder")) return zorderProbe(args(1))
     if (args.headOption.contains("skewjoin")) return skewJoinProbe(args(1))
     if (args.headOption.contains("skewlsh")) return skewLshProbe(args(1))
     if (args.headOption.contains("envdelete")) return envDeleteProbe(args(1))
@@ -182,6 +183,100 @@ object ScaleProbe {
       val (removed, docsHit) = (runs.head._1, runs.head._2)
       val minSec = runs.map(_._3).min
       println(f"""{"probe":"substring_dedup","w":$w,"hash_grams":$hashGrams,"rows":$rows,"tokens_removed":$removed,"docs_hit":$docsHit,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
+    } finally spark.stop()
+  }
+
+  /** Z-order layout payoff, measured: writes the SAME events corpus two
+    * ways — time-clustered (the engine's default (ts, key) order) and
+    * Z-ordered on (user_id, ts_us) via Layout.zOrderBy with
+    * repartitionByRange so each FILE covers a small hyper-rectangle —
+    * then times an identical 2-D predicate (a 10-day ts window × a
+    * narrow user band) against both. The time-clustered layout prunes
+    * ts only and decodes every user in the window; the Z-ordered one
+    * gives parquet row-group/file min-max stats that are tight in BOTH
+    * dimensions, so the pushed predicates skip most of the window.
+    * This is the measurement behind d15's key: the layout is the
+    * operator. */
+  private def zorderProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("zprobe").toString
+      val ev = graft.core.Tables.normTs(
+          spark.read.parquet(s"$sfDir/events.parquet"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val (uMin, uMax, tMin, tMax) = {
+        val r = ev.agg(min("user_id"), max("user_id"),
+          min("ts_us"), max("ts_us")).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val rows = ev.count()
+      // time-clustered: the default ingest layout (range-split by ts)
+      ev.repartitionByRange(32, col("ts_us"))
+        .sortWithinPartitions("ts_us")
+        .write.mode("overwrite").parquet(s"$base/linear")
+      // z-ordered on (user, time)
+      graft.operators.Layout.zOrderBy(ev, "user_id", uMin, uMax,
+          "ts_us", tMin, tMax, bits = 16)
+        .repartitionByRange(32, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(s"$base/zorder")
+      // 2-D predicate: a wide 10-day ts window × a 1% user band — the
+      // shape time clustering alone cannot prune in the user dimension
+      val tLo = tMin + (tMax - tMin) / 3
+      val tHi = tLo + 10L * 86400000000L
+      // a ~2%-of-rows user band by rank (derived corpora stride the
+      // user space, so a band by VALUE can land in a gap)
+      val (uLo, uHi) = {
+        val r = ev.agg(
+          expr("percentile_approx(user_id, 0.50, 10000)"),
+          expr("percentile_approx(user_id, 0.52, 10000)")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      // (match_rows, decoded_rows, sec): decoded_rows is the scan
+      // node's numOutputRows — rows the parquet reader actually
+      // materialized after row-group min-max skipping, the cost the
+      // layout controls (wall time hides it when the corpus is
+      // page-cache-resident on local[32])
+      def timed(path: String): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val q = spark.read.parquet(path)
+          .filter(col("ts_us") >= tLo && col("ts_us") <= tHi &&
+            col("user_id") >= uLo && col("user_id") <= uHi)
+          .agg(count(lit(1)), sum(col("value")))
+        val n = q.collect()(0).getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // dig through AQE wrappers and materialized query stages to the
+        // parquet scans — their numOutputRows is the decode count after
+        // row-group min-max skipping
+        def scanRows(p: org.apache.spark.sql.execution.SparkPlan): Long =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scanRows(a.executedPlan)
+            case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scanRows(s.plan)
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+            case other => other.children.map(scanRows).sum
+          }
+        val decoded = scanRows(q.queryExecution.executedPlan)
+        (n, decoded, sec)
+      }
+      timed(s"$base/linear"); timed(s"$base/zorder") // warm both
+      val lin = Seq.fill(probeRuns)(timed(s"$base/linear"))
+      val zor = Seq.fill(probeRuns)(timed(s"$base/zorder"))
+      require(lin.head._1 == zor.head._1,
+        s"layouts must agree on the result: ${lin.head._1} vs ${zor.head._1}")
+      println(f"""{"probe":"zorder_layout","rows":$rows,"match_rows":${lin.head._1},"linear_decoded":${lin.head._2},"zorder_decoded":${zor.head._2},"linear_min_sec":${lin.map(_._3).min}%.4f,"zorder_min_sec":${zor.map(_._3).min}%.4f,"timed_runs":$probeRuns}""")
     } finally spark.stop()
   }
 
