@@ -71,6 +71,38 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Q57b: least-squares regression aggregates (regr_slope /
+    * regr_intercept / R²) — the same exact-decimal-moment machinery as
+    * [[statsMoments]]: y = l_extendedprice regressed on x = l_quantity
+    * per group. slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept =
+    * (Σy − slope·Σx)/n, r² = corr² — every op a single
+    * correctly-rounded IEEE step on bit-identical operands. */
+  def regressionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val xd = col("l_quantity").cast(d18)
+    val yd = col("l_extendedprice").cast(d18)
+    val nd = col("n").cast("double")
+    val vxNum = nd * col("sxx") - col("sx") * col("sx")
+    val vyNum = nd * col("syy") - col("sy") * col("sy")
+    val cNum = nd * col("sxy") - col("sx") * col("sy")
+    val slope = cNum / vxNum
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dec2dbl(sum(xd)).as("sx"),
+        Det.dec2dbl(sum(yd)).as("sy"),
+        Det.dec2dbl(sum(xd * xd)).as("sxx"),
+        Det.dec2dbl(sum(yd * yd)).as("syy"),
+        Det.dec2dbl(sum(xd * yd)).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / nd).as("intercept"),
+        ((cNum / (sqrt(vxNum) * sqrt(vyNum)))
+          * (cNum / (sqrt(vxNum) * sqrt(vyNum)))).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Q18: distinct. */
   def distinctQ(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -279,6 +311,32 @@ object AggQueries {
         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
         |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q57b_regression", regressionAgg, Some(
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |                  * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+        |                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+        |  (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |          / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+        |    / CAST(n AS DOUBLE) AS intercept,
+        |  ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)))
+        |  * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))) AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin)),
     QueryDef("q26_cond_agg", condAgg, Some(
       s"""SELECT event_type,

@@ -61,4 +61,23 @@ class SketchSanitySpec extends SparkSuite {
       assert(math.abs(cr - nc) <= 1e-6, s"$flag corr: $cr vs $nc")
     }
   }
+
+  test("q57b regression agrees with Spark's native regr_slope/intercept") {
+    val got = AggQueries.regressionAgg(spark, sf("sf0.01"))
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val native = graft.core.Tables.t(spark, sf("sf0.01"), "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("sl"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("ic"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r2"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got.foreach { case (flag, _, sl, ic, r2) =>
+      val (nsl, nic, nr2) = native(flag)
+      assert(math.abs(sl - nsl) <= 1e-6 * math.abs(nsl), s"$flag slope")
+      assert(math.abs(ic - nic) <= 1e-6 * math.abs(nic), s"$flag intercept")
+      assert(math.abs(r2 - nr2) <= 1e-6, s"$flag r2: $r2 vs $nr2")
+    }
+  }
 }
