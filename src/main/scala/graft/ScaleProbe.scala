@@ -28,6 +28,21 @@ object ScaleProbe {
   private def probeRuns: Int =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
 
+  /** Recursive delete for probe temp dirs — probes write multi-GB
+    * parquet copies under /tmp; leaking them across invocations fills
+    * the disk on a sweep. */
+  private def rmrf(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("upsert"))
       return upsertProbe(args(1),
@@ -208,8 +223,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("zprobe").toString
     try {
-      val base = java.nio.file.Files.createTempDirectory("zprobe").toString
       val ev = graft.core.Tables.normTs(
           spark.read.parquet(s"$sfDir/events.parquet"))
         .select(col("event_id"), col("user_id"), col("ts"),
@@ -230,7 +245,7 @@ object ScaleProbe {
         .repartitionByRange(32, col("zval"))
         .sortWithinPartitions("zval")
         .write.mode("overwrite").parquet(s"$base/zorder")
-      // 2-D predicate: a wide 10-day ts window × a 1% user band — the
+      // 2-D predicate: a wide 10-day ts window × a ~2% user band — the
       // shape time clustering alone cannot prune in the user dimension
       val tLo = tMin + (tMax - tMin) / 3
       val tHi = tLo + 10L * 86400000000L
@@ -277,7 +292,7 @@ object ScaleProbe {
       require(lin.head._1 == zor.head._1,
         s"layouts must agree on the result: ${lin.head._1} vs ${zor.head._1}")
       println(f"""{"probe":"zorder_layout","rows":$rows,"match_rows":${lin.head._1},"linear_decoded":${lin.head._2},"zorder_decoded":${zor.head._2},"linear_min_sec":${lin.map(_._3).min}%.4f,"zorder_min_sec":${zor.map(_._3).min}%.4f,"timed_runs":$probeRuns}""")
-    } finally spark.stop()
+    } finally { rmrf(base); spark.stop() }
   }
 
   /** d35 hot-gram stress: EVERY document gets the same 8-token header
@@ -336,6 +351,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dimDir = java.nio.file.Files.createTempDirectory("skew_dim").toString
     try {
       val ev0 = graft.core.Tables.normTs(
         spark.read.parquet(s"$sfDir/events.parquet"))
@@ -350,7 +366,6 @@ object ScaleProbe {
       // the join pre-partitioned from its own build (no shuffle stage
       // on that side), and OptimizeSkewedJoin can only split when BOTH
       // sides are shuffle reads it can re-slice/replicate
-      val dimDir = java.nio.file.Files.createTempDirectory("skew_dim").toString
       ev.select(col("user_id")).distinct()
         .withColumn("w", pmod(xxhash64(col("user_id")), lit(97)).cast("double"))
         .write.mode("overwrite").parquet(s"$dimDir/dim")
@@ -381,7 +396,7 @@ object ScaleProbe {
         time3(() => shape(graft.operators.Skew.saltedJoin(ev, dim, "user_id")))
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       println(f"""{"probe":"skew_join","rows":$rows,"dim_rows":$dimRows,"hot_frac":0.5,"aqe_skew_sec":$aqeOn%.3f,"aqe_skew_splits":$splitsOn,"no_guard_sec":$aqeOff%.3f,"salted_sec":$salted%.3f}""")
-    } finally spark.stop()
+    } finally { rmrf(dimDir); spark.stop() }
   }
 
   /** Sum a named SQLMetric over the executed plan, unwrapping the AQE
@@ -504,7 +519,7 @@ object ScaleProbe {
       val bucketed = time3(() =>
         shape(spark.table("li_b"), spark.table("ord_b")))
       println(f"""{"probe":"bucket_join","rows":${li.count()},"direct_min_sec":$direct%.3f,"bucketed_min_sec":$bucketed%.3f,"bucket_write_sec":$writeSec%.2f}""")
-    } finally spark.stop()
+    } finally { rmrf(wh); spark.stop() }
   }
 
   /** Per-bucket key-envelope delete at derived scale (r12, VERDICT item
@@ -580,7 +595,7 @@ object ScaleProbe {
             .keys.flatMap(bucketOf)).toSet
         val touched = (dropped ++ rewritten).toSeq.sorted
         println(f"""{"probe":"env_delete","rows":$total,"batch_keys":$batchKeys,"deleted":$deleted,"delete_sec":$sec%.2f,"buckets_total":$bucketsTotal,"buckets_dropped":${dropped.size},"buckets_rewritten":${rewritten.size},"touched":"${touched.mkString(",")}"}""")
-      } finally db.close()
+      } finally { db.close(); rmrf(root) }
     } finally spark.stop()
   }
 
@@ -618,7 +633,7 @@ object ScaleProbe {
         val t3 = System.nanoTime()
         val base = ev.filter(col("ts") < split).count()
         println(f"""{"probe":"upsert","base_rows":$base,"batch_rows":$batchRows,"batch_keys":$keys,"removed":$removed,"insert_sec":${(t1 - t0) / 1e9}%.2f,"upsert_sec":${(t3 - t2) / 1e9}%.2f}""")
-      } finally db.close()
+      } finally { db.close(); rmrf(root) }
     } finally spark.stop()
   }
 }

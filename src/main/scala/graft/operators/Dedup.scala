@@ -481,10 +481,12 @@ object Dedup {
     * the HIGHEST-`score` member of each near-dup cluster (ties → lowest
     * id) instead of the lowest id — what a production pipeline actually
     * wants, since near-dup clusters mix clean and boilerplate-laden
-    * copies and min-id keeps an arbitrary one. Winner selection is ONE
-    * `max_by` aggregate over (score, −id) structs — no per-cluster
-    * window sort, so a degenerate giant cluster costs a partial-agg
-    * merge, not a single-task sort. Singletons (docs in no pair) are
+    * copies and min-id keeps an arbitrary one. Winner selection is a
+    * two-stage aggregate (max score per component, then min id among
+    * the score-tied members — type-generic over any orderable id, e.g.
+    * string doc ids) — no per-cluster window sort, so a degenerate
+    * giant cluster costs a partial-agg merge, not a single-task sort.
+    * Singletons (docs in no pair) are
     * kept untouched. `score` must be deterministic for the keeper set
     * to be reproducible (the declared form uses the bit-identical
     * [[graft.operators.Curation.hashedQualityScore]]). */
@@ -494,9 +496,19 @@ object Dedup {
     val comp = connectedComponentsAdaptive(pairs)
     val members = df.select(col(idCol).as("id"), score.as("__score"))
       .join(comp, Seq("id"))
-    val winners = members.groupBy(col("component"))
-      .agg(max_by(col("id"),
-        struct(col("__score"), (-col("id")).as("negid"))).as("keep_id"))
+    // Tie-break TYPE-GENERICALLY (max score, then MIN id in the id
+    // column's own ordering — string doc ids work like numeric ones,
+    // matching the sibling dedupByClusters contract): a max_by over
+    // struct(score, -id) would silently require numeric ids. Two
+    // aggregates over the same `component` hash partitioning — the
+    // second groupBy and the join reuse the first exchange, and a
+    // degenerate giant cluster is still a partial-agg merge, never a
+    // single-task sort.
+    val best = members.groupBy(col("component"))
+      .agg(max(col("__score")).as("__best"))
+    val winners = members.join(best, Seq("component"))
+      .filter(col("__score") === col("__best"))
+      .groupBy(col("component")).agg(min(col("id")).as("keep_id"))
     val losers = members.join(winners, Seq("component"))
       .filter(col("id") =!= col("keep_id"))
       .select(col("id").as(idCol))

@@ -52,7 +52,10 @@ object AggQueries {
     val nd = col("n").cast("double")
     val vxNum = nd * col("sxx") - col("sx") * col("sx")
     val vyNum = nd * col("syy") - col("sy") * col("sy")
-    val denom = (col("n") * (col("n") - 1)).cast("double")
+    // n·(n−1) in DOUBLE, not long: a group past ~3·10⁹ rows would wrap
+    // long arithmetic silently while the oracle errors — double is exact
+    // up to 2⁵³ and both engines round the product identically
+    val denom = nd * (nd - lit(1.0d))
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -306,8 +309,8 @@ object AggQueries {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  sx / CAST(n AS DOUBLE) AS mean_qty,
-        |  (CAST(n AS DOUBLE) * sxx - sx * sx) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
-        |  sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty,
+        |  (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_qty,
+        |  sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
         |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qp

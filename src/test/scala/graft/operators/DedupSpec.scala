@@ -438,7 +438,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("substringDedup hashed-gram lever equals the exact form on sf0.001") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     def run(h: Boolean) =
       Dedup.substringDedup(docs, "doc_id", "text", w = 8, hashGrams = h)
         .select($"doc_id", $"n_removed", $"clean_text")
