@@ -86,12 +86,24 @@ object BloomBudget {
       }
     }
 
-    // (c) end-to-end batch lookup
+    // (c) end-to-end batch lookup — manifest-planned scan (r13): the
+    // index probe was never the cost; InMemoryFileIndex's directory
+    // walk was (measured 18.1 s of 18.7 s at 10 k one-file dirs, r12).
+    // ManifestFileIndex plans from the _manifest sidecar instead.
     val keys100 = keySet(100)
     db.queryKeys("budget", keys100).count()
-    val got = timed("end-to-end queryKeys(100).count")(
+    val got = timed("end-to-end queryKeys(100).count [manifest]")(
       db.queryKeys("budget", keys100).count())
     println(s"[budget] queryKeys rows: $got")
     db.close()
+    // same lookup through the legacy listing path (manifest = false):
+    // the A/B that prices the retired directory walk
+    val legacy = new ChronoDB(spark,
+      ChronoConfig(dir, writersPerBucket = 1, manifest = false))
+    legacy.queryKeys("budget", keys100).count()
+    val gotLegacy = timed("end-to-end queryKeys(100).count [legacy listing]")(
+      legacy.queryKeys("budget", keys100).count())
+    require(gotLegacy == got, s"path disagreement: $gotLegacy vs $got")
+    legacy.close()
   }
 }

@@ -42,7 +42,12 @@ final case class ChronoConfig(
                                        // _rollup sidecar). Exact-integer by
                                        // design: scale decimals at the
                                        // expression level (cents, micros).
-    rollupSlotUs: Long = 3600000000L)  // rollup slot width in µs (default 1h)
+    rollupSlotUs: Long = 3600000000L,  // rollup slot width in µs (default 1h)
+    manifest: Boolean = true)          // `_manifest` sidecar: plan scans from
+                                       // recorded file metadata instead of
+                                       // listing partition directories
+                                       // ([[ManifestFileIndex]]). Disable only
+                                       // to A/B the legacy listing path.
 
 object ChronoConfig {
   /** SHIPPED small-batch / streaming-ingest preset: key Bloom +
@@ -260,6 +265,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       (if (rollupEnabled)
         Seq(graft.functions.RollupAggs.timeRollup(col("bucket"), col("ts"),
           rollupValueCol, config.rollupSlotUs).as("rollup"))
+      else Seq.empty) ++
+      // the manifest needs only the TOUCHED bucket names (bytes per
+      // bucket) — the file listing itself is a driver-local walk of
+      // exactly those directories after the write lands
+      (if (config.manifest)
+        Seq(collect_set(col("bucket")).as("touched"))
       else Seq.empty)
     val obs =
       if (aggCols.nonEmpty) Some(org.apache.spark.sql.Observation()) else None
@@ -273,6 +284,27 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .option("compression", config.compression)
       .partitionBy("bucket")
       .parquet(tablePath(name).toString)
+    // `_manifest` append FIRST among the sidecars — it is the
+    // scan-planning source of truth ([[table]] reads plan from it), so
+    // the batch becomes VISIBLE the moment its files are recorded. A
+    // crash after the data write but before this append leaves the
+    // batch's files on disk unrecorded: invisible to manifest-planned
+    // scans (the insert never "committed" — re-run it, the verb the
+    // upsert scaladoc already prescribes, or adopt the files via
+    // [[rebuildManifest]]). A crash between the manifest append and
+    // the `_stats` append below leaves visible data without stats rows
+    // — the existing [[sidecarCoverageGaps]]/[[rebuildSidecars]]
+    // window, detected and repaired as before.
+    if (config.manifest) {
+      val touched = obs.map { o =>
+        o.get.get("touched") match {
+          case Some(s: scala.collection.Seq[_]) =>
+            s.collect { case b: String => b }.toSeq
+          case _ => Seq.empty[String]
+        }
+      }.getOrElse(Seq.empty)
+      appendManifest(name, touched)
+    }
     // Sidecar file AFTER data: a crash in between leaves data without
     // sidecar rows — detectable by [[sidecarsConsistent]] and repairable
     // by [[rebuildSidecars]] (the reverse order would leave sketches
@@ -379,6 +411,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       return spark.createDataset(Seq.empty[ChronoRow]).toDF()
         .withColumn("bucket", lit(null).cast("string"))
         .select("key", "ts", "data", "bucket")
+    // Manifest-planned scan when the `_manifest` sidecar exists: plan
+    // from recorded file metadata (KBs) instead of walking partition
+    // directories — the measured O(table-age) listing cost
+    // ([[ManifestFileIndex]]). Tables without a manifest (written
+    // before it existed, or `manifest = false`) keep the listing path.
+    if (config.manifest && manifestExists(name))
+      return manifestTable(name, None)
     // bucket normalized to STRING at the read boundary: DAY labels
     // ("2024-01-10") are otherwise partition-type-INFERRED as DATE,
     // silently type-skewing every downstream consumer (driver-side
@@ -464,12 +503,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * key+time lookup. */
   def queryKey(name: String, key: String): DataFrame = {
     requireTable(name)
-    val base = table(name)
-    val pruned = keyCandidateBuckets(name, key) match {
-      case Some(cand) => base.filter(col("bucket").isin(cand: _*))
-      case None => base // no usable index — correct, just unpruned
-    }
-    pruned.filter(col("key") === lit(key))
+    // candidate set first, THEN the scan: on the manifest path the
+    // candidates push down into the manifest read itself, so both the
+    // driver's entry list and the planned scan touch only surviving
+    // buckets ([[prunedScan]])
+    prunedScan(name, keyCandidateBuckets(name, key))
+      .filter(col("key") === lit(key))
       .select(col("key"), col("ts"), col("data"))
   }
 
@@ -485,29 +524,46 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * survivors ((ts, key)-clustered files carry useful key stats). */
   def queryKeyRange(name: String, lo: String, hi: String): DataFrame = {
     requireTable(name)
-    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    val base = table(name)
     // min/max are written whenever ANY sketch family runs (unlike the
-    // bloom gate in queryKey) — range pruning needs only the interval
-    val pruned =
+    // bloom gate in queryKey) — range pruning needs only the interval.
+    // The envelope-overlap test runs on EXECUTORS (Spark string
+    // comparison is the same UTF8 binary order the fold used), so the
+    // driver collects CANDIDATE names only — O(candidates) rows, not
+    // O(buckets) (the r12 residual-collect finding).
+    val cand: Option[Seq[String]] =
       if (!sketching || {
         recoverSidecar(statsPath(name)); !Files.exists(statsPath(name))
-      }) base
+      }) None
       else {
         val folded = sidecarFold(name)
-          .select(col("bucket"), col("key_min"), col("key_max")).collect()
-        val covered = folded.map(_.getString(0)).toSet
-        val maybe = folded.filter { r =>
-          r.isNullAt(1) || r.isNullAt(2) ||
-            (u(hi).compareTo(u(r.getString(1))) >= 0 &&
-             u(lo).compareTo(u(r.getString(2))) <= 0)
-        }.map(_.getString(0))
-        val gaps = listBuckets(name).filterNot(covered)
-        base.filter(col("bucket").isin((maybe ++ gaps).distinct.sorted: _*))
+          .select(col("bucket"), col("key_min"), col("key_max"))
+        val maybe = folded.filter(
+            col("key_min").isNull || col("key_max").isNull ||
+              (lit(hi) >= col("key_min") && lit(lo) <= col("key_max")))
+          .select(col("bucket"))
+          .collect().map(_.getString(0))
+        val gaps = uncoveredBuckets(name, folded.select(col("bucket")))
+        Some((maybe ++ gaps).toSeq.distinct.sorted)
       }
-    pruned.filter(col("key") >= lit(lo) && col("key") <= lit(hi))
+    prunedScan(name, cand)
+      .filter(col("key") >= lit(lo) && col("key") <= lit(hi))
       .select(col("key"), col("ts"), col("data"))
   }
+
+  /** Data buckets with NO sidecar coverage — the insert crash window
+    * that must never be pruned. On the manifest path this is one
+    * anti-join of two KB-scale sidecars and the driver receives the
+    * gap names only; without a manifest it falls back to the directory
+    * listing (bucket NAMES — bytes per bucket). */
+  private def uncoveredBuckets(name: String, covered: DataFrame): Seq[String] =
+    if (config.manifest && manifestExists(name))
+      manifestFold(name).select(col("bucket")).distinct()
+        .join(covered.distinct(), Seq("bucket"), "left_anti")
+        .collect().map(_.getString(0)).toSeq
+    else {
+      val cov = covered.distinct().collect().map(_.getString(0)).toSet
+      listBuckets(name).filterNot(cov)
+    }
 
   /** The buckets that may contain `key`, from the sidecar alone — or
     * None when no pruning decision can be made (bloom family disabled,
@@ -555,11 +611,26 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         graft.functions.SketchAggs.sidecarKeyProbe(
           col("key_min"), col("key_max"), col("bloom"), keys).as("hit"))
       .groupBy(col("bucket")).agg(max(col("hit")).as("hit"))
-      .collect()
-    val covered = hits.map(_.getString(0)).toSet
-    val maybe = hits.filter(_.getBoolean(1)).map(_.getString(0))
-    val gaps = listBuckets(name).filterNot(covered)
-    Some((maybe ++ gaps).toSeq.distinct.sorted)
+    if (config.manifest && manifestExists(name)) {
+      // ONE job joins the two KB-scale sidecars: candidates = probe
+      // hits ∪ manifest buckets without sidecar coverage. The driver
+      // receives candidate NAMES only — O(candidates) rows even at a
+      // decade of minutely buckets (the r12 residual-collect finding).
+      // A sidecar row for a bucket absent from the manifest is ignored
+      // by construction — that bucket is not visible to scans either.
+      val cand = manifestFold(name).select(col("bucket")).distinct()
+        .join(hits, Seq("bucket"), "left_outer")
+        .filter(col("hit").isNull || col("hit"))
+        .select(col("bucket"))
+        .collect().map(_.getString(0))
+      Some(cand.toSeq.distinct.sorted)
+    } else {
+      val collected = hits.collect()
+      val covered = collected.map(_.getString(0)).toSet
+      val maybe = collected.filter(_.getBoolean(1)).map(_.getString(0))
+      val gaps = listBuckets(name).filterNot(covered)
+      Some((maybe ++ gaps).toSeq.distinct.sorted)
+    }
   }
 
   /** Batch point lookup — [[queryKey]] for a probe SET, one sidecar
@@ -571,14 +642,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * ANY of them. */
   def queryKeys(name: String, keys: Seq[String]): DataFrame = {
     requireTable(name)
-    val base = table(name)
     if (keys.isEmpty)
-      return base.filter(lit(false)).select(col("key"), col("ts"), col("data"))
-    val pruned = multiKeyCandidateBuckets(name, keys.distinct) match {
-      case Some(cand) => base.filter(col("bucket").isin(cand: _*))
-      case None => base
-    }
-    pruned.filter(col("key").isin(keys.distinct: _*))
+      return table(name).filter(lit(false))
+        .select(col("key"), col("ts"), col("data"))
+    prunedScan(name, multiKeyCandidateBuckets(name, keys.distinct))
+      .filter(col("key").isin(keys.distinct: _*))
       .select(col("key"), col("ts"), col("data"))
   }
 
@@ -663,7 +731,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val cand = multiKeyCandidateBuckets(name, ks).getOrElse(listBuckets(name))
     if (cand.isEmpty) return 0L
     // bucket → (rows of the keys, total rows), candidates only — KB-scale
-    val hits = table(name).filter(col("bucket").isin(cand: _*))
+    val hits = prunedScan(name, Some(cand))
       .groupBy(col("bucket")).agg(
         count(when(col("key").isin(ks: _*), 1)).as("hit"),
         count(lit(1)).as("total"))
@@ -672,8 +740,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     finishDelete(name, hits, bs =>
       // null-safe set complement: isin evaluates NULL for null keys and
       // a bare NOT would silently drop them from the rewritten bucket
-      table(name).filter(col("bucket").isin(bs: _*) &&
-        !coalesce(col("key").isin(ks: _*), lit(false))))
+      prunedScan(name, Some(bs.toSeq))
+        .filter(!coalesce(col("key").isin(ks: _*), lit(false))))
   }
 
   /** Literal-In budget for the delete verbs: at or below this many
@@ -709,14 +777,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .getOrElse(listBuckets(name))
     if (cand.isEmpty) return 0L
     val marked = broadcast(k.withColumn("_doomed", lit(1)))
-    val hits = table(name).filter(col("bucket").isin(cand: _*))
+    val hits = prunedScan(name, Some(cand))
       .join(marked, Seq("key"), "left_outer")
       .groupBy(col("bucket")).agg(
         count(col("_doomed")).as("hit"), count(lit(1)).as("total"))
       .filter(col("hit") > 0)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     finishDelete(name, hits, bs =>
-      table(name).filter(col("bucket").isin(bs: _*))
+      prunedScan(name, Some(bs.toSeq))
         .join(broadcast(k), Seq("key"), "left_anti"))
   }
 
@@ -742,6 +810,27 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (!sketching) return None
     recoverSidecar(statsPath(name))
     if (!Files.exists(statsPath(name))) return None
+    if (config.manifest && manifestExists(name)) {
+      // all-distributed form: envelope membership, unknown-coverage
+      // rows, and manifest gaps are unioned in Spark and the driver
+      // collects candidate NAMES only (the r12 residual-collect
+      // finding). The envelope list never materializes on the driver —
+      // it broadcasts straight from the sidecar fold.
+      val env = sidecarFold(name)
+        .select(col("bucket"), col("key_min"), col("key_max"))
+      val hit = keysDf.join(
+          broadcast(env.filter(
+            col("key_min").isNotNull && col("key_max").isNotNull)),
+          col("key") >= col("key_min") && col("key") <= col("key_max"))
+        .select(col("bucket")).distinct()
+      val unknown = env
+        .filter(col("key_min").isNull || col("key_max").isNull)
+        .select(col("bucket"))
+      val gaps = manifestFold(name).select(col("bucket")).distinct()
+        .join(env.select(col("bucket")).distinct(), Seq("bucket"), "left_anti")
+      return Some(hit.union(unknown).union(gaps).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted)
+    }
     val folded = sidecarFold(name)
       .select(col("bucket"), col("key_min"), col("key_max")).collect()
     val covered = folded.map(_.getString(0)).toSet
@@ -805,6 +894,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    // manifest refresh BEFORE the sidecar repairs below — they read
+    // table(name), which plans from the manifest; stale entries for the
+    // just-replaced files would fail the repair scan itself
+    refreshManifest(name, hits.map(_._1).toSeq)
     // sidecar: drop the emptied/rewritten buckets' rows, re-aggregate
     // the rewritten buckets from their surviving data
     recoverSidecar(statsPath(name))
@@ -867,6 +960,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // manifest refresh FIRST (compaction replaced the victims' files;
+    // a reader planning from stale entries would chase deleted paths)
+    refreshManifest(name, victims)
     // fold the sketch sidecar too: per-insert rows merge to one row per
     // bucket (lossless — sketch union, n/counter addition), so sidecar
     // size tracks bucket count, not insert count. Recover BEFORE the
@@ -903,6 +999,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     }
     dropped.foreach(b => deleteRecursively(p.resolve(s"bucket=$b")))
     if (dropped.nonEmpty) {
+      // manifest first: the dropped buckets' entries now dangle
+      refreshManifest(name, dropped)
       // retention applies to the sidecars as well: a stale sketch row
       // would keep counting dropped buckets' keys into range estimates.
       // Recover BEFORE the existence guards — after a crashed mid-swap
@@ -992,6 +1090,169 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   //     from kilobytes of sidecar state instead of rescanning rows) ---
 
   private def statsPath(name: String): Path = tablePath(name).resolve("_stats")
+
+  // --- file-manifest sidecar (_manifest): scan planning from metadata
+  //     instead of directory listing — [[ManifestFileIndex]] holds the
+  //     design rationale and the measured listing cost it retires ---
+
+  private def manifestPath(name: String): Path =
+    tablePath(name).resolve("_manifest")
+
+  private val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("size",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("mtime",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private def manifestExists(name: String): Boolean = {
+    recoverSidecar(manifestPath(name))
+    Files.exists(manifestPath(name))
+  }
+
+  /** All data files currently on disk for ONE bucket — a driver-local
+    * listing of exactly that directory, never the table tree. */
+  private def listBucketFiles(
+      name: String, bucket: String): Seq[org.apache.spark.sql.Row] = {
+    val dir = tablePath(name).resolve(s"bucket=$bucket")
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(f => org.apache.spark.sql.Row(bucket, f.getFileName.toString,
+        Files.size(f), Files.getLastModifiedTime(f).toMillis))
+      .toSeq
+    finally s.close()
+  }
+
+  private def manifestRowsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      manifestSchema)
+
+  /** Record every file currently present in the `touched` buckets.
+    * Listing the full per-bucket file set (not just the new batch's
+    * files) keeps the append IDEMPOTENT — re-recording a file is
+    * harmless ([[manifestFold]] dedupes by (bucket, file)) — and the
+    * insert hot path never reads the manifest. Driver cost is
+    * O(touched buckets), not O(table). */
+  private def appendManifest(name: String, touched: Seq[String]): Unit = {
+    recoverSidecar(manifestPath(name))
+    val rows = touched.flatMap(listBucketFiles(name, _))
+    if (rows.isEmpty) return
+    manifestRowsDf(rows)
+      .coalesce(1)
+      .write.mode(SaveMode.Append)
+      .option("compression", config.compression)
+      .parquet(manifestPath(name).toString)
+  }
+
+  /** `_manifest` read with the EXPLICIT schema (same rationale as
+    * [[readSidecar]]). */
+  private def readManifest(name: String): DataFrame =
+    spark.read.schema(manifestSchema).parquet(manifestPath(name).toString)
+
+  /** The manifest deduped to one row per live file. Duplicate rows
+    * describe the same immutable file (append idempotence artifacts);
+    * max() resolves them deterministically. */
+  private def manifestFold(name: String): DataFrame =
+    readManifest(name)
+      .groupBy(col("bucket"), col("file"))
+      .agg(max(col("size")).as("size"), max(col("mtime")).as("mtime"))
+
+  /** Collect manifest entries, optionally restricted to candidate
+    * buckets. The restriction is a pushed `bucket IN` predicate on the
+    * KB-scale sidecar read, so a pruned lookup materializes only the
+    * surviving buckets' entries on the driver — O(candidates), never
+    * O(table age). */
+  private def manifestEntries(
+      name: String, buckets: Option[Seq[String]]): Seq[ManifestEntry] = {
+    recoverSidecar(manifestPath(name))
+    val base = manifestFold(name)
+    val filtered = buckets match {
+      case Some(bs) => base.filter(col("bucket").isin(bs: _*))
+      case None => base
+    }
+    filtered.collect()
+      .map(r => ManifestEntry(r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  /** The manifest-planned scan, optionally restricted to candidate
+    * buckets. Output (key, ts, data, bucket) — identical to the legacy
+    * listing path of [[table]]. */
+  private def manifestTable(
+      name: String, buckets: Option[Seq[String]]): DataFrame =
+    ManifestFileIndex.relation(spark, tablePath(name), config.bucket,
+        manifestEntries(name, buckets))
+      .select(col("key"), col("ts"), col("data"), col("bucket"))
+
+  /** Scan restricted to candidate buckets (`None` = no pruning
+    * decision, scan everything): the manifest path loads only the
+    * candidates' entries; the legacy path filters the listed relation.
+    * The explicit `isin` filter is applied on both paths so the plan
+    * carries the partition predicate either way. */
+  private def prunedScan(name: String, cand: Option[Seq[String]]): DataFrame = {
+    val base =
+      if (config.manifest && manifestExists(name)) manifestTable(name, cand)
+      else table(name)
+    cand match {
+      case Some(bs) => base.filter(col("bucket").isin(bs: _*))
+      case None => base
+    }
+  }
+
+  /** Rewrite the touched buckets' manifest rows from a fresh listing of
+    * exactly those directories — the mutation-path repair
+    * (delete/compact/cleanup change those buckets' file sets). Atomic
+    * via [[rewriteSidecar]]; a crash BEFORE this rewrite leaves
+    * dangling entries that fail loudly (FileNotFound at scan time) —
+    * [[rebuildManifest]] is the repair verb. */
+  private def refreshManifest(name: String, touched: Seq[String]): Unit = {
+    if (!config.manifest) return
+    recoverSidecar(manifestPath(name))
+    if (!Files.exists(manifestPath(name)) || touched.isEmpty) return
+    val kept = manifestFold(name).filter(!col("bucket").isin(touched: _*))
+    val relisted = touched.flatMap(listBucketFiles(name, _))
+    val folded =
+      if (relisted.isEmpty) kept
+      else kept.unionByName(manifestRowsDf(relisted))
+    rewriteSidecar(manifestPath(name), folded)
+  }
+
+  /** Rebuild `_manifest` from a full directory walk — repairs a crashed
+    * mutation's dangling entries and ADOPTS data files the manifest
+    * never recorded (a crashed insert's uncommitted batch, or a table
+    * written before the manifest existed). The walk is the one
+    * O(table) listing this verb exists to keep out of the query path. */
+  def rebuildManifest(name: String): Unit = {
+    requireTable(name)
+    if (!config.manifest) return
+    val rows = listBuckets(name).flatMap(listBucketFiles(name, _))
+    rewriteSidecar(manifestPath(name), manifestRowsDf(rows))
+  }
+
+  /** Manifest ↔ disk agreement: every recorded file exists with its
+    * recorded size and every on-disk data file is recorded. A dangling
+    * entry (crashed mutation) or an orphan file (crashed insert) fails
+    * the check; [[rebuildManifest]] repairs both. A table with no
+    * manifest at all is consistent by definition — reads fall back to
+    * the listing path. */
+  def manifestConsistent(name: String): Boolean = {
+    requireTable(name)
+    if (!config.manifest) return true
+    recoverSidecar(manifestPath(name))
+    if (!Files.exists(manifestPath(name))) return true
+    val recorded = manifestEntries(name, None)
+      .map(e => (e.bucket, e.file, e.size)).toSet
+    val disk = listBuckets(name).flatMap(listBucketFiles(name, _))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    recorded == disk
+  }
 
   private def sketching: Boolean =
     config.sketchLgK > 0 || config.sketchCmsDepth > 0 ||
@@ -1502,6 +1763,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   def sidecarsConsistent(name: String): Boolean = {
     requireTable(name)
+    // the manifest is a sidecar too: dangling entries / orphan files
+    // fail here and [[rebuildSidecars]] (via rebuildManifest) repairs
+    if (!manifestConsistent(name)) return false
     if (!sketching && !rollupEnabled) return true
     if (!hasData(name))
       return (!sketching ||
@@ -1561,6 +1825,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def rebuildSidecars(name: String): Unit = {
     requireTable(name)
     if (!hasData(name)) return
+    // manifest FIRST: the stats re-aggregation below reads table(name),
+    // which plans from the manifest — rebuilding it first both repairs
+    // dangling entries and ADOPTS orphan files, so the stats rebuild
+    // counts exactly the data the repaired table exposes
+    if (config.manifest && manifestExists(name)) rebuildManifest(name)
     if (sketching)
       rewriteSidecar(statsPath(name),
         table(name).groupBy(col("bucket")).agg(sidecarAggs.head, sidecarAggs.tail: _*))

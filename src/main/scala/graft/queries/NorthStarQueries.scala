@@ -1178,9 +1178,34 @@ object NorthStarQueries {
     * at that length) and short enough that the fixture's near-dup
     * documents produce real spans. */
   def substringDedupQ(spark: SparkSession, dir: String): DataFrame =
+    // exact grams EXPLICITLY: this declared form exists for the DuckDB
+    // oracle (no xxhash64 there); the production default is hashed
+    // grams, declared + hash-gated by d35b below
     Dedup.substringDedup(
-        t(spark, dir, "documents"), "doc_id", "text", w = 8)
+        t(spark, dir, "documents"), "doc_id", "text", w = 8,
+        hashGrams = false)
       .orderBy(col("doc_id"))
+
+  /** D35b: the hashed-gram PRODUCTION DEFAULT of [[Dedup.substringDedup]],
+    * declared self-validating (the d33e pattern): the hashed form's
+    * full output joins the exact form's, and per-row equality verdicts
+    * ride the declared output — the oracle replicates the exact recipe
+    * and asserts the verdicts, so the hash gate proves default ≡ exact
+    * on the fixture (collisions at 64 bits over this corpus: none). */
+  def substringDedupHashedQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val hashed = Dedup.substringDedup(docs, "doc_id", "text", w = 8)
+    val exact = Dedup.substringDedup(docs, "doc_id", "text", w = 8,
+        hashGrams = false)
+      .select(col("doc_id"), col("n_removed").as("x_removed"),
+        col("clean_text").as("x_clean"))
+    hashed.join(exact, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text"),
+        (col("n_removed") === col("x_removed") &&
+          col("clean_text") === col("x_clean")).as("matches_exact"))
+      .orderBy(col("doc_id"))
+  }
 
   /** D37: within-document repeated-span removal
     * ([[Dedup.substringSelfDedup]]) — the self-dedup complement of d35:
