@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum, to_json, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, to_json, xxhash64}
 
 /** Benchmark main (driver contract): times the headline queries on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Each query gets one warm-up
@@ -78,7 +78,12 @@ object Bench {
     // xxhash64 (map columns via to_json — hashing maps is disallowed)
     // forces the whole expression tree to evaluate; the checksum agg
     // itself is a map-side fold plus a one-row exchange — noise at any
-    // SF.
+    // SF. The fold is bit_xor, NOT sum: summing ~600 k uniform 64-bit
+    // hashes leaves the LongType range almost surely and Spark 4's
+    // default ANSI mode then throws ARITHMETIC_OVERFLOW on every run —
+    // the r13 artifact was void for exactly this (all −1, errors=140).
+    // XOR is order-independent and cannot overflow, and still forces
+    // every output row+column through evaluation.
     var errors = 0
     def run(q: graft.core.QueryDef): Boolean =
       try {
@@ -89,7 +94,7 @@ object Bench {
             case _ => col(f.name)
           }
         }
-        df.agg(sum(xxhash64(cols: _*))).head()
+        df.agg(bit_xor(xxhash64(cols: _*))).head()
         true
       }
       catch { case e: Throwable =>
@@ -202,12 +207,21 @@ object Bench {
       s""""headline_rerun":{"total":$rTotal,"min_total":$rMin,"load_at_rerun":$loadAtRerun,"queries":${obj(rr.map(r => r._1 -> r._2))},"queries_min":${obj(rr.map(r => r._1 -> r._3))}},"""
     }.getOrElse("")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_raw":$qsRaw,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"secondary_raw":$secRaw,$ingest$rerunJson"load_avg_1m":$load,"load_at_start":$loadAtStart,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
-    }
+    // A failed run must not leave a plausible-looking artifact behind:
+    // r13's bench failed 140/140 invocations yet exited 0 and wrote the
+    // all-−1 detail file, which then got committed as the round's
+    // timing evidence. With errors > 0 the detail artifact is refused
+    // and the process exits nonzero (after printing the JSON line, which
+    // carries the error count — evidence of failure, not of timing).
+    if (errors == 0)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+      }
+    else System.err.println(
+      s"[bench] $errors invocation(s) failed — BENCH_DETAIL.json NOT written")
     def r4(x: Double): String = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def objR(kv: Seq[(String, Double)]): String =
@@ -221,5 +235,6 @@ object Bench {
     }.getOrElse("")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsC,"min_total":${r4(minTotal)},$rerunC"secondary":$secC,$ingestCompact"load_avg_1m":${r4(load)},"load_at_start":${r4(loadAtStart)},"cpus":$cpus,"errors":$errors,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
+    if (errors > 0) sys.exit(1)
   }
 }

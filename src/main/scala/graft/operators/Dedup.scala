@@ -506,8 +506,15 @@ object Dedup {
     // single-task sort.
     val best = members.groupBy(col("component"))
       .agg(max(col("__score")).as("__best"))
+    // null-safe equality: a component whose members ALL have null score
+    // yields __best = null, and a plain === would then match no member —
+    // no winners row, no losers, the whole cluster silently kept. With
+    // <=> the all-null component's members all tie as winners and min(id)
+    // picks the keeper, matching the sibling dedupByClusters contract.
+    // (max() already ignores nulls when ANY member has a score, so a
+    // null-scored member can never out-rank a scored one.)
     val winners = members.join(best, Seq("component"))
-      .filter(col("__score") === col("__best"))
+      .filter(col("__score") <=> col("__best"))
       .groupBy(col("component")).agg(min(col("id")).as("keep_id"))
     val losers = members.join(winners, Seq("component"))
       .filter(col("id") =!= col("keep_id"))

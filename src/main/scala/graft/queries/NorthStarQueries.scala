@@ -2507,6 +2507,35 @@ object NorthStarQueries {
         |       coalesce(cl.clean_text, '') AS clean_text
         |FROM t LEFT JOIN cd USING (doc_id) LEFT JOIN cl USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin)),
+    QueryDef("d35b_substring_dedup_hashed", substringDedupHashedQ, Some(
+      // the hashed-gram PRODUCTION DEFAULT, self-validating: the oracle
+      // replicates the exact recipe (identical to d35's CTE chain) and
+      // asserts the in-query equality verdicts — a hash match proves the
+      // shipped default ≡ exact on this corpus (no 64-bit collisions)
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |wn AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+        |dg AS (SELECT g FROM wn GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p
+        |        FROM wn JOIN dg USING (g),
+        |             unnest(generate_series(i, i + 7)) AS v(p)),
+        |cd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |       FROM cov GROUP BY doc_id),
+        |tp AS (SELECT doc_id, p, toks[p] AS tok
+        |       FROM t, unnest(generate_series(1, len(toks))) AS u(p)),
+        |keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |         ANTI JOIN cov USING (doc_id, p)),
+        |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |       FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(cd.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(cl.clean_text, '') AS clean_text,
+        |       TRUE AS matches_exact
+        |FROM t LEFT JOIN cd USING (doc_id) LEFT JOIN cl USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)),
     QueryDef("d34_quality_classifier", qualityClassifierQ, Some(
       // same tokenization, same 256-bucket md5 feature hash (first two
       // hex chars), same exact-int64 bucket→weight map, same left-fold

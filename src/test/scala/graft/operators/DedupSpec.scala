@@ -427,6 +427,22 @@ class DedupSpec extends SparkSuite {
     assert(kept === Set(2L, 3L))
   }
 
+  test("dedupByClustersBest keeps exactly one member when all scores are null") {
+    // component {1,2}: both scores null → max(__score) is null; the
+    // null-safe winner filter must still elect min-id as keeper rather
+    // than silently keeping the whole cluster (the === form produced no
+    // winners row → no losers → both kept). A mixed component {3,4}
+    // checks null never out-ranks a real score.
+    val scored = Seq(
+      (1L, Option.empty[Double]), (2L, Option.empty[Double]),
+      (3L, Option.empty[Double]), (4L, Some(0.5))
+    ).toDF("id", "sc")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClustersBest(scored, "id", pairs, $"sc")
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("dedupByClustersBest with a constant score degenerates to min-id") {
     val docs4 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "t")
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")

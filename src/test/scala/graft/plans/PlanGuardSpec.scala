@@ -282,11 +282,21 @@ class PlanGuardSpec extends SparkSuite {
 
   test("d36: keeper selection is an aggregate, not a per-cluster window sort") {
     val p = plan("d36_quality_dedup")
-    assert(p.contains("max_by"),
-      s"winner must come from max_by aggregation:\n$p")
+    // two-stage type-generic keeper (max score per component, then min id
+    // among the score-tied members) — a degenerate giant cluster costs a
+    // partial-agg merge, never a single-task window sort
+    assert(p.contains("max(__score"),
+      s"winner must come from a max-score aggregate:\n$p")
+    assert(p.contains("min(id"),
+      s"score ties must break via a min-id aggregate:\n$p")
     assert(!p.contains("Window("),
       s"no window sort may appear in keeper selection:\n$p")
     assert("LeftAnti".r.findAllIn(p).size === 1,
       s"expected exactly one loser anti-join:\n$p")
+    // both keeper aggregates group on component — the shared hash
+    // partitioning the scaladoc's one-exchange cost model rests on
+    val hp = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hp.exists(_.contains("component")),
+      s"keeper aggregates must partition on component:\n${hp.mkString("\n")}")
   }
 }
