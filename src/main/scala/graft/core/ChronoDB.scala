@@ -43,11 +43,22 @@ final case class ChronoConfig(
                                        // design: scale decimals at the
                                        // expression level (cents, micros).
     rollupSlotUs: Long = 3600000000L,  // rollup slot width in µs (default 1h)
-    manifest: Boolean = true)          // `_manifest` sidecar: plan scans from
+    manifest: Boolean = true,          // `_manifest` sidecar: plan scans from
                                        // recorded file metadata instead of
                                        // listing partition directories
                                        // ([[ManifestFileIndex]]). Disable only
-                                       // to A/B the legacy listing path.
+                                       // to A/B the legacy listing path —
+                                       // mutations through a manifest=false
+                                       // handle STILL maintain an existing
+                                       // sidecar (staleness would corrupt a
+                                       // later manifest=true reopen).
+    manifestFoldFiles: Int = 64)       // checkpoint cadence: fold the
+                                       // `_manifest` fragments to one file
+                                       // once this many accumulate (each
+                                       // insert batch appends one), bounding
+                                       // the per-query manifest read at
+                                       // O(threshold) for ingests that never
+                                       // compact.
 
 object ChronoConfig {
   /** SHIPPED small-batch / streaming-ingest preset: key Bloom +
@@ -99,6 +110,8 @@ final case class TableStats(
   * dynamic partition overwrite; retention drops whole partition dirs.
   */
 final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[ChronoDB])
   import spark.implicits._
 
   ChronoConfigValidation.validate(config)
@@ -240,6 +253,26 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("bucket"),
         pmod(xxhash64(col("key"), col("ts")), lit(config.writersPerBucket)))
+    // Manifest state captured BEFORE the data write:
+    // - `manifestLive`: the sidecar must be maintained either because
+    //   this handle opted in (config.manifest) or because the table
+    //   ALREADY has one (a manifest=false handle writing to a
+    //   manifested table would otherwise leave it stale, and a later
+    //   manifest=true reopen would plan scans that miss this batch).
+    // - `legacyAdopt`: config.manifest=true but the table has data and
+    //   NO manifest (written before the manifest existed, or with
+    //   manifest=false) — a partial per-touched-bucket append here
+    //   would flip reads onto a manifest covering only this batch's
+    //   buckets and silently hide every historical bucket, so the
+    //   first manifested insert into a legacy table must run the full
+    //   [[rebuildManifest]] adoption walk instead.
+    // - `writeStart`: files closed before this instant cannot be this
+    //   batch's — [[appendManifest]] uses it to record ONLY the new
+    //   batch's files and quarantine a crashed insert's orphans.
+    val manifestWasLive = manifestExists(name)
+    val manifestLive = config.manifest || manifestWasLive
+    val legacyAdopt = config.manifest && !manifestWasLive && hasData(name)
+    val writeStart = System.currentTimeMillis()
     // ALL per-bucket sketch state — HLL key sketch, exact row count `n`
     // (the consistency anchor), dense CMS counter vector — PIGGYBACKS
     // on the data-write job via Dataset.observe: the write tasks fold
@@ -269,7 +302,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       // the manifest needs only the TOUCHED bucket names (bytes per
       // bucket) — the file listing itself is a driver-local walk of
       // exactly those directories after the write lands
-      (if (config.manifest)
+      (if (manifestLive)
         Seq(collect_set(col("bucket")).as("touched"))
       else Seq.empty)
     val obs =
@@ -289,13 +322,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // the batch becomes VISIBLE the moment its files are recorded. A
     // crash after the data write but before this append leaves the
     // batch's files on disk unrecorded: invisible to manifest-planned
-    // scans (the insert never "committed" — re-run it, the verb the
-    // upsert scaladoc already prescribes, or adopt the files via
-    // [[rebuildManifest]]). A crash between the manifest append and
-    // the `_stats` append below leaves visible data without stats rows
-    // — the existing [[sidecarCoverageGaps]]/[[rebuildSidecars]]
-    // window, detected and repaired as before.
-    if (config.manifest) {
+    // scans, and STAYS invisible — [[appendManifest]] records only
+    // files closed at/after `writeStart`, so a later insert into the
+    // same bucket quarantines the crashed batch's orphans (warn + skip)
+    // instead of silently adopting them. The insert never "committed":
+    // re-running it is safe (no duplication), or adopt the orphans
+    // deliberately via [[rebuildManifest]]. A crash between the
+    // manifest append and the `_stats` append below leaves visible
+    // data without stats rows — the existing [[sidecarCoverageGaps]]/
+    // [[rebuildSidecars]] window, detected and repaired as before.
+    if (manifestLive) {
       val touched = obs.map { o =>
         o.get.get("touched") match {
           case Some(s: scala.collection.Seq[_]) =>
@@ -303,7 +339,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           case _ => Seq.empty[String]
         }
       }.getOrElse(Seq.empty)
-      appendManifest(name, touched)
+      if (legacyAdopt) rebuildManifest(name)
+      else appendManifest(name, touched, writeStart)
     }
     // Sidecar file AFTER data: a crash in between leaves data without
     // sidecar rows — detectable by [[sidecarsConsistent]] and repairable
@@ -1133,21 +1170,63 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
       manifestSchema)
 
-  /** Record every file currently present in the `touched` buckets.
-    * Listing the full per-bucket file set (not just the new batch's
-    * files) keeps the append IDEMPOTENT — re-recording a file is
-    * harmless ([[manifestFold]] dedupes by (bucket, file)) — and the
-    * insert hot path never reads the manifest. Driver cost is
-    * O(touched buckets), not O(table). */
-  private def appendManifest(name: String, touched: Seq[String]): Unit = {
+  /** Record THIS BATCH's files in the `touched` buckets: the listing is
+    * restricted to files closed at/after `since` (the instant captured
+    * before the write job launched — floored to the second so a
+    * coarse-mtime filesystem can never misclassify the batch's own
+    * files as old). Files older than the cutoff are either already
+    * recorded (earlier committed batches — re-recording them is
+    * unnecessary, [[manifestFold]] dedupes regardless) or a crashed
+    * insert's ORPHANS, which must NOT be silently adopted: the crashed
+    * insert never committed and its prescribed recovery is a plain
+    * re-run, which would duplicate every adopted row. Orphans are
+    * quarantined loudly (warn + skip); [[rebuildManifest]] is the
+    * deliberate adoption verb. Driver cost is O(touched buckets) plus
+    * one pushed `bucket IN` read of the KB-scale sidecar for the
+    * orphan check — never O(table). */
+  private def appendManifest(
+      name: String, touched: Seq[String], since: Long): Unit = {
     recoverSidecar(manifestPath(name))
-    val rows = touched.flatMap(listBucketFiles(name, _))
-    if (rows.isEmpty) return
-    manifestRowsDf(rows)
-      .coalesce(1)
-      .write.mode(SaveMode.Append)
-      .option("compression", config.compression)
-      .parquet(manifestPath(name).toString)
+    val cutoff = since - (since % 1000)
+    val listed = touched.flatMap(listBucketFiles(name, _))
+    val (fresh, old) = listed.partition(_.getLong(3) >= cutoff)
+    if (old.nonEmpty && Files.exists(manifestPath(name))) {
+      val recorded = manifestEntries(name, Some(touched))
+        .map(e => (e.bucket, e.file)).toSet
+      val orphans = old.filterNot(r =>
+        recorded((r.getString(0), r.getString(1))))
+      if (orphans.nonEmpty)
+        log.warn(s"table '$name': ${orphans.size} data file(s) on disk " +
+          s"predate this batch and are not in _manifest (a crashed " +
+          s"insert's uncommitted files) — NOT adopting them; run " +
+          s"rebuildManifest('$name') to adopt deliberately: " +
+          orphans.take(5).map(r =>
+            s"bucket=${r.getString(0)}/${r.getString(1)}").mkString(", "))
+    }
+    if (fresh.nonEmpty)
+      manifestRowsDf(fresh)
+        .coalesce(1)
+        .write.mode(SaveMode.Append)
+        .option("compression", config.compression)
+        .parquet(manifestPath(name).toString)
+    // Checkpoint fold: each batch appends one fragment, and only
+    // compact/mutations rewrite — a long-running ingest that never
+    // compacts would otherwise pay an O(batches) manifest read per
+    // query. Past the threshold, fold the fragments to one file (the
+    // Delta-style commit-count checkpoint, atomic via
+    // [[rewriteSidecar]]). KB-scale read+write every
+    // `manifestFoldFiles` batches — amortized noise on the ingest path.
+    if (countSidecarFiles(manifestPath(name)) >= config.manifestFoldFiles)
+      rewriteSidecar(manifestPath(name), manifestFold(name))
+  }
+
+  /** Parquet fragment count of a sidecar dir (driver-local, one
+    * directory level). */
+  private def countSidecarFiles(dir: Path): Int = {
+    if (!Files.exists(dir)) return 0
+    val s = Files.list(dir)
+    try s.filter(_.toString.endsWith(".parquet")).count().toInt
+    finally s.close()
   }
 
   /** `_manifest` read with the EXPLICIT schema (same rationale as
@@ -1213,7 +1292,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * dangling entries that fail loudly (FileNotFound at scan time) —
     * [[rebuildManifest]] is the repair verb. */
   private def refreshManifest(name: String, touched: Seq[String]): Unit = {
-    if (!config.manifest) return
+    // keyed on the SIDECAR's existence, not config.manifest: a mutation
+    // through a manifest=false handle must still keep an existing
+    // `_manifest` true — a stale one would dangle (FileNotFound) or
+    // hide rewritten files from a later manifest=true reopen
     recoverSidecar(manifestPath(name))
     if (!Files.exists(manifestPath(name)) || touched.isEmpty) return
     val kept = manifestFold(name).filter(!col("bucket").isin(touched: _*))
@@ -1231,7 +1313,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * O(table) listing this verb exists to keep out of the query path. */
   def rebuildManifest(name: String): Unit = {
     requireTable(name)
-    if (!config.manifest) return
+    // no-op only when this handle opted out AND no sidecar exists (a
+    // manifest=false handle may still repair a table that has one)
+    if (!config.manifest && !Files.exists(manifestPath(name))) return
     val rows = listBuckets(name).flatMap(listBucketFiles(name, _))
     rewriteSidecar(manifestPath(name), manifestRowsDf(rows))
   }
@@ -1244,7 +1328,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * the listing path. */
   def manifestConsistent(name: String): Boolean = {
     requireTable(name)
-    if (!config.manifest) return true
+    // keyed on the sidecar's existence (not config.manifest) so a
+    // manifest=false handle still SEES an inconsistent sidecar
     recoverSidecar(manifestPath(name))
     if (!Files.exists(manifestPath(name))) return true
     val recorded = manifestEntries(name, None)
@@ -1829,7 +1914,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // which plans from the manifest — rebuilding it first both repairs
     // dangling entries and ADOPTS orphan files, so the stats rebuild
     // counts exactly the data the repaired table exposes
-    if (config.manifest && manifestExists(name)) rebuildManifest(name)
+    if (manifestExists(name)) rebuildManifest(name)
     if (sketching)
       rewriteSidecar(statsPath(name),
         table(name).groupBy(col("bucket")).agg(sidecarAggs.head, sidecarAggs.tail: _*))

@@ -120,6 +120,109 @@ class ManifestSpec extends SparkSuite {
     db.close()
   }
 
+  test("a crashed insert's orphan is NOT adopted by the next insert into the same bucket") {
+    val (db, dir) = freshDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(row("a", "2024-01-01 10:10:00")))
+    // simulate a CRASHED EARLIER insert: an unrecorded file whose mtime
+    // predates the next insert (the crash happened before it, by
+    // construction of the single-writer LOCK)
+    val bucket = Paths.get(dir, "t", "bucket=2024-01-01-10")
+    val part = Files.list(bucket).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val orphan = bucket.resolve("part-orphan.parquet")
+    Files.copy(part, orphan)
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L))
+    // next insert into the SAME bucket: must record only its own files
+    db.insertSeq("t", Seq(row("b", "2024-01-01 10:20:00")))
+    assert(db.table("t").count() === 2,
+      "the crashed batch's orphan must stay invisible — re-running the " +
+        "crashed insert would otherwise duplicate its rows")
+    assert(!db.manifestConsistent("t"), "orphan must still fail the check")
+    db.rebuildManifest("t") // the deliberate adoption verb
+    assert(db.table("t").count() === 3)
+    assert(db.manifestConsistent("t"))
+    db.close()
+  }
+
+  test("first manifested insert into a legacy table adopts every historical bucket") {
+    val dir = Files.createTempDirectory("manifest").toString
+    val legacy = new ChronoDB(spark,
+      ChronoConfig(dir, bucket = "hour", manifest = false))
+    legacy.createTable("t")
+    legacy.insertSeq("t", Seq(
+      row("a", "2024-01-01 10:10:00"),
+      row("b", "2024-01-01 11:20:00")))
+    assert(!Files.exists(Paths.get(dir, "t", "_manifest")))
+    legacy.close()
+    // reopen with the default manifest=true and insert into a NEW
+    // bucket: a partial per-touched-bucket append would cover only the
+    // 12h bucket and silently hide the historical 10h/11h ones
+    val db = new ChronoDB(spark,
+      ChronoConfig(dir, bucket = "hour", manifest = true))
+    db.insertSeq("t", Seq(row("c", "2024-01-01 12:30:00")))
+    assert(Files.exists(Paths.get(dir, "t", "_manifest")))
+    val df = db.table("t")
+    assert(indexClasses(df) === Seq("ManifestFileIndex"))
+    assert(df.count() === 3,
+      "historical buckets must be adopted, not silently hidden")
+    assert(db.manifestConsistent("t"))
+    db.close()
+  }
+
+  test("mutations through a manifest=false handle keep an existing _manifest fresh") {
+    val dir = Files.createTempDirectory("manifest").toString
+    def cfg(m: Boolean) = ChronoConfig(dir, bucket = "hour",
+      compactFileThreshold = 1, writersPerBucket = 1, manifest = m)
+    val db = new ChronoDB(spark, cfg(m = true))
+    db.createTable("t")
+    db.insertSeq("t", Seq(
+      row("a", "2024-01-01 10:10:00"), row("b", "2024-01-01 10:20:00")))
+    db.insertSeq("t", Seq(row("c", "2024-01-01 10:40:00")))
+    db.close()
+    // a manifest=false handle deletes, inserts, and compacts: all three
+    // rewrite or extend the bucket's file set, and the existing sidecar
+    // must follow — a stale one would dangle (FileNotFound) or hide
+    // rows from the next manifest=true scan
+    val off = new ChronoDB(spark, cfg(m = false))
+    assert(off.deleteKeys("t", Seq("b")) === 1L)
+    off.insertSeq("t", Seq(row("d", "2024-01-01 10:50:00")))
+    assert(off.compact("t") > 0)
+    off.close()
+    val on = new ChronoDB(spark, cfg(m = true))
+    assert(on.manifestConsistent("t"),
+      "manifest must track mutations made through a manifest=false handle")
+    val out = on.table("t").select($"key").as[String].collect().sorted
+    assert(out.toSeq === Seq("a", "c", "d"))
+    on.close()
+  }
+
+  test("manifest fragments fold at the checkpoint cadence") {
+    val dir = Files.createTempDirectory("manifest").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
+      writersPerBucket = 1, manifest = true, manifestFoldFiles = 3))
+    db.createTable("t")
+    def frags(): Long = {
+      val s = Files.list(Paths.get(dir, "t", "_manifest"))
+      try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    // each batch appends one fragment; the 3rd append reaches the
+    // threshold and folds to one — an ingest that never compacts now
+    // pays an O(threshold) manifest read, not O(batches)
+    db.insertSeq("t", Seq(row("a", "2024-01-01 10:10:00")))
+    db.insertSeq("t", Seq(row("b", "2024-01-01 11:10:00")))
+    assert(frags() === 2)
+    db.insertSeq("t", Seq(row("c", "2024-01-01 12:10:00")))
+    assert(frags() === 1, "threshold reached — fragments must fold to one")
+    db.insertSeq("t", Seq(row("d", "2024-01-01 13:10:00")))
+    assert(frags() === 2)
+    assert(db.table("t").count() === 4)
+    assert(db.manifestConsistent("t"))
+    db.close()
+  }
+
   test("deleteKeys / compact / cleanup keep the manifest consistent") {
     val dir = Files.createTempDirectory("manifest").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour",
