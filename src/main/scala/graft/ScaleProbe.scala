@@ -48,6 +48,9 @@ object ScaleProbe {
       return upsertProbe(args(1),
         if (args.length > 2) args(2) else "user_id")
     if (args.headOption.contains("bucketjoin")) return bucketJoinProbe(args(1))
+    if (args.headOption.contains("semantic2f"))
+      return semantic2FittedProbe(args(1), args(2).toInt, args(3).toInt,
+        args(4).toInt, if (args.length > 5) args(5).toDouble else 0.35)
     if (args.headOption.contains("semantic2"))
       return semantic2Probe(args(1), args(2).toInt, args(3).toInt,
         args(4).toInt, if (args.length > 5) args(5).toDouble else 0.35)
@@ -143,6 +146,46 @@ object ScaleProbe {
           .agg(avg((col("cell") === col("cell_flat")).cast("double")))
           .collect()(0).getDouble(0)
       println(f"""{"probe":"semantic_dedup_two_level","nlist":$nlist,"ncoarse":$ncoarse,"nprobe":$nprobe,"rows":$rows,"keepers":$keepers,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"assign_agree":$agree%.4f,"timed_runs":$probeRuns}""")
+    } finally spark.stop()
+  }
+
+  /** Fitted-codebook × two-level probe (r13 VERDICT #4): the d33g
+    * composition at derived scale. The k-means fit is timed ONCE and
+    * reported separately (production fits a codebook once and assigns
+    * many corpora against it); the timed runs cover the
+    * assign+pair+drop path over the already-built codebook, directly
+    * comparable to semantic2's min_sec at the same
+    * (nlist, ncoarse, nprobe). */
+  private def semantic2FittedProbe(sfDir: String, nlist: Int, ncoarse: Int,
+      nprobe: Int, threshold: Double): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val rows = emb.count()
+      val tFit0 = System.nanoTime()
+      val fine = graft.operators.Dedup
+        .fittedCentroids(emb, "vec_id", "embedding", nlist)
+      val fitSec = (System.nanoTime() - tFit0) / 1e9
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val k = graft.operators.Dedup.semanticDedupTwoLevelOver(
+            emb, "vec_id", "embedding", threshold, fine, ncoarse, nprobe)
+          .count()
+        (k, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, warm) = once()
+      val runs = Seq.fill(probeRuns)(once())
+      val keepers = runs.head._1
+      val minSec = runs.map(_._2).min
+      println(f"""{"probe":"semantic_dedup_fitted_two_level","nlist":$nlist,"ncoarse":$ncoarse,"nprobe":$nprobe,"rows":$rows,"keepers":$keepers,"fit_sec":$fitSec%.4f,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
     } finally spark.stop()
   }
 

@@ -699,11 +699,26 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int, ncoarse: Int,
       nprobe: Int = 4): DataFrame = {
-    require(ncoarse > 0 && ncoarse <= nlist,
-      s"ncoarse must be in [1, nlist]; got ncoarse=$ncoarse nlist=$nlist")
-    val cos = NativeExpressions.cosineNative _
     val fine = df.filter(col(idCol) < nlist)
       .select(col(idCol).cast("int").as("cell"), col(vecCol).as("cv"))
+    greedyDropWithinCluster(
+      twoLevelAssignOver(df, idCol, vecCol, fine, ncoarse, nprobe),
+      idCol, threshold)
+  }
+
+  /** The two-level (coarse-then-fine) assignment over an ARBITRARY
+    * centroid codebook `fine` (cell INT, cv vector) — the seeded and
+    * fitted quantizers share this machinery; only the codebook differs.
+    * Coarse centroids are the fine cells < `ncoarse` (the family's
+    * seeded rule — for a fitted codebook the cell ids are arbitrary
+    * labels, so this is a uniform random coarse subset, the standard
+    * coarse-codebook choice). Returns the corpus as
+    * (__id, __vec, cell). */
+  private def twoLevelAssignOver(
+      df: DataFrame, idCol: String, vecCol: String,
+      fine: DataFrame, ncoarse: Int, nprobe: Int): DataFrame = {
+    require(ncoarse > 0, s"ncoarse must be positive; got $ncoarse")
+    val cos = NativeExpressions.cosineNative _
     val coarse = fine.filter(col("cell") < ncoarse)
       .agg(collect_list(struct(col("cell").as("ccell"), col("cv").as("cv")))
         .as("coarse"))
@@ -730,14 +745,97 @@ object Dedup {
     // array_max over structs) computes identically but evaluates
     // interpreted with per-element boxing; measured 1.8–3.0× slower
     // across the 200 k / 2 M-vector sweeps (BASELINE.md §D)
-    val assigned = df
-      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+    df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
       .crossJoin(broadcast(packed))
       .withColumn("cell", NativeExpressions.twoLevelAssign(
         col("__vec"), col("coarse"), col("finemap"), nprobe))
       .select(col("__id"), col("__vec"), col("cell"))
-    greedyDropWithinCluster(assigned, idCol, threshold)
   }
+
+  /** Fitted k-means centroids as a (cell, cv) codebook DataFrame — what
+    * the fitted semantic-dedup paths quantize against. One eager
+    * driver-side fit; the centers come back as a LocalRelation cast to
+    * the corpus vector type, so downstream cosine arithmetic is
+    * type-identical to the seeded family's and the codebook broadcasts
+    * as KBs. */
+  def fittedCentroids(
+      df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .fit(df.select(array_to_vector(col(vecCol)).as("features")))
+    val vt = df.select(col(vecCol)).schema.head.dataType
+    val rows = model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i, v.toArray.toSeq) }
+    df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false))))
+      .select(col("cell"), col("cv").cast(vt).as("cv"))
+  }
+
+  /** Flat cosine-argmax assignment over an arbitrary codebook —
+    * (idCol, cell). The exhaustive reference the two-level probe is
+    * validated against (d33g's assign_ok verdict). */
+  def assignFlat(
+      df: DataFrame, idCol: String, vecCol: String,
+      fine: DataFrame): DataFrame = {
+    val cos = NativeExpressions.cosineNative _
+    val cents = fine
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+      .select(array_sort(col("cents")).as("cents"))
+    df.select(col(idCol), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", array_max(transform(col("cents"), ct => struct(
+        cos(col("__vec"), ct.getField("cv")).as("cos"),
+        (-ct.getField("cell")).as("negcell"),
+        ct.getField("cell").as("cell")))).getField("cell"))
+      .select(col(idCol), col("cell"))
+  }
+
+  /** [[twoLevelAssignOver]] projected to (idCol, cell) — the public
+    * clustering surface for verdict queries. */
+  def assignTwoLevel(
+      df: DataFrame, idCol: String, vecCol: String,
+      fine: DataFrame, ncoarse: Int, nprobe: Int): DataFrame =
+    twoLevelAssignOver(df, idCol, vecCol, fine, ncoarse, nprobe)
+      .select(col("__id").as(idCol), col("cell"))
+
+  /** The PRODUCTION SemDeDup composition (VERDICT r12 #2 / r13 #4):
+    * FITTED k-means codebook ([[fittedCentroids]] — the quantizer
+    * Abbas et al. 2023 §3 actually runs) under the TWO-LEVEL
+    * coarse-then-fine assignment ([[twoLevelAssignOver]] — what makes
+    * nlist ≈ 10⁵ affordable: per-row work O(ncoarse +
+    * nprobe·nlist/ncoarse) instead of O(nlist)). d33e gates
+    * fitted-flat and d33f gates seeded-two-level; this is their
+    * composition, declared as d33g with the d33e self-validation
+    * pattern (fitted centroids are float aggregates — not oracle
+    * literals — so the gate rides in-query verdicts: exhaustive-probe
+    * assignment ≡ flat argmax over the same codebook, keeper bounds,
+    * and the greedy rule's dup-free postcondition). */
+  def semanticDedupFittedTwoLevel(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int, ncoarse: Int, nprobe: Int = 4,
+      seed: Long = 42L, maxIter: Int = 10): DataFrame =
+    semanticDedupTwoLevelOver(df, idCol, vecCol, threshold,
+      fittedCentroids(df, idCol, vecCol, nlist, seed, maxIter),
+      ncoarse, nprobe)
+
+  /** [[semanticDedupFittedTwoLevel]] over an already-built codebook —
+    * callers that also need the codebook for verdicts (d33g) avoid a
+    * second k-means fit. */
+  def semanticDedupTwoLevelOver(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      fine: DataFrame, ncoarse: Int, nprobe: Int): DataFrame =
+    greedyDropWithinCluster(
+      twoLevelAssignOver(df, idCol, vecCol, fine, ncoarse, nprobe),
+      idCol, threshold)
 
   /** Within-document repeated-span removal — the self-dedup complement
     * of [[substringDedup]]: a w-token window is duplicated iff the SAME

@@ -539,6 +539,22 @@ object NorthStarQueries {
       .orderBy(col("media_id"))
   }
 
+  /** D5f: the REAL image codec round-trip ([[Multimodal.ImageCodec]],
+    * r13 VERDICT #6) — every document id renders a deterministic 32×32
+    * RGB pattern, encodes through the real `javax.imageio` PNG writer,
+    * then [[Multimodal.imageHashes]] decodes with the real reader and
+    * computes exact integer aHash/dHash perceptual fingerprints from
+    * the decoded pixels. PNG is lossless, so the DuckDB oracle
+    * recomputes the identical hashes straight from the generator
+    * formula (integer luma, 4×4 block average, HUGEINT bit-sum with
+    * the d5b signed-64 wrap) — a hash match proves the real
+    * encode→decode→pixel path is bit-exact, not stubbed. */
+  def imageHashQ(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthImages(
+      t(spark, dir, "documents"), "doc_id", w = 32, h = 32)
+    Multimodal.imageHashes(media).orderBy(col("media_id"))
+  }
+
   /** D6: deterministic uniform hash sample (~30% of documents) — the
     * reproducible, resumable form of corpus subsampling. */
   def hashSampleQ(spark: SparkSession, dir: String): DataFrame =
@@ -1152,6 +1168,51 @@ object NorthStarQueries {
             lit(2.0) * col("ss") /
               (col("n_vecs").cast("double") * col("n_vecs")))
           .as("pair_recall_ok"))
+  }
+
+  /** D33g: the PRODUCTION SemDeDup composition — FITTED k-means
+    * codebook under the TWO-LEVEL probe assignment
+    * ([[Dedup.semanticDedupFittedTwoLevel]]; d33e gates fitted-flat,
+    * d33f gates seeded-two-level, this gates their composition). Same
+    * self-validation discipline as d33e, with the composition-specific
+    * verdict first:
+    *   - assign_ok: with nprobe = ncoarse (EXHAUSTIVE probe) the
+    *     two-level assignment over the fitted codebook must equal the
+    *     flat cosine argmax over the SAME codebook on every corpus row
+    *     — the machinery check d33f makes against the DuckDB oracle,
+    *     re-made here against the in-Spark flat reference because
+    *     fitted centroids are float aggregates, not oracle literals;
+    *   - keepers_ok / dupfree_ok: the d33e keeper-bound and
+    *     greedy-rule postcondition over the composed clustering. */
+  def semanticDedupFittedTwoLevelQ(
+      spark: SparkSession, dir: String): DataFrame = {
+    val cos = NativeExpressions.cosineNative _
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fine = Dedup.fittedCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val two = Dedup.assignTwoLevel(emb, "vec_id", "embedding", fine,
+      ncoarse = 4, nprobe = 4)
+    val flat = Dedup.assignFlat(emb, "vec_id", "embedding", fine)
+    val mism = two.withColumnRenamed("cell", "c2")
+      .join(flat.withColumnRenamed("cell", "cf"), Seq("vec_id"))
+      .agg(count(when(col("c2") =!= col("cf"), 1)).as("n_mism"))
+    val kept = Dedup.semanticDedupTwoLevelOver(emb, "vec_id", "embedding",
+      threshold = 0.35, fine, ncoarse = 4, nprobe = 4)
+    val kv = kept.join(emb, Seq("vec_id"))
+    val viol = kv.as("a")
+      .join(kv.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cos(col("a.embedding"), col("b.embedding")) >= 0.35)
+      .agg(count(lit(1)).as("n_viol"))
+    emb.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_keepers")))
+      .crossJoin(mism)
+      .crossJoin(viol)
+      .select(col("n_vecs"), lit(16).as("nlist"), lit(4).as("ncoarse"),
+        (col("n_mism") === 0).as("assign_ok"),
+        (col("n_keepers") >= 1 && col("n_keepers") <= col("n_vecs"))
+          .as("keepers_ok"),
+        (col("n_viol") === 0).as("dupfree_ok"))
   }
 
   /** D34: model-based quality filtering — the hashed linear scorer
@@ -1867,6 +1928,50 @@ object NorthStarQueries {
         |SELECT media_id,
         |  CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INTEGER) AS frame_idx
         |FROM m ORDER BY media_id, frame_idx""".stripMargin)),
+    QueryDef("d5f_image_hashes", imageHashQ, Some(
+      // pixel-exact recomputation of the REAL PNG round-trip: the
+      // generator formula (small-integer RGB), integer luma, 4×4 block
+      // average, then aHash (bit i iff cell > floor-mean; HUGEINT
+      // bit-sum wrapped to signed BIGINT — the d5b emulation) and
+      // dHash (horizontal neighbor compare within the 8×8 grid, 56
+      // bits). PNG losslessness is what makes this oracle legal: the
+      // Spark side must decode back the exact bytes the formula wrote.
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, x, y,
+        |         (doc_id*31 + x*7 + y*13) % 256 AS r,
+        |         (doc_id*17 + x*11 + y*5) % 256 AS g,
+        |         (doc_id*23 + x*3 + y*19) % 256 AS b
+        |  FROM documents,
+        |       generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)),
+        |cells AS (
+        |  SELECT media_id, (y // 4) * 8 + (x // 4) AS i,
+        |         SUM((299*r + 587*g + 114*b) // 1000) // 16 AS cell
+        |  FROM px GROUP BY media_id, (y // 4) * 8 + (x // 4)),
+        |m AS (SELECT media_id, SUM(cell) // 64 AS mean
+        |      FROM cells GROUP BY media_id),
+        |ah AS (
+        |  SELECT c.media_id,
+        |         SUM(CASE WHEN c.cell > m.mean
+        |                  THEN CAST(1 AS HUGEINT) << CAST(c.i AS INTEGER)
+        |                  ELSE CAST(0 AS HUGEINT) END) AS ua
+        |  FROM cells c JOIN m ON c.media_id = m.media_id
+        |  GROUP BY c.media_id),
+        |dh AS (
+        |  SELECT a.media_id,
+        |         SUM(CASE WHEN a.cell < b.cell
+        |                  THEN CAST(1 AS HUGEINT)
+        |                       << CAST((a.i // 8) * 7 + (a.i % 8) AS INTEGER)
+        |                  ELSE CAST(0 AS HUGEINT) END) AS ud
+        |  FROM cells a JOIN cells b
+        |    ON a.media_id = b.media_id AND b.i = a.i + 1 AND (a.i % 8) < 7
+        |  GROUP BY a.media_id)
+        |SELECT ah.media_id, 32 AS width, 32 AS height,
+        |  CAST(ua - CASE WHEN ua >= 9223372036854775808
+        |                 THEN 18446744073709551616
+        |                 ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS ahash,
+        |  CAST(ud AS BIGINT) AS dhash
+        |FROM ah JOIN dh ON ah.media_id = dh.media_id
+        |ORDER BY ah.media_id""".stripMargin)),
     QueryDef("d5e_resize", multimodalResize, Some(
       // original dims via the d5c emulation; the area-ratio truncation
       // chain is exact-int→double products and correctly-rounded
@@ -2451,6 +2556,16 @@ object NorthStarQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs, 16 AS nlist,
         |       TRUE AS keepers_ok, TRUE AS dupfree_ok,
         |       TRUE AS pair_recall_ok
+        |FROM embeddings""".stripMargin)),
+    QueryDef("d33g_semantic_dedup_fitted_twolevel",
+      semanticDedupFittedTwoLevelQ, Some(
+      // self-validating (d33e pattern): exact anchor = corpus count;
+      // assign_ok (exhaustive two-level ≡ flat argmax over the same
+      // fitted codebook), keeper-bound and dup-free-postcondition
+      // verdicts are computed in-query and must come out TRUE
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs, 16 AS nlist,
+        |       4 AS ncoarse, TRUE AS assign_ok, TRUE AS keepers_ok,
+        |       TRUE AS dupfree_ok
         |FROM embeddings""".stripMargin)),
     QueryDef("d37_selfdedup", substringSelfDedupQ, Some(
       // d35's oracle shape with the dup rule turned inward: a window is

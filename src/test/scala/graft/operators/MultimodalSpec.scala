@@ -62,4 +62,48 @@ class MultimodalSpec extends SparkSuite {
       assert(n === (nFrames(id) + 3) / 4)
     }
   }
+
+  test("ImageCodec PNG round-trip is pixel-exact (real javax.imageio)") {
+    val png = Multimodal.ImageCodec.synthPng(7L, 32, 32)
+    // real PNG magic bytes — proves the real encoder ran
+    assert(png.take(4) === Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 32 && img.getHeight === 32)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val p = img.getRGB(x, y)
+      val (r, g, b) = Multimodal.ImageCodec.synthRgb(7L, x, y)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) === ((r, g, b)),
+        s"pixel ($x,$y) diverged after the PNG round-trip")
+    }
+  }
+
+  test("aHash/dHash match hand-computed values on a known grid") {
+    // 2x2-ish reasoning on an 8x8 grid: cells 0..63 ascending → mean =
+    // (0+..+63)/64 = 31 (floor 2016/64 = 31.5 → 31); aHash bits set for
+    // cells 32..63; dHash: every horizontal neighbor increases → all 56
+    // bits set
+    val asc = Array.tabulate(64)(i => i)
+    assert(Multimodal.ImageCodec.aHash64(asc) === (0xFFFFFFFFL << 32))
+    assert(Multimodal.ImageCodec.dHash56(asc) === ((1L << 56) - 1))
+    // constant grid: no cell > mean, no neighbor strictly less
+    val const = Array.fill(64)(5)
+    assert(Multimodal.ImageCodec.aHash64(const) === 0L)
+    assert(Multimodal.ImageCodec.dHash56(const) === 0L)
+  }
+
+  test("imageHashes decodes real PNGs partition-parallel and agrees with direct computation") {
+    val ids = (1L to 20L).toDF("doc_id")
+    val out = Multimodal.imageHashes(
+        Multimodal.synthImages(ids, "doc_id", 32, 32))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size === 20)
+    (1L to 20L).foreach { id =>
+      val (_, _, cells) = Multimodal.ImageCodec.lumaGrid(
+        Multimodal.ImageCodec.synthPng(id, 32, 32), 8)
+      assert(out(id) === ((32, 32,
+        Multimodal.ImageCodec.aHash64(cells),
+        Multimodal.ImageCodec.dHash56(cells))))
+    }
+  }
 }
