@@ -1031,6 +1031,41 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D38: shuffle-free fact-fact join on the STORED bucketed layout
+    * (ChronoConfig.keyBuckets + [[graft.core.ChronoDB.rebuildBucketed]],
+    * r13 VERDICT #7): two chrono tables (January's first and second
+    * half) are materialized as key-bucketed twins, then joined and
+    * aggregated ON the bucket key. The plan must carry no exchange
+    * before the join (PlanGuardSpec pins exactly that); the hash gate
+    * here pins the VALUES — the bucketed layout must answer exactly
+    * what the plain join answers. */
+  def bucketedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d38_db").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 8))
+    try {
+      val ev = t(spark, dir, "events")
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      def chrono(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("user_id").cast("string").as("key"), col("ts"),
+          encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow]
+      db.createTable("h1"); db.insert("h1", chrono(ev.filter(col("ts") < split)))
+      db.createTable("h2"); db.insert("h2", chrono(ev.filter(col("ts") >= split)))
+      db.rebuildBucketed("h1"); db.rebuildBucketed("h2")
+      val a = db.bucketedTable("h1")
+        .select(col("key"), decode(col("data"), "UTF-8").as("et_a"))
+      val b = db.bucketedTable("h2")
+        .select(col("key"), decode(col("data"), "UTF-8").as("et_b"))
+      a.hint("merge").join(b.hint("merge"), Seq("key"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("et_a") === col("et_b"), 1)).as("n_same"))
+        .orderBy(col("key"))
+    } finally db.close()
+  }
+
   /** D31: weighted sampling — per-SOURCE acceptance rates (0.1–0.5,
     * derived from the source number: the dataset-mixing recipe shape)
     * applied as [[Curation.weightedSample]]'s deterministic md5 draw
@@ -2567,6 +2602,21 @@ object NorthStarQueries {
         |       4 AS ncoarse, TRUE AS assign_ok, TRUE AS keepers_ok,
         |       TRUE AS dupfree_ok
         |FROM embeddings""".stripMargin)),
+    QueryDef("d38_bucketed_join", bucketedJoinQ, Some(
+      // the co-located join must answer exactly what the plain join
+      // answers — the oracle replays split/join/agg over raw events
+      """WITH a AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_type AS et
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |b AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_type AS et
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |SELECT a.key, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(CASE WHEN a.et = b.et THEN 1 END) AS BIGINT)
+        |         AS n_same
+        |FROM a JOIN b ON a.key = b.key
+        |GROUP BY a.key
+        |ORDER BY a.key""".stripMargin)),
     QueryDef("d37_selfdedup", substringSelfDedupQ, Some(
       // d35's oracle shape with the dup rule turned inward: a window is
       // dup iff the same gram started EARLIER in the same doc

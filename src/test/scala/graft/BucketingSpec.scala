@@ -55,4 +55,45 @@ class BucketingSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(joined.orderBy("o_orderpriority").collect() ===
       direct.orderBy("o_orderpriority").collect())
   }
+
+  test("ChronoDB keyBuckets option materializes a co-located key-join layout") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("bdb").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 4))
+    try {
+      def rows(off: Int) = (0 until 40).map(i => ChronoRow(s"k${i % 10}",
+        Timestamp.valueOf(f"2024-01-${1 + i % 5 + off}%02d 10:00:00"),
+        Array[Byte](i.toByte)))
+      db.createTable("x"); db.insertSeq("x", rows(0))
+      db.createTable("y"); db.insertSeq("y", rows(5))
+      db.rebuildBucketed("x"); db.rebuildBucketed("y")
+      val j = db.bucketedTable("x").select(col("key"))
+        .hint("merge")
+        .join(db.bucketedTable("y").select(col("key"), col("ts")).hint("merge"),
+          Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val shuffles = collectWithSubqueries(j.queryExecution.executedPlan) {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty,
+        s"key join + key agg over the bucketed layout must plan zero " +
+          s"exchanges, got ${shuffles.size}:\n${j.queryExecution.executedPlan}")
+      // values: 40 rows per table over 10 keys → 4 per key per side →
+      // 16 join pairs per key
+      val out = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.size === 10 && out.values.forall(_ === 16L))
+      // the twin's files live under the table's sidecar dir and the
+      // catalog entry dies with the table
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "x", "_bucketed")))
+      assert(db.table("x").count() === 40,
+        "the _bucketed sidecar must stay invisible to normal scans")
+      db.dropTable("x")
+      assert(!spark.catalog.tableExists(
+        s"chrono_x_bucketed_${math.abs(root.hashCode) % 100000}"))
+    } finally db.close()
+  }
 }

@@ -10,7 +10,8 @@ import graft.SparkEntry
   * String-level checks on the default-config plan (same settings as
   * Verify/Bench: AQE on, shuffle partitions small).
   */
-class PlanGuardSpec extends SparkSuite {
+class PlanGuardSpec extends SparkSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def plan(name: String): String = {
     val q = SparkEntry.all.find(_.name == name)
@@ -278,6 +279,23 @@ class PlanGuardSpec extends SparkSuite {
     val hp = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
     assert(hp.exists(l => l.contains("doc_id") && l.contains("gram")),
       s"expected (doc_id, gram) shuffle key:\n${hp.mkString("\n")}")
+  }
+
+  test("d38: bucketed fact-fact join runs without a pre-join exchange") {
+    val q = SparkEntry.all.find(_.name == "d38_bucketed_join")
+      .getOrElse(fail("no declared query d38_bucketed_join"))
+    val df = q.build(spark, sf())
+    df.collect() // force the final adaptive plan
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("SortMergeJoin"),
+      s"bucketed join must be a sort-merge join:\n$p")
+    val shuffles = collectWithSubqueries(p) {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    // the one legal exchange is the FINAL orderBy's range partitioning;
+    // the join and the key-grouped aggregate ride the bucket layout
+    assert(shuffles.size <= 1,
+      s"expected <=1 exchange (final sort only), got ${shuffles.size}:\n$p")
   }
 
   test("d36: keeper selection is an aggregate, not a per-cluster window sort") {
