@@ -98,8 +98,15 @@ object ScaleGen {
       .drop("rep"), "events", 16)
 
     // documents: replica 0 verbatim (original near-dup structure kept
-    // once); replicas >0 word-scrambled by hash order so they are not
-    // near-dups of the source or of each other
+    // once); replicas >0 word-scrambled by hash order AND token-suffixed
+    // with the replica index. The suffix is the r13 fixture fix: scramble
+    // alone leaves every replica the same word MULTISET, whose residual
+    // shingle/window overlap grows with C(k,2) replica pairs — at k=1000
+    // the third-decade d2/d35 points were measuring that permutation
+    // mass, not the engine (BASELINE.md r12 caveat). With `wq<rep>`
+    // tokens no gram or shingle can match across replicas, so dup mass
+    // stays constant (= replica 0's own near-dup structure) at every
+    // derived scale and the decade ratio reads the engine.
     val doc = src("documents")
     val scrambled = doc.crossJoin(reps).where(col("rep") > 0)
       .withColumn("text",
@@ -112,7 +119,8 @@ object ScaleGen {
                 (w, i) => struct(
                   xxhash64(w, i, col("doc_id"), col("rep")).as("h"),
                   w.as("w")))),
-            p => p.getField("w")),
+            p => concat(p.getField("w"), lit("q"),
+              col("rep").cast("string"))),
           " "))
       .withColumn("doc_id", col("doc_id") + col("rep") * STEP)
       .withColumn("n_chars", length(col("text")))
