@@ -43,6 +43,44 @@ object ScaleProbe {
     }
   }
 
+  /** Task-metric totals for the memory-pressure proof: Tungsten spill
+    * bytes (memory-resident data force-written to disk by execution
+    * memory pressure), disk spill bytes, and the largest single-task
+    * peak execution memory — summed/maxed over every task since
+    * registration. local[*] runs one JVM, so these ARE the engine's
+    * whole memory story for a probe run. */
+  private final class SpillListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val peakExecMem = new java.util.concurrent.atomic.LongAccumulator(
+      new java.util.function.LongBinaryOperator {
+        def applyAsLong(a: Long, b: Long): Long = math.max(a, b)
+      }, 0L)
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        memSpilled.addAndGet(m.memoryBytesSpilled)
+        diskSpilled.addAndGet(m.diskBytesSpilled)
+        peakExecMem.accumulate(m.peakExecutionMemory)
+      }
+    }
+    /** `"spill_mem_mb":…,` fragment for the probe JSON line (heap size
+      * included so an artifact is self-describing about the pressure
+      * it ran under). */
+    def json: String = {
+      val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      s""""heap_max_mb":$heapMb,"spill_mem_mb":${memSpilled.get / (1024 * 1024)},"spill_disk_mb":${diskSpilled.get / (1024 * 1024)},"peak_task_exec_mb":${peakExecMem.get / (1024 * 1024)},"""
+    }
+  }
+
+  private def withSpill(spark: SparkSession): SpillListener = {
+    val l = new SpillListener
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("upsert"))
       return upsertProbe(args(1),
@@ -62,6 +100,7 @@ object ScaleProbe {
         hashGrams = true)
     if (args.headOption.contains("skewsubstr"))
       return skewSubstrProbe(args(1))
+    if (args.headOption.contains("neardup")) return neardupProbe(args(1))
     if (args.headOption.contains("zorder")) return zorderProbe(args(1))
     if (args.headOption.contains("skewjoin")) return skewJoinProbe(args(1))
     if (args.headOption.contains("skewlsh")) return skewLshProbe(args(1))
@@ -167,6 +206,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val spill = withSpill(spark)
     try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val rows = emb.count()
@@ -185,7 +225,7 @@ object ScaleProbe {
       val runs = Seq.fill(probeRuns)(once())
       val keepers = runs.head._1
       val minSec = runs.map(_._2).min
-      println(f"""{"probe":"semantic_dedup_fitted_two_level","nlist":$nlist,"ncoarse":$ncoarse,"nprobe":$nprobe,"rows":$rows,"keepers":$keepers,"fit_sec":$fitSec%.4f,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
+      println(f"""{"probe":"semantic_dedup_fitted_two_level","nlist":$nlist,"ncoarse":$ncoarse,"nprobe":$nprobe,"rows":$rows,"keepers":$keepers,${spill.json}"fit_sec":$fitSec%.4f,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
     } finally spark.stop()
   }
 
@@ -224,6 +264,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val spill = withSpill(spark)
     try {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val rows = docs.count()
@@ -240,7 +281,38 @@ object ScaleProbe {
       val runs = Seq.fill(probeRuns)(once())
       val (removed, docsHit) = (runs.head._1, runs.head._2)
       val minSec = runs.map(_._3).min
-      println(f"""{"probe":"substring_dedup","w":$w,"hash_grams":$hashGrams,"rows":$rows,"tokens_removed":$removed,"docs_hit":$docsHit,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
+      println(f"""{"probe":"substring_dedup","w":$w,"hash_grams":$hashGrams,"rows":$rows,"tokens_removed":$removed,"docs_hit":$docsHit,${spill.json}"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
+    } finally spark.stop()
+  }
+
+  /** d2's MinHash-LSH near-dup recipe (the DECLARED query builder, via
+    * the registry — the probe measures exactly what the hash gate
+    * gates) timed at derived scale with spill metrics: the
+    * memory-pressure proof runs this under a deliberately small heap
+    * (SPARK_DRIVER_MEM) to demonstrate the Tungsten spill path carries
+    * the third-decade corpus instead of OOMing. */
+  private def neardupProbe(sfDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val spill = withSpill(spark)
+    try {
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries("d2_minhash_neardup")(spark, sfDir)
+          .count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, warm) = once()
+      val runs = Seq.fill(probeRuns)(once())
+      val minSec = runs.map(_._2).min
+      println(f"""{"probe":"minhash_neardup","pairs":${runs.head._1},${spill.json}"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
     } finally spark.stop()
   }
 

@@ -94,6 +94,13 @@ final case class TableStats(
     name: String, numFiles: Long, numRows: Long, sizeBytes: Long,
     minTs: Option[Timestamp], maxTs: Option[Timestamp])
 
+/** Outcome of [[ChronoDB.refreshBucketed]]: `mode` is "append" (delta
+  * incorporated incrementally), "rebuild" (full rewrite — first build,
+  * rewritten history, or crashed-append repair), or "noop" (twin
+  * already current); `files` is the data-file count incorporated by
+  * the action. */
+final case class BucketedRefresh(mode: String, files: Int)
+
 /** Spark-native re-expression of the reference's DB facade
   * (ChronoBase pkg/db/db.go): tables are time-bucket-partitioned parquet
   * directories; the memtable/flush path becomes append writes (batch) or
@@ -205,6 +212,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       s"set ChronoConfig.keyBuckets > 0 to enable the bucketed layout")
     val cat = bucketedCatalogName(name)
     val dir = tablePath(name).resolve("_bucketed")
+    // snapshot of the data files the rewrite is about to read — the
+    // incremental-refresh baseline ([[refreshBucketed]])
+    val snapshot = bucketedSourceSnapshot(name)
     spark.sql(s"DROP TABLE IF EXISTS $cat")
     deleteRecursively(dir)
     table(name).write
@@ -212,7 +222,119 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .option("path", dir.toString)
       .mode(SaveMode.Overwrite)
       .saveAsTable(cat)
+    writeBucketedState(name, snapshot)
     cat
+  }
+
+  private def bucketedStatePath(name: String): Path =
+    tablePath(name).resolve("_bucketed_state")
+
+  /** The data files the bucketed twin would be built from right now —
+    * the manifest fold when the sidecar exists (KB read), a per-bucket
+    * listing otherwise. */
+  private def bucketedSourceSnapshot(
+      name: String): Seq[org.apache.spark.sql.Row] =
+    if (manifestExists(name))
+      manifestEntries(name, None).map(e =>
+        org.apache.spark.sql.Row(e.bucket, e.file, e.size, e.mtime))
+    else listBuckets(name).flatMap(listBucketFiles(name, _))
+
+  /** Persist the refresh baseline: the incorporated DATA files plus the
+    * twin's own current file listing (rows with the `__twin__` bucket
+    * sentinel). The twin listing is the crash detector — an append that
+    * died before this state rewrite leaves twin files the state does
+    * not know, and the next [[refreshBucketed]] must rebuild rather
+    * than append the same delta again (duplicates). */
+  private def writeBucketedState(name: String,
+      dataFiles: Seq[org.apache.spark.sql.Row]): Unit = {
+    val dir = tablePath(name).resolve("_bucketed")
+    val twin =
+      if (!Files.exists(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(f => org.apache.spark.sql.Row(TwinSentinel,
+            f.getFileName.toString, Files.size(f),
+            Files.getLastModifiedTime(f).toMillis))
+          .toSeq
+        finally s.close()
+      }
+    rewriteSidecar(bucketedStatePath(name),
+      manifestRowsDf(dataFiles ++ twin))
+  }
+
+  private val TwinSentinel = "__twin__"
+
+  /** Incrementally maintain the bucketed twin: append ONLY the data
+    * files added since the last build/refresh instead of rewriting the
+    * whole layout — at 100 TB a daily full rebuild is infeasible, an
+    * append of the day's ingest is routine. Appending with the same
+    * `bucketBy(key).sortBy(key)` spec keeps the catalog bucket spec
+    * valid: each append adds one file per occupied bucket id, and
+    * bucketed reads merge per-id file groups, so key-joins/aggs still
+    * plan with zero exchanges (file-count growth is bounded by refresh
+    * cadence × keyBuckets; a periodic [[rebuildBucketed]] is this
+    * layout's compact()).
+    *
+    * Falls back to a FULL rebuild when the delta cannot be proven
+    * append-only: an incorporated file has vanished (compact/delete/
+    * cleanup rewrote history), the twin's on-disk files disagree with
+    * the recorded state (a crashed append — appending the delta again
+    * would duplicate rows), or no state exists. Returns the action
+    * taken and the data-file count incorporated. */
+  def refreshBucketed(name: String): BucketedRefresh = {
+    requireTable(name)
+    require(config.keyBuckets > 0,
+      s"set ChronoConfig.keyBuckets > 0 to enable the bucketed layout")
+    val cat = bucketedCatalogName(name)
+    val statePath = bucketedStatePath(name)
+    recoverSidecar(statePath)
+    val current = bucketedSourceSnapshot(name)
+    def rebuild(reason: String): BucketedRefresh = {
+      log.info(s"table '$name': bucketed refresh falling back to full " +
+        s"rebuild — $reason")
+      rebuildBucketed(name)
+      BucketedRefresh("rebuild", current.size)
+    }
+    if (!spark.catalog.tableExists(cat) || !Files.exists(statePath))
+      return rebuild("no twin or no refresh state")
+    val state = spark.read.schema(manifestSchema)
+      .parquet(statePath.toString).collect()
+    val (twinState, dataState) =
+      state.partition(_.getString(0) == TwinSentinel)
+    val included = dataState.map(r => (r.getString(0), r.getString(1))).toSet
+    val currentSet = current.map(r => (r.getString(0), r.getString(1))).toSet
+    if (!included.subsetOf(currentSet))
+      return rebuild("incorporated data files were rewritten " +
+        "(compact/delete/cleanup)")
+    val twinDir = tablePath(name).resolve("_bucketed")
+    val twinOnDisk = {
+      val s = Files.list(twinDir)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    if (twinOnDisk != twinState.map(_.getString(1)).toSet)
+      return rebuild("twin files disagree with recorded state " +
+        "(crashed append?)")
+    val delta = current.filterNot(r =>
+      included((r.getString(0), r.getString(1))))
+    if (delta.isEmpty) return BucketedRefresh("noop", 0)
+    val paths = delta.map(r => tablePath(name)
+      .resolve(s"bucket=${r.getString(0)}").resolve(r.getString(1))
+      .toString)
+    // basePath recovers the bucket partition column for bare file paths
+    spark.read.option("basePath", tablePath(name).toString)
+      .parquet(paths: _*)
+      .select(col("key"), col("ts"), col("data"),
+        col("bucket").cast("string").as("bucket"))
+      .write
+      .bucketBy(config.keyBuckets, "key").sortBy("key")
+      .mode(SaveMode.Append)
+      .saveAsTable(cat)
+    writeBucketedState(name, current)
+    BucketedRefresh("append", delta.size)
   }
 
   /** The bucketed twin as a DataFrame — scans carry the bucket spec, so
@@ -1372,6 +1494,46 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (!config.manifest && !Files.exists(manifestPath(name))) return
     val rows = listBuckets(name).flatMap(listBucketFiles(name, _))
     rewriteSidecar(manifestPath(name), manifestRowsDf(rows))
+  }
+
+  /** Garbage-collect a crashed insert's orphan files: data files on
+    * disk that `_manifest` does not record and whose mtime is older
+    * than `horizonMs`. The quarantine in [[appendManifest]] keeps such
+    * files invisible but leaves them on disk forever (warned about on
+    * every subsequent insert into their bucket) — this is the
+    * deliberate deletion verb, the GC half of the commit protocol
+    * ([[rebuildManifest]] is the adoption half). The age horizon
+    * protects an insert IN FLIGHT from a concurrent caller: its files
+    * are on disk before its manifest append lands, so only files old
+    * enough that no live insert could still own them are deleted.
+    * Driver cost is one KB-scale manifest fold + one listing per
+    * bucket. Returns the number of files deleted. No-op (0) on tables
+    * without a manifest — under the listing path every on-disk file IS
+    * the table. */
+  def vacuumOrphans(name: String,
+      horizonMs: Long = 24L * 3600 * 1000): Int = {
+    requireTable(name)
+    recoverSidecar(manifestPath(name))
+    if (!Files.exists(manifestPath(name))) return 0
+    val cutoff = System.currentTimeMillis() - horizonMs
+    val recorded = manifestEntries(name, None)
+      .map(e => (e.bucket, e.file)).toSet
+    var deleted = 0
+    listBuckets(name).foreach { bucket =>
+      listBucketFiles(name, bucket).foreach { r =>
+        val live = recorded((r.getString(0), r.getString(1)))
+        if (!live && r.getLong(3) < cutoff) {
+          Files.deleteIfExists(tablePath(name)
+            .resolve(s"bucket=$bucket").resolve(r.getString(1)))
+          deleted += 1
+        }
+      }
+    }
+    if (deleted > 0)
+      log.warn(s"table '$name': vacuumed $deleted orphan data file(s) " +
+        s"older than ${horizonMs} ms (crashed inserts that never " +
+        "committed to _manifest)")
+    deleted
   }
 
   /** Manifest ↔ disk agreement: every recorded file exists with its

@@ -555,6 +555,24 @@ object NorthStarQueries {
     Multimodal.imageHashes(media).orderBy(col("media_id"))
   }
 
+  /** D5g: the LOSSY codec path ([[Multimodal.jpegRoundTrip]]) — each
+    * d5f PNG is JPEG-encoded at q=0.85 through the real `javax.imageio`
+    * writer, decoded back, and compared cell-exactly against the
+    * lossless original. The declared output is dims + five verdicts
+    * (dims survive, encode bytewise-deterministic, max per-cell luma
+    * error ≤ 8, aHash/dHash hamming ≤ 6); measured headroom on this
+    * corpus is max err 4 / hamming 3, so the bounds are tight enough
+    * to catch a broken codec and loose enough to survive a different
+    * JDK encoder. DuckDB can't decode JPEG, so the oracle asserts the
+    * verdicts (the d3e self-validation pattern) — lossy bytes are
+    * codec facts, not engine facts. */
+  def jpegRoundTripQ(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthImages(
+      t(spark, dir, "documents"), "doc_id", w = 32, h = 32)
+    Multimodal.jpegRoundTrip(media, quality = 0.85f, cellErrTol = 8,
+      hamTol = 6).orderBy(col("media_id"))
+  }
+
   /** D6: deterministic uniform hash sample (~30% of documents) — the
     * reproducible, resumable form of corpus subsampling. */
   def hashSampleQ(spark: SparkSession, dir: String): DataFrame =
@@ -2039,6 +2057,16 @@ object NorthStarQueries {
         |    AS INTEGER) AS new_byte_len,
         |  64 AS width, 64 AS height
         |FROM m ORDER BY media_id""".stripMargin)),
+    QueryDef("d5g_jpeg_roundtrip", jpegRoundTripQ, Some(
+      // lossy-codec self-validation (d3e pattern): the Spark side
+      // encodes/decodes real JPEG and reduces the comparison against
+      // the lossless PNG truth to verdict booleans; the oracle asserts
+      // the verdicts hold for every image — DuckDB cannot decode JPEG,
+      // and raw lossy bytes are codec-version facts, not engine facts
+      """SELECT doc_id AS media_id, 32 AS width, 32 AS height,
+        |  true AS dims_ok, true AS deterministic, true AS cell_err_ok,
+        |  true AS ahash_ok, true AS dhash_ok
+        |FROM documents ORDER BY media_id""".stripMargin)),
     QueryDef("d10_salted_agg", saltedAggQ, Some(
       s"""SELECT event_type, COUNT(*) AS n, ${graft.core.Det.dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),

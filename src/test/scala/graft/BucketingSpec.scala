@@ -96,4 +96,66 @@ class BucketingSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         s"chrono_x_bucketed_${math.abs(root.hashCode) % 100000}"))
     } finally db.close()
   }
+
+  test("refreshBucketed appends only the delta, stays exchange-free, rebuilds after compact") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("bref").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 4,
+        compactFileThreshold = 1))
+    try {
+      def rows(off: Int, tag: Int) = (0 until 40).map(i =>
+        ChronoRow(s"k${i % 10}",
+          Timestamp.valueOf(f"2024-01-${1 + i % 5 + off}%02d 1$tag:00:00"),
+          Array[Byte](i.toByte)))
+      db.createTable("z"); db.insertSeq("z", rows(0, 0))
+      db.rebuildBucketed("z")
+      val twinDir = java.nio.file.Paths.get(root, "z", "_bucketed")
+      def twinFiles() = {
+        val s = java.nio.file.Files.list(twinDir)
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet }
+        finally s.close()
+      }
+      val before = twinFiles()
+      // current twin → refresh is a no-op
+      assert(db.refreshBucketed("z") ===
+        graft.core.BucketedRefresh("noop", 0))
+      assert(twinFiles() === before)
+      // new ingest → refresh APPENDS (original twin files untouched)
+      db.insertSeq("z", rows(0, 1))
+      val r = db.refreshBucketed("z")
+      assert(r.mode === "append" && r.files > 0)
+      assert(before.subsetOf(twinFiles()),
+        "append must not rewrite existing twin files")
+      assert(db.bucketedTable("z").count() === 80)
+      // the appended twin still joins exchange-free on key
+      val j = db.bucketedTable("z").select(col("key")).hint("merge")
+        .join(db.bucketedTable("z").select(col("key"), col("ts"))
+          .hint("merge"), Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val shuffles = collectWithSubqueries(j.queryExecution.executedPlan) {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty, s"post-append key join must stay " +
+        s"exchange-free:\n${j.queryExecution.executedPlan}")
+      // compact rewrites history → refresh falls back to a full rebuild
+      db.compact("z")
+      val r2 = db.refreshBucketed("z")
+      assert(r2.mode === "rebuild")
+      assert(db.bucketedTable("z").count() === 80)
+      // a crashed append (twin files unknown to state) also rebuilds —
+      // appending the same delta twice would duplicate rows
+      db.insertSeq("z", rows(0, 2))
+      val stray = twinDir.resolve("part-99999-crashed.c000.parquet")
+      val donor = twinFiles().head
+      java.nio.file.Files.copy(twinDir.resolve(donor), stray)
+      val r3 = db.refreshBucketed("z")
+      assert(r3.mode === "rebuild")
+      assert(db.bucketedTable("z").count() === 120)
+    } finally db.close()
+  }
 }

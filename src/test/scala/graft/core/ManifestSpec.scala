@@ -147,6 +147,45 @@ class ManifestSpec extends SparkSuite {
     db.close()
   }
 
+  test("vacuumOrphans deletes only aged unmanifested files; live data and in-flight files survive") {
+    val (db, dir) = freshDb()
+    db.createTable("t")
+    db.insertSeq("t", Seq(row("a", "2024-01-01 10:10:00")))
+    val bucket = Paths.get(dir, "t", "bucket=2024-01-01-10")
+    val part = Files.list(bucket).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    // an AGED orphan (crashed insert long ago) and a FRESH unrecorded
+    // file (an insert that could still be in flight — its manifest
+    // append hasn't landed yet)
+    val aged = bucket.resolve("part-orphan-old.parquet")
+    val fresh = bucket.resolve("part-orphan-new.parquet")
+    Files.copy(part, aged)
+    Files.copy(part, fresh)
+    Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200 * 1000L))
+    assert(db.vacuumOrphans("t", horizonMs = 3600 * 1000L) === 1)
+    assert(!Files.exists(aged), "aged orphan must be deleted")
+    assert(Files.exists(fresh), "fresh unrecorded file is inside the " +
+      "horizon — a live insert could still own it")
+    assert(Files.exists(part), "manifested data files must survive")
+    assert(db.table("t").count() === 1)
+    // after the fresh file ages past the horizon, a second vacuum
+    // collects it too and the consistency check goes green again
+    Files.setLastModifiedTime(fresh,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200 * 1000L))
+    assert(db.vacuumOrphans("t", horizonMs = 3600 * 1000L) === 1)
+    assert(db.manifestConsistent("t"))
+    // no manifest → no-op (every on-disk file IS the table)
+    val (db2, dir2) = freshDb(manifest = false)
+    db2.createTable("u")
+    db2.insertSeq("u", Seq(row("a", "2024-01-01 10:10:00")))
+    assert(db2.vacuumOrphans("u", horizonMs = 0L) === 0)
+    db2.close()
+    db.close()
+  }
+
   test("first manifested insert into a legacy table adopts every historical bucket") {
     val dir = Files.createTempDirectory("manifest").toString
     val legacy = new ChronoDB(spark,

@@ -106,4 +106,31 @@ class MultimodalSpec extends SparkSuite {
         Multimodal.ImageCodec.dHash56(cells))))
     }
   }
+
+  test("jpegRoundTrip: real lossy encode survives verdicts; direct check agrees") {
+    val ids = (1L to 20L).toDF("doc_id")
+    val out = Multimodal.jpegRoundTrip(
+        Multimodal.synthImages(ids, "doc_id", 32, 32),
+        quality = 0.85f, cellErrTol = 8, hamTol = 6)
+      .collect()
+    assert(out.length === 20)
+    out.foreach { r =>
+      assert(r.getInt(1) === 32 && r.getInt(2) === 32)
+      (3 to 7).foreach(i => assert(r.getBoolean(i), s"verdict col $i on id ${r.getLong(0)}"))
+    }
+    // direct single-image check: the lossy decode really differs from
+    // the lossless pixels (the codec is doing lossy work, the verdicts
+    // aren't vacuous) yet stays within the declared tolerance
+    val totalErr = (1L to 20L).map { id =>
+      val png = Multimodal.ImageCodec.synthPng(id, 32, 32)
+      val (_, _, pc) = Multimodal.ImageCodec.lumaGrid(png, 8)
+      val jpeg = Multimodal.ImageCodec.encodeJpeg(png, 0.85f)
+      val (jw, jh, jc) = Multimodal.ImageCodec.lumaGrid(jpeg, 8)
+      assert(jw === 32 && jh === 32)
+      val errs = pc.zip(jc).map { case (a, b) => math.abs(a - b) }
+      assert(errs.max <= 8)
+      errs.sum
+    }.sum
+    assert(totalErr > 0, "JPEG at q=0.85 should not be grid-identical to PNG on every image")
+  }
 }
