@@ -348,6 +348,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     spark.table(cat)
   }
 
+  /** Whether a bucketed twin exists for this table (the [[Maintenance]]
+    * auto-refresh guard: the ticker maintains twins, it never decides
+    * to build one). */
+  def hasBucketed(name: String): Boolean =
+    config.keyBuckets > 0 &&
+      spark.catalog.tableExists(bucketedCatalogName(name))
+
   def listTables(): Seq[String] = {
     requireOpen()
     if (!Files.exists(root)) return Seq.empty

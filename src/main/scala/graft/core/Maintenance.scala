@@ -13,7 +13,9 @@ import scala.util.control.NonFatal
   * On a real cluster these run as scheduled batch jobs instead. */
 final class Maintenance(db: ChronoDB, tables: () => Seq[String],
     autoRepairSidecars: Boolean = false, fullCheckEvery: Int = 8,
-    autoAnalyze: Boolean = false) {
+    autoAnalyze: Boolean = false,
+    vacuumOrphansAfterMs: Long = 0L,
+    autoRefreshBucketed: Boolean = false) {
 
   require(fullCheckEvery >= 1, "fullCheckEvery must be >= 1")
 
@@ -41,9 +43,26 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
     val fullCheck = tickNo % fullCheckEvery == 0
     val bad = Seq.newBuilder[String]
     val analyzedTables = Seq.newBuilder[String]
+    var vacuumed = 0
+    val refreshed = Seq.newBuilder[(String, BucketedRefresh)]
     tables().foreach { t =>
+      // GC before compact: a vacuumed orphan can't inflate the bucket's
+      // file count into a spurious compaction victim. Opt-in
+      // (vacuumOrphansAfterMs > 0) because deletion is the one verb
+      // here that is not reconstructible — the horizon must comfortably
+      // exceed the longest insert this deployment runs.
+      if (vacuumOrphansAfterMs > 0)
+        vacuumed += db.vacuumOrphans(t, vacuumOrphansAfterMs)
       compacted += db.compact(t)
       dropped += db.cleanup(t, now).size
+      // Bucketed-twin refresh AFTER compact/cleanup so it sees the
+      // post-mutation file set: a tick where compact rewrote history
+      // rebuilds the twin (the layout's own compact()), a quiet tick
+      // appends only the delta since the last build. Only tables that
+      // already HAVE a twin are refreshed — building one is a capacity
+      // decision the operator makes once via rebuildBucketed.
+      if (autoRefreshBucketed && db.hasBucketed(t))
+        refreshed += t -> db.refreshBucketed(t)
       // ANALYZE tick: an insert invalidates `_colstats` (histograms do
       // not merge); with autoAnalyze the ticker rebuilds it here so
       // estimateRowsInRange/rangeJoinAdaptive never silently degrade to
@@ -74,8 +93,23 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
     }
     lastInconsistent = bad.result()
     lastAnalyzedTables = analyzedTables.result()
+    lastVacuumedCount = vacuumed
+    lastBucketedRefreshes = refreshed.result()
     (compacted, dropped)
   }
+
+  @volatile private var lastVacuumedCount: Int = 0
+  @volatile private var lastBucketedRefreshes: Seq[(String, BucketedRefresh)] =
+    Seq.empty
+
+  /** Orphan files deleted by the most recent tick (0 unless
+    * vacuumOrphansAfterMs > 0). */
+  def vacuumedCount: Int = lastVacuumedCount
+
+  /** Bucketed-twin refresh outcomes from the most recent tick (empty
+    * unless autoRefreshBucketed is set and twins exist). */
+  def bucketedRefreshes: Seq[(String, BucketedRefresh)] =
+    lastBucketedRefreshes
 
   @volatile private var lastAnalyzedTables: Seq[String] = Seq.empty
 

@@ -28,6 +28,44 @@ class MaintenanceSpec extends SparkSuite {
     assert(db.table("b").count() === 1)
   }
 
+  test("opt-in tick extras: orphan vacuum + bucketed-twin refresh, off by default") {
+    val root = Files.createTempDirectory("maintx").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "hour", keyBuckets = 4))
+    db.createTable("t")
+    val now = ts("2024-01-01 12:30:00")
+    db.insertSeq("t", Seq(row("a", "2024-01-01 12:01:00")), now)
+    db.rebuildBucketed("t")
+    // plant an aged orphan (crashed insert) in the live bucket
+    val bucket = java.nio.file.Paths.get(root, "t", "bucket=2024-01-01-12")
+    val part = Files.list(bucket).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val orphan = bucket.resolve("part-orphan.parquet")
+    Files.copy(part, orphan)
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200 * 1000L))
+    // defaults: neither extra runs
+    val m0 = new Maintenance(db, () => db.listTables())
+    m0.tick(now)
+    assert(m0.vacuumedCount === 0 && m0.bucketedRefreshes.isEmpty)
+    assert(Files.exists(orphan))
+    // opted in: orphan vacuumed, twin refreshed with the post-insert delta
+    db.insertSeq("t", Seq(row("b", "2024-01-01 12:02:00")), now)
+    val m = new Maintenance(db, () => db.listTables(),
+      vacuumOrphansAfterMs = 3600 * 1000L, autoRefreshBucketed = true)
+    m.tick(now)
+    assert(m.vacuumedCount === 1)
+    assert(!Files.exists(orphan))
+    assert(m.bucketedRefreshes.map(_._1) === Seq("t"))
+    assert(db.bucketedTable("t").count() === 2)
+    // quiet second tick: nothing to vacuum, twin already current
+    m.tick(now)
+    assert(m.vacuumedCount === 0)
+    assert(m.bucketedRefreshes === Seq("t" -> BucketedRefresh("noop", 0)))
+    db.close()
+  }
+
   test("tick surfaces sidecar inconsistency; autoRepairSidecars heals it in-pass") {
     val root = Files.createTempDirectory("maintcons")
     val db = new ChronoDB(spark, ChronoConfig(root.toString))
