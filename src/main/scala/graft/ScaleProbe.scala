@@ -210,9 +210,20 @@ object ScaleProbe {
     try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val rows = emb.count()
+      // Fit on a bounded deterministic sample (≤256·nlist points, the
+      // standard IVF training budget): a full-corpus k-means at 2 M
+      // vectors times the fit, not the engine, and production trains
+      // codebooks on samples for exactly this reason. The gate query
+      // (d33g) still fits on its whole gate-SF corpus.
+      val fitBudget = 256L * nlist
+      val fitDf =
+        if (rows <= fitBudget) emb
+        else emb.sample(withReplacement = false,
+          fraction = math.min(1.0, fitBudget.toDouble / rows * 1.05),
+          seed = 42L)
       val tFit0 = System.nanoTime()
       val fine = graft.operators.Dedup
-        .fittedCentroids(emb, "vec_id", "embedding", nlist)
+        .fittedCentroids(fitDf, "vec_id", "embedding", nlist)
       val fitSec = (System.nanoTime() - tFit0) / 1e9
       def once(): (Long, Double) = {
         val t0 = System.nanoTime()
