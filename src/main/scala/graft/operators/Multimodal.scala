@@ -15,12 +15,18 @@ import org.apache.spark.sql.types._
   * perceptual fingerprints from the decoded pixels (declared as d5f
   * with a pixel-exact DuckDB oracle — PNG is lossless, so the oracle
   * can recompute the same hashes from the generator formula without
-  * decoding anything). The audio/video paths remain stubbed
-  * ([[FakeDecoder]] derives deterministic pseudo-metadata from payload
-  * bytes — those codecs aren't in the JDK); their Spark-side contract —
-  * schema, binary transport, partition-parallel decode — is identical
-  * to the real image path's, so swapping the stub for a codec changes
-  * no plan shape.
+  * decoding anything). The AUDIO path is REAL too — [[AudioCodec]]
+  * writes and parses actual RIFF/WAVE PCM containers through
+  * `javax.sound.sampled` (JDK-standard, headless-safe) and
+  * [[audioFeatures]] computes exact integer signal features from the
+  * decoded samples (declared as d5h; PCM in a WAV container is
+  * lossless, so the DuckDB oracle recomputes the same features from
+  * the sample formula without touching the container). Only the VIDEO
+  * path remains stubbed ([[FakeDecoder]] derives deterministic
+  * pseudo-metadata from payload bytes — no container/codec for it in
+  * the JDK); its Spark-side contract — schema, binary transport,
+  * partition-parallel decode — is identical to the real image/audio
+  * paths', so swapping the stub for a codec changes no plan shape.
   */
 object Multimodal {
 
@@ -357,6 +363,153 @@ object Multimodal {
             ImageCodec.dHash56(pCells), ImageCodec.dHash56(jCells))
           Row(r.getLong(0), pw, ph, jw == pw && jh == ph, deterministic,
             maxErr <= cellErrTol, hamA <= hamTol, hamD <= hamTol)
+        }
+      }(enc)
+  }
+
+  /** REAL audio codec — RIFF/WAVE PCM through `javax.sound.sampled`
+    * (JDK-standard; works headless — the file readers/writers never
+    * touch an audio device). The lossless-container counterpart of the
+    * PNG story: 16-bit signed PCM in a WAV container round-trips
+    * bit-exactly, so every decoded-sample-derived quantity is
+    * oracle-expressible in pure integer SQL.
+    *
+    *  - `synthSamples` renders a deterministic mono 16-bit signal
+    *    (sample = small-integer formula of (id, n) — NOT a float sine,
+    *    so the oracle needs no trig or rounding emulation);
+    *  - `encodeWav` packs those samples through the real
+    *    `AudioSystem.write` WAV writer;
+    *  - `decodeWav` parses the container with the real
+    *    `AudioSystem.getAudioInputStream` reader and returns the
+    *    format's sample rate plus the exact samples.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Deterministic per-sample formula — small integers only,
+      * replicated verbatim by the d5h DuckDB oracle:
+      * floorMod(id·7919 + n·104729 + n²·31, 2¹⁶) − 2¹⁵. */
+    def synthSamples(id: Long, n: Int): Array[Short] = {
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        val v = math.floorMod(
+          id * 7919L + i.toLong * 104729L + i.toLong * i.toLong * 31L,
+          65536L) - 32768L
+        out(i) = v.toShort
+        i += 1
+      }
+      out
+    }
+
+    /** Pack mono 16-bit signed little-endian PCM into a real WAV
+      * container via `AudioSystem.write`. */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1,
+        /*signed=*/ true, /*bigEndian=*/ false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      finally ais.close()
+      bos.toByteArray
+    }
+
+    /** REAL container parse: `AudioSystem.getAudioInputStream` walks
+      * the RIFF chunks and exposes the fmt fields; we require the
+      * 16-bit signed mono PCM this pipeline writes and return
+      * (sampleRate, exact samples), honoring the container's declared
+      * endianness. */
+    def decodeWav(payload: Array[Byte]): (Int, Array[Short]) = {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected mono 16-bit signed PCM, got $fmt")
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Short](n)
+        val le = !fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (le) (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+            else (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort
+          i += 1
+        }
+        (fmt.getSampleRate.toInt, out)
+      } finally ais.close()
+    }
+  }
+
+  /** Deterministic REAL-WAV media rows for an id column: each id
+    * renders the [[AudioCodec.synthSamples]] signal and encodes through
+    * the real `AudioSystem` WAV writer, partition-parallel — the audio
+    * analog of [[synthImages]]. */
+  def synthAudio(ids: DataFrame, idCol: String, sampleRate: Int,
+      nSamples: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // positional getters — see synthImages' fusion note
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, AudioCodec.encodeWav(
+            AudioCodec.synthSamples(id, nSamples), sampleRate))
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode + exact integer signal features over binary WAV
+    * payloads: (media_id, payload) → (media_id, sample_rate, n_samples,
+    * duration_ms, peak_abs, zero_crossings, energy). All integer math
+    * over the decoded samples — duration truncates like SQL integer
+    * division, zero crossings count sign flips with sign(s) := s < 0,
+    * energy is Σ s² in a long (2 k samples × 2³⁰ max per term is far
+    * under 2⁶³). One mapPartitions stage, nothing leaves the partition —
+    * the same embarrassingly-parallel shape as [[imageHashes]], bounded
+    * by codec throughput, not the engine. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("peak_abs", IntegerType),
+      StructField("zero_crossings", LongType),
+      StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          // positional getters — see synthImages' fusion note
+          val (rate, s) = AudioCodec.decodeWav(r.getAs[Array[Byte]](1))
+          var peak = 0
+          var zc = 0L
+          var energy = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+            energy += v.toLong * v
+            i += 1
+          }
+          Row(r.getLong(0), rate, s.length,
+            s.length.toLong * 1000L / rate, peak, zc, energy)
         }
       }(enc)
   }

@@ -573,6 +573,24 @@ object NorthStarQueries {
       hamTol = 6).orderBy(col("media_id"))
   }
 
+  /** D5h: the REAL audio codec round-trip ([[Multimodal.AudioCodec]]) —
+    * every document id renders a deterministic 2000-sample mono 16-bit
+    * PCM signal, packs it through the real `javax.sound.sampled` WAV
+    * writer, then [[Multimodal.audioFeatures]] parses the RIFF
+    * container with the real reader and computes exact integer signal
+    * features (duration, peak, zero crossings, energy) from the
+    * decoded samples. PCM-in-WAV is lossless, so the DuckDB oracle
+    * recomputes the identical features straight from the sample
+    * formula without touching the container — a match proves the real
+    * encode→parse→sample path is bit-exact: the d5f pattern with the
+    * raster codec swapped for the audio one. */
+  def audioFeaturesQ(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthAudio(
+      t(spark, dir, "documents"), "doc_id",
+      sampleRate = 8000, nSamples = 2000)
+    Multimodal.audioFeatures(media).orderBy(col("media_id"))
+  }
+
   /** D6: deterministic uniform hash sample (~30% of documents) — the
     * reproducible, resumable form of corpus subsampling. */
   def hashSampleQ(spark: SparkSession, dir: String): DataFrame =
@@ -2067,6 +2085,30 @@ object NorthStarQueries {
         |  true AS dims_ok, true AS deterministic, true AS cell_err_ok,
         |  true AS ahash_ok, true AS dhash_ok
         |FROM documents ORDER BY media_id""".stripMargin)),
+    QueryDef("d5h_audio_features", audioFeaturesQ, Some(
+      // exact-integer recomputation of the REAL WAV round-trip: the
+      // sample formula (floorMod via the double-mod idiom), then pure
+      // integer aggregates — peak |s|, sign-flip count via lag, Σ s².
+      // PCM-in-WAV losslessness is what makes this oracle legal: the
+      // Spark side must parse back the exact samples the formula wrote.
+      """WITH s AS (
+        |  SELECT d.doc_id AS media_id, g.n,
+        |         ((d.doc_id*7919 + g.n*104729 + g.n*g.n*31) % 65536
+        |          + 65536) % 65536 - 32768 AS v
+        |  FROM documents d, generate_series(0, 1999) g(n)),
+        |f AS (
+        |  SELECT media_id, n, v,
+        |         lag(v) OVER (PARTITION BY media_id ORDER BY n) AS pv
+        |  FROM s)
+        |SELECT media_id,
+        |  8000 AS sample_rate,
+        |  2000 AS n_samples,
+        |  CAST(2000 * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(SUM(v*v) AS BIGINT) AS energy
+        |FROM f GROUP BY media_id ORDER BY media_id""".stripMargin)),
     QueryDef("d10_salted_agg", saltedAggQ, Some(
       s"""SELECT event_type, COUNT(*) AS n, ${graft.core.Det.dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),

@@ -133,4 +133,38 @@ class MultimodalSpec extends SparkSuite {
     }.sum
     assert(totalErr > 0, "JPEG at q=0.85 should not be grid-identical to PNG on every image")
   }
+
+  test("AudioCodec WAV round-trip is sample-exact (real javax.sound.sampled)") {
+    val samples = Multimodal.AudioCodec.synthSamples(7L, 500)
+    val wav = Multimodal.AudioCodec.encodeWav(samples, 8000)
+    // a real RIFF/WAVE container, not a raw byte dump
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val (rate, back) = Multimodal.AudioCodec.decodeWav(wav)
+    assert(rate === 8000)
+    assert(back === samples)
+    // extreme values survive the container (signed 16-bit edges)
+    val edges = Array(Short.MinValue, Short.MaxValue, 0.toShort, (-1).toShort)
+    val (_, edgesBack) = Multimodal.AudioCodec.decodeWav(
+      Multimodal.AudioCodec.encodeWav(edges, 44100))
+    assert(edgesBack === edges)
+  }
+
+  test("audioFeatures agrees with direct per-sample computation, partition-parallel") {
+    val ids = (1L to 20L).toDF("doc_id")
+    val out = Multimodal.audioFeatures(
+        Multimodal.synthAudio(ids.repartition(4), "doc_id", 8000, 2000))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out.size === 20)
+    (1L to 20L).foreach { id =>
+      val s = Multimodal.AudioCodec.synthSamples(id, 2000)
+      val peak = s.map(v => math.abs(v.toInt)).max
+      val zc = (1 until s.length)
+        .count(i => (s(i - 1) < 0) != (s(i) < 0)).toLong
+      val energy = s.map(v => v.toLong * v).sum
+      assert(out(id) === ((8000, 2000, 250L, peak, zc, energy)))
+    }
+  }
 }
