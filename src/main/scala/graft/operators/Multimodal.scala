@@ -514,6 +514,209 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL video CONTAINER parser — ISO base media file format (the MP4
+    * box structure, ISO/IEC 14496-12). No sample decode (no video codec
+    * in the JDK — the codec layer stays a documented stub) but the
+    * container walk is real and general: big-endian size+type headers,
+    * 64-bit `largesize` boxes, recursion into container boxes, unknown
+    * boxes skipped by size. At 100 TB this is the metadata-extraction
+    * pass every video pipeline runs BEFORE deciding what to decode —
+    * duration/timescale/track geometry from the first kilobytes,
+    * no codec required.
+    *
+    * `synthMp4` writes a minimal valid file per the spec — `ftyp` +
+    * `moov`(`mvhd` + `trak`(`tkhd`)) + `mdat` — with all varying fields
+    * driven by small-integer formulas of the id, so the d5i oracle
+    * recomputes every parsed value without touching bytes. */
+  object VideoContainer {
+
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    private def u64(b: Array[Byte], off: Int): Long =
+      (u32(b, off) << 32) | u32(b, off + 4)
+
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    private def box(boxType: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ boxType.getBytes("US-ASCII") ++ payload
+
+    /** Deterministic per-id container fields — replicated verbatim by
+      * the d5i DuckDB oracle. */
+    def synthFields(id: Long): (Int, Int, Int, Int, Int) = (
+      /*timescale*/ 600 + math.floorMod(id * 7, 400L).toInt,
+      /*duration */ math.floorMod(id * 9973L, 100000L).toInt,
+      /*width    */ 160 + math.floorMod(id * 3, 32L).toInt * 8,
+      /*height   */ 96 + math.floorMod(id * 5, 24L).toInt * 8,
+      /*mdatLen  */ math.floorMod(id, 17L).toInt)
+
+    /** Write a minimal valid ISO-BMFF file: ftyp + moov(mvhd +
+      * trak(tkhd)) + mdat, all sizes computed, all multi-byte ints
+      * big-endian per the spec. */
+    def synthMp4(id: Long): Array[Byte] = {
+      val (timescale, duration, width, height, mdatLen) = synthFields(id)
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32(512L) ++
+          "isom".getBytes("US-ASCII") ++ "mp42".getBytes("US-ASCII"))
+      // mvhd version 0: ver/flags, creation, modification, timescale,
+      // duration, rate 1.0 (16.16), volume 1.0 (8.8) + reserved,
+      // identity matrix, 6×u32 pre_defined, next_track_ID
+      val mvhd = box("mvhd",
+        be32(0L) ++ be32(0L) ++ be32(0L) ++
+          be32(timescale.toLong) ++ be32(duration.toLong) ++
+          be32(0x00010000L) ++
+          Array[Byte](0x01, 0x00, 0, 0) ++ be32(0L) ++ be32(0L) ++
+          (be32(0x00010000L) ++ be32(0L) ++ be32(0L) ++
+            be32(0L) ++ be32(0x00010000L) ++ be32(0L) ++
+            be32(0L) ++ be32(0L) ++ be32(0x40000000L)) ++
+          Array.fill(24)(0.toByte) ++
+          be32(2L))
+      // tkhd version 0: ver/flags (track enabled = 1), creation,
+      // modification, track_ID, reserved, duration, 2×u32 reserved,
+      // layer/alternate_group/volume/reserved, matrix, width/height
+      // as 16.16 fixed point
+      val tkhd = box("tkhd",
+        be32(1L) ++ be32(0L) ++ be32(0L) ++ be32(1L) ++ be32(0L) ++
+          be32(duration.toLong) ++ be32(0L) ++ be32(0L) ++
+          Array.fill(8)(0.toByte) ++
+          (be32(0x00010000L) ++ be32(0L) ++ be32(0L) ++
+            be32(0L) ++ be32(0x00010000L) ++ be32(0L) ++
+            be32(0L) ++ be32(0L) ++ be32(0x40000000L)) ++
+          be32(width.toLong << 16) ++ be32(height.toLong << 16))
+      val moov = box("moov", mvhd ++ box("trak", tkhd))
+      val mdat = box("mdat", Array.tabulate(mdatLen)(i =>
+        math.floorMod(id + i, 251L).toByte))
+      ftyp ++ moov ++ mdat
+    }
+
+    /** Parsed container metadata. */
+    final case class Meta(majorBrand: String, timescale: Int, duration: Long,
+        trackId: Long, width: Int, height: Int, mdatBytes: Long, nBoxes: Int)
+
+    private val containers = Set("moov", "trak", "mdia", "minf", "stbl",
+      "edts", "dinf", "udta")
+
+    /** General box-tree walk: returns every box's (type, payloadOffset,
+      * payloadSize, depth), handling size==1 (64-bit largesize) and
+      * size==0 (box extends to end of enclosing scope) per the spec. */
+    def walkBoxes(b: Array[Byte]): Seq[(String, Long, Long, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Int)]
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val size32 = u32(b, off.toInt)
+          val t = tag(b, off.toInt + 4)
+          val (boxSize, hdr) =
+            if (size32 == 1L) (u64(b, off.toInt + 8), 16L)
+            else if (size32 == 0L) (end - off, 8L)
+            else (size32, 8L)
+          require(boxSize >= hdr && off + boxSize <= end,
+            s"malformed box '$t' at $off: size $boxSize exceeds scope $end")
+          out += ((t, off + hdr, boxSize - hdr, depth))
+          if (containers(t)) walk(off + hdr, off + boxSize, depth + 1)
+          off += boxSize
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      out.toSeq
+    }
+
+    /** Parse the boxes a metadata pass needs: ftyp major brand, mvhd
+      * timescale/duration (version 0 and 1), first tkhd track id +
+      * 16.16 width/height, total mdat payload bytes. */
+    def parse(b: Array[Byte]): Meta = {
+      val boxes = walkBoxes(b)
+      var brand = ""
+      var timescale = 0
+      var duration = 0L
+      var trackId = 0L
+      var width = 0
+      var height = 0
+      var mdat = 0L
+      boxes.foreach { case (t, off, size, _) =>
+        val o = off.toInt
+        t match {
+          case "ftyp" => brand = tag(b, o)
+          case "mvhd" =>
+            val version = b(o) & 0xff
+            if (version == 1) {
+              timescale = u32(b, o + 20).toInt
+              duration = u64(b, o + 24)
+            } else {
+              timescale = u32(b, o + 12).toInt
+              duration = u32(b, o + 16)
+            }
+          case "tkhd" if trackId == 0L =>
+            val version = b(o) & 0xff
+            val idOff = if (version == 1) o + 20 else o + 12
+            trackId = u32(b, idOff)
+            // width/height are the LAST 8 payload bytes (after the matrix)
+            width = (u32(b, (off + size - 8).toInt) >> 16).toInt
+            height = (u32(b, (off + size - 4).toInt) >> 16).toInt
+          case "mdat" => mdat += size
+          case _ => ()
+        }
+      }
+      Meta(brand, timescale, duration, trackId, width, height, mdat,
+        boxes.length)
+    }
+  }
+
+  /** Deterministic REAL-container video media rows: each id writes the
+    * minimal valid ISO-BMFF file, partition-parallel — the video analog
+    * of [[synthImages]]/[[synthAudio]] (container only; no codec). */
+  def synthVideos(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // positional getters — see synthImages' fusion note
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, VideoContainer.synthMp4(id))
+        }
+      }(enc)
+  }
+
+  /** REAL ISO-BMFF metadata extraction over binary payloads:
+    * (media_id, payload) → (media_id, major_brand, timescale, duration,
+    * duration_ms, track_id, width, height, mdat_bytes, n_boxes). One
+    * mapPartitions stage — the no-decode metadata pass every video
+    * pipeline runs first, reading structure instead of samples. */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("major_brand", StringType),
+      StructField("timescale", IntegerType),
+      StructField("duration", LongType),
+      StructField("duration_ms", LongType),
+      StructField("track_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mdat_bytes", LongType),
+      StructField("n_boxes", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          // positional getters — see synthImages' fusion note
+          val m = VideoContainer.parse(r.getAs[Array[Byte]](1))
+          val durMs =
+            if (m.timescale == 0) 0L else m.duration * 1000L / m.timescale
+          Row(r.getLong(0), m.majorBrand, m.timescale, m.duration,
+            durMs, m.trackId, m.width, m.height, m.mdatBytes, m.nBoxes)
+        }
+      }(enc)
+  }
+
   /** Resize stub: the plan shape of image resizing — a partition-local
     * payload → payload transform plus updated metadata dims. The fake
     * "resize" truncates the payload proportionally to the area ratio so

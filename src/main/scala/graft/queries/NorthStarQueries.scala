@@ -591,6 +591,24 @@ object NorthStarQueries {
     Multimodal.audioFeatures(media).orderBy(col("media_id"))
   }
 
+  /** D5i: the REAL video CONTAINER parse ([[Multimodal.VideoContainer]])
+    * — every document id writes a minimal valid ISO-BMFF (MP4) file per
+    * ISO/IEC 14496-12 (ftyp + moov(mvhd + trak(tkhd)) + mdat, computed
+    * big-endian sizes), then [[Multimodal.videoMeta]] walks the box
+    * tree back with the general parser (largesize-aware, container
+    * recursion, unknown boxes skipped) and extracts
+    * timescale/duration/track geometry/mdat payload size. The varying
+    * fields are small-integer formulas of the id, so the DuckDB oracle
+    * recomputes every parsed value without touching bytes — a match
+    * proves the write→walk→extract path implements the spec's byte
+    * layout exactly. The CODEC layer stays a documented stub (no video
+    * codec in the JDK); this is the no-decode metadata pass every
+    * video pipeline runs before deciding what to decode. */
+  def videoMetaQ(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthVideos(t(spark, dir, "documents"), "doc_id")
+    Multimodal.videoMeta(media).orderBy(col("media_id"))
+  }
+
   /** D6: deterministic uniform hash sample (~30% of documents) — the
     * reproducible, resumable form of corpus subsampling. */
   def hashSampleQ(spark: SparkSession, dir: String): DataFrame =
@@ -2109,6 +2127,24 @@ object NorthStarQueries {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
         |  CAST(SUM(v*v) AS BIGINT) AS energy
         |FROM f GROUP BY media_id ORDER BY media_id""".stripMargin)),
+    QueryDef("d5i_video_meta", videoMetaQ, Some(
+      // exact recomputation of the REAL ISO-BMFF round-trip from the
+      // synthFields formulas — doc_id is non-negative so plain % is
+      // floorMod; n_boxes = the six boxes the writer emits (ftyp, moov,
+      // mvhd, trak, tkhd, mdat), pinning that the walker visits every
+      // node of the tree it was handed.
+      """SELECT doc_id AS media_id,
+        |  'isom' AS major_brand,
+        |  CAST(600 + (doc_id*7) % 400 AS INTEGER) AS timescale,
+        |  CAST((doc_id*9973) % 100000 AS BIGINT) AS duration,
+        |  CAST(((doc_id*9973) % 100000) * 1000
+        |       // (600 + (doc_id*7) % 400) AS BIGINT) AS duration_ms,
+        |  CAST(1 AS BIGINT) AS track_id,
+        |  CAST(160 + ((doc_id*3) % 32) * 8 AS INTEGER) AS width,
+        |  CAST(96 + ((doc_id*5) % 24) * 8 AS INTEGER) AS height,
+        |  CAST(doc_id % 17 AS BIGINT) AS mdat_bytes,
+        |  6 AS n_boxes
+        |FROM documents ORDER BY media_id""".stripMargin)),
     QueryDef("d10_salted_agg", saltedAggQ, Some(
       s"""SELECT event_type, COUNT(*) AS n, ${graft.core.Det.dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),

@@ -150,6 +150,62 @@ class MultimodalSpec extends SparkSuite {
     assert(edgesBack === edges)
   }
 
+  test("VideoContainer ISO-BMFF write→walk→parse round-trips every synthesized field") {
+    (0L to 40L).foreach { id =>
+      val bytes = Multimodal.VideoContainer.synthMp4(id)
+      val (ts, dur, w, h, mdat) = Multimodal.VideoContainer.synthFields(id)
+      val m = Multimodal.VideoContainer.parse(bytes)
+      assert(m.majorBrand === "isom")
+      assert(m.timescale === ts)
+      assert(m.duration === dur.toLong)
+      assert(m.trackId === 1L)
+      assert(m.width === w)
+      assert(m.height === h)
+      assert(m.mdatBytes === mdat.toLong)
+      assert(m.nBoxes === 6)
+    }
+  }
+
+  test("VideoContainer walker handles largesize, size-0 and unknown boxes per the spec") {
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    // unknown box (skipped by size), a largesize box (size==1 + 64-bit),
+    // then a size-0 box extending to end of file
+    val unknown = be32(12L) ++ "xyz ".getBytes("US-ASCII") ++ be32(7L)
+    val large = be32(1L) ++ "skip".getBytes("US-ASCII") ++ be64(19L) ++ Array[Byte](1, 2, 3)
+    val toEnd = be32(0L) ++ "mdat".getBytes("US-ASCII") ++ Array[Byte](9, 9, 9, 9, 9)
+    val boxes = Multimodal.VideoContainer.walkBoxes(unknown ++ large ++ toEnd)
+    assert(boxes.map(_._1) === Seq("xyz ", "skip", "mdat"))
+    assert(boxes(1)._3 === 3L, "largesize payload = 19 - 16-byte header")
+    assert(boxes(2)._3 === 5L, "size-0 box extends to end of scope")
+    // malformed: declared size overruns the file
+    val bad = be32(64L) ++ "free".getBytes("US-ASCII") ++ Array[Byte](0)
+    intercept[IllegalArgumentException] {
+      Multimodal.VideoContainer.walkBoxes(bad)
+    }
+  }
+
+  test("videoMeta extracts container metadata partition-parallel") {
+    val ids = (1L to 20L).toDF("doc_id")
+    val out = Multimodal.videoMeta(
+        Multimodal.synthVideos(ids.repartition(4), "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 20)
+    (1L to 20L).foreach { id =>
+      val (ts, dur, w, h, mdat) = Multimodal.VideoContainer.synthFields(id)
+      val r = out(id)
+      assert(r.getString(1) === "isom")
+      assert(r.getInt(2) === ts)
+      assert(r.getLong(3) === dur.toLong)
+      assert(r.getLong(4) === dur.toLong * 1000L / ts)
+      assert(r.getLong(5) === 1L)
+      assert(r.getInt(6) === w && r.getInt(7) === h)
+      assert(r.getLong(8) === mdat.toLong)
+      assert(r.getInt(9) === 6)
+    }
+  }
+
   test("audioFeatures agrees with direct per-sample computation, partition-parallel") {
     val ids = (1L to 20L).toDF("doc_id")
     val out = Multimodal.audioFeatures(
