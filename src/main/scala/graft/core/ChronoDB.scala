@@ -212,12 +212,32 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       s"set ChronoConfig.keyBuckets > 0 to enable the bucketed layout")
     val cat = bucketedCatalogName(name)
     val dir = tablePath(name).resolve("_bucketed")
-    // snapshot of the data files the rewrite is about to read — the
-    // incremental-refresh baseline ([[refreshBucketed]])
+    // snapshot of the data files the rewrite reads — the incremental-
+    // refresh baseline ([[refreshBucketed]]). The rewrite is PINNED to
+    // exactly these files (explicit-path read, same as the refresh
+    // delta) rather than a live table(name) scan: a file committed by
+    // a concurrent insert between snapshot and write would otherwise be
+    // incorporated into the twin but absent from _bucketed_state, and
+    // the next refresh would append it AGAIN (duplicated rows until the
+    // next full rebuild).
     val snapshot = bucketedSourceSnapshot(name)
     spark.sql(s"DROP TABLE IF EXISTS $cat")
     deleteRecursively(dir)
-    table(name).write
+    val source =
+      if (snapshot.isEmpty)
+        table(name) // empty table: schema-only frame, no files to pin
+      else {
+        val paths = snapshot.map(r => tablePath(name)
+          .resolve(s"bucket=${r.getString(0)}").resolve(r.getString(1))
+          .toString)
+        // basePath recovers the bucket partition column for bare file
+        // paths; cast pins DAY labels to string (inference hazard)
+        spark.read.option("basePath", tablePath(name).toString)
+          .parquet(paths: _*)
+          .select(col("key"), col("ts"), col("data"),
+            col("bucket").cast("string").as("bucket"))
+      }
+    source.write
       .bucketBy(config.keyBuckets, "key").sortBy("key")
       .option("path", dir.toString)
       .mode(SaveMode.Overwrite)
@@ -1516,7 +1536,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * Driver cost is one KB-scale manifest fold + one listing per
     * bucket. Returns the number of files deleted. No-op (0) on tables
     * without a manifest — under the listing path every on-disk file IS
-    * the table. */
+    * the table.
+    *
+    * TRUST ASSUMPTION: the horizon compares file MTIME against the
+    * current clock, so it protects in-flight inserts only while mtimes
+    * are honest — files restored/copied with PRESERVED old mtimes (a
+    * backup restore mid-insert) or written under clock skew can look
+    * older than they are and be deleted while still owned. Run
+    * [[rebuildManifest]] (the adoption verb) after any restore BEFORE
+    * vacuuming, and do not run vacuum concurrently with a restore. */
   def vacuumOrphans(name: String,
       horizonMs: Long = 24L * 3600 * 1000): Int = {
     requireTable(name)

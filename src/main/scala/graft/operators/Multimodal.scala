@@ -177,6 +177,8 @@ object Multimodal {
       * multiples of `grid` (block-average stays exact integer math). */
     def lumaGrid(png: Array[Byte], grid: Int): (Int, Int, Array[Int]) = {
       val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      require(img != null,
+        s"undecodable image payload (${png.length} bytes)")
       val w = img.getWidth; val h = img.getHeight
       require(w % grid == 0 && h % grid == 0,
         s"dims ${w}x$h not divisible by grid $grid")
@@ -227,6 +229,8 @@ object Multimodal {
       * the d5g verdict checks explicitly rather than assumes. */
     def encodeJpeg(payload: Array[Byte], quality: Float): Array[Byte] = {
       val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        s"undecodable image payload (${payload.length} bytes)")
       // JPEG has no alpha channel — redraw into TYPE_INT_RGB so the
       // writer never sees one, whatever raster type the reader chose
       val rgb = new BufferedImage(
@@ -613,8 +617,14 @@ object Multimodal {
           val size32 = u32(b, off.toInt)
           val t = tag(b, off.toInt + 4)
           val (boxSize, hdr) =
-            if (size32 == 1L) (u64(b, off.toInt + 8), 16L)
-            else if (size32 == 0L) (end - off, 8L)
+            if (size32 == 1L) {
+              // the 64-bit largesize lives at off+8..off+16 — a header
+              // truncated inside that range is malformed input, not an
+              // index error
+              require(off + 16 <= end,
+                s"malformed box '$t' at $off: truncated largesize header")
+              (u64(b, off.toInt + 8), 16L)
+            } else if (size32 == 0L) (end - off, 8L)
             else (size32, 8L)
           require(boxSize >= hdr && off + boxSize <= end,
             s"malformed box '$t' at $off: size $boxSize exceeds scope $end")
