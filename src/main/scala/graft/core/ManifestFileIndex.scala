@@ -75,22 +75,9 @@ final class ManifestFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val pruned =
-      if (partitionFilters.isEmpty) byBucket
-      else {
-        val fields = partitionSchema.fields
-        val predicate = Predicate.createInterpreted(
-          partitionFilters.reduce(And).transform {
-            case a: AttributeReference =>
-              val i = fields.indexWhere(_.name == a.name)
-              BoundReference(i, fields(i).dataType, nullable = true)
-          })
-        predicate.initialize(0)
-        byBucket.filter { case (b, _) =>
-          predicate.eval(InternalRow(UTF8String.fromString(b)))
-        }
-      }
-    pruned.map { case (b, fs) =>
+    val surviving =
+      ManifestFileIndex.pruneLabels(byBucket.map(_._1), partitionFilters).toSet
+    byBucket.filter { case (b, _) => surviving(b) }.map { case (b, fs) =>
       PartitionDirectory(
         InternalRow(UTF8String.fromString(b)),
         fs.map(statusOf).toArray)
@@ -114,6 +101,27 @@ final class ManifestFileIndex(
 }
 
 object ManifestFileIndex {
+
+  /** Evaluate `bucket` partition filters against a set of bucket labels
+    * — the same bound-predicate evaluation Spark's own
+    * `PartitioningAwareFileIndex.prunePartitions` applies, factored out
+    * so both the eager index above and the lazy
+    * [[graft.sources.ChronoFileIndex]] prune identically. The partition
+    * schema has exactly one field (`bucket` string), so every attribute
+    * binds to ordinal 0. */
+  def pruneLabels(
+      labels: Seq[String],
+      partitionFilters: Seq[Expression]): Seq[String] =
+    if (partitionFilters.isEmpty) labels
+    else {
+      val predicate = Predicate.createInterpreted(
+        partitionFilters.reduce(And).transform {
+          case _: AttributeReference =>
+            BoundReference(0, StringType, nullable = true)
+        })
+      predicate.initialize(0)
+      labels.filter(b => predicate.eval(InternalRow(UTF8String.fromString(b))))
+    }
 
   /** The (key, ts, data) schema of every ChronoDB data file, with the
     * bucket-granularity field metadata on `ts` that

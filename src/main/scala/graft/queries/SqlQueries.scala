@@ -21,7 +21,13 @@ import graft.core.{Det, Engine, PlanMetrics, QueryDef, Tables}
   *    (d4e's semantics + oracle);
   *  - q56: the STORAGE layer through a chrono_ view, with the
   *    BucketPruneRule optimizer rule turning the SQL `ts` range into
-  *    file-level partition pruning (in-query numFiles verdict).
+  *    file-level partition pruning (in-query numFiles verdict);
+  *  - q58/q58b: the STORAGE layer with NO registration step at all —
+  *    `spark.read.format("chrono").load(dir)` and `CREATE TABLE ...
+  *    USING chrono` ([[graft.sources.ChronoSource]]), the reference's
+  *    embedded-open UX (db.go:38-77) as a vanilla Spark data source,
+  *    with an EXACT file-count verdict (scanned == the in-range
+  *    buckets' files, not merely < total).
   */
 object SqlQueries {
   private def sql(q: String)(spark: SparkSession, dir: String): DataFrame = {
@@ -94,7 +100,95 @@ object SqlQueries {
     } finally db.close()
   }
 
+  /** Build a day-bucketed chrono table of the events fixture and return
+    * (db, tableDir, totalFiles) — the q58 pair's shared setup. One
+    * writer per bucket so the file count is exactly one per day. */
+  private def seedChronoEvents(spark: SparkSession, dir: String,
+      prefix: String): (graft.core.ChronoDB, java.nio.file.Path, Long) = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    val db = new ChronoDB(spark, ChronoConfig(root.toString, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, writersPerBucket = 1))
+    db.createTable("ev")
+    db.insert("ev", Tables.t(spark, dir, "events")
+      .select(col("user_id").cast("string").as("key"), col("ts"),
+        encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+    (db, root.resolve("ev"), db.stats("ev").numFiles)
+  }
+
+  /** The q58 pair's EXACT prune verdict: the executed scan's numFiles
+    * must equal the manifest's file count over precisely the in-range
+    * day buckets — stronger than q56's `< total` (a scan that read one
+    * extra bucket would still pass there; here it fails). */
+  private def exactPruneVerdict(q: DataFrame, tableDir: java.nio.file.Path,
+      lo: String, hi: String, total: Long): Boolean = {
+    q.collect()
+    val scanned = PlanMetrics.scannedFiles(q.queryExecution.executedPlan)
+    val expected = graft.sources.ChronoLayout.listEntries(tableDir)
+      .count(e => e.bucket >= lo && e.bucket <= hi).toLong
+    scanned == expected && scanned > 0 && scanned < total
+  }
+
+  /** Q58: `spark.read.format("chrono").load(tableDir)` — the DataSource
+    * entry point ([[graft.sources.ChronoSource]]): no facade, no view
+    * registration, just the format name and a directory. The relation
+    * plans from the `_manifest` sidecar (lazy per-bucket index), the
+    * `ts` range derives the bucket predicate (BucketPruneRule), and the
+    * verdict pins the EXACT file count: 5 day-buckets of 30. Result
+    * hash-exact vs the raw fixture (the source must return precisely
+    * what a full scan would). */
+  def chronoSourceQ(spark: SparkSession, dir: String): DataFrame = {
+    val (db, tableDir, total) = seedChronoEvents(spark, dir, "q58_db")
+    try {
+      val q = spark.read.format("chrono").load(tableDir.toString)
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+          col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-09 23:59:59")))
+        .select(col("key"), col("ts"),
+          decode(col("data"), "UTF-8").as("event_type"))
+        .orderBy(col("key"), col("ts"), col("event_type"))
+      val ok = exactPruneVerdict(q, tableDir, "2024-01-05", "2024-01-09", total)
+      q.withColumn("prune_ok", lit(ok))
+    } finally db.close()
+  }
+
+  /** Q58b: `CREATE TABLE ... USING chrono` — the catalog half of the
+    * source UX: a SQL-only user creates a catalog entry over the table
+    * directory and queries it with a plain `ts` BETWEEN; same exact
+    * file-count verdict as q58 through the CREATE TABLE resolution
+    * path. */
+  def chronoSqlTableQ(spark: SparkSession, dir: String): DataFrame = {
+    val (db, tableDir, total) = seedChronoEvents(spark, dir, "q58b_db")
+    try {
+      spark.sql("DROP TABLE IF EXISTS chrono_q58b")
+      spark.sql(s"CREATE TABLE chrono_q58b USING chrono " +
+        s"OPTIONS (path '$tableDir')")
+      val q = spark.sql(
+        """SELECT key, ts, decode(data, 'UTF-8') AS event_type
+          |FROM chrono_q58b
+          |WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+          |             AND TIMESTAMP '2024-01-09 23:59:59'
+          |ORDER BY key, ts, event_type""".stripMargin)
+      val ok = exactPruneVerdict(q, tableDir, "2024-01-05", "2024-01-09", total)
+      q.withColumn("prune_ok", lit(ok))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS chrono_q58b")
+      db.close()
+    }
+  }
+
+  private val q58Oracle =
+    """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+      |       TRUE AS prune_ok
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+      |             AND TIMESTAMP '2024-01-09 23:59:59'
+      |ORDER BY key, ts, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_chrono_source", chronoSourceQ, Some(q58Oracle)),
+    QueryDef("q58b_chrono_sql_table", chronoSqlTableQ, Some(q58Oracle)),
     QueryDef("q56_sql_storage", sqlStorageQ, Some(
       // result exact vs the raw fixture; the pruning claim is the
       // in-query prune_ok verdict (scan metrics have no SQL twin)

@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine, PlanMetrics}
+
+/** `format("chrono")` connector: content parity with the facade,
+  * manifest-backed partition pruning through vanilla filters, the
+  * BucketPruneRule ts→bucket derivation, CREATE TABLE USING chrono, and
+  * the manifest-less listing fallback. */
+class ChronoSourceSpec extends SparkSuite {
+
+  private def mkDb(bucket: String, manifest: Boolean = true): (ChronoDB, String) = {
+    val root = Files.createTempDirectory("chronosrc_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = bucket,
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      writersPerBucket = 1, manifest = manifest))
+    (db, root)
+  }
+
+  private def seed(db: ChronoDB, name: String, days: Int = 10): Unit = {
+    import spark.implicits._
+    db.createTable(name)
+    val rows = (0 until days).flatMap { d =>
+      (0 until 20).map { i =>
+        ChronoRow(s"k${i % 5}",
+          Timestamp.valueOf(f"2024-01-${d + 1}%02d 0${i % 9}:15:00"),
+          s"v$d-$i".getBytes("UTF-8"))
+      }
+    }
+    db.insert(name, spark.createDataset(rows))
+  }
+
+  private def load(root: String, name: String): DataFrame =
+    spark.read.format("chrono").load(s"$root/$name")
+
+  test("format(chrono) content matches the facade's table()") {
+    val (db, root) = mkDb("day")
+    try {
+      seed(db, "ev")
+      val viaSource = load(root, "ev")
+        .select(col("key"), col("ts"), col("data"), col("bucket"))
+      val viaFacade = db.table("ev")
+        .select(col("key"), col("ts"), col("data"), col("bucket"))
+      assert(viaSource.count() === 200)
+      assert(viaSource.exceptAll(viaFacade).isEmpty &&
+        viaFacade.exceptAll(viaSource).isEmpty)
+      // schema contract: the granularity sniff landed on ts metadata
+      val tsField = viaSource.schema("ts")
+      assert(tsField.metadata.getString(
+        graft.plans.BucketPruneRule.GranularityKey) === "day")
+    } finally db.close()
+  }
+
+  test("bucket predicate prunes files via the lazy manifest index") {
+    val (db, root) = mkDb("day")
+    try {
+      seed(db, "ev")
+      val total = db.stats("ev").numFiles
+      val q = load(root, "ev")
+        .filter(col("bucket") >= "2024-01-03" && col("bucket") <= "2024-01-05")
+      q.collect()
+      val scanned = PlanMetrics.scannedFiles(q.queryExecution.executedPlan)
+      assert(total === 10L) // one file per day bucket (writersPerBucket=1)
+      assert(scanned === 3L, s"expected 3 in-range files, scanned $scanned")
+    } finally db.close()
+  }
+
+  test("plain ts range derives bucket pruning (BucketPruneRule)") {
+    Engine.installOptimizations(spark)
+    val (db, root) = mkDb("day")
+    try {
+      seed(db, "ev")
+      val q = load(root, "ev")
+        .filter(col("ts") >= lit(Timestamp.valueOf("2024-01-03 00:00:00")) &&
+          col("ts") <= lit(Timestamp.valueOf("2024-01-05 23:59:59")))
+      val viaFacade = db.query("ev",
+        Timestamp.valueOf("2024-01-03 00:00:00"),
+        Timestamp.valueOf("2024-01-05 23:59:59"))
+      assert(q.count() === viaFacade.count())
+      q.collect()
+      val scanned = PlanMetrics.scannedFiles(q.queryExecution.executedPlan)
+      assert(scanned === 3L,
+        s"ts-only filter must prune to the 3 in-range buckets, scanned $scanned")
+    } finally db.close()
+  }
+
+  test("CREATE TABLE ... USING chrono plans the same pruned scan") {
+    Engine.installOptimizations(spark)
+    val (db, root) = mkDb("day")
+    try {
+      seed(db, "ev")
+      spark.sql("DROP TABLE IF EXISTS chrono_src_spec")
+      spark.sql(
+        s"CREATE TABLE chrono_src_spec USING chrono OPTIONS (path '$root/ev')")
+      val q = spark.sql(
+        """SELECT key, ts FROM chrono_src_spec
+          |WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+          |              AND TIMESTAMP '2024-01-05 23:59:59'""".stripMargin)
+      assert(q.count() === 60)
+      q.collect()
+      val scanned = PlanMetrics.scannedFiles(q.queryExecution.executedPlan)
+      assert(scanned === 3L, s"SQL surface must prune too, scanned $scanned")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS chrono_src_spec")
+      db.close()
+    }
+  }
+
+  test("hour-bucket tables sniff granularity and prune hours") {
+    Engine.installOptimizations(spark)
+    val (db, root) = mkDb("hour")
+    try {
+      seed(db, "ev")
+      val viaSource = load(root, "ev")
+      assert(viaSource.schema("ts").metadata.getString(
+        graft.plans.BucketPruneRule.GranularityKey) === "hour")
+      val q = viaSource
+        .filter(col("ts") >= lit(Timestamp.valueOf("2024-01-03 00:00:00")) &&
+          col("ts") <= lit(Timestamp.valueOf("2024-01-03 23:59:59")))
+      val expect = db.query("ev",
+        Timestamp.valueOf("2024-01-03 00:00:00"),
+        Timestamp.valueOf("2024-01-03 23:59:59")).count()
+      assert(q.count() === expect)
+      q.collect()
+      val total = db.stats("ev").numFiles
+      val scanned = PlanMetrics.scannedFiles(q.queryExecution.executedPlan)
+      assert(scanned < total && scanned > 0,
+        s"scanned $scanned of $total files — no pruning happened")
+    } finally db.close()
+  }
+
+  test("manifest-less tables fall back to the listing path") {
+    val (db, root) = mkDb("day", manifest = false)
+    try {
+      seed(db, "ev")
+      assert(!Files.exists(java.nio.file.Paths.get(root, "ev", "_manifest")))
+      val q = load(root, "ev")
+      assert(q.count() === 200)
+      val pruned = q.filter(col("bucket") === "2024-01-07")
+      pruned.collect()
+      val scanned = PlanMetrics.scannedFiles(pruned.queryExecution.executedPlan)
+      assert(scanned === 1L)
+    } finally db.close()
+  }
+
+  test("source sees exactly the manifest: an orphan file is invisible") {
+    val (db, root) = mkDb("day")
+    try {
+      seed(db, "ev")
+      // simulate a crashed insert: a data file on disk the manifest
+      // never recorded — the scan must NOT read it (quarantine
+      // semantics; rebuildManifest is the adoption verb)
+      val bucketDir = java.nio.file.Paths.get(root, "ev", "bucket=2024-01-01")
+      val victim = Files.list(bucketDir).iterator().next()
+      val orphan = bucketDir.resolve("part-orphan.parquet")
+      Files.copy(victim, orphan)
+      assert(load(root, "ev").count() === 200)
+      db.rebuildManifest("ev")
+      assert(load(root, "ev").count() > 200)
+    } finally db.close()
+  }
+
+  test("reads the .old sidecar when a rewrite crashed mid-swap") {
+    val (db, root) = mkDb("day")
+    try {
+      seed(db, "ev")
+      val m = java.nio.file.Paths.get(root, "ev", "_manifest")
+      val old = java.nio.file.Paths.get(root, "ev", "_manifest.old")
+      Files.move(m, old) // crash window: live dir renamed aside
+      assert(load(root, "ev").count() === 200)
+      Files.move(old, m) // restore for close()
+    } finally db.close()
+  }
+}
