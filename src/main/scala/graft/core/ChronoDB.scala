@@ -156,6 +156,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def close(): Unit = synchronized {
     if (!closed) {
       closed = true
+      // a closed handle must stop answering twin-routing lookups
+      routedTables.keys.foreach(unregisterTwinRouting)
       Files.deleteIfExists(lockPath)
     }
   }
@@ -186,6 +188,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // the bucketed twin's catalog entry points under this dir — drop it
     // too or a dangling external-table entry survives the data
     spark.sql(s"DROP TABLE IF EXISTS ${bucketedCatalogName(name)}")
+    unregisterTwinRouting(name)
     deleteRecursively(tablePath(name))
   }
 
@@ -243,6 +246,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .mode(SaveMode.Overwrite)
       .saveAsTable(cat)
     writeBucketedState(name, snapshot)
+    twinFreshCache.put(name, true)
     cat
   }
 
@@ -340,7 +344,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         "(crashed append?)")
     val delta = current.filterNot(r =>
       included((r.getString(0), r.getString(1))))
-    if (delta.isEmpty) return BucketedRefresh("noop", 0)
+    if (delta.isEmpty) {
+      twinFreshCache.put(name, true)
+      return BucketedRefresh("noop", 0)
+    }
     val paths = delta.map(r => tablePath(name)
       .resolve(s"bucket=${r.getString(0)}").resolve(r.getString(1))
       .toString)
@@ -354,6 +361,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .mode(SaveMode.Append)
       .saveAsTable(cat)
     writeBucketedState(name, current)
+    twinFreshCache.put(name, true)
     BucketedRefresh("append", delta.size)
   }
 
@@ -374,6 +382,90 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def hasBucketed(name: String): Boolean =
     config.keyBuckets > 0 &&
       spark.catalog.tableExists(bucketedCatalogName(name))
+
+  // --- automatic twin routing: with keyBuckets > 0, [[table]] registers
+  //     each table with [[graft.plans.BucketedTwinRegistry]], and the
+  //     [[graft.plans.BucketedTwinRule]] optimizer rule substitutes the
+  //     FRESH twin for key-equi joins/aggs — d38's zero-exchange plan
+  //     without the caller naming the twin. Freshness is instance-
+  //     local: computed from `_bucketed_state` on first use, flipped
+  //     false by every mutation verb, true by rebuild/refresh — sound
+  //     under ChronoDB's single-writer model (a writer in ANOTHER
+  //     process is invisible here, as it is to every sidecar cache). ---
+
+  private val twinFreshCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** name → registry key, for close()-time deregistration. */
+  private val routedTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def invalidateTwin(name: String): Unit =
+    twinFreshCache.put(name, false)
+
+  private def routingKey(name: String): String =
+    new org.apache.hadoop.fs.Path(tablePath(name).toUri).toString
+
+  private def registerTwinRouting(name: String): Unit =
+    if (config.keyBuckets > 0) {
+      val key = routingKey(name)
+      routedTables.put(name, key)
+      graft.plans.BucketedTwinRegistry.register(key,
+        () => twinPlanIfFresh(name))
+    }
+
+  private def unregisterTwinRouting(name: String): Unit = {
+    routedTables.remove(name).foreach(
+      graft.plans.BucketedTwinRegistry.unregister)
+    twinFreshCache.remove(name)
+  }
+
+  /** READ-ONLY twin freshness for auto-routing: the twin exists, its
+    * recorded incorporated file set EQUALS the table's current file set
+    * (strictly stronger than [[refreshBucketed]]'s append eligibility,
+    * which tolerates a pending delta), and the twin's on-disk files
+    * agree with the recorded state (no crashed append). */
+  private def bucketedIsCurrent(name: String): Boolean = {
+    val cat = bucketedCatalogName(name)
+    val statePath = bucketedStatePath(name)
+    recoverSidecar(statePath)
+    if (!spark.catalog.tableExists(cat) || !Files.exists(statePath))
+      return false
+    val state = spark.read.schema(manifestSchema)
+      .parquet(statePath.toString).collect()
+    val (twinState, dataState) =
+      state.partition(_.getString(0) == TwinSentinel)
+    val included = dataState.map(r => (r.getString(0), r.getString(1))).toSet
+    val current = bucketedSourceSnapshot(name)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    if (included != current) return false
+    val twinDir = tablePath(name).resolve("_bucketed")
+    if (!Files.exists(twinDir)) return false
+    val onDisk = {
+      val s = Files.list(twinDir)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    onDisk == twinState.map(_.getString(1)).toSet
+  }
+
+  /** Twin plan provider for [[graft.plans.BucketedTwinRule]]: the
+    * twin's RESOLVED logical plan iff it is fresh (substitution is then
+    * row-for-row identical to the plain scan). Freshness is computed
+    * once from disk and cached; mutations through THIS handle
+    * invalidate it. Never throws — routing must degrade to the plain
+    * scan, not fail the query. */
+  private[graft] def twinPlanIfFresh(name: String)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    if (closed || config.keyBuckets <= 0) return None
+    if (!Files.exists(tablePath(name))) return None
+    val fresh = twinFreshCache.getOrElseUpdate(name,
+      try bucketedIsCurrent(name)
+      catch { case scala.util.control.NonFatal(_) => false })
+    if (!fresh) None
+    else Some(spark.table(bucketedCatalogName(name)).queryExecution.analyzed)
+  }
 
   def listTables(): Seq[String] = {
     requireOpen()
@@ -417,6 +509,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def insert(name: String, rows: Dataset[ChronoRow],
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     requireTable(name)
+    invalidateTwin(name)
     // Normalize ts to session-zoned TimestampType at the ingest boundary:
     // a Dataset[ChronoRow] built over a TIMESTAMP_NTZ source keeps the
     // NTZ physical type (the as[] conversion is lazy and NTZ→LTZ is an
@@ -647,6 +740,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   /** Full-table frame (no time filter). */
   def table(name: String): DataFrame = {
     requireTable(name)
+    // keyBuckets handles opt into planner-side twin routing: key-equi
+    // joins/aggs over this frame substitute the fresh `_bucketed` twin
+    // (graft.plans.BucketedTwinRule) — zero-exchange co-location with
+    // no caller opt-in, transparent fallback when stale
+    registerTwinRouting(name)
     if (!hasData(name))
       return spark.createDataset(Seq.empty[ChronoRow]).toDF()
         .withColumn("bucket", lit(null).cast("string"))
@@ -960,6 +1058,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * count drops from N to 1. */
   def deleteKeys(name: String, keys: Seq[String]): Long = {
     requireTable(name)
+    invalidateTwin(name)
     val ks = keys.distinct
     require(!ks.contains(null), "deleteKeys: null key not supported")
     if (ks.isEmpty || !hasData(name)) return 0L
@@ -1005,6 +1104,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * Returns rows deleted. */
   def deleteMatching(name: String, keysDf: DataFrame): Long = {
     requireTable(name)
+    invalidateTwin(name)
     if (!hasData(name)) return 0L
     // materialize the deduped probe set once: it feeds three jobs, and
     // must never be re-derived from the table mid-overwrite
@@ -1176,6 +1276,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * files (the reference merges only adjacent small tablets). */
   def compact(name: String): Int = {
     requireTable(name)
+    invalidateTwin(name)
     if (!hasData(name)) return 0
     val perBucket = fileCountByBucket(name)
     val victims = perBucket.filter(_._2 > config.compactFileThreshold).keys.toSeq
@@ -1228,6 +1329,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Seq[String] = {
     val ttlSec = config.ttl.getOrElse(return Seq.empty)
     val p = requireTable(name)
+    invalidateTwin(name)
     val fmt = new java.text.SimpleDateFormat(
       if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
@@ -1293,6 +1395,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   def restore(name: String, src: String): Unit = {
     requireOpen()
+    invalidateTwin(name)
     val p = tablePath(name)
     deleteRecursively(p)
     copyRecursively(Paths.get(src), p)
@@ -1516,6 +1619,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * O(table) listing this verb exists to keep out of the query path. */
   def rebuildManifest(name: String): Unit = {
     requireTable(name)
+    // adoption can change the data file set the twin was built from
+    invalidateTwin(name)
     // no-op only when this handle opted out AND no sidecar exists (a
     // manifest=false handle may still repair a table that has one)
     if (!config.manifest && !Files.exists(manifestPath(name))) return

@@ -22,10 +22,12 @@ object Engine {
   }
 
   /** Install the engine's optimizer rules (idempotent): the raw-ns
-    * range-pushdown rewrite (graft.plans.NsEpochRangeRule) and the
-    * chrono bucket-partition deriver (graft.plans.BucketPruneRule). */
+    * range-pushdown rewrite (graft.plans.NsEpochRangeRule), the chrono
+    * bucket-partition deriver (graft.plans.BucketPruneRule), and the
+    * bucketed-twin auto-router (graft.plans.BucketedTwinRule). */
   def installOptimizations(spark: SparkSession): Unit = {
-    val rules = Seq(graft.plans.NsEpochRangeRule, graft.plans.BucketPruneRule)
+    val rules = Seq(graft.plans.NsEpochRangeRule, graft.plans.BucketPruneRule,
+      graft.plans.BucketedTwinRule)
     val cur = spark.sessionState.experimentalMethods.extraOptimizations
     spark.sessionState.experimentalMethods.extraOptimizations =
       cur ++ rules.filterNot(cur.contains)

@@ -18,4 +18,16 @@ object PlanMetrics {
     case s: FileSourceScanExec => s.metrics("numFiles").value
     case other => other.children.map(scannedFiles).sum
   }
+
+  /** Shuffle-exchange count (broadcast exchanges excluded) — the d39
+    * auto-routing verdict: a co-located key join + key agg must plan
+    * ZERO of these. */
+  def shuffleExchanges(p: SparkPlan): Long = p match {
+    case a: AdaptiveSparkPlanExec => shuffleExchanges(a.executedPlan)
+    case q: QueryStageExec => shuffleExchanges(q.plan)
+    case r: ReusedExchangeExec => shuffleExchanges(r.child)
+    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      1L + s.children.map(shuffleExchanges).sum
+    case other => other.children.map(shuffleExchanges).sum
+  }
 }

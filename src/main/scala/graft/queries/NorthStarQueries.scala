@@ -1120,6 +1120,48 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D39: the d38 co-located join WITHOUT the caller naming the twin —
+    * [[graft.plans.BucketedTwinRule]] routes the plain `table()` frames
+    * to their fresh `_bucketed` twins at plan time (r14 VERDICT Missing
+    * #2): the user writes the obvious join, the planner supplies the
+    * zero-exchange layout, and a stale twin silently falls back to the
+    * plain scan (BucketingSpec pins the fallback). Same values as d38
+    * (hash gate); the routing claim is the in-query `auto_routed`
+    * verdict — the executed join+agg plan carries ZERO shuffle
+    * exchanges, checked BEFORE the presentation orderBy (which
+    * legitimately shuffles). */
+  def bucketedAutoRouteQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine, PlanMetrics}
+    import spark.implicits._
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("d39_db").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 8))
+    try {
+      val ev = t(spark, dir, "events")
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      def chrono(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("user_id").cast("string").as("key"), col("ts"),
+          encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow]
+      db.createTable("h1"); db.insert("h1", chrono(ev.filter(col("ts") < split)))
+      db.createTable("h2"); db.insert("h2", chrono(ev.filter(col("ts") >= split)))
+      db.rebuildBucketed("h1"); db.rebuildBucketed("h2")
+      // plain table() frames — no bucketedTable() anywhere in sight
+      val a = db.table("h1")
+        .select(col("key"), decode(col("data"), "UTF-8").as("et_a"))
+      val b = db.table("h2")
+        .select(col("key"), decode(col("data"), "UTF-8").as("et_b"))
+      val agg = a.hint("merge").join(b.hint("merge"), Seq("key"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("et_a") === col("et_b"), 1)).as("n_same"))
+      agg.collect()
+      val routed =
+        PlanMetrics.shuffleExchanges(agg.queryExecution.executedPlan) == 0
+      agg.withColumn("auto_routed", lit(routed)).orderBy(col("key"))
+    } finally db.close()
+  }
+
   /** D31: weighted sampling — per-SOURCE acceptance rates (0.1–0.5,
     * derived from the source number: the dataset-mixing recipe shape)
     * applied as [[Curation.weightedSample]]'s deterministic md5 draw
@@ -2720,6 +2762,23 @@ object NorthStarQueries {
         |SELECT a.key, CAST(count(*) AS BIGINT) AS n_pairs,
         |       CAST(count(CASE WHEN a.et = b.et THEN 1 END) AS BIGINT)
         |         AS n_same
+        |FROM a JOIN b ON a.key = b.key
+        |GROUP BY a.key
+        |ORDER BY a.key""".stripMargin)),
+    QueryDef("d39_bucketed_autoroute", bucketedAutoRouteQ, Some(
+      // d38's oracle (the auto-routed plan must answer exactly what the
+      // plain join answers); the zero-exchange claim is the in-query
+      // auto_routed verdict — plan metrics have no SQL twin
+      """WITH a AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_type AS et
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |b AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_type AS et
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |SELECT a.key, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(CASE WHEN a.et = b.et THEN 1 END) AS BIGINT)
+        |         AS n_same,
+        |       TRUE AS auto_routed
         |FROM a JOIN b ON a.key = b.key
         |GROUP BY a.key
         |ORDER BY a.key""".stripMargin)),

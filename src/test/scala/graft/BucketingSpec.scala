@@ -97,6 +97,119 @@ class BucketingSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     } finally db.close()
   }
 
+  test("auto-routing: plain table() key join plans zero exchanges without naming the twin") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine}
+    import java.sql.Timestamp
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("bauto").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 4))
+    try {
+      def rows(off: Int) = (0 until 40).map(i => ChronoRow(s"k${i % 10}",
+        Timestamp.valueOf(f"2024-01-${1 + i % 5 + off}%02d 10:00:00"),
+        Array[Byte](i.toByte)))
+      db.createTable("x"); db.insertSeq("x", rows(0))
+      db.createTable("y"); db.insertSeq("y", rows(5))
+      db.rebuildBucketed("x"); db.rebuildBucketed("y")
+      // the caller never names the twin — table() only
+      val j = db.table("x").select(col("key")).hint("merge")
+        .join(db.table("y").select(col("key"), col("ts")).hint("merge"),
+          Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val shuffles = collectWithSubqueries(j.queryExecution.executedPlan) {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty,
+        s"auto-routed key join + agg must plan zero exchanges, got " +
+          s"${shuffles.size}:\n${j.queryExecution.executedPlan}")
+      val out = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.size === 10 && out.values.forall(_ === 16L))
+    } finally db.close()
+  }
+
+  test("auto-routing: stale twin falls back to the plain scan, refresh restores routing") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine}
+    import java.sql.Timestamp
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("bstale").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 4))
+    try {
+      def rows(off: Int, tag: Int) = (0 until 40).map(i =>
+        ChronoRow(s"k${i % 10}",
+          Timestamp.valueOf(f"2024-01-${1 + i % 5 + off}%02d 1$tag:00:00"),
+          Array[Byte](i.toByte)))
+      db.createTable("w"); db.insertSeq("w", rows(0, 0))
+      db.rebuildBucketed("w")
+      // mutate AFTER the rebuild: twin is stale — the join must answer
+      // from the PLAIN table (new rows visible) and must NOT route
+      db.insertSeq("w", rows(0, 1))
+      def agg() = db.table("w").select(col("key")).hint("merge")
+        .join(db.table("w").select(col("key"), col("ts")).hint("merge"),
+          Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      val stale = agg()
+      val out = stale.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 8 rows per key per side now → 64 pairs: the stale twin (4 rows
+      // per key) would answer 16 — correctness proves no routing
+      assert(out.size === 10 && out.values.forall(_ === 64L),
+        s"stale twin must not be routed to: $out")
+      // refresh incorporates the delta → routing resumes, same answer
+      assert(db.refreshBucketed("w").mode === "append")
+      val fresh = agg()
+      fresh.collect()
+      val shuffles = collectWithSubqueries(fresh.queryExecution.executedPlan) {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty,
+        s"post-refresh join must route again:\n${fresh.queryExecution.executedPlan}")
+      val out2 = fresh.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out2 === out)
+    } finally db.close()
+  }
+
+  test("auto-routing: time-filtered scans keep the plain layout's partition pruning") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine, PlanMetrics}
+    import java.sql.Timestamp
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("btime").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 4, writersPerBucket = 1))
+    try {
+      def rows(off: Int) = (0 until 40).map(i => ChronoRow(s"k${i % 10}",
+        Timestamp.valueOf(f"2024-01-${1 + i % 5 + off}%02d 10:00:00"),
+        Array[Byte](i.toByte)))
+      db.createTable("t"); db.insertSeq("t", rows(0))
+      db.rebuildBucketed("t")
+      // a ts-bounded key join: the ts side must NOT be rerouted — its
+      // plain scan prunes to 1 of 5 day buckets, which the key-hashed
+      // twin cannot do
+      val filtered = db.table("t")
+        .filter(col("ts") >= lit(Timestamp.valueOf("2024-01-02 00:00:00")) &&
+          col("ts") <= lit(Timestamp.valueOf("2024-01-02 23:59:59")))
+        .select(col("key"), col("ts"))
+      val j = filtered.join(db.table("t").select(col("key")), Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val scans = collectWithSubqueries(j.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      // the ts-bounded side must KEEP the plain manifest scan with its
+      // derived bucket partition filter, pruned to exactly 1 of 5 day
+      // files — a reroute to the key-hashed twin would have lost that
+      val prunedScan = scans.find(_.partitionFilters.exists(
+        _.references.exists(_.name == "bucket")))
+      assert(prunedScan.isDefined,
+        s"filtered side lost its partition filter:\n${j.queryExecution.executedPlan}")
+      assert(prunedScan.get.metrics("numFiles").value === 1,
+        s"filtered side must read exactly its day's file:\n${j.queryExecution.executedPlan}")
+      // the UNfiltered side is free to route — and should have
+      assert(scans.exists(_.relation.bucketSpec.isDefined),
+        s"unfiltered side should have routed to the twin:\n${j.queryExecution.executedPlan}")
+    } finally db.close()
+  }
+
   test("refreshBucketed appends only the delta, stays exchange-free, rebuilds after compact") {
     import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
     import java.sql.Timestamp

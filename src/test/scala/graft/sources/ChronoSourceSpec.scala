@@ -157,7 +157,16 @@ class ChronoSourceSpec extends SparkSuite {
       // never recorded — the scan must NOT read it (quarantine
       // semantics; rebuildManifest is the adoption verb)
       val bucketDir = java.nio.file.Paths.get(root, "ev", "bucket=2024-01-01")
-      val victim = Files.list(bucketDir).iterator().next()
+      val victim = {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(bucketDir)
+        // a real data file, not Hadoop's hidden .crc sibling
+        try s.iterator().asScala.find { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".")
+        }.get
+        finally s.close()
+      }
       val orphan = bucketDir.resolve("part-orphan.parquet")
       Files.copy(victim, orphan)
       assert(load(root, "ev").count() === 200)
