@@ -122,7 +122,12 @@ object IngestBench {
     // "bloom" IS ChronoConfig.smallBatch — the shipped small-batch
     // preset is the thing being measured, not a bench-local config.
     def cfg(dir: Path, mode: String): ChronoConfig = mode match {
+      // the overhead A/B isolates SKETCH knobs, so the writer fan-out is
+      // pinned to the control's 4 (r15: smallBatch itself now ships
+      // writersPerBucket=1 — comparing that directly against the wpb=4
+      // control would conflate file-count savings with sketch cost)
       case "bloom" => ChronoConfig.smallBatch(dir.toString, bucket = "day")
+        .copy(writersPerBucket = 4)
       case "full"  => ChronoConfig.fullStats(dir.toString, bucket = "day")
       case _ =>
         ChronoConfig(dir.toString, bucket = "day",
@@ -192,16 +197,18 @@ object IngestBench {
       rmr(landing.resolve(s"b$i"))
     }
     def runSink(filesPerTrigger: Option[Int]):
-        (Double, graft.streaming.Streams.SinkMetrics) = {
+        (Double, graft.streaming.Streams.SinkMetrics, Map[String, Long]) = {
       val sinkDir = freshDir()
       val cp = freshDir()
-      // the sink loop IS the small-batch regime — it runs the shipped
-      // preset (bloom-only), full family stays the batch-insert config
-      // above (r11 change: r10 and earlier ran the sink with the full
-      // family, so sink_* keys step slightly faster from here on)
-      val sinkDb = new ChronoDB(spark, cfg(sinkDir, "bloom"))
+      // the sink loop IS the small-batch regime — it runs the SHIPPED
+      // preset verbatim (bloom-only, one writer per bucket; r15 change —
+      // earlier rounds ran 4 salted writers per bucket here, so sink_*
+      // keys step faster from r15 on: the 4× file fan-out was pure
+      // compaction fuel at micro-batch sizes, see smallBatch scaladoc)
+      val sinkDb = new ChronoDB(spark,
+        ChronoConfig.smallBatch(sinkDir.toString, bucket = "day"))
       val m = new graft.streaming.Streams.SinkMetrics
-      val sec =
+      val (sec, durations) =
         try {
           sinkDb.createTable("events")
           val base = spark.readStream
@@ -214,9 +221,20 @@ object IngestBench {
             cp.toString, compactEvery = 2, trigger = Trigger.AvailableNow(),
             metrics = Some(m)).start()
           q.awaitTermination()
-          (System.nanoTime() - t0) / 1e9
+          val wall = (System.nanoTime() - t0) / 1e9
+          // Spark's own per-trigger accounting (progress.durationMs:
+          // addBatch = the foreachBatch call, walCommit/commitOffsets =
+          // checkpoint writes, queryPlanning/getBatch/latestOffset =
+          // micro-batch planning), summed over the run's triggers — the
+          // decomposition that attributes the sink-vs-batch throughput
+          // gap term by term (VERDICT r14 Missing #5)
+          import scala.jdk.CollectionConverters._
+          val durs = q.recentProgress.toSeq
+            .flatMap(_.durationMs.asScala.map { case (k, v) => (k, v.toLong) })
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          (wall, durs)
         } finally { sinkDb.close(); rmr(sinkDir); rmr(cp) }
-      (sec, m)
+      (sec, m, durations)
     }
     // two sink points over the SAME staged landing: 4 micro-batches
     // (25k rows each — the per-batch floor charged 4×, plus two inline
@@ -224,8 +242,8 @@ object IngestBench {
     // charged once). The spread between their foreachBatch-only rows/s
     // is the micro-batch floor made visible; the one-batch figure is
     // the one comparable to the batch-insert throughput above.
-    val (sinkSec, sinkMetrics) = runSink(Some(1))
-    val (sink1Sec, sink1Metrics) = runSink(None)
+    val (sinkSec, sinkMetrics, sinkDurs) = runSink(Some(1))
+    val (sink1Sec, sink1Metrics, sink1Durs) = runSink(None)
     rmr(landing)
 
     base.unpersist()
@@ -262,6 +280,15 @@ object IngestBench {
     val sinkInsert = sinkMetrics.insertSec
     val sinkMaint = sinkMetrics.maintSec
     val sinkHarness = sinkSec - sinkInsert - sinkMaint
+    // the per-micro-batch INSERT floor, from the two sink points over
+    // identical total rows: 4 batches pay the write-job launch +
+    // sidecar/manifest appends 4×, one batch pays them once — the
+    // marginal cost of each extra micro-batch
+    val sinkBatchFloor =
+      (sinkInsert - sink1Metrics.insertSec) /
+        (sinkMetrics.batches.get() - sink1Metrics.batches.get()).max(1)
+    def dursJson(d: Map[String, Long]): String = d.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     def r2(x: Double): String = BigDecimal(x)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def r4(x: Double): String = BigDecimal(x)
@@ -277,6 +304,7 @@ object IngestBench {
       s""""sidecar_overhead_large_pct":${r2(pct(withSketchBig, noSketchBig))},""" +
       s""""sink_preset":"small_batch_bloom",""" +
       s""""sink_rows_per_sec":${r2(n / sinkSec)},""" +
+      s""""sink_batch_floor_sec":${r4(sinkBatchFloor)},""" +
       s""""sink1_foreachbatch_rows_per_sec":${r2(n / sink1Metrics.insertSec)}}"""
     val full =
       s"""{"rows":$n,"insert_sec":${med(withSketch)},"insert_sec_min":${withSketch.min},""" +
@@ -306,10 +334,14 @@ object IngestBench {
       s""""sink_sec":$sinkSec,"sink_rows_per_sec":${n / sinkSec},"sink_batches":${sinkMetrics.batches.get()},""" +
       s""""sink_insert_sec":$sinkInsert,"sink_maint_sec":$sinkMaint,""" +
       s""""sink_harness_sec":$sinkHarness,""" +
+      s""""sink_insert_per_batch_sec":${arr(sinkMetrics.insertPerBatchSec)},""" +
+      s""""sink_batch_floor_sec":$sinkBatchFloor,""" +
+      s""""sink_duration_ms":${dursJson(sinkDurs)},""" +
       s""""sink_foreachbatch_rows_per_sec":${n / sinkInsert},""" +
       s""""sink1_sec":$sink1Sec,"sink1_batches":${sink1Metrics.batches.get()},""" +
       s""""sink1_insert_sec":${sink1Metrics.insertSec},""" +
       s""""sink1_maint_sec":${sink1Metrics.maintSec},""" +
+      s""""sink1_duration_ms":${dursJson(sink1Durs)},""" +
       s""""sink1_foreachbatch_rows_per_sec":${n / sink1Metrics.insertSec}}"""
     (full, compact)
   }

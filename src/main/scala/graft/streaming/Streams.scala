@@ -165,8 +165,17 @@ object Streams {
     val insertNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     val maintNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Per-batch insert wall-clocks, arrival order — the per-micro-batch
+      * fixed cost (write-job launch + sidecar/manifest appends) is the
+      * spread these values keep while row counts shrink. */
+    val insertBatchNanos =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     def insertSec: Double = insertNanos.get() / 1e9
     def maintSec: Double = maintNanos.get() / 1e9
+    def insertPerBatchSec: Seq[Double] = {
+      import scala.jdk.CollectionConverters._
+      insertBatchNanos.iterator().asScala.map(_.toDouble / 1e9).toSeq
+    }
   }
 
   def chronoSink(
@@ -195,6 +204,7 @@ object Streams {
         }
         metrics.foreach { m =>
           m.insertNanos.addAndGet(t1 - t0)
+          m.insertBatchNanos.add(t1 - t0)
           m.maintNanos.addAndGet(System.nanoTime() - t1)
           m.batches.incrementAndGet()
         }
