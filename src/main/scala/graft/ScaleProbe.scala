@@ -86,6 +86,11 @@ object ScaleProbe {
       return upsertProbe(args(1),
         if (args.length > 2) args(2) else "user_id")
     if (args.headOption.contains("bucketjoin")) return bucketJoinProbe(args(1))
+    if (args.headOption.contains("lifecycle")) return lifecycleProbe(args(1))
+    if (args.headOption.contains("semantic2a"))
+      return semantic2AdaptiveProbe(args(1), args(2).toInt, args(3).toInt,
+        if (args.length > 4) args(4).toDouble else 0.9,
+        if (args.length > 5) args(5).toDouble else 0.35)
     if (args.headOption.contains("semantic2f"))
       return semantic2FittedProbe(args(1), args(2).toInt, args(3).toInt,
         args(4).toInt, if (args.length > 5) args(5).toDouble else 0.35)
@@ -237,6 +242,191 @@ object ScaleProbe {
       val keepers = runs.head._1
       val minSec = runs.map(_._2).min
       println(f"""{"probe":"semantic_dedup_fitted_two_level","nlist":$nlist,"ncoarse":$ncoarse,"nprobe":$nprobe,"rows":$rows,"keepers":$keepers,${spill.json}"fit_sec":$fitSec%.4f,"warm_sec":$warm%.4f,"min_sec":$minSec%.4f,"timed_runs":$probeRuns}""")
+    } finally spark.stop()
+  }
+
+  /** Composed maintenance lifecycle at derived scale (r14 VERDICT #8):
+    * every piece — orphan quarantine, vacuum GC, incremental bucketed
+    * refresh, compact, the consistency verbs — has its own spec, but no
+    * single measured run had composed them. This probe runs the life a
+    * real table lives, on a derived-scale events fixture, asserting
+    * sidecar consistency at every seam:
+    *
+    *   insert(half 1) → rebuildBucketed → insert(half 2) →
+    *   crash-simulated ORPHAN file → [scan unchanged, consistency
+    *   check FAILS as designed] → vacuumOrphans(0) → [consistency
+    *   repaired] → refreshBucketed [must APPEND — the orphan episode
+    *   must not have poisoned the twin state] → [twin == table] →
+    *   compact → refreshBucketed [must REBUILD — history rewritten] →
+    *   [twin == table, manifest + sidecars consistent, key-join on the
+    *   twin zero-exchange]
+    *
+    * One JSON line with per-phase wall-clocks and every assertion as a
+    * boolean — a false anywhere is a probe failure, not a soft note. */
+  private def lifecycleProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lifecycle").toString
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "day", keyBuckets = 8,
+        compactFileThreshold = 4))
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val ev = graft.core.Tables.t(spark, sfDir, "events")
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          encode(col("event_type"), "UTF-8").as("data"))
+        .as[graft.core.ChronoRow]
+      db.createTable("ev")
+      // split by KEY hash, not time: both batches then touch EVERY time
+      // bucket, so the second insert really fragments buckets the first
+      // wrote (a time split would give each bucket exactly one batch and
+      // compact would be a no-op — not the lifecycle under test). The
+      // seed literal DECORRELATES this split from the insert path's
+      // writer salt (the same xxhash64(key, ts)) — an unseeded split
+      // would hand each half only half the salt lanes, halving files
+      // per bucket and making compaction a no-op again.
+      val half = pmod(xxhash64(lit("lifecycle"), col("key"), col("ts")), lit(2))
+      val (_, insert1Sec) = timed(db.insert("ev", ev.filter(half === 0)))
+      val (_, build1Sec) = timed(db.rebuildBucketed("ev"))
+      val (_, insert2Sec) = timed(db.insert("ev", ev.filter(half === 1)))
+      val total = db.table("ev").count()
+      // crash-simulated orphan: a committed file byte-copied under a
+      // name the manifest never recorded
+      val bucketDir = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, "ev"))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.find(
+            _.getFileName.toString.startsWith("bucket=")).get }
+        finally s.close()
+      }
+      val victim = {
+        val s = java.nio.file.Files.list(bucketDir)
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.find { f =>
+            val n = f.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith(".") }.get }
+        finally s.close()
+      }
+      val orphan = bucketDir.resolve("part-crashed-orphan.parquet")
+      java.nio.file.Files.copy(victim, orphan)
+      // a REAL crashed insert's files are minutes-to-days old by vacuum
+      // time; pin that age so horizonMs=0 is unambiguous (a same-ms
+      // mtime would not be strictly older than the cutoff)
+      java.nio.file.Files.setLastModifiedTime(orphan,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
+      val orphanInvisible = db.table("ev").count() == total
+      val inconsistentSeen = !db.manifestConsistent("ev")
+      val (vacuumed, vacuumSec) = timed(db.vacuumOrphans("ev", horizonMs = 0L))
+      val repairedAfterVacuum = db.manifestConsistent("ev")
+      val (r1, refresh1Sec) = timed(db.refreshBucketed("ev"))
+      val appendAfterVacuum = r1.mode == "append"
+      val twinMatches1 = db.bucketedTable("ev").count() == total
+      val (nCompacted, compactSec) = timed(db.compact("ev"))
+      val compactedSomething = nCompacted > 0
+      val (r2, refresh2Sec) = timed(db.refreshBucketed("ev"))
+      val rebuildAfterCompact = r2.mode == "rebuild"
+      val twinMatches2 = db.bucketedTable("ev").count() == total
+      val allConsistent = db.manifestConsistent("ev") &&
+        db.sidecarsConsistent("ev")
+      // the twin the lifecycle maintained still joins exchange-free
+      val j = db.bucketedTable("ev").select(col("key")).hint("merge")
+        .join(db.bucketedTable("ev").select(col("key"), col("ts"))
+          .hint("merge"), Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val zeroExchange = graft.core.PlanMetrics.shuffleExchanges(
+        j.queryExecution.executedPlan) == 0L
+      val ok = orphanInvisible && inconsistentSeen && vacuumed == 1 &&
+        repairedAfterVacuum && appendAfterVacuum && twinMatches1 &&
+        compactedSomething && rebuildAfterCompact && twinMatches2 &&
+        allConsistent && zeroExchange
+      println(f"""{"probe":"lifecycle","rows":$total,"insert1_sec":$insert1Sec%.3f,"build_sec":$build1Sec%.3f,"insert2_sec":$insert2Sec%.3f,"vacuumed":$vacuumed,"vacuum_sec":$vacuumSec%.3f,"refresh_append_sec":$refresh1Sec%.3f,"compacted":$nCompacted,"compact_sec":$compactSec%.3f,"refresh_rebuild_sec":$refresh2Sec%.3f,"orphan_invisible":$orphanInvisible,"inconsistency_detected":$inconsistentSeen,"repaired_after_vacuum":$repairedAfterVacuum,"append_after_vacuum":$appendAfterVacuum,"twin_matches_after_append":$twinMatches1,"rebuild_after_compact":$rebuildAfterCompact,"twin_matches_after_rebuild":$twinMatches2,"all_sidecars_consistent":$allConsistent,"twin_join_zero_exchange":$zeroExchange,"ok":$ok}""")
+      if (!ok) sys.exit(1)
+    } finally {
+      db.close()
+      rmrf(root)
+    }
+  }
+
+  /** Adaptive-nprobe selection at derived scale (r14 VERDICT #4): the
+    * near-uniform fixture geometry is the documented adversarial case
+    * for probe-limited assignment (agreement 0.63 at the r14 point,
+    * nothing escalating) — this probe measures
+    * [[graft.operators.Dedup.adaptiveNprobe]] recovering the floor
+    * there: selection cost (a handful of sample-sized assignments),
+    * the chosen width, the FULL-corpus agreement that width actually
+    * delivers, and the dedup wall-clock at it — so BASELINE.md can
+    * state "the caveat is now a lever" with all four numbers on one
+    * line. */
+  private def semantic2AdaptiveProbe(sfDir: String, nlist: Int,
+      ncoarse: Int, agreeFloor: Double, threshold: Double): Unit = {
+    import org.apache.spark.sql.functions.{avg, col}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val rows = emb.count()
+      val fitBudget = 256L * nlist
+      val fitDf =
+        if (rows <= fitBudget) emb
+        else emb.sample(withReplacement = false,
+          fraction = math.min(1.0, fitBudget.toDouble / rows * 1.05),
+          seed = 42L)
+      val tFit0 = System.nanoTime()
+      val fine = graft.operators.Dedup
+        .fittedCentroids(fitDf, "vec_id", "embedding", nlist)
+      val fitSec = (System.nanoTime() - tFit0) / 1e9
+      // selection: sample ~1/64 of the corpus (at 2 M rows that is a
+      // ~31 k-row ladder — each step prices one sample-sized two-level
+      // assignment against a once-built flat reference)
+      val tSel0 = System.nanoTime()
+      val choice = graft.operators.Dedup.adaptiveNprobe(
+        emb, "vec_id", "embedding", fine, ncoarse, agreeFloor,
+        sampleMod = 64, startNprobe = 4)
+      val selSec = (System.nanoTime() - tSel0) / 1e9
+      // did the sample's promise hold? FULL-corpus agreement at the
+      // chosen width vs the flat argmax over the same codebook
+      // (SPARK_GRAFT_PROBE_AGREE=0 skips — it prices a full flat scan)
+      val fullAgree =
+        if (sys.env.get("SPARK_GRAFT_PROBE_AGREE").contains("0")) -1.0
+        else {
+          val flat = graft.operators.Dedup
+            .assignFlat(emb, "vec_id", "embedding", fine)
+            .withColumnRenamed("cell", "cf")
+          graft.operators.Dedup
+            .assignTwoLevel(emb, "vec_id", "embedding", fine, ncoarse,
+              choice.nprobe)
+            .join(flat, Seq("vec_id"))
+            .agg(avg((col("cell") === col("cf")).cast("double")))
+            .collect()(0).getDouble(0)
+        }
+      val t0 = System.nanoTime()
+      val keepers = graft.operators.Dedup.semanticDedupTwoLevelOver(
+          emb, "vec_id", "embedding", threshold, fine, ncoarse,
+          choice.nprobe)
+        .count()
+      val dedupSec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"semantic_dedup_adaptive","nlist":$nlist,"ncoarse":$ncoarse,"floor":$agreeFloor,"rows":$rows,"fit_sec":$fitSec%.4f,"select_sec":$selSec%.4f,"chosen_nprobe":${choice.nprobe},"sample_agree":${choice.agreement}%.4f,"steps":${choice.steps},"full_agree":$fullAgree%.4f,"keepers":$keepers,"dedup_sec":$dedupSec%.4f}""")
     } finally spark.stop()
   }
 

@@ -837,6 +837,72 @@ object Dedup {
       twoLevelAssignOver(df, idCol, vecCol, fine, ncoarse, nprobe),
       idCol, threshold)
 
+  /** Outcome of [[Dedup.adaptiveNprobe]]: the chosen probe width, the
+    * sampled agreement it measured, and how many escalation steps ran. */
+  final case class NprobeChoice(nprobe: Int, agreement: Double, steps: Int)
+
+  /** Adaptive probe-width selection for the two-level assignment
+    * (VERDICT r14 Missing #4): the probe-limited assignment's agreement
+    * with the exhaustive argmax is GEOMETRY-dependent — clustered
+    * corpora measure 0.97+ at small nprobe while the near-uniform
+    * derived fixture measured 0.63 (BASELINE.md r14) — and nothing
+    * escalated when it dropped. This turns that caveat into a lever:
+    * measure agreement on a deterministic SAMPLE against the flat
+    * argmax over the same codebook, and double nprobe until it clears
+    * `floor` (or the probe is exhaustive, where agreement is 1 by
+    * construction — DedupSpec pins that equivalence).
+    *
+    * Cost, stated for scale: the sample is a fixed FRACTION
+    * (1/sampleMod via a hash of the id — deterministic, no RNG state),
+    * the flat reference is computed ONCE and localCheckpointed, and
+    * each escalation step prices one sample-sized two-level assignment
+    * — at most log2(ncoarse) steps, each O(|sample| · candidates).
+    * The full corpus is never touched until the caller runs the real
+    * assignment at the returned width. */
+  def adaptiveNprobe(
+      df: DataFrame, idCol: String, vecCol: String, fine: DataFrame,
+      ncoarse: Int, floor: Double = 0.9, sampleMod: Int = 16,
+      startNprobe: Int = 1): NprobeChoice = {
+    require(floor > 0.0 && floor <= 1.0, s"floor must be in (0,1]; got $floor")
+    require(sampleMod >= 1, s"sampleMod must be >= 1; got $sampleMod")
+    val sample = df
+      .filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      .select(col(idCol), col(vecCol))
+    val flat = assignFlat(sample, idCol, vecCol, fine)
+      .withColumnRenamed("cell", "cf").localCheckpoint()
+    val n = flat.count()
+    if (n == 0L) return NprobeChoice(ncoarse, 1.0, 0) // no evidence → exhaustive
+    var nprobe = math.max(1, math.min(startNprobe, ncoarse))
+    var steps = 0
+    var agreement = 0.0
+    var done = false
+    while (!done) {
+      steps += 1
+      agreement = assignTwoLevel(sample, idCol, vecCol, fine, ncoarse, nprobe)
+        .join(flat, Seq(idCol))
+        .agg(avg(when(col("cell") === col("cf"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      if (agreement >= floor || nprobe >= ncoarse) done = true
+      else nprobe = math.min(nprobe * 2, ncoarse)
+    }
+    NprobeChoice(nprobe, agreement, steps)
+  }
+
+  /** [[semanticDedupTwoLevelOver]] at an ADAPTIVELY chosen probe width:
+    * selection by [[adaptiveNprobe]], then one full-corpus two-level
+    * dedup at that width. Returns the kept rows plus the choice, so
+    * callers can assert/report the recall floor that was actually
+    * bought. */
+  def semanticDedupTwoLevelAdaptive(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      fine: DataFrame, ncoarse: Int, floor: Double = 0.9,
+      sampleMod: Int = 16): (DataFrame, NprobeChoice) = {
+    val choice = adaptiveNprobe(df, idCol, vecCol, fine, ncoarse,
+      floor, sampleMod)
+    (semanticDedupTwoLevelOver(df, idCol, vecCol, threshold, fine,
+      ncoarse, choice.nprobe), choice)
+  }
+
   /** Within-document repeated-span removal — the self-dedup complement
     * of [[substringDedup]]: a w-token window is duplicated iff the SAME
     * gram started at an earlier position in the SAME document (scraped

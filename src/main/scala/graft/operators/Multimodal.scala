@@ -319,6 +319,54 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL image resize over binary payloads: decode through the real
+    * `javax.imageio` reader, scale with an EXACT nearest-neighbor
+    * kernel (src = (dst·srcDim)/dstDim in integer floor arithmetic —
+    * hand-rolled, so the pixel mapping is spec-defined rather than a
+    * library's rounding choice, and the d5j oracle can recompute every
+    * output pixel from the generator formula), re-encode through the
+    * real PNG writer (lossless — downstream decoders see exactly the
+    * kernel's pixels). Output (media_id, payload, width, height).
+    * One mapPartitions stage, nothing leaves the partition — the
+    * thumbnail/downsample pass of every multimodal training pipeline,
+    * now with a real codec on both ends where [[resize]] (d5e) keeps
+    * the payload-opaque plan-shape form. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    require(w > 0 && h > 0, s"target dims must be positive: ${w}x$h")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          // positional getters — see synthImages' fusion note
+          val img = ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, "undecodable image payload")
+          val iw = img.getWidth; val ih = img.getHeight
+          val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            val sy = (y.toLong * ih / h).toInt
+            var x = 0
+            while (x < w) {
+              out.setRGB(x, y, img.getRGB((x.toLong * iw / w).toInt, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          Row(r.getLong(0), bos.toByteArray, w, h)
+        }
+      }(enc)
+  }
+
   /** REAL lossy-codec round-trip with quantified fidelity: each PNG
     * payload is JPEG-encoded at `quality` through the real
     * `javax.imageio` writer, decoded back, and compared — cell-exact —

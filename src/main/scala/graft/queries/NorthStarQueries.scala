@@ -555,6 +555,24 @@ object NorthStarQueries {
     Multimodal.imageHashes(media).orderBy(col("media_id"))
   }
 
+  /** D5j: REAL image resize ([[Multimodal.resizeImages]]) — the d5f
+    * PNGs (32×32, generator-formula pixels) downscaled to 16×16 through
+    * real decode → exact nearest-neighbor kernel → real PNG re-encode,
+    * then fingerprinted by the SAME real decode+hash path d5f gates.
+    * The kernel's pixel mapping is spec-defined (src = dst·2 at this
+    * ratio), so the oracle recomputes the RESIZED image's luma grid and
+    * hashes from the generator formula at (2x, 2y) — the full resize
+    * pipeline (both codecs + kernel) lands inside one pixel-exact hash
+    * gate, retiring d5e's payload-opaque stub as the only resize
+    * story. */
+  def resizeRealQ(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthImages(
+      t(spark, dir, "documents"), "doc_id", w = 32, h = 32)
+    Multimodal.imageHashes(
+        Multimodal.resizeImages(media, w = 16, h = 16))
+      .orderBy(col("media_id"))
+  }
+
   /** D5g: the LOSSY codec path ([[Multimodal.jpegRoundTrip]]) — each
     * d5f PNG is JPEG-encoded at q=0.85 through the real `javax.imageio`
     * writer, decoded back, and compared cell-exactly against the
@@ -1346,6 +1364,57 @@ object NorthStarQueries {
         (col("n_viol") === 0).as("dupfree_ok"))
   }
 
+  /** D33h: ADAPTIVE probe selection for the production SemDeDup shape
+    * ([[Dedup.adaptiveNprobe]] + [[Dedup.semanticDedupTwoLevelOver]]) —
+    * the r14 caveat (coarse-probe agreement 0.63 on the near-uniform
+    * fixture geometry, nothing escalating) turned into a measured
+    * lever: sampled agreement against the flat argmax chooses the probe
+    * width, doubling until the 0.9 floor clears. On THIS fixture the
+    * geometry is adversarial by design, so the selection provably
+    * escalates (full-corpus agreement measures 0.54 at nprobe=1 and
+    * 0.73 at nprobe=2 at BOTH gate SFs — deterministic, hash-derived
+    * sample, fitted codebook under fixed seed) and lands exhaustive
+    * where agreement is 1 by construction. Verdicts (d33e pattern —
+    * fitted centroids are float aggregates, not oracle literals):
+    * escalated_ok (the ladder ran), agreement_ok (floor reached),
+    * assign_floor_ok (FULL-corpus agreement at the chosen width also
+    * clears the floor — the sample's promise held), keepers_ok /
+    * dupfree_ok over the dedup at the chosen width. */
+  def semanticDedupAdaptiveQ(spark: SparkSession, dir: String): DataFrame = {
+    val cos = NativeExpressions.cosineNative _
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fine = Dedup.fittedCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val choice = Dedup.adaptiveNprobe(emb, "vec_id", "embedding", fine,
+      ncoarse = 4, floor = 0.9, sampleMod = 8, startNprobe = 1)
+    val two = Dedup.assignTwoLevel(emb, "vec_id", "embedding", fine,
+      ncoarse = 4, nprobe = choice.nprobe)
+    val flat = Dedup.assignFlat(emb, "vec_id", "embedding", fine)
+    val fullAgree = two.withColumnRenamed("cell", "c2")
+      .join(flat.withColumnRenamed("cell", "cf"), Seq("vec_id"))
+      .agg(avg(when(col("c2") === col("cf"), 1.0).otherwise(0.0))
+        .as("full_agree"))
+    val kept = Dedup.semanticDedupTwoLevelOver(emb, "vec_id", "embedding",
+      threshold = 0.35, fine, ncoarse = 4, nprobe = choice.nprobe)
+    val kv = kept.join(emb, Seq("vec_id"))
+    val viol = kv.as("a")
+      .join(kv.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cos(col("a.embedding"), col("b.embedding")) >= 0.35)
+      .agg(count(lit(1)).as("n_viol"))
+    emb.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_keepers")))
+      .crossJoin(fullAgree)
+      .crossJoin(viol)
+      .select(col("n_vecs"), lit(16).as("nlist"), lit(4).as("ncoarse"),
+        lit(choice.nprobe > 1 && choice.steps > 1).as("escalated_ok"),
+        lit(choice.agreement >= 0.9).as("agreement_ok"),
+        (col("full_agree") >= 0.9).as("assign_floor_ok"),
+        (col("n_keepers") >= 1 && col("n_keepers") <= col("n_vecs"))
+          .as("keepers_ok"),
+        (col("n_viol") === 0).as("dupfree_ok"))
+  }
+
   /** D34: model-based quality filtering — the hashed linear scorer
     * ([[Curation.hashedQualityScore]]) over every document; emits the
     * score and the keep decision rather than filtering, so the oracle
@@ -2103,6 +2172,49 @@ object NorthStarQueries {
         |  CAST(ud AS BIGINT) AS dhash
         |FROM ah JOIN dh ON ah.media_id = dh.media_id
         |ORDER BY ah.media_id""".stripMargin)),
+    QueryDef("d5j_resize_real", resizeRealQ, Some(
+      // the RESIZED image recomputed from the generator formula: the
+      // exact NN kernel at 32→16 maps output pixel (x,y) to source
+      // (2x,2y), so px evaluates the d5f formula at doubled
+      // coordinates; the 16×16 image's 8×8 grid is a 2×2 block average
+      // (sum // 4); aHash/dHash identical to d5f's emulation. Both
+      // codecs are lossless PNG, so every value is pixel-exact.
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, x, y,
+        |         (doc_id*31 + (2*x)*7 + (2*y)*13) % 256 AS r,
+        |         (doc_id*17 + (2*x)*11 + (2*y)*5) % 256 AS g,
+        |         (doc_id*23 + (2*x)*3 + (2*y)*19) % 256 AS b
+        |  FROM documents,
+        |       generate_series(0, 15) gx(x), generate_series(0, 15) gy(y)),
+        |cells AS (
+        |  SELECT media_id, (y // 2) * 8 + (x // 2) AS i,
+        |         SUM((299*r + 587*g + 114*b) // 1000) // 4 AS cell
+        |  FROM px GROUP BY media_id, (y // 2) * 8 + (x // 2)),
+        |m AS (SELECT media_id, SUM(cell) // 64 AS mean
+        |      FROM cells GROUP BY media_id),
+        |ah AS (
+        |  SELECT c.media_id,
+        |         SUM(CASE WHEN c.cell > m.mean
+        |                  THEN CAST(1 AS HUGEINT) << CAST(c.i AS INTEGER)
+        |                  ELSE CAST(0 AS HUGEINT) END) AS ua
+        |  FROM cells c JOIN m ON c.media_id = m.media_id
+        |  GROUP BY c.media_id),
+        |dh AS (
+        |  SELECT a.media_id,
+        |         SUM(CASE WHEN a.cell < b.cell
+        |                  THEN CAST(1 AS HUGEINT)
+        |                       << CAST((a.i // 8) * 7 + (a.i % 8) AS INTEGER)
+        |                  ELSE CAST(0 AS HUGEINT) END) AS ud
+        |  FROM cells a JOIN cells b
+        |    ON a.media_id = b.media_id AND b.i = a.i + 1 AND (a.i % 8) < 7
+        |  GROUP BY a.media_id)
+        |SELECT ah.media_id, 16 AS width, 16 AS height,
+        |  CAST(ua - CASE WHEN ua >= 9223372036854775808
+        |                 THEN 18446744073709551616
+        |                 ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS ahash,
+        |  CAST(ud AS BIGINT) AS dhash
+        |FROM ah JOIN dh ON ah.media_id = dh.media_id
+        |ORDER BY ah.media_id""".stripMargin)),
     QueryDef("d5e_resize", multimodalResize, Some(
       // original dims via the d5c emulation; the area-ratio truncation
       // chain is exact-int→double products and correctly-rounded
@@ -2765,6 +2877,16 @@ object NorthStarQueries {
         |FROM a JOIN b ON a.key = b.key
         |GROUP BY a.key
         |ORDER BY a.key""".stripMargin)),
+    QueryDef("d33h_semantic_dedup_adaptive", semanticDedupAdaptiveQ, Some(
+      // self-validating (d33e pattern): exact anchor = corpus count;
+      // escalation, sampled+full agreement floors, keeper bound and the
+      // greedy dup-free postcondition are in-query verdicts that must
+      // all come out TRUE (deterministic on this fixture — see builder)
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs, 16 AS nlist,
+        |       4 AS ncoarse, TRUE AS escalated_ok, TRUE AS agreement_ok,
+        |       TRUE AS assign_floor_ok, TRUE AS keepers_ok,
+        |       TRUE AS dupfree_ok
+        |FROM embeddings""".stripMargin)),
     QueryDef("d39_bucketed_autoroute", bucketedAutoRouteQ, Some(
       // d38's oracle (the auto-routed plan must answer exactly what the
       // plain join answers); the zero-exchange claim is the in-query

@@ -330,6 +330,36 @@ class DedupSpec extends SparkSuite {
       s"clustered-corpus agreement $agree/${flat.size} below 95%")
   }
 
+  test("adaptiveNprobe: early stop on clustered geometry, exhaustive recovery on near-uniform") {
+    def fineOf(df: org.apache.spark.sql.DataFrame) = df.filter($"vec_id" < 32)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("cv"))
+    // clustered corpus: the coarse probe finds the right cell early —
+    // selection must stop BELOW exhaustive while clearing the floor
+    val cl = Dedup.adaptiveNprobe(clusteredVecs, "vec_id", "embedding",
+      fineOf(clusteredVecs), ncoarse = 8, floor = 0.9, sampleMod = 2)
+    info(s"clustered: $cl")
+    assert(cl.nprobe < 8 && cl.agreement >= 0.9,
+      s"clustered geometry should stop early above the floor: $cl")
+    // near-uniform corpus (all coarse cosines close): a high floor
+    // forces escalation to the exhaustive probe, where agreement is 1
+    // by construction — the r14 0.63-agreement caveat turned lever
+    val nu = Dedup.adaptiveNprobe(twoLevelVecs, "vec_id", "embedding",
+      fineOf(twoLevelVecs), ncoarse = 8, floor = 0.99, sampleMod = 2)
+    info(s"near-uniform: $nu")
+    assert(nu.nprobe > 1 && nu.steps > 1,
+      s"near-uniform geometry must escalate: $nu")
+    assert(nu.agreement >= 0.99, s"floor not reached: $nu")
+    // determinism: the sample is hash-derived, the loop replays exactly
+    val nu2 = Dedup.adaptiveNprobe(twoLevelVecs, "vec_id", "embedding",
+      fineOf(twoLevelVecs), ncoarse = 8, floor = 0.99, sampleMod = 2)
+    assert(nu2 === nu)
+    // empty sample degrades safely to the exhaustive probe
+    val empty = Dedup.adaptiveNprobe(
+      twoLevelVecs.filter($"vec_id" < 0), "vec_id", "embedding",
+      fineOf(twoLevelVecs), ncoarse = 8, floor = 0.9)
+    assert(empty === Dedup.NprobeChoice(8, 1.0, 0))
+  }
+
   test("semanticDedupTwoLevel on the axis fixture: same keepers as flat") {
     val kept = Dedup.semanticDedupTwoLevel(semVecs, "vec_id", "embedding",
         threshold = 0.95, nlist = 4, ncoarse = 2, nprobe = 2)
