@@ -178,6 +178,31 @@ object SqlQueries {
     }
   }
 
+  /** Q58c: the connector's WRITE half — the events fixture written as a
+    * chrono table through `df.write.format("chrono")` (no facade call
+    * anywhere in the builder), then read back through the same
+    * connector with the q58 range + exact prune verdict. End to end,
+    * the user story is pure vanilla Spark: format name in, format name
+    * out, manifest-planned pruned scans in between. */
+  def chronoWriteQ(spark: SparkSession, dir: String): DataFrame = {
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("q58c_db")
+    val tableDir = root.resolve("ev")
+    Tables.t(spark, dir, "events")
+      .select(col("user_id").cast("string").as("key"), col("ts"),
+        encode(col("event_type"), "UTF-8").as("data"))
+      .write.format("chrono").option("bucket", "day").save(tableDir.toString)
+    val total = graft.sources.ChronoLayout.listEntries(tableDir).size.toLong
+    val q = spark.read.format("chrono").load(tableDir.toString)
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+        col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-09 23:59:59")))
+      .select(col("key"), col("ts"),
+        decode(col("data"), "UTF-8").as("event_type"))
+      .orderBy(col("key"), col("ts"), col("event_type"))
+    val ok = exactPruneVerdict(q, tableDir, "2024-01-05", "2024-01-09", total)
+    q.withColumn("prune_ok", lit(ok))
+  }
+
   private val q58Oracle =
     """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
       |       TRUE AS prune_ok
@@ -189,6 +214,7 @@ object SqlQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_chrono_source", chronoSourceQ, Some(q58Oracle)),
     QueryDef("q58b_chrono_sql_table", chronoSqlTableQ, Some(q58Oracle)),
+    QueryDef("q58c_chrono_write", chronoWriteQ, Some(q58Oracle)),
     QueryDef("q56_sql_storage", sqlStorageQ, Some(
       // result exact vs the raw fixture; the pruning claim is the
       // in-query prune_ok verdict (scan metrics have no SQL twin)

@@ -4,13 +4,13 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, max, sum}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
@@ -56,15 +56,26 @@ import graft.core.{ManifestEntry, ManifestFileIndex}
   * ([[graft.plans.BucketPruneRule]]) and prunes files — the reference's
   * Query(start, end) semantics (db.go:155-162) through standard SQL.
   *
-  * Read-only by design: the write path stays [[graft.core.ChronoDB]]
-  * (insert/upsert own the manifest/sidecar commit protocol); this
-  * source never mutates the directory — crashed-sidecar states are
-  * resolved non-destructively ([[ChronoLayout.resolveSidecarDir]]).
+  * The READ path never mutates the directory — crashed-sidecar states
+  * are resolved non-destructively ([[ChronoLayout.resolveSidecarDir]]).
+  * The WRITE path (`df.write.format("chrono").save(tableDir)`) routes
+  * through [[graft.core.ChronoDB.insert]] — the one write machinery, so
+  * every sidecar (stats, manifest, rollup) and the single-writer LOCK
+  * are honored exactly as through the facade; a concurrent facade
+  * holding the data-dir lock rejects the write, which is the contract,
+  * not a limitation. SaveMode semantics: Append inserts (creating the
+  * table if absent), Overwrite drops and recreates, ErrorIfExists
+  * refuses a table that already has data, Ignore no-ops on one.
   *
-  * Options: `path` (required — one table directory); `granularity`
+  * Read options: `path` (required — one table directory); `granularity`
   * ("hour"|"day", optional — sniffed from bucket labels when absent).
+  * Write options: `bucket` ("hour"|"day", default "hour"), `stats`
+  * ("full"|"bloom"|"none", default "full"), `ttl` (seconds, optional),
+  * `keyBuckets` (int, default 0). Input columns: key STRING,
+  * ts TIMESTAMP, data BINARY (castable forms accepted).
   */
-final class ChronoSource extends RelationProvider with DataSourceRegister {
+final class ChronoSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "chrono"
 
@@ -93,6 +104,63 @@ final class ChronoSource extends RelationProvider with DataSourceRegister {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty[String, String])(spark)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "chrono write requires a path: df.write.format(\"chrono\")" +
+        ".save(<tableDir>)"))
+    val tableDir = ChronoLayout.asLocalPath(path).toAbsolutePath
+    val tableName = tableDir.getFileName.toString
+    val dataDir = Option(tableDir.getParent).getOrElse(
+      throw new IllegalArgumentException(
+        s"chrono table dir must have a parent data dir: $tableDir"))
+    val bucket = parameters.getOrElse("bucket", "hour")
+    require(bucket == "hour" || bucket == "day",
+      s"bucket must be 'hour' or 'day', got '$bucket'")
+    val base = parameters.getOrElse("stats", "full") match {
+      case "full" => graft.core.ChronoConfig.fullStats(
+        dataDir.toString, bucket = bucket)
+      case "bloom" => graft.core.ChronoConfig.smallBatch(
+        dataDir.toString, bucket = bucket)
+      case "none" => graft.core.ChronoConfig(dataDir.toString,
+        bucket = bucket, sketchLgK = 0, sketchCmsDepth = 0,
+        sketchBloomKeys = 0L)
+      case other => throw new IllegalArgumentException(
+        s"stats must be full|bloom|none, got '$other'")
+    }
+    val cfg = base.copy(
+      ttl = parameters.get("ttl").map(_.toLong),
+      keyBuckets = parameters.get("keyBuckets").map(_.toInt).getOrElse(0))
+    // one writer machinery: the facade owns the lock, the sidecar commit
+    // protocol, and the salted layout — this is a thin SaveMode adapter
+    val db = new graft.core.ChronoDB(sqlContext.sparkSession, cfg)
+    try {
+      val exists = Files.isDirectory(tableDir)
+      val hasRows = exists &&
+        ChronoLayout.listEntries(tableDir).nonEmpty
+      mode match {
+        case SaveMode.ErrorIfExists if hasRows =>
+          throw new IllegalStateException(
+            s"chrono table '$tableName' already has data " +
+              "(SaveMode.ErrorIfExists)")
+        case SaveMode.Ignore if hasRows => ()
+        case m =>
+          if (m == SaveMode.Overwrite && exists) db.dropTable(tableName)
+          if (!Files.isDirectory(tableDir)) db.createTable(tableName)
+          val rows = data.select(
+            col("key").cast("string").as("key"),
+            col("ts").cast("timestamp").as("ts"),
+            col("data").cast("binary").as("data"))
+          import sqlContext.sparkSession.implicits._
+          db.insert(tableName, rows.as[graft.core.ChronoRow])
+      }
+    } finally db.close()
+    createRelation(sqlContext, parameters)
   }
 }
 

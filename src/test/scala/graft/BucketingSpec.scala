@@ -128,6 +128,50 @@ class BucketingSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     } finally db.close()
   }
 
+  test("auto-routing: reaches plain SQL over chrono_ views and format(chrono) scans") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine}
+    import java.sql.Timestamp
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("bsql").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 4))
+    try {
+      def rows(off: Int) = (0 until 40).map(i => ChronoRow(s"k${i % 10}",
+        Timestamp.valueOf(f"2024-01-${1 + i % 5 + off}%02d 10:00:00"),
+        Array[Byte](i.toByte)))
+      db.createTable("v"); db.insertSeq("v", rows(0))
+      db.rebuildBucketed("v")
+      Engine.registerChronoViews(db)
+      // a SQL-only user's key aggregation over the view routes too —
+      // the view's plan bottoms out in the same registered relation
+      val q = spark.sql(
+        """SELECT /*+ MERGE(a), MERGE(b) */ a.key, count(*) AS n
+          |FROM chrono_v a JOIN chrono_v b ON a.key = b.key
+          |GROUP BY a.key""".stripMargin)
+      q.collect()
+      val shuffles = collectWithSubqueries(q.queryExecution.executedPlan) {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty,
+        s"SQL view join should auto-route:\n${q.queryExecution.executedPlan}")
+      assert(q.collect().map(r => r.getLong(1)).forall(_ === 16L))
+      // and a format("chrono") scan of the same directory: the registry
+      // key is the table root, which the connector's relation shares
+      val src = spark.read.format("chrono").load(s"$root/v")
+        .select(col("key"))
+      val j2 = src.hint("merge")
+        .join(spark.read.format("chrono").load(s"$root/v")
+          .select(col("key"), col("ts")).hint("merge"), Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      j2.collect()
+      val shuffles2 = collectWithSubqueries(j2.queryExecution.executedPlan) {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles2.isEmpty,
+        s"format(chrono) scan should auto-route:\n${j2.queryExecution.executedPlan}")
+    } finally db.close()
+  }
+
   test("auto-routing: stale twin falls back to the plain scan, refresh restores routing") {
     import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine}
     import java.sql.Timestamp

@@ -175,6 +175,68 @@ class ChronoSourceSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("write path: df.write.format(chrono) creates a table the facade owns") {
+    import java.sql.Timestamp
+    val root = Files.createTempDirectory("chronosrc_w").toString
+    val rows = spark.createDataFrame((0 until 60).map { i =>
+      (s"k${i % 6}", Timestamp.valueOf(f"2024-01-${1 + i % 3}%02d 08:00:00"),
+        s"v$i".getBytes("UTF-8"))
+    }).toDF("key", "ts", "data")
+    rows.write.format("chrono").option("bucket", "day").save(s"$root/ev")
+    // readable through the connector AND the facade, sidecars included
+    assert(spark.read.format("chrono").load(s"$root/ev").count() === 60)
+    assert(Files.isDirectory(java.nio.file.Paths.get(root, "ev", "_manifest")))
+    def withDb[A](f: ChronoDB => A): A = {
+      val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day"))
+      try f(db) finally db.close()
+    }
+    withDb { db =>
+      assert(db.table("ev").count() === 60)
+      assert(db.manifestConsistent("ev"))
+      // the single-writer contract holds ACROSS entry points: a
+      // connector write while the facade owns the data-dir lock is
+      // rejected, exactly like a second facade would be
+      intercept[Exception] {
+        rows.write.format("chrono").option("bucket", "day")
+          .mode("append").save(s"$root/ev")
+      }
+    }
+    // append mode adds; the manifest follows
+    rows.write.format("chrono").option("bucket", "day")
+      .mode("append").save(s"$root/ev")
+    withDb { db =>
+      assert(db.table("ev").count() === 120)
+      assert(db.manifestConsistent("ev"))
+    }
+    // overwrite drops and recreates
+    rows.limit(10).write.format("chrono").option("bucket", "day")
+      .mode("overwrite").save(s"$root/ev")
+    assert(spark.read.format("chrono").load(s"$root/ev").count() === 10)
+    // ErrorIfExists refuses a table with data; Ignore no-ops on one
+    intercept[Exception] {
+      rows.write.format("chrono").option("bucket", "day").save(s"$root/ev")
+    }
+    rows.write.format("chrono").option("bucket", "day")
+      .mode("ignore").save(s"$root/ev")
+    assert(spark.read.format("chrono").load(s"$root/ev").count() === 10)
+  }
+
+  test("write path: castable input columns and day-bucket pruning after write") {
+    import java.sql.Timestamp
+    val root = Files.createTempDirectory("chronosrc_w2").toString
+    // key as INT, data as STRING — the connector casts at the boundary
+    spark.createDataFrame((0 until 40).map { i =>
+      (i % 4, Timestamp.valueOf(f"2024-02-${1 + i % 4}%02d 09:00:00"), s"p$i")
+    }).toDF("key", "ts", "data")
+      .write.format("chrono").option("bucket", "day").save(s"$root/t")
+    val q = spark.read.format("chrono").load(s"$root/t")
+      .filter(col("bucket") === "2024-02-03")
+    q.collect()
+    assert(PlanMetrics.scannedFiles(q.queryExecution.executedPlan) <
+      ChronoLayout.listEntries(java.nio.file.Paths.get(root, "t")).size)
+    assert(q.count() === 10)
+  }
+
   test("reads the .old sidecar when a rewrite crashed mid-swap") {
     val (db, root) = mkDb("day")
     try {
