@@ -151,6 +151,56 @@ object StreamingQueries {
   /** S1: file-source stream → watermark → time-bucketed parquet sink
     * (the reference's ingest path, table.go:78-119, done the Spark way),
     * then read the sink back. Oracle: the batch content of events. */
+  /** S18: the INGEST loop through the `chrono` FORMAT SINK
+    * ([[graft.sources.ChronoSource.createSink]]) — a user writes
+    * `df.writeStream.format("chrono")` and gets the full storage
+    * lifecycle with zero engine-specific code: two staged micro-batches
+    * (time-ordered halves) insert through ChronoDB (sidecars, manifest,
+    * salted layout), `compactEvery=2` runs one inline maintenance pass,
+    * and the declared output is the table read BACK through the
+    * connector — so the gate pins ingest, maintenance, and read-back in
+    * one hash. `maint_ok` verdict: the manifest is consistent after the
+    * loop (insert + compact kept the sidecar true). */
+  def streamSinkFormatQ(spark: SparkSession, dir: String): DataFrame = {
+    val landing = Files.createTempDirectory("s18_landing")
+    val root = Files.createTempDirectory("s18_db")
+    val cp = Files.createTempDirectory("s18_cp")
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id").cast("string").as("key"), col("ts"),
+        encode(col("event_type"), "UTF-8").as("data"))
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split))
+      .zipWithIndex.foreach { case (half, i) =>
+        half.coalesce(1).write.mode("overwrite")
+          .parquet(s"$landing/stage$i")
+        val part = new java.io.File(s"$landing/stage$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, landing.resolve(f"batch$i%03d.parquet"))
+      }
+    val q = spark.readStream
+      .schema("key STRING, ts TIMESTAMP, data BINARY")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+      .writeStream.format("chrono")
+      .option("path", s"$root/ev")
+      .option("bucket", "day")
+      .option("compactEvery", "2")
+      .option("checkpointLocation", cp.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val maintOk = {
+      val db = new graft.core.ChronoDB(spark,
+        graft.core.ChronoConfig(root.toString, bucket = "day"))
+      try db.manifestConsistent("ev") finally db.close()
+    }
+    spark.read.format("chrono").load(s"$root/ev")
+      .select(col("key"), col("ts"),
+        decode(col("data"), "UTF-8").as("event_type"))
+      .withColumn("maint_ok", lit(maintOk))
+      .orderBy(col("key"), col("ts"), col("event_type"))
+  }
+
   def streamIngest(spark: SparkSession, dir: String): DataFrame = {
     val staticSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source wants a landing DIRECTORY — stage the
@@ -732,6 +782,14 @@ object StreamingQueries {
     QueryDef("s1_stream_ingest", streamIngest, Some(
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("s18_stream_sink_chrono", streamSinkFormatQ, Some(
+      // the staged loop must land EXACTLY the fixture (at-least-once
+      // with a clean run = exactly-once); the maintenance claim is the
+      // in-query manifest-consistency verdict
+      """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+        |       TRUE AS maint_ok
+        |FROM events
+        |ORDER BY key, ts, event_type""".stripMargin)),
     QueryDef("s3b_watermark_drop", streamWatermarkDrop, Some(
       s"""WITH mx AS (SELECT max(ts) AS m,
          |                   (epoch_us(max(ts)) // 1000) * 1000 AS m_ms

@@ -10,7 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, max, sum}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
@@ -75,7 +77,8 @@ import graft.core.{ManifestEntry, ManifestFileIndex}
   * ts TIMESTAMP, data BINARY (castable forms accepted).
   */
 final class ChronoSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "chrono"
 
@@ -106,14 +109,13 @@ final class ChronoSource extends RelationProvider
       options = Map.empty[String, String])(spark)
   }
 
-  override def createRelation(
-      sqlContext: SQLContext,
-      mode: SaveMode,
-      parameters: Map[String, String],
-      data: DataFrame): BaseRelation = {
+  /** Shared write-option parsing: (tableDir, tableName, config). The
+    * batch write, the streaming sink, and nothing else — readers never
+    * need a config. */
+  private def writeTarget(parameters: Map[String, String], what: String)
+      : (Path, String, graft.core.ChronoConfig) = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "chrono write requires a path: df.write.format(\"chrono\")" +
-        ".save(<tableDir>)"))
+      s"chrono $what requires a path option/argument"))
     val tableDir = ChronoLayout.asLocalPath(path).toAbsolutePath
     val tableName = tableDir.getFileName.toString
     val dataDir = Option(tableDir.getParent).getOrElse(
@@ -133,9 +135,17 @@ final class ChronoSource extends RelationProvider
       case other => throw new IllegalArgumentException(
         s"stats must be full|bloom|none, got '$other'")
     }
-    val cfg = base.copy(
+    (tableDir, tableName, base.copy(
       ttl = parameters.get("ttl").map(_.toLong),
-      keyBuckets = parameters.get("keyBuckets").map(_.toInt).getOrElse(0))
+      keyBuckets = parameters.get("keyBuckets").map(_.toInt).getOrElse(0)))
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val (tableDir, tableName, cfg) = writeTarget(parameters, "write")
     // one writer machinery: the facade owns the lock, the sidecar commit
     // protocol, and the salted layout — this is a thin SaveMode adapter
     val db = new graft.core.ChronoDB(sqlContext.sparkSession, cfg)
@@ -161,6 +171,71 @@ final class ChronoSource extends RelationProvider
       }
     } finally db.close()
     createRelation(sqlContext, parameters)
+  }
+
+  /** `df.writeStream.format("chrono").option("path", tableDir)` — the
+    * streaming half of the write path (the reference is first an INGEST
+    * engine: every micro-batch is one memtable flush, db.go:145-152).
+    * OutputMode maps to the storage verb: Append → [[graft.core.ChronoDB.insert]]
+    * (at-least-once — the reference permits duplicate rows), Update →
+    * [[graft.core.ChronoDB.upsert]] (keyed replace — IDEMPOTENT under
+    * micro-batch replay, so Update-mode delivery is effectively
+    * exactly-once per key). Optional `compactEvery` runs inline
+    * compact+cleanup every N batches ([[graft.streaming.Streams.chronoSink]]'s
+    * maintenance loop, here with no user code at all). Each addBatch
+    * opens and closes the facade, so the single-writer LOCK is honored
+    * batch by batch and the batch frame is consumed by exactly ONE
+    * action (the V1 Sink contract). */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "chrono sink derives its own time-bucket partitioning — " +
+        "partitionBy is not accepted")
+    val upsert = outputMode == OutputMode.Update()
+    require(upsert || outputMode == OutputMode.Append(),
+      s"chrono sink supports Append (insert) and Update (keyed upsert); got $outputMode")
+    val (tableDir, tableName, cfg) = writeTarget(parameters, "sink")
+    val compactEvery = parameters.get("compactEvery").map(_.toInt).getOrElse(0)
+    new ChronoStreamSink(sqlContext.sparkSession, tableDir, tableName, cfg,
+      upsert, compactEvery)
+  }
+}
+
+/** V1 streaming sink over the ChronoDB write verbs — see
+  * [[ChronoSource.createSink]]. */
+final class ChronoStreamSink(
+    spark: SparkSession,
+    tableDir: Path,
+    tableName: String,
+    cfg: graft.core.ChronoConfig,
+    upsert: Boolean,
+    compactEvery: Int) extends Sink {
+
+  override def addBatch(
+      batchId: Long, data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    val db = new graft.core.ChronoDB(spark, cfg)
+    try {
+      if (!Files.isDirectory(tableDir)) db.createTable(tableName)
+      import spark.implicits._
+      // re-wrap as a BATCH frame (ForeachBatchSink's move): the insert
+      // path's observe-built sidecars reject streaming plans, and this
+      // also pins the V1 contract — the streaming plan is consumed by
+      // exactly one action (the toRdd planning inside asBatch)
+      val rows = org.apache.spark.sql.GraftColumnBridge.asBatch(data)
+        .select(
+          col("key").cast("string").as("key"),
+          col("ts").cast("timestamp").as("ts"),
+          col("data").cast("binary").as("data")).as[graft.core.ChronoRow]
+      if (upsert) db.upsert(tableName, rows)
+      else db.insert(tableName, rows)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        db.compact(tableName)
+        db.cleanup(tableName)
+      }
+    } finally db.close()
   }
 }
 

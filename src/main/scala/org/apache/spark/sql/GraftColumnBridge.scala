@@ -8,4 +8,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-wrap a V1 streaming Sink's per-batch frame as a BATCH
+    * DataFrame — the same move Spark's own ForeachBatchSink makes:
+    * plan the incremental execution once (`toRdd`) and wrap the
+    * resulting rows with `isStreaming = false`, so batch-only
+    * machinery (Dataset.observe — the ChronoDB sidecar piggyback —
+    * rejects streaming plans) applies and the original streaming plan
+    * is consumed by exactly one action. */
+  def asBatch(data: Dataset[Row]): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+  }
 }

@@ -237,6 +237,71 @@ class ChronoSourceSpec extends SparkSuite {
     assert(q.count() === 10)
   }
 
+  test("streaming sink: writeStream.format(chrono) ingests micro-batches, Update mode upserts") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("chronosrc_s").toString
+    val landing = Files.createTempDirectory("chronosrc_land")
+    // two staged micro-batches (maxFilesPerTrigger=1): batch 1 keys
+    // k0..k5 v=a, batch 2 the SAME keys v=b — Append keeps both,
+    // Update (upsert) keeps only the replacement
+    (0 until 2).foreach { b =>
+      val rows = spark.createDataFrame((0 until 12).map { i =>
+        (s"k${i % 6}",
+          Timestamp.valueOf(f"2024-03-0${1 + i % 2} 0$b:00:00"),
+          s"v$b".getBytes("UTF-8"))
+      }).toDF("key", "ts", "data")
+      rows.coalesce(1).write.mode("overwrite").parquet(s"$landing/b$b")
+      val part = new java.io.File(s"$landing/b$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, landing.resolve(f"batch$b%03d.parquet"))
+    }
+    def runStream(mode: String, table: String): Unit = {
+      val cp = Files.createTempDirectory("chronosrc_cp")
+      val q = spark.readStream
+        .schema("key STRING, ts TIMESTAMP, data BINARY")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .writeStream.format("chrono")
+        .option("path", s"$root/$table")
+        .option("bucket", "day")
+        .option("compactEvery", "2")
+        .option("checkpointLocation", cp.toString)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream("append", "evs")
+    runStream("update", "st")
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day"))
+    try {
+      // append: both batches' rows; sidecars consistent after the
+      // inline maintenance pass
+      assert(db.table("evs").count() === 24)
+      assert(db.manifestConsistent("evs"))
+      // update: per-key replace — only batch 2's rows survive
+      assert(db.table("st").count() === 12)
+      import spark.implicits._
+      val values = db.table("st")
+        .select(decode(col("data"), "UTF-8")).as[String]
+        .collect().toSet
+      assert(values === Set("v1"), s"upsert must keep the replacement: $values")
+    } finally db.close()
+    // complete mode is meaningless for a keyed store
+    intercept[Exception] {
+      spark.readStream.schema("key STRING, ts TIMESTAMP, data BINARY")
+        .parquet(landing.toString)
+        .writeStream.format("chrono")
+        .option("path", s"$root/x")
+        .option("checkpointLocation",
+          Files.createTempDirectory("cp2").toString)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   test("reads the .old sidecar when a rewrite crashed mid-swap") {
     val (db, root) = mkDb("day")
     try {
