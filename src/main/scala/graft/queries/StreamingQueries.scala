@@ -201,6 +201,53 @@ object StreamingQueries {
       .orderBy(col("key"), col("ts"), col("event_type"))
   }
 
+  /** S19: TAILING a chrono table through the `chrono` FORMAT SOURCE
+    * ([[graft.sources.ChronoStreamSource]]) — the inverse of s18: the
+    * facade ingests the fixture in two time-ordered halves, a
+    * `readStream.format("chrono")` query tails the table (each
+    * micro-batch = the files committed since the last trigger,
+    * discovered by a KB-scale manifest diff) into a parquet landing,
+    * and the declared output is the landing read back — so the gate
+    * pins discovery, batch replayability, and content in one hash.
+    * `two_batches_ok` verdict: the first drain saw ONLY the first
+    * half (a real tail, not one catch-all snapshot). */
+  def streamSourceTailQ(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("s19_db")
+    val out = Files.createTempDirectory("s19_out").toString
+    val cp = Files.createTempDirectory("s19_cp").toString
+    import spark.implicits._
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root.toString, bucket = "day"))
+    val firstDrain =
+      try {
+        db.createTable("ev")
+        val ev = Tables.t(spark, dir, "events")
+          .select(col("user_id").cast("string").as("key"), col("ts"),
+            encode(col("event_type"), "UTF-8").as("data"))
+          .as[graft.core.ChronoRow]
+        val split = lit("2024-01-16 00:00:00").cast("timestamp")
+        db.insert("ev", ev.filter(col("ts") < split))
+        val q = spark.readStream.format("chrono").load(s"$root/ev")
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", cp)
+          .start()
+        q.processAllAvailable()
+        val c1 = spark.read.parquet(out).count()
+        db.insert("ev", ev.filter(col("ts") >= split))
+        q.processAllAvailable()
+        q.stop()
+        c1
+      } finally db.close()
+    val all = spark.read.parquet(out)
+    val total = all.count()
+    val twoBatchesOk = firstDrain > 0 && firstDrain < total
+    all.select(col("key"), col("ts"),
+        decode(col("data"), "UTF-8").as("event_type"))
+      .withColumn("two_batches_ok", lit(twoBatchesOk))
+      .orderBy(col("key"), col("ts"), col("event_type"))
+  }
+
   def streamIngest(spark: SparkSession, dir: String): DataFrame = {
     val staticSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source wants a landing DIRECTORY — stage the
@@ -782,6 +829,13 @@ object StreamingQueries {
     QueryDef("s1_stream_ingest", streamIngest, Some(
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("s19_stream_source_chrono", streamSourceTailQ, Some(
+      // the tail must deliver EXACTLY the table (each file once); the
+      // staged-discovery claim is the in-query two_batches_ok verdict
+      """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+        |       TRUE AS two_batches_ok
+        |FROM events
+        |ORDER BY key, ts, event_type""".stripMargin)),
     QueryDef("s18_stream_sink_chrono", streamSinkFormatQ, Some(
       // the staged loop must land EXACTLY the fixture (at-least-once
       // with a clean run = exactly-once); the maintenance claim is the

@@ -21,4 +21,11 @@ object GraftColumnBridge {
     spark.internalCreateDataFrame(
       data.queryExecution.toRdd, data.schema, isStreaming = false)
   }
+
+  /** DataFrame over an already-built logical plan (sql-private
+    * Dataset.ofRows) — the V1 streaming Source's getBatch needs to hand
+    * the engine a LogicalRelation it constructed itself. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
