@@ -87,6 +87,7 @@ object ScaleProbe {
         if (args.length > 2) args(2) else "user_id")
     if (args.headOption.contains("bucketjoin")) return bucketJoinProbe(args(1))
     if (args.headOption.contains("lifecycle")) return lifecycleProbe(args(1))
+    if (args.headOption.contains("tailsource")) return tailSourceProbe(args(1))
     if (args.headOption.contains("semantic2a"))
       return semantic2AdaptiveProbe(args(1), args(2).toInt, args(3).toInt,
         if (args.length > 4) args(4).toDouble else 0.9,
@@ -358,6 +359,73 @@ object ScaleProbe {
     } finally {
       db.close()
       rmrf(root)
+    }
+  }
+
+  /** Streaming-tail discovery cost at scale: the `format("chrono")`
+    * SOURCE's per-trigger work is one manifest-fold diff — this probe
+    * measures exactly that call ([[graft.sources.ChronoStreamSource]]
+    * driven directly, no query-machinery noise) in the three states a
+    * running tail alternates between: the FIRST offset (whole table =
+    * one batch), the IDLE trigger (nothing new — the steady-state cost
+    * a trigger loop pays forever), and the INCREMENTAL trigger (one
+    * small batch landed). Run at 1× and 100×, the idle/incremental
+    * numbers must be FLAT — discovery reads manifest KBs, never data
+    * rows — which is what makes a 1-second trigger affordable on a
+    * 100 TB table. */
+  private def tailSourceProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tail").toString
+    val meta = java.nio.file.Files.createTempDirectory("tailmeta").toString
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "day"))
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val ev = graft.core.Tables.t(spark, sfDir, "events")
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          encode(col("event_type"), "UTF-8").as("data"))
+        .as[graft.core.ChronoRow]
+      db.createTable("ev")
+      db.insert("ev", ev)
+      val rows = db.table("ev").count()
+      val src = new graft.sources.ChronoStreamSource(spark,
+        java.nio.file.Paths.get(root, "ev"), meta, "day")
+      val (first, firstSec) = timed(src.getOffset)
+      val (_, warmIdle) = timed(src.getOffset)
+      val idleSecs = (1 to 5).map(_ => timed(src.getOffset)._2)
+      // one tiny late batch lands → one incremental discovery
+      db.insertSeq("ev", (0 until 100).map(i =>
+        graft.core.ChronoRow(s"late$i",
+          java.sql.Timestamp.valueOf("2024-01-31 23:00:00"),
+          Array[Byte](1))))
+      val (inc, incSec) = timed(src.getOffset)
+      // the engine-facing batch carries isStreaming=true (the Source
+      // contract) — outside a streaming query, count it by stripping
+      // the flag off the relation
+      val batchPlan = src.getBatch(first, inc.get)
+        .queryExecution.logical.transform {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.copy(isStreaming = false)
+        }
+      val incBatchRows = org.apache.spark.sql.GraftColumnBridge
+        .ofRows(spark, batchPlan).count()
+      println(f"""{"probe":"tail_source","rows":$rows,"first_offset_sec":$firstSec%.4f,"idle_warm_sec":$warmIdle%.4f,"idle_min_sec":${idleSecs.min}%.4f,"idle_med_sec":${idleSecs.sorted.apply(2)}%.4f,"incremental_sec":$incSec%.4f,"incremental_rows":$incBatchRows}""")
+    } finally {
+      db.close()
+      rmrf(root); rmrf(meta)
     }
   }
 

@@ -254,6 +254,69 @@ class BucketingSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     } finally db.close()
   }
 
+  test("auto-routing guards: renames, multi-leaf subtrees and foreign scans never route") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine}
+    import java.sql.Timestamp
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("bguard").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 4))
+    try {
+      def rows(off: Int) = (0 until 40).map(i => ChronoRow(s"k${i % 10}",
+        Timestamp.valueOf(f"2024-01-${1 + i % 5 + off}%02d 10:00:00"),
+        Array[Byte](i.toByte)))
+      db.createTable("g"); db.insertSeq("g", rows(0))
+      db.rebuildBucketed("g")
+      def twinScans(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        collectWithSubqueries(df.queryExecution.executedPlan) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.bucketSpec.isDefined => s
+        }.size
+      }
+      // (a) a RENAMED key breaks the exprId trace — conservative skip
+      val renamed = db.table("g").select(col("key").as("k2"))
+        .join(db.table("g").select(col("key").as("k2"), col("ts")), Seq("k2"))
+        .groupBy(col("k2")).agg(count(lit(1)).as("n"))
+      assert(twinScans(renamed) === 0,
+        "renamed join keys must not route (exprId trace lost)")
+      // result still correct on the plain path
+      assert(renamed.collect().map(_.getLong(1)).forall(_ === 16L))
+      // (b) a join on a NON-key column never routes
+      val onTs = db.table("g").select(col("ts"))
+        .join(db.table("g").select(col("ts"), col("key")), Seq("ts"))
+        .groupBy(col("ts")).agg(count(lit(1)).as("n"))
+      assert(twinScans(onTs) === 0, "non-key equi joins must not route")
+      // (c) a union beneath the join = multiple leaves — skip, correct
+      val unioned = db.table("g").select(col("key"))
+        .union(db.table("g").select(col("key")))
+      val j = unioned.hint("merge")
+        .join(db.table("g").select(col("key"), col("ts")).hint("merge"),
+          Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      j.collect()
+      assert(j.collect().map(_.getLong(1)).forall(_ === 32L),
+        "multi-leaf side must still answer correctly")
+      // (d) a non-chrono parquet scan with a `key` column never routes
+      val foreignDir = java.nio.file.Files.createTempDirectory("bguard_f")
+      db.table("g").select(col("key")).write.mode("overwrite")
+        .parquet(foreignDir.toString)
+      val foreign = spark.read.parquet(foreignDir.toString)
+      val fj = foreign.join(db.table("g").select(col("key"), col("ts")),
+          Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      fj.collect()
+      val foreignScans = collectWithSubqueries(fj.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("bguard_f")) => s
+      }
+      assert(foreignScans.forall(_.relation.bucketSpec.isEmpty),
+        "a foreign parquet scan must never be substituted")
+      assert(fj.collect().map(_.getLong(1)).forall(_ === 16L))
+    } finally db.close()
+  }
+
   test("refreshBucketed appends only the delta, stays exchange-free, rebuilds after compact") {
     import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
     import java.sql.Timestamp
