@@ -107,7 +107,11 @@ final class ChronoSource extends RelationProvider
       partitionSchema = index.partitionSchema,
       dataSchema = ManifestFileIndex.dataSchema(granularity),
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      // reads are stock parquet; the WRITE half is disabled so a raw
+      // `INSERT INTO <chrono catalog table>` fails loudly instead of
+      // writing files the manifest never records (see the format's
+      // scaladoc — the supported write paths own the commit protocol)
+      fileFormat = new ChronoReadOnlyParquetFormat(),
       options = Map.empty[String, String])(spark)
   }
 
@@ -251,6 +255,34 @@ final class ChronoSource extends RelationProvider
     new ChronoStreamSource(sqlContext.sparkSession, root, metadataPath,
       granularity)
   }
+}
+
+/** Parquet format whose WRITE half is disabled — reads (the scan
+  * builder, vectorization, pushdown) are stock parquet. Why it exists:
+  * `INSERT INTO <chrono catalog table>` plans Spark's raw
+  * `InsertIntoHadoopFsRelationCommand` (the table is partitioned, so
+  * PreprocessTableInsertion adds a dynamic partition map and the
+  * InsertableRelation analysis branch — which requires an empty
+  * partition spec — is unreachable), which would write parquet BENEATH
+  * the manifest's feet: measured before this guard, the INSERT
+  * "succeeded" while the row stayed invisible to every manifest-planned
+  * read and `manifestConsistent` flipped false — silent data
+  * invisibility. This turns that into a loud, actionable error at
+  * write-job setup; the SUPPORTED write paths
+  * (`df.write.format("chrono")`, the streaming sink, the facade) own
+  * the sidecar commit protocol. */
+final class ChronoReadOnlyParquetFormat extends ParquetFileFormat {
+  override def prepareWrite(
+      sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "INSERT INTO a chrono table would write files the _manifest never " +
+        "records (invisible to reads). Write through " +
+        "df.write.format(\"chrono\").mode(\"append\").save(<tableDir>), " +
+        "df.writeStream.format(\"chrono\"), or the ChronoDB facade — " +
+        "those own the sidecar commit protocol.")
 }
 
 /** V1 streaming SOURCE tailing a chrono table — see

@@ -237,6 +237,36 @@ class ChronoSourceSpec extends SparkSuite {
     assert(q.count() === 10)
   }
 
+  test("raw INSERT INTO a chrono catalog table fails loudly, never invisibly") {
+    // Spark plans INSERT INTO a partitioned HadoopFsRelation as a raw
+    // file write (the InsertableRelation analysis branch requires an
+    // empty partition spec, and PreprocessTableInsertion always adds
+    // the dynamic bucket map) — which would land files the manifest
+    // never records: an insert that "succeeds" while its rows stay
+    // invisible to every read. The read-only format turns that into an
+    // actionable error and the table stays untouched.
+    val (db, root) = mkDb("day")
+    try {
+      seed(db, "ev")
+      spark.sql("DROP TABLE IF EXISTS chrono_ins_guard")
+      spark.sql(s"CREATE TABLE chrono_ins_guard USING chrono OPTIONS (path '$root/ev')")
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO chrono_ins_guard VALUES " +
+          "('zzz', TIMESTAMP '2024-01-03 10:00:00', X'01', '2024-01-03')")
+      }
+      def rootCause(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+      assert(rootCause(e).getMessage.contains("format(\"chrono\")"),
+        s"error must point at the supported write paths: $e")
+      assert(spark.table("chrono_ins_guard").count() === 200)
+      assert(db.manifestConsistent("ev"),
+        "a refused insert must leave no stray files")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS chrono_ins_guard")
+      db.close()
+    }
+  }
+
   test("streaming sink: writeStream.format(chrono) ingests micro-batches, Update mode upserts") {
     import java.sql.Timestamp
     import org.apache.spark.sql.streaming.Trigger
