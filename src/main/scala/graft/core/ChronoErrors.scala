@@ -20,6 +20,43 @@ final class DatabaseLockedException(dir: String)
 final class DatabaseClosedException
   extends ChronoException("database is closed")
 
+/** A typed-table schema that cannot be stored: chrono tables require a
+  * `ts` TIMESTAMP column (the time-bucket axis), reserve `bucket` (the
+  * partition column), and constrain `key` (when present) to STRING —
+  * it feeds the Bloom/min-max key index family. */
+final class InvalidSchemaException(detail: String)
+  extends ChronoException(s"invalid table schema: $detail")
+
+/** A key-indexed verb (queryKey / delete-by-key / upsert / bucketed
+  * twin) invoked on a table whose declared schema has no `key` column. */
+final class KeylessTableException(table: String, verb: String)
+  extends ChronoException(
+    s"table '$table' has no 'key' column — $verb requires one " +
+      "(declare key STRING in the table schema)")
+
+/** The streaming tail source's append-only contract, ENFORCED: a file
+  * the stream already emitted has VANISHED from the `_manifest` —
+  * maintenance (compact / deleteKeys / cleanup / restore) rewrote
+  * history under a live tail, which a file-diff stream cannot represent
+  * (the rewritten rows would silently re-emit). Fail the query loudly
+  * instead; run maintenance on a tailed table only between streaming
+  * queries. */
+final class StreamRewriteException(detail: String)
+  extends ChronoException(
+    s"chrono tail source: previously-emitted data files vanished from " +
+      s"_manifest — a maintenance verb (compact/delete/cleanup/restore) " +
+      s"rewrote the table under a live tail. $detail")
+
+/** A declared or sniffed bucket granularity disagrees with the bucket
+  * labels actually on disk — planning with it would derive bucket
+  * predicates in the wrong label format and silently prune EVERY
+  * in-range file. Loud beats wrong. */
+final class GranularityMismatchException(expected: String, label: String)
+  extends ChronoException(
+    s"bucket granularity '$expected' does not match on-disk bucket " +
+      s"label '$label' (hour labels are yyyy-MM-dd-HH, day labels " +
+      s"yyyy-MM-dd) — pass the correct 'granularity' option")
+
 object ChronoConfigValidation {
   /** Parity with the reference's config validation (config.go:154-208):
     * reject unusable knob values at construction time. */

@@ -57,13 +57,13 @@ final case class ManifestEntry(bucket: String, file: String, size: Long, mtime: 
   * partitioned table.
   */
 final class ManifestFileIndex(
-    tableRoot: java.nio.file.Path,
+    tableRoot: HPath,
     entries: Seq[ManifestEntry]) extends FileIndex {
 
   private val byBucket: Seq[(String, Seq[ManifestEntry])] =
     entries.groupBy(_.bucket).toSeq.sortBy(_._1)
 
-  override val rootPaths: Seq[HPath] = Seq(new HPath(tableRoot.toUri))
+  override val rootPaths: Seq[HPath] = Seq(tableRoot)
 
   override val partitionSchema: StructType =
     StructType(Seq(StructField("bucket", StringType, nullable = true)))
@@ -85,7 +85,7 @@ final class ManifestFileIndex(
   }
 
   private def pathOf(e: ManifestEntry): HPath =
-    new HPath(tableRoot.resolve(s"bucket=${e.bucket}").resolve(e.file).toUri)
+    new HPath(new HPath(tableRoot, s"bucket=${e.bucket}"), e.file)
 
   private def statusOf(e: ManifestEntry): FileStatus =
     new FileStatus(e.size, false, 1, 128L * 1024 * 1024, e.mtime, pathOf(e))
@@ -129,14 +129,22 @@ object ManifestFileIndex {
     * inferred, which also fixes the partition-type inference hazard the
     * legacy listing path works around with a cast (DAY labels
     * inferred as DATE). */
-  def dataSchema(granularity: String): StructType = {
+  def dataSchema(granularity: String): StructType =
+    withGranularity(ChronoDB.EnvelopeSchema, granularity)
+
+  /** Tag a (possibly typed) table schema's `ts` field with the
+    * bucket-granularity metadata [[graft.plans.BucketPruneRule]]
+    * consumes — the one transform every chrono scan's data schema gets,
+    * whatever its declared columns. */
+  def withGranularity(schema: StructType, granularity: String): StructType = {
     val tsMeta = new MetadataBuilder()
       .putString(graft.plans.BucketPruneRule.GranularityKey, granularity)
       .build()
-    StructType(Seq(
-      StructField("key", StringType, nullable = true),
-      StructField("ts", TimestampType, nullable = true, metadata = tsMeta),
-      StructField("data", BinaryType, nullable = true)))
+    StructType(schema.fields.map { f =>
+      if (f.name == "ts")
+        StructField(f.name, f.dataType, nullable = true, metadata = tsMeta)
+      else f
+    })
   }
 
   /** Build the scan DataFrame over exactly `entries` — the manifest
@@ -144,14 +152,23 @@ object ManifestFileIndex {
     * (key, ts, data, bucket), identical to the legacy listing path. */
   def relation(
       spark: SparkSession,
-      tableRoot: java.nio.file.Path,
+      tableRoot: HPath,
       granularity: String,
+      entries: Seq[ManifestEntry]): DataFrame =
+    relation(spark, tableRoot, dataSchema(granularity), entries)
+
+  /** The typed-schema form: callers pass the declared data schema
+    * (already granularity-tagged via [[withGranularity]]). */
+  def relation(
+      spark: SparkSession,
+      tableRoot: HPath,
+      schema: StructType,
       entries: Seq[ManifestEntry]): DataFrame = {
     val index = new ManifestFileIndex(tableRoot, entries)
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
-      dataSchema = dataSchema(granularity),
+      dataSchema = schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty[String, String])(spark)

@@ -1,0 +1,153 @@
+package graft.core
+
+import graft.SparkSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed-schema chrono tables (VERDICT r15 Missing #2): arbitrary user
+  * columns inside the managed table — `ts` required, `key` optional —
+  * with the sidecar/manifest/TTL machinery unchanged, plus the keyed-
+  * verb guards and the connector round-trip. */
+class TypedTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType),
+    StructField("score", DoubleType)))
+
+  private def freshDb(ttl: Option[Long] = None,
+      keyBuckets: Int = 0): (ChronoDB, String) = {
+    val dir = Files.createTempDirectory("typed").toString
+    (new ChronoDB(spark, ChronoConfig(dir, bucket = "hour", ttl = ttl,
+      compactFileThreshold = 2, keyBuckets = keyBuckets)), dir)
+  }
+
+  private def docsDf = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "alpha beta", 0.5),
+    (2L, ts("2024-01-01 11:00:00"), "gamma", 0.9),
+    (3L, ts("2024-01-02 10:00:00"), "delta epsilon zeta", 0.1)
+  ).toDF("doc_id", "ts", "text", "score")
+
+  test("schema validation: ts required, bucket reserved, key must be string") {
+    intercept[InvalidSchemaException](ChronoDB.validateSchema(
+      StructType(Seq(StructField("x", LongType)))))
+    intercept[InvalidSchemaException](ChronoDB.validateSchema(
+      StructType(Seq(StructField("ts", LongType)))))
+    intercept[InvalidSchemaException](ChronoDB.validateSchema(
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField("bucket", StringType)))))
+    intercept[InvalidSchemaException](ChronoDB.validateSchema(
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField("key", LongType)))))
+    ChronoDB.validateSchema(docSchema) // keyless typed: fine
+  }
+
+  test("typed keyless table: insert/table/query serve declared columns; TTL and buckets apply") {
+    val (db, _) = freshDb()
+    try {
+      db.createTable("docs", docSchema)
+      assert(db.tableSchema("docs").fieldNames.toSeq ===
+        Seq("doc_id", "ts", "text", "score"))
+      db.insertFrame("docs", docsDf)
+      val full = db.table("docs")
+      assert(full.columns.toSeq === Seq("doc_id", "ts", "text", "score", "bucket"))
+      assert(full.count() === 3)
+      // ts range query projects the declared columns and prunes buckets
+      val q = db.query("docs", ts("2024-01-01 00:00:00"), ts("2024-01-01 23:59:59"))
+      assert(q.columns.toSeq === Seq("doc_id", "ts", "text", "score"))
+      assert(q.select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
+      // stats/compact/cleanup work without a key column
+      assert(db.stats("docs").numRows === 3)
+      db.insertFrame("docs", docsDf.filter(col("doc_id") === 1))
+      db.compact("docs")
+      assert(db.table("docs").count() === 4)
+      assert(db.sidecarsConsistent("docs"))
+    } finally db.close()
+  }
+
+  test("typed keyed table: key verbs work; typed columns survive upsert") {
+    val (db, _) = freshDb()
+    try {
+      val schema = StructType(StructField("key", StringType) +: docSchema.fields.toSeq)
+      db.createTable("kd", schema)
+      db.insertFrame("kd", docsDf.withColumn("key", concat(lit("k"), col("doc_id")))
+        .select("key", "doc_id", "ts", "text", "score"))
+      assert(db.queryKey("kd", "k2").select("text").as[String].head() === "gamma")
+      // upsertFrame replaces the key's rows with the new typed row
+      db.upsertFrame("kd", Seq(("k2", 2L, ts("2024-01-05 10:00:00"), "gamma2", 1.0))
+        .toDF("key", "doc_id", "ts", "text", "score"))
+      val got = db.queryKey("kd", "k2").collect()
+      assert(got.length === 1 && got(0).getAs[String]("text") === "gamma2")
+      assert(db.deleteKey("kd", "k1") === 1L)
+      assert(db.sidecarsConsistent("kd"))
+    } finally db.close()
+  }
+
+  test("keyed verbs on a keyless table fail loudly") {
+    val (db, _) = freshDb()
+    try {
+      db.createTable("docs", docSchema)
+      db.insertFrame("docs", docsDf)
+      intercept[KeylessTableException](db.queryKey("docs", "x"))
+      intercept[KeylessTableException](db.deleteKeys("docs", Seq("x")))
+      intercept[KeylessTableException](db.upsertFrame("docs", docsDf))
+      intercept[KeylessTableException](db.rebuildBucketed("docs"))
+    } finally db.close()
+  }
+
+  test("insertFrame aligns by name and fails loudly on a missing column") {
+    val (db, _) = freshDb()
+    try {
+      db.createTable("docs", docSchema)
+      // extra column order + castable types are fine
+      db.insertFrame("docs", Seq((0.25, "9", ts("2024-01-01 09:00:00"), 9L))
+        .toDF("score", "text", "ts", "doc_id"))
+      assert(db.table("docs").select("doc_id").as[Long].head() === 9L)
+      intercept[org.apache.spark.sql.AnalysisException](
+        db.insertFrame("docs", Seq((1L, ts("2024-01-01 09:00:00")))
+          .toDF("doc_id", "ts")))
+    } finally db.close()
+  }
+
+  test("typed schema survives reopen (sidecar round-trip) and envelope stays sidecar-free") {
+    val (db, dir) = freshDb()
+    db.createTable("docs", docSchema)
+    db.createTable("env")
+    db.insertFrame("docs", docsDf)
+    db.close()
+    val db2 = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
+    try {
+      assert(db2.tableSchema("docs").fieldNames.toSeq ===
+        Seq("doc_id", "ts", "text", "score"))
+      assert(db2.tableSchema("env").fieldNames.toSeq === Seq("key", "ts", "data"))
+      assert(db2.table("docs").count() === 3)
+      // the schema sidecar is invisible to scans and stats
+      assert(db2.stats("docs").numFiles === db2.table("docs")
+        .select(input_file_name()).distinct().count())
+    } finally db2.close()
+  }
+
+  test("connector: typed write + typed read round-trip with manifest planning") {
+    val root = Files.createTempDirectory("typedsrc")
+    val tdir = root.resolve("docs")
+    docsDf.write.format("chrono").option("bucket", "hour").save(tdir.toString)
+    val back = spark.read.format("chrono").load(tdir.toString)
+    assert(back.columns.toSeq === Seq("doc_id", "ts", "text", "score", "bucket"))
+    assert(back.count() === 3)
+    // appending through the connector aligns to the declared schema
+    docsDf.filter(col("doc_id") === 1).write.format("chrono")
+      .mode("append").save(tdir.toString)
+    assert(spark.read.format("chrono").load(tdir.toString).count() === 4)
+    // ts carries the granularity metadata for BucketPruneRule
+    val meta = spark.read.format("chrono").load(tdir.toString)
+      .schema("ts").metadata
+    assert(meta.getString(graft.plans.BucketPruneRule.GranularityKey) === "hour")
+  }
+}

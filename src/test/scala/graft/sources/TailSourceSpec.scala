@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSuite
+import graft.core.{ChronoConfig, ChronoDB, ChronoFs, ChronoRow, GranularityMismatchException, StreamRewriteException}
+
+/** The streaming tail source's r16 hardening: the ENFORCED append-only
+  * contract (a vanished seen file fails the query loudly), the bucket
+  * high-watermark bound on per-trigger discovery and driver state, the
+  * seen-log compaction that keeps restart recovery O(recent), and the
+  * granularity-mismatch guards (batch relation + stream). */
+class TailSourceSpec extends SparkSuite {
+
+  private def mk(bucket: String = "day"): (ChronoDB, String) = {
+    val root = Files.createTempDirectory("tailspec").toString
+    (new ChronoDB(spark, ChronoConfig(root, bucket = bucket,
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      writersPerBucket = 1, compactFileThreshold = 1)), root)
+  }
+
+  private def rows(day: Int, tag: String, n: Int = 5) = (0 until n).map(i =>
+    ChronoRow(s"$tag$i", Timestamp.valueOf(f"2024-04-$day%02d 10:00:00"),
+      tag.getBytes("UTF-8")))
+
+  private def src(root: String, wm: Option[Int] = None,
+      compactEvery: Int = 64): ChronoStreamSource = {
+    val (cfs, p) = ChronoFs.resolve(s"$root/ev",
+      spark.sessionState.newHadoopConf())
+    new ChronoStreamSource(spark, cfs, p,
+      Files.createTempDirectory("tailmeta").toString, "day", wm, compactEvery)
+  }
+
+  test("append-only contract enforced: compaction under a live tail fails loudly") {
+    val (db, root) = mk()
+    try {
+      db.createTable("ev")
+      db.insertSeq("ev", rows(1, "a"))
+      val s = src(root)
+      assert(s.getOffset.isDefined)
+      // two more batches into the same bucket → over threshold → compact
+      // rewrites the bucket's files while the tail holds them as seen
+      db.insertSeq("ev", rows(1, "b"))
+      db.insertSeq("ev", rows(1, "c"))
+      assert(s.getOffset.isDefined)
+      assert(db.compact("ev") === 1)
+      val e = intercept[StreamRewriteException](s.getOffset)
+      assert(e.getMessage.contains("compact"))
+    } finally db.close()
+  }
+
+  test("bucket high-watermark bounds discovery: below-watermark files are not emitted, recent ones are") {
+    val (db, root) = mk()
+    try {
+      db.createTable("ev")
+      db.insertSeq("ev", rows(10, "a")) // bucket 2024-04-10
+      val s = src(root, wm = Some(2))   // watch [maxSeen-2, maxSeen]
+      val first = s.getOffset
+      assert(first.isDefined)
+      // a LATE file lands 5 buckets below the watermark → invisible
+      // (the documented late-data contract), not re-emitted, no error
+      db.insertSeq("ev", rows(3, "late"))
+      assert(s.getOffset === first)
+      // a file inside the window still arrives
+      db.insertSeq("ev", rows(9, "b"))
+      val second = s.getOffset
+      assert(second.isDefined && second != first)
+      // and compaction of the BELOW-watermark bucket is invisible too
+      // (discovery never reads below the watermark — no false rewrite
+      // alarm, no re-emit)
+      db.insertSeq("ev", rows(3, "late2"))
+      db.compact("ev")
+      assert(s.getOffset === second)
+    } finally db.close()
+  }
+
+  test("seen-log compaction folds committed ordinals; restart recovers from the snapshot") {
+    val (db, root) = mk()
+    try {
+      db.createTable("ev")
+      val meta = Files.createTempDirectory("tailmeta").toString
+      val (cfs, p) = ChronoFs.resolve(s"$root/ev",
+        spark.sessionState.newHadoopConf())
+      val s = new ChronoStreamSource(spark, cfs, p, meta, "day", None, 3)
+      (1 to 4).foreach { d =>
+        db.insertSeq("ev", rows(d, s"t$d"))
+        val off = s.getOffset.get
+        s.commit(off)
+      }
+      val (mfs, logDir) = ChronoFs.resolve(s"$meta/chrono-seen",
+        spark.sessionState.newHadoopConf())
+      val names = mfs.list(logDir).map(_.getPath.getName)
+      // ordinals 0..2 folded into a .compact at the threshold; later
+      // ordinals keep their per-ordinal files
+      assert(names.count(_.endsWith(".compact")) === 1)
+      assert(names.count(_.forall(_.isDigit)) < 4)
+      // a NEW source over the same metadata dir (restart) must replay
+      // the snapshot + tail: nothing re-emits, new data still arrives
+      val s2 = new ChronoStreamSource(spark, cfs, p, meta, "day", None, 3)
+      val restartOff = s2.getOffset
+      db.insertSeq("ev", rows(5, "t5"))
+      assert(s2.getOffset != restartOff)
+    } finally db.close()
+  }
+
+  test("granularity mismatch fails loudly on batch reads and streams") {
+    val (db, root) = mk("day")
+    try {
+      db.createTable("ev")
+      db.insertSeq("ev", rows(1, "a"))
+      // batch: explicit wrong option rejected against on-disk labels
+      intercept[GranularityMismatchException] {
+        spark.read.format("chrono").option("granularity", "hour")
+          .load(s"$root/ev").count()
+      }
+      // stream: a wrong declared granularity fails at first discovery
+      val (cfs, p) = ChronoFs.resolve(s"$root/ev",
+        spark.sessionState.newHadoopConf())
+      val s = new ChronoStreamSource(spark, cfs, p,
+        Files.createTempDirectory("tailmeta").toString, "hour")
+      intercept[GranularityMismatchException](s.getOffset)
+    } finally db.close()
+  }
+}
