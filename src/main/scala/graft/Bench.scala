@@ -54,7 +54,14 @@ object Bench {
       "d3g_similarity_ivf_int8", "d3h_similarity_pq",
       "d23_bm25_topk", "q48_sessionize", "q51_upsert_merge",
       "d28_hybrid_rrf", "d33_semantic_dedup", "d34_quality_classifier",
-      "d33f_semantic_dedup_twolevel", "d35_substring_dedup")
+      "d33f_semantic_dedup_twolevel", "d35_substring_dedup",
+      // the r15/r16 storage surface (VERDICT r15 next-#7): a regression
+      // in the connector scan, the autorouted join, the streaming
+      // sink/source loops, or the new catalog/typed paths must show in
+      // BENCH_rN.json itself
+      "q58_chrono_source", "d39_bucketed_autoroute",
+      "s18_stream_sink_chrono", "s19_stream_source_chrono",
+      "q60_chrono_catalog", "q61_chrono_typed_docs")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =

@@ -525,16 +525,24 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def routingKey(name: String): String = tablePath(name).toString
 
   private def registerTwinRouting(name: String): Unit =
-    if (config.keyBuckets > 0) {
+    if (config.keyBuckets > 0 && hasKeyCol(name)) {
+      // compute freshness HERE (table() time — outside optimizer-rule
+      // application): bucketedIsCurrent reads parquet and may run the
+      // destructive sidecar recovery, which must never happen inside
+      // planning of an unrelated query (ADVICE r15). The provider then
+      // only reads the cached verdict.
+      twinFreshCache.getOrElseUpdate(name,
+        try bucketedIsCurrent(name)
+        catch { case scala.util.control.NonFatal(_) => false })
       val key = routingKey(name)
       routedTables.put(name, key)
-      graft.plans.BucketedTwinRegistry.register(key,
+      graft.plans.BucketedTwinRegistry.register(spark, key,
         () => twinPlanIfFresh(name))
     }
 
   private def unregisterTwinRouting(name: String): Unit = {
     routedTables.remove(name).foreach(
-      graft.plans.BucketedTwinRegistry.unregister)
+      graft.plans.BucketedTwinRegistry.unregister(spark, _))
     twinFreshCache.remove(name)
   }
 
@@ -567,18 +575,17 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   /** Twin plan provider for [[graft.plans.BucketedTwinRule]]: the
     * twin's RESOLVED logical plan iff it is fresh (substitution is then
-    * row-for-row identical to the plain scan). Freshness is computed
-    * once from disk and cached; mutations through THIS handle
-    * invalidate it. Never throws — routing must degrade to the plain
-    * scan, not fail the query. */
+    * row-for-row identical to the plain scan). Freshness was computed
+    * at registration ([[registerTwinRouting]]) / rebuild / refresh time
+    * and every mutation verb flips it false — this provider runs INSIDE
+    * optimizer-rule application, so it only reads the cached verdict
+    * (no parquet jobs, no sidecar recovery mid-planning; ADVICE r15).
+    * Never throws — routing must degrade to the plain scan, not fail
+    * the query. */
   private[graft] def twinPlanIfFresh(name: String)
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
     if (closed || config.keyBuckets <= 0) return None
-    if (!cfs.exists(tablePath(name))) return None
-    val fresh = twinFreshCache.getOrElseUpdate(name,
-      try bucketedIsCurrent(name)
-      catch { case scala.util.control.NonFatal(_) => false })
-    if (!fresh) None
+    if (!twinFreshCache.getOrElse(name, false)) None
     else Some(spark.table(bucketedCatalogName(name)).queryExecution.analyzed)
   }
 

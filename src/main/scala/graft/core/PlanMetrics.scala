@@ -16,6 +16,18 @@ object PlanMetrics {
     case q: QueryStageExec => scannedFiles(q.plan)
     case r: ReusedExchangeExec => scannedFiles(r.child)
     case s: FileSourceScanExec => s.metrics("numFiles").value
+    // the V2 path (ChronoCatalog tables plan BatchScanExec over a
+    // FileScan): numFiles is a driver-side metric not present in the
+    // exec's metric map — count the planned FilePartitions' files
+    // directly (post-pruning, what the scan actually reads)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+      b.inputRDD.partitions.collect {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions.collect {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.length
+          }.sum
+      }.sum.toLong
     case other => other.children.map(scannedFiles).sum
   }
 

@@ -96,6 +96,32 @@ object BucketPruneRule extends Rule[LogicalPlan] {
     java.time.format.DateTimeFormatter.ofPattern(p).format(ldt)
   }
 
+  /** Bucket-partition predicates implied by `ts` bounds in a pushed
+    * filter set — the FILE-INDEX-side twin of this rule, for scan paths
+    * whose pushdown runs before user optimizer rules (the V2 relation:
+    * V2ScanRelationPushDown sits in an earlier optimizer batch than
+    * extraOptimizations, so a rule-injected Filter arrives too late).
+    * The index KNOWS its granularity, so the ts attribute is matched by
+    * name+type, no metadata needed. Same soundness argument as the
+    * rule: the derived conjunct is implied by the original bounds. */
+  def derivedBucketFilters(
+      dataFilters: Seq[Expression], gran: String,
+      bucket: AttributeReference): Seq[Expression] = {
+    if (dataFilters.isEmpty) return Seq.empty
+    val cond = dataFilters.reduce(And)
+    val tsAttrs = dataFilters.flatMap(_.references).collect {
+      case a: AttributeReference
+        if a.name == "ts" && a.dataType == TimestampType => a
+    }.distinct
+    tsAttrs.flatMap { ts =>
+      val (los, his) = bounds(cond, ts)
+      Seq(
+        los.maxOption.map(u => GreaterThanOrEqual(bucket, Literal(fmt(u, gran)))),
+        his.minOption.map(u => LessThanOrEqual(bucket, Literal(fmt(u, gran))))
+      ).flatten
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       // tagged ts attributes bounded by this condition (join-safe: the

@@ -254,6 +254,45 @@ class BucketingSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     } finally db.close()
   }
 
+  test("auto-routing: a ts filter ABOVE the join also blocks that side's reroute (r15 gap)") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine}
+    import java.sql.Timestamp
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("btimeabove").toString
+    val db = new ChronoDB(spark,
+      ChronoConfig(root, bucket = "day", keyBuckets = 4, writersPerBucket = 1))
+    try {
+      def rows(off: Int) = (0 until 40).map(i => ChronoRow(s"k${i % 10}",
+        Timestamp.valueOf(f"2024-01-${1 + i % 5 + off}%02d 10:00:00"),
+        Array[Byte](i.toByte)))
+      db.createTable("t"); db.insertSeq("t", rows(0))
+      db.rebuildBucketed("t")
+      // a LEFT OUTER join with a NON-null-rejecting ts predicate above
+      // it: the filter cannot push into the right side (outer join) and
+      // EliminateOuterJoin cannot convert it (null-tolerant), so it
+      // survives ABOVE the join into rule application — the r15 gap
+      // where the old subtree-only check let the ts side reroute to the
+      // key-hashed twin and lose time pruning
+      val left = db.table("t").select(col("key")).distinct()
+      val right = db.table("t").select(col("key"), col("ts"))
+      val j = left.join(right, Seq("key"), "left_outer")
+        .filter(col("ts").isNull ||
+          col("ts") <= lit(Timestamp.valueOf("2024-01-02 23:59:59")))
+        .groupBy(col("key")).agg(count(col("ts")).as("n"))
+      j.collect()
+      val scans = collectWithSubqueries(j.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      // the ts-carrying side must have KEPT the plain layout — a
+      // reroute would show its scan with a bucket spec
+      val twinScans = scans.count(_.relation.bucketSpec.isDefined)
+      assert(twinScans <= 1,
+        s"ts-filtered side rerouted to the twin:\n${j.queryExecution.executedPlan}")
+      assert(scans.exists(_.relation.bucketSpec.isEmpty),
+        s"expected the ts side on the plain layout:\n${j.queryExecution.executedPlan}")
+    } finally db.close()
+  }
+
   test("auto-routing guards: renames, multi-leaf subtrees and foreign scans never route") {
     import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine}
     import java.sql.Timestamp

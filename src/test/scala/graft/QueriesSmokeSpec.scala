@@ -48,8 +48,10 @@ class QueriesSmokeSpec extends SparkSuite {
         }
         .flatMap { case (l, i) =>
           idPat.findAllMatchIn(l)
-            // a key-path literal like "d05/" is not a query claim
-            .filter(m => m.end >= l.length || l.charAt(m.end) != '/')
+            // a key-path literal like "d05/" is not a query claim, and
+            // neither is a filesystem scheme like "s3a://"
+            .filter(m => m.end >= l.length ||
+              (l.charAt(m.end) != '/' && l.charAt(m.end) != ':'))
             .map(_.group(1)).toSeq.distinct
             // an id satisfied by any registered prefix it opens (q09
             // names the q09b/c/d family), or by its zero-padded core

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+/** The chrono V2 TableCatalog (VERDICT r15 Missing #5): DB-level SQL —
+  * CREATE/INSERT/SELECT/SHOW/DROP over a dataDir with no facade import,
+  * DDL+DML routed through the facade verbs (LOCK + delete protocol +
+  * commit protocol), reads on the stock V2 parquet stack over the
+  * manifest-built index. */
+class ChronoCatalogSpec extends SparkSuite {
+
+  private def freshCat(opts: (String, String)*): String = {
+    val dir = Files.createTempDirectory("cat").toString
+    val name = s"cat${System.nanoTime() % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.dataDir", dir)
+    opts.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$name.$k", v) }
+    name
+  }
+
+  test("SQL-only lifecycle: CREATE, INSERT, SELECT, SHOW, DROP") {
+    val cat = freshCat("bucket" -> "day")
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSeq === Seq("ev"))
+    spark.sql(s"INSERT INTO $cat.ev (key, ts, data) VALUES " +
+      "('a', TIMESTAMP '2024-01-01 10:00:00', X'01')," +
+      "('b', TIMESTAMP '2024-01-02 11:00:00', X'02')," +
+      "('a', TIMESTAMP '2024-01-03 12:00:00', X'03')")
+    val rows = spark.sql(
+      s"SELECT key, ts FROM $cat.ev ORDER BY ts").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b", "a"))
+    // the scan serves bucket too (same surface as every chrono read)
+    assert(spark.table(s"$cat.ev").columns.toSeq ===
+      Seq("key", "ts", "data", "bucket"))
+    // second INSERT appends (manifest protocol — both batches visible)
+    spark.sql(s"INSERT INTO $cat.ev (key, ts, data) VALUES " +
+      "('c', TIMESTAMP '2024-01-04 09:00:00', X'04')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ev")
+      .head().getLong(0) === 4L)
+    assert(spark.sql(s"DROP TABLE $cat.ev").collect().isEmpty)
+    assert(spark.sql(s"SHOW TABLES IN $cat").isEmpty)
+  }
+
+  test("typed CREATE TABLE: declared columns round-trip; ts is required") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.docs " +
+      "(doc_id BIGINT, ts TIMESTAMP, text STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.docs (doc_id, ts, text, score) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 'hello world', 0.5)")
+    val row = spark.sql(
+      s"SELECT doc_id, text, score FROM $cat.docs").head()
+    assert(row.getLong(0) === 1L && row.getString(1) === "hello world")
+    // a schema without ts is rejected at CREATE time
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad (x BIGINT, y STRING)")
+    }
+    spark.sql(s"DROP TABLE $cat.docs")
+  }
+
+  test("ts range SELECT prunes buckets on the V2 scan (BucketPruneRule)") {
+    graft.core.Engine.installOptimizations(spark)
+    val cat = freshCat("bucket" -> "day")
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
+    spark.sql(s"INSERT INTO $cat.ev (key, ts, data) SELECT " +
+      "CAST(id AS STRING), timestamp_micros(1704067200000000 + id * 86400000000), X'00' " +
+      "FROM range(10)")
+    val q = spark.sql(s"SELECT key, ts FROM $cat.ev " +
+      "WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' " +
+      "AND TIMESTAMP '2024-01-05 23:59:59' ORDER BY ts")
+    assert(q.count() === 3)
+    q.collect()
+    val scanned = graft.core.PlanMetrics.scannedFiles(
+      q.queryExecution.executedPlan)
+    assert(scanned === 3L,
+      s"expected 3 of 10 day files scanned, got $scanned:\n" +
+        q.queryExecution.executedPlan)
+    spark.sql(s"DROP TABLE $cat.ev")
+  }
+
+  test("INSERT OVERWRITE and PARTITIONED BY are rejected; DML honors the LOCK") {
+    val cat = freshCat("bucket" -> "day")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.p (key STRING, ts TIMESTAMP) " +
+        "PARTITIONED BY (key)")
+    }
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.ev (key, ts, data) VALUES " +
+        "('a', TIMESTAMP '2024-01-01 10:00:00', X'01')")
+    }
+    // a facade holding the data-dir LOCK blocks catalog DML (single-
+    // writer contract, same as every write path)
+    val dataDir = spark.conf.get(s"spark.sql.catalog.$cat.dataDir")
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(dataDir, bucket = "day"))
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.ev (key, ts, data) VALUES " +
+          "('a', TIMESTAMP '2024-01-01 10:00:00', X'01')")
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(
+        _.isInstanceOf[graft.core.DatabaseLockedException]))
+    } finally db.close()
+  }
+}
