@@ -271,6 +271,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     spark.sql(s"DROP TABLE IF EXISTS ${bucketedCatalogName(name)}")
     unregisterTwinRouting(name)
     schemaCache.remove(name)
+    granularityChecked.remove(name)
     deleteRecursively(tablePath(name))
   }
 
@@ -302,6 +303,27 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           .asInstanceOf[org.apache.spark.sql.types.StructType])
       else ChronoDB.EnvelopeSchema)
   }
+
+  /** A handle whose `bucket` config disagrees with an existing table's
+    * on-disk labels must not WRITE — it would mix "2024-01-05" and
+    * "2024-01-05-10" labels in one table, breaking label arithmetic
+    * (query/cleanup parsing, BucketPruneRule bounds) for every reader.
+    * Loud beats mixed (the ADVICE-r15 mis-prune guard, applied to the
+    * facade's own write path). Reads are unaffected — label SNIFFING
+    * serves them. Checked once per (handle, table): the label set only
+    * changes through this handle while the LOCK is held. */
+  private val granularityChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def requireGranularityMatch(name: String): Unit =
+    granularityChecked.getOrElseUpdate(name, {
+      listBuckets(name).headOption.foreach { label =>
+        val actual = if (label.length >= 13) "hour" else "day"
+        if (actual != config.bucket)
+          throw new GranularityMismatchException(config.bucket, label)
+      }
+      true
+    })
 
   private def hasKeyCol(name: String): Boolean =
     tableSchema(name).fieldNames.contains("key")
@@ -636,6 +658,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def insertFrame(name: String, df: DataFrame,
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     requireTable(name)
+    requireGranularityMatch(name)
     invalidateTwin(name)
     val schema = tableSchema(name)
     val keyed = schema.fieldNames.contains("key")
@@ -1558,6 +1581,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def restore(name: String, src: String): Unit = {
     requireOpen()
     invalidateTwin(name)
+    schemaCache.remove(name)
+    granularityChecked.remove(name)
     val p = tablePath(name)
     deleteRecursively(p)
     val (sfs, s) = ChronoFs.resolve(src, hadoopConf)

@@ -1173,10 +1173,14 @@ object NorthStarQueries {
         .groupBy(col("key"))
         .agg(count(lit(1)).as("n_pairs"),
           count(when(col("et_a") === col("et_b"), 1)).as("n_same"))
-      agg.collect()
+      // checkpoint MATERIALIZES the join once: the verdict reads the
+      // executed plan's exchange count, and the returned frame reuses
+      // the checkpointed rows instead of re-running the join under the
+      // driver's action (r15 residual nit)
+      val snap = agg.localCheckpoint()
       val routed =
         PlanMetrics.shuffleExchanges(agg.queryExecution.executedPlan) == 0
-      agg.withColumn("auto_routed", lit(routed)).orderBy(col("key"))
+      snap.withColumn("auto_routed", lit(routed)).orderBy(col("key"))
     } finally db.close()
   }
 

@@ -134,6 +134,23 @@ class TypedTableSpec extends SparkSuite {
     } finally db2.close()
   }
 
+  test("a handle with mismatched bucket granularity cannot write into an existing table") {
+    val dir = Files.createTempDirectory("gran").toString
+    val day = new ChronoDB(spark, ChronoConfig(dir, bucket = "day"))
+    day.createTable("docs", docSchema)
+    day.insertFrame("docs", docsDf)
+    day.close()
+    val hour = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
+    try {
+      // mixing hour labels into a day table would break label
+      // arithmetic for every reader — the write must fail loudly
+      intercept[GranularityMismatchException](
+        hour.insertFrame("docs", docsDf))
+      // reads sniff labels and are unaffected
+      assert(hour.table("docs").count() === 3)
+    } finally hour.close()
+  }
+
   test("connector: typed write + typed read round-trip with manifest planning") {
     val root = Files.createTempDirectory("typedsrc")
     val tdir = root.resolve("docs")
