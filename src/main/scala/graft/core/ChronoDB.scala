@@ -292,6 +292,27 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     org.apache.spark.sql.types.StructType(s.fields.map(f =>
       org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
 
+  /** Schema evolution, additive only: append a NULLABLE column to the
+    * declared schema. Old data files simply lack the column — parquet
+    * reads against the widened declared schema serve NULL there (the
+    * standard missing-column semantics), new inserts carry it, and no
+    * data file is rewritten. Restricted by the same rules as
+    * createTable (`ts`/`bucket`/`key` constraints, no duplicates);
+    * drops/renames/retypes are NOT offered — they would change what
+    * already-written files mean, which is a rewrite, not a metadata
+    * edit. Works on envelope tables too (they become typed). */
+  def addColumn(name: String,
+      field: org.apache.spark.sql.types.StructField): Unit = {
+    requireTable(name)
+    val widened = org.apache.spark.sql.types.StructType(
+      tableSchema(name).fields :+ field.copy(nullable = true))
+    ChronoDB.validateSchema(widened)
+    cfs.writeLinesAtomic(schemaPath(name), Seq(widened.json))
+    schemaCache.put(name, normalizedSchema(widened))
+    // the twin (if any) was built with the old column set
+    invalidateTwin(name)
+  }
+
   /** The table's declared column schema — the `_table_schema.json`
     * sidecar when present, the reference envelope otherwise. */
   def tableSchema(name: String): org.apache.spark.sql.types.StructType = {
@@ -385,11 +406,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           .resolve(s"bucket=${r.getString(0)}").resolve(r.getString(1))
           .toString)
         // basePath recovers the bucket partition column for bare file
-        // paths; cast pins DAY labels to string (inference hazard)
+        // paths; the explicit schema pins DAY labels to string
+        // (inference hazard) and serves NULL for post-addColumn columns
+        // absent from older files
         spark.read.option("basePath", tablePath(name).toString)
+          .schema(org.apache.spark.sql.types.StructType(
+            tableSchema(name).fields :+
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.StringType, nullable = true)))
           .parquet(paths: _*)
-          .select(dataCols(name) :+
-            col("bucket").cast("string").as("bucket"): _*)
+          .select(dataCols(name) :+ col("bucket"): _*)
       }
     source.write
       .bucketBy(config.keyBuckets, "key").sortBy("key")
@@ -493,10 +519,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .resolve(s"bucket=${r.getString(0)}").resolve(r.getString(1))
       .toString)
     // basePath recovers the bucket partition column for bare file paths
+    // (explicit schema: same rationale as rebuildBucketed's read)
     spark.read.option("basePath", tablePath(name).toString)
+      .schema(org.apache.spark.sql.types.StructType(
+        tableSchema(name).fields :+
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.StringType, nullable = true)))
       .parquet(paths: _*)
-      .select(dataCols(name) :+
-        col("bucket").cast("string").as("bucket"): _*)
+      .select(dataCols(name) :+ col("bucket"): _*)
       .write
       .bucketBy(config.keyBuckets, "key").sortBy("key")
       .mode(SaveMode.Append)
@@ -924,8 +954,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // deterministic function of the partition column alone, so
     // partition PRUNING still applies to predicates on it (asserted at
     // file granularity by the queryKey/range-scan specs).
-    spark.read.parquet(tablePath(name).toString)
-      .select(dataCols(name) :+ col("bucket").cast("string").as("bucket"): _*)
+    // EXPLICIT schema (declared + bucket string): files written before
+    // an addColumn lack the new column and must read NULL there (schema
+    // inference would fail the select), and DAY labels must not be
+    // partition-type-inferred as DATE
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        tableSchema(name).fields :+ org.apache.spark.sql.types.StructField(
+          "bucket", org.apache.spark.sql.types.StringType, nullable = true)))
+      .parquet(tablePath(name).toString)
+      .select(dataCols(name) :+ col("bucket"): _*)
   }
 
   /** Inclusive [start,end] time-range scan — the reference's only query.

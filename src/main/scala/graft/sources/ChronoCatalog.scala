@@ -184,9 +184,23 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "chrono table schemas are fixed at CREATE TABLE")
+  /** Additive schema evolution only: `ALTER TABLE ... ADD COLUMN x T`
+    * widens the declared schema (old files read NULL there — the
+    * standard missing-column semantics; no rewrite). Drops/renames/
+    * retypes would change what already-written files MEAN and are
+    * refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        withDb(_.addColumn(tableName(ident),
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true)))
+      case other => throw new UnsupportedOperationException(
+        s"chrono tables support only ADD COLUMN (additive evolution; " +
+          s"a drop/rename/retype would reinterpret written files): $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false
@@ -288,12 +302,19 @@ final class ChronoV2Table(
 }
 
 /** Manifest-built [[PartitioningAwareFileIndex]] — the V2 twin of
-  * [[ChronoFileIndex]]: `partitionSpec`/`leafDirToChildrenFiles` are
-  * materialized from the `_manifest` fold (one KB-scale job; listing
-  * fallback for manifest-less tables), and Spark's own
-  * `PartitioningAwareFileIndex.listFiles` prunes partitions against
-  * them. Eager (O(files) driver structs, like the facade's own
-  * manifest scan) — the lazy two-phase budget stays on the V1 path. */
+  * [[ChronoFileIndex]], with the SAME lazy two-phase budget: the
+  * constructor reads only the per-bucket summary (labels + sizes, one
+  * KB-scale job), and `listFiles` — overridden wholesale — first prunes
+  * bucket labels (pushed partition filters PLUS the ts→bucket bounds it
+  * derives itself, because V2 pushdown runs in an earlier optimizer
+  * batch than user rules) and only then fetches the SURVIVORS' file
+  * entries via a pushed `bucket IN` read of the sidecar. A pruned query
+  * over a decade-old table holds O(candidate-bucket) entries on the
+  * driver, never O(table-age). The `leafFiles`/`leafDirToChildrenFiles`
+  * members the parent's own listing machinery would use are reached
+  * only by full-materialization metadata APIs (`allFiles`/`inputFiles`)
+  * and fetch everything then — the honest cost of asking for
+  * everything. Manifest-less tables degrade to one directory listing. */
 final class ChronoPartitionIndex(
     sparkSession: SparkSession,
     cfs: ChronoFs,
@@ -302,11 +323,48 @@ final class ChronoPartitionIndex(
   extends PartitioningAwareFileIndex(sparkSession, Map.empty, None,
     FileStatusCache.getOrCreate(sparkSession)) {
 
-  private val entries: Seq[ManifestEntry] =
-    ChronoLayout.foldedManifest(sparkSession, cfs, tableRoot) match {
-      case Some(df) => df.collect().map(r => ManifestEntry(r.getString(0),
-        r.getString(1), r.getLong(2), r.getLong(3))).toSeq
-      case None => ChronoLayout.listEntries(cfs, tableRoot)
+  private val manifest =
+    ChronoLayout.foldedManifest(sparkSession, cfs, tableRoot)
+
+  /** No manifest → one listing, held whole (the legacy budget). */
+  private val listed: Option[Seq[ManifestEntry]] =
+    if (manifest.isDefined) None
+    else Some(ChronoLayout.listEntries(cfs, tableRoot))
+
+  /** (label, totalSize) per bucket — the constructor's only job. */
+  private val bucketSummary: Seq[(String, Long)] = manifest match {
+    case Some(df) =>
+      df.groupBy(org.apache.spark.sql.functions.col("bucket"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("size")).as("sz"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    case None =>
+      listed.get.groupBy(_.bucket).view
+        .mapValues(_.map(_.size).sum).toSeq.sortBy(_._1)
+  }
+
+  private val fetched =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[ManifestEntry]]
+
+  private def entriesFor(buckets: Seq[String]): Seq[ManifestEntry] =
+    listed match {
+      case Some(all) =>
+        val want = buckets.toSet
+        all.filter(e => want(e.bucket))
+      case None =>
+        val missing = buckets.filterNot(fetched.contains)
+        if (missing.nonEmpty) {
+          val rows = manifest.get
+            .filter(org.apache.spark.sql.functions.col("bucket")
+              .isin(missing: _*))
+            .collect()
+            .map(r => ManifestEntry(r.getString(0), r.getString(1),
+              r.getLong(2), r.getLong(3)))
+            .groupBy(_.bucket)
+          missing.foreach(b => fetched.putIfAbsent(b,
+            rows.getOrElse(b, Array.empty[ManifestEntry]).toSeq))
+        }
+        buckets.flatMap(b => fetched.getOrElse(b, Nil))
     }
 
   private def bucketDir(b: String): HPath = new HPath(tableRoot, s"bucket=$b")
@@ -315,17 +373,14 @@ final class ChronoPartitionIndex(
     new org.apache.hadoop.fs.FileStatus(e.size, false, 1,
       128L * 1024 * 1024, e.mtime, new HPath(bucketDir(e.bucket), e.file))
 
-  private val byBucket: Seq[(String, Seq[ManifestEntry])] =
-    entries.groupBy(_.bucket).toSeq.sortBy(_._1)
-
   override def rootPaths: Seq[HPath] = Seq(tableRoot)
 
-  /** V2 pushdown runs before user optimizer rules, so BucketPruneRule
-    * cannot inject its derived bucket predicate in time for this path —
-    * the index derives it ITSELF from the pushed ts data filters (the
-    * same bounds/label arithmetic; [[graft.plans.BucketPruneRule
-    * .derivedBucketFilters]]), so `WHERE ts BETWEEN ...` prunes
-    * partitions here exactly like everywhere else. */
+  /** Prune FIRST (labels only — [[graft.core.ManifestFileIndex
+    * .pruneLabels]], the same bound-predicate evaluation Spark applies,
+    * over the pushed partition filters plus the ts-derived bucket
+    * bounds — V2 pushdown runs before user optimizer rules, so the
+    * index derives those bounds itself), fetch file entries ONLY for
+    * survivors. */
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -335,21 +390,30 @@ final class ChronoPartitionIndex(
         nullable = true)()
     val derived = graft.plans.BucketPruneRule.derivedBucketFilters(
       dataFilters, granularity, bucketAttr)
-    super.listFiles(partitionFilters ++ derived, dataFilters)
+    val surviving = graft.core.ManifestFileIndex.pruneLabels(
+      bucketSummary.map(_._1), partitionFilters ++ derived)
+    entriesFor(surviving).groupBy(_.bucket).toSeq.sortBy(_._1)
+      .map { case (b, fs) =>
+        org.apache.spark.sql.execution.datasources.PartitionDirectory(
+          InternalRow(UTF8String.fromString(b)),
+          fs.map(statusOf).toArray)
+      }
   }
 
   override def partitionSpec(): PartitionSpec = PartitionSpec(
     StructType(Seq(org.apache.spark.sql.types.StructField("bucket",
       org.apache.spark.sql.types.StringType, nullable = true))),
-    byBucket.map { case (b, _) =>
+    bucketSummary.map { case (b, _) =>
       PartitionPath(InternalRow(UTF8String.fromString(b)), bucketDir(b))
     })
 
+  /** Full materialization — only metadata APIs (`allFiles`,
+    * `inputFiles`) reach these, never the pruned scan path. */
   override protected def leafFiles
       : scala.collection.mutable.LinkedHashMap[HPath, org.apache.hadoop.fs.FileStatus] = {
     val m = scala.collection.mutable.LinkedHashMap
       .empty[HPath, org.apache.hadoop.fs.FileStatus]
-    entries.foreach { e =>
+    entriesFor(bucketSummary.map(_._1)).foreach { e =>
       val st = statusOf(e); m.put(st.getPath, st)
     }
     m
@@ -357,9 +421,10 @@ final class ChronoPartitionIndex(
 
   override protected def leafDirToChildrenFiles
       : Map[HPath, Array[org.apache.hadoop.fs.FileStatus]] =
-    byBucket.map { case (b, fs) =>
-      bucketDir(b) -> fs.map(statusOf).toArray
-    }.toMap
+    entriesFor(bucketSummary.map(_._1)).groupBy(_.bucket)
+      .map { case (b, fs) => bucketDir(b) -> fs.map(statusOf).toArray }
+
+  override def sizeInBytes: Long = bucketSummary.map(_._2).sum
 
   override def refresh(): Unit = ()
 }

@@ -134,6 +134,53 @@ class TypedTableSpec extends SparkSuite {
     } finally db2.close()
   }
 
+  test("addColumn widens the schema: old rows read NULL, new inserts carry it, keyed verbs intact") {
+    val (db, _) = freshDb()
+    try {
+      val schema = StructType(StructField("key", StringType) +: docSchema.fields.toSeq)
+      db.createTable("kd", schema)
+      db.insertFrame("kd", docsDf.withColumn("key", concat(lit("k"), col("doc_id")))
+        .select("key", "doc_id", "ts", "text", "score"))
+      db.addColumn("kd", StructField("lang", StringType))
+      assert(db.tableSchema("kd").fieldNames.last === "lang")
+      // pre-evolution rows serve NULL for the new column
+      assert(db.table("kd").filter(col("lang").isNotNull).count() === 0)
+      db.insertFrame("kd", Seq(("k9", 9L, ts("2024-01-03 09:00:00"), "eta", 0.7, "en"))
+        .toDF("key", "doc_id", "ts", "text", "score", "lang"))
+      assert(db.table("kd").filter(col("lang") === "en").count() === 1)
+      // key lookup serves the widened projection over old + new files
+      assert(db.queryKey("kd", "k1").columns.contains("lang"))
+      assert(db.queryKey("kd", "k9").select("lang").head().getString(0) === "en")
+      // invalid evolutions stay invalid
+      intercept[InvalidSchemaException](
+        db.addColumn("kd", StructField("bucket", StringType)))
+      intercept[InvalidSchemaException](
+        db.addColumn("kd", StructField("lang", StringType))) // duplicate
+      assert(db.sidecarsConsistent("kd"))
+    } finally db.close()
+  }
+
+  test("catalog ALTER TABLE ADD COLUMN evolves a SQL table additively") {
+    val dir = Files.createTempDirectory("alter").toString
+    val cat = s"alt${System.nanoTime() % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", dir)
+    spark.sql(s"CREATE TABLE $cat.d (doc_id BIGINT, ts TIMESTAMP, text STRING)")
+    spark.sql(s"INSERT INTO $cat.d (doc_id, ts, text) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 'a')")
+    spark.sql(s"ALTER TABLE $cat.d ADD COLUMN score DOUBLE")
+    spark.sql(s"INSERT INTO $cat.d (doc_id, ts, text, score) VALUES " +
+      "(2, TIMESTAMP '2024-01-01 11:00:00', 'b', 0.5)")
+    val rows = spark.sql(
+      s"SELECT doc_id, score FROM $cat.d ORDER BY doc_id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getDouble(1) === 0.5)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.d DROP COLUMN text")
+    }
+    spark.sql(s"DROP TABLE $cat.d")
+  }
+
   test("a handle with mismatched bucket granularity cannot write into an existing table") {
     val dir = Files.createTempDirectory("gran").toString
     val day = new ChronoDB(spark, ChronoConfig(dir, bucket = "day"))
