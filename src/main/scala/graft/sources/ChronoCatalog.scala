@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileFormat, FileStatusCache, PartitionPath, PartitionSpec, PartitioningAwareFileIndex}
@@ -54,16 +55,25 @@ import graft.core.{ChronoConfig, ChronoDB, ChronoFs, ManifestEntry}
   * verb's duration.
   *
   * READS stay on Spark's stock scan stack: `loadTable` returns a
-  * [[ChronoV2Table]] (a `FileTable`) whose file index is manifest-built
-  * ([[ChronoPartitionIndex]] — no directory walk), feeding the standard
-  * V2 parquet `ScanBuilder` (vectorized reads, pushdown, partition
-  * pruning over the `bucket` column). The same deliberate
-  * use-the-platform trade as the V1 relation (ChronoSource scaladoc).
+  * [[ChronoV2Table]] whose file index is manifest-built and LAZY
+  * ([[ChronoPartitionIndex]] — no directory walk, O(candidate-bucket)
+  * driver state), feeding the standard V2 parquet `ScanBuilder`
+  * (vectorized reads, pushdown, partition pruning over the `bucket`
+  * column). The same deliberate use-the-platform trade as the V1
+  * relation (ChronoSource scaladoc).
+  *
+  * MAINTENANCE is SQL too ([[ProcedureCatalog]]):
+  * `CALL <cat>.system.compact('ev')` / cleanup / vacuum_orphans /
+  * rebuild_manifest / rebuild_sidecars / analyze / refresh_bucketed —
+  * the reference's background loop verbs (table.go:240-369, 517-552)
+  * as callable procedures, each returning its metric as a one-row
+  * result.
   *
   * Namespace model: one flat namespace, `default` — the reference's DB
   * has no schema levels either. `chrono.ev` and `chrono.default.ev`
   * both resolve. */
-final class ChronoCatalog extends TableCatalog with SupportsNamespaces {
+final class ChronoCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var cfg: ChronoConfig = _
@@ -215,6 +225,65 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "chrono tables do not support RENAME (the reference has no such " +
         "verb either); copy via backup/restore")
+
+  // --- maintenance procedures: `CALL <cat>.system.compact('ev')` —
+  //     the reference's background maintenance loop (table.go:240-369,
+  //     517-552) as SQL verbs, each routed through a facade handle
+  //     (LOCK held for the verb's duration) and returning its metric
+  //     as a one-row result ---
+
+  private def maintenanceProcs: Map[String, (String, ChronoDB => String => Long)] = Map(
+    "compact" -> (("buckets_compacted", db => t => db.compact(t).toLong)),
+    "cleanup" -> (("buckets_dropped", db => t => db.cleanup(t).size.toLong)),
+    "vacuum_orphans" -> (("files_vacuumed",
+      db => t => db.vacuumOrphans(t).toLong)),
+    "rebuild_manifest" -> (("ok", db => t => { db.rebuildManifest(t); 1L })),
+    "rebuild_sidecars" -> (("ok", db => t => { db.rebuildSidecars(t); 1L })),
+    "analyze" -> (("rebuilt", db => t => if (db.analyzeIfStale(t)) 1L else 0L)),
+    "refresh_bucketed" -> (("files_incorporated",
+      db => t => db.refreshBucketed(t).files.toLong)))
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    maintenanceProcs.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val (resultCol, run) = maintenanceProcs.getOrElse(ident.name(),
+      throw new UnsupportedOperationException(
+        s"no such procedure: ${ident.name()} — available: " +
+          maintenanceProcs.keys.toSeq.sorted.mkString(", ")))
+    val procName = ident.name()
+    new procedures.UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"chrono maintenance verb '$procName' over one table of this catalog"
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = procName
+          override def description(): String =
+            s"chrono maintenance verb '$procName'"
+          override def parameters(): Array[procedures.ProcedureParameter] =
+            Array(procedures.ProcedureParameter
+              .in("table", org.apache.spark.sql.types.StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val table = input.getUTF8String(0).toString
+            val n = withDb(db => run(db)(table))
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  Array(org.apache.spark.sql.catalyst.InternalRow(n))
+                override def readSchema(): StructType = StructType(Seq(
+                  org.apache.spark.sql.types.StructField(resultCol,
+                    org.apache.spark.sql.types.LongType, nullable = false)))
+              }
+            util.Collections.singletonList(out).iterator()
+          }
+        }
+    }
+  }
 }
 
 /** V2 `Table` over one chrono table directory — read path only here;

@@ -82,6 +82,30 @@ class ChronoCatalogSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $cat.ev")
   }
 
+  test("CALL system.* runs maintenance verbs through the facade and returns metrics") {
+    val cat = freshCat("bucket" -> "day")
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
+    // three inserts into the same day bucket → over the default
+    // compactFileThreshold? (fullStats default threshold is 4) — use 5
+    (1 to 5).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.ev (key, ts, data) VALUES " +
+        s"('k$i', TIMESTAMP '2024-01-01 1$i:00:00', X'0$i')")
+    }
+    val compacted = spark.sql(s"CALL $cat.system.compact('ev')").head()
+    assert(compacted.schema.fieldNames.toSeq === Seq("buckets_compacted"))
+    assert(compacted.getLong(0) === 1L)
+    // compaction preserved every row
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === 5L)
+    assert(spark.sql(s"CALL $cat.system.vacuum_orphans('ev')")
+      .head().getLong(0) === 0L)
+    assert(spark.sql(s"CALL $cat.system.rebuild_sidecars('ev')")
+      .head().getLong(0) === 1L)
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.truncate_everything('ev')").collect()
+    }
+    spark.sql(s"DROP TABLE $cat.ev")
+  }
+
   test("INSERT OVERWRITE and PARTITIONED BY are rejected; DML honors the LOCK") {
     val cat = freshCat("bucket" -> "day")
     intercept[Exception] {
