@@ -150,10 +150,14 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
 
   // --- tables ---
 
+  /** READ verb — lists table directories without taking the writer
+    * LOCK (a long-lived facade elsewhere must not make SHOW TABLES
+    * fail; reads never needed the lock on any other path either). */
   override def listTables(ns: Array[String]): Array[Identifier] = {
     requireNs(ns)
-    withDb(_.listTables()).map(t =>
-      Identifier.of(Array("default"), t)).toArray
+    val (cfs, root) = fsRoot
+    cfs.list(root).filter(_.isDirectory).map(_.getPath.getName).sorted
+      .map(Identifier.of(Array("default"), _)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean = {
@@ -169,10 +173,10 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     val tableRoot = new HPath(root, ident.name())
     // an EMPTY table has no bucket labels to sniff — the catalog's own
     // configured granularity is the truth there (it is what the next
-    // INSERT through this catalog will write)
+    // INSERT through this catalog will write). One ROOT-level listing,
+    // never a per-bucket walk (loadTable runs on every reference).
     val granularity =
-      if (ChronoLayout.listEntries(cfs, tableRoot).isEmpty) cfg.bucket
-      else ChronoLayout.sniffGranularity(cfs, tableRoot)
+      ChronoLayout.sniffGranularityOpt(cfs, tableRoot).getOrElse(cfg.bucket)
     val declared = graft.core.ManifestFileIndex.withGranularity(
       ChronoLayout.declaredSchema(cfs, tableRoot)
         .getOrElse(ChronoDB.EnvelopeSchema), granularity)

@@ -675,15 +675,19 @@ object ChronoLayout {
   }
 
   /** Driver-local granularity sniff from the first `bucket=` dir name
-    * (no Spark job): hour labels are 13 chars, day labels 10. Empty
-    * table → "hour" (with no files the metadata can prune nothing). */
-  def sniffGranularity(cfs: ChronoFs, tableRoot: HPath): String =
+    * (one root-level listing, no Spark job): hour labels are 13 chars,
+    * day labels 10. None = no buckets yet (callers choose their own
+    * default). */
+  def sniffGranularityOpt(cfs: ChronoFs, tableRoot: HPath): Option[String] =
     cfs.list(tableRoot).map(_.getPath.getName)
       .find(_.startsWith("bucket="))
-      .map(_.stripPrefix("bucket=")) match {
-      case Some(l) => if (l.length >= 13) "hour" else "day"
-      case None => "hour"
-    }
+      .map(_.stripPrefix("bucket="))
+      .map(l => if (l.length >= 13) "hour" else "day")
+
+  /** [[sniffGranularityOpt]] with the empty-table "hour" default (with
+    * no files the metadata can prune nothing either way). */
+  def sniffGranularity(cfs: ChronoFs, tableRoot: HPath): String =
+    sniffGranularityOpt(cfs, tableRoot).getOrElse("hour")
 
   /** Directory-listing fallback: every `bucket=<label>` partition dir's
     * parquet files. One walk, driver-local — the O(table-age) cost the

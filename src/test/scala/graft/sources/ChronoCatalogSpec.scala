@@ -131,6 +131,11 @@ class ChronoCatalogSpec extends SparkSuite {
         if (t == null) Nil else t +: chain(t.getCause)
       assert(chain(e).exists(
         _.isInstanceOf[graft.core.DatabaseLockedException]))
+      // READS never needed the lock: SHOW TABLES and SELECT still work
+      // while the facade holds the data dir
+      assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+        .map(_.getString(1)).toSeq === Seq("ev"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === 0L)
     } finally db.close()
   }
 }

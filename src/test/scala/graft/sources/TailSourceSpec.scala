@@ -104,6 +104,31 @@ class TailSourceSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("e2e readStream with watermarkBuckets + seenLogCompactEvery options") {
+    val (db, root) = mk()
+    val out = Files.createTempDirectory("tailout").toString
+    val cp = Files.createTempDirectory("tailcp").toString
+    try {
+      db.createTable("ev")
+      db.insertSeq("ev", rows(10, "a"))
+      val q = spark.readStream.format("chrono")
+        .option("watermarkBuckets", "2")
+        .option("seenLogCompactEvery", "2")
+        .load(s"$root/ev")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 5)
+      // recent bucket arrives; a below-watermark straggler does not
+      db.insertSeq("ev", rows(9, "b"))
+      db.insertSeq("ev", rows(3, "late"))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.read.parquet(out).count() === 10)
+    } finally db.close()
+  }
+
   test("granularity mismatch fails loudly on batch reads and streams") {
     val (db, root) = mk("day")
     try {
