@@ -697,10 +697,21 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // type, which would otherwise propagate into the stored parquet and
     // break µs arithmetic and Timestamp extraction in every reader of
     // this table. Then align to the DECLARED schema: select by name,
-    // cast to the declared type — a missing column fails loudly here.
-    val normed = Tables.normTs(df)
-      .select(schema.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*)
+    // cast to the declared type. A declared column ABSENT from the
+    // batch fills NULL iff it is neither `ts` (the time axis — a batch
+    // without it is meaningless) nor `key` (silently null-keying every
+    // row would corrupt the key index family): that is the additive-
+    // evolution promise — a writer built before an addColumn keeps
+    // working. Missing ts/key still fail loudly.
+    val present = df.columns.toSet
+    // normTs requires the column to exist; without it, let the select
+    // below raise the standard missing-column AnalysisException
+    val normed = (if (present("ts")) Tables.normTs(df) else df)
+      .select(schema.fields.toSeq.map { f =>
+        if (!present(f.name) && f.name != "ts" && f.name != "key")
+          lit(null).cast(f.dataType).as(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
+      }: _*)
     // >= keeps a row aged exactly ttl — the reference drops only when
     // age strictly exceeds TTL (table.go:93).
     val fresh = config.ttl match {

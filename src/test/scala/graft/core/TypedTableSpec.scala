@@ -102,7 +102,7 @@ class TypedTableSpec extends SparkSuite {
     } finally db.close()
   }
 
-  test("insertFrame aligns by name and fails loudly on a missing column") {
+  test("insertFrame aligns by name: reorder/cast ok, missing payload fills NULL, missing ts fails") {
     val (db, _) = freshDb()
     try {
       db.createTable("docs", docSchema)
@@ -110,9 +110,39 @@ class TypedTableSpec extends SparkSuite {
       db.insertFrame("docs", Seq((0.25, "9", ts("2024-01-01 09:00:00"), 9L))
         .toDF("score", "text", "ts", "doc_id"))
       assert(db.table("docs").select("doc_id").as[Long].head() === 9L)
+      // a missing PAYLOAD column fills NULL (the additive-evolution
+      // promise: pre-addColumn writers keep working)
+      db.insertFrame("docs", Seq((1L, ts("2024-01-01 10:00:00")))
+        .toDF("doc_id", "ts"))
+      assert(db.table("docs").filter(col("doc_id") === 1L)
+        .select("text").head().isNullAt(0))
+      // missing ts (the time axis) still fails loudly
       intercept[org.apache.spark.sql.AnalysisException](
-        db.insertFrame("docs", Seq((1L, ts("2024-01-01 09:00:00")))
-          .toDF("doc_id", "ts")))
+        db.insertFrame("docs", Seq((2L, "x")).toDF("doc_id", "text")))
+    } finally db.close()
+  }
+
+  test("typed keyed table builds a bucketed twin; key join plans zero exchanges") {
+    val (db, _) = freshDb(keyBuckets = 4)
+    try {
+      val schema = StructType(StructField("key", StringType) +: docSchema.fields.toSeq)
+      db.createTable("kd", schema)
+      db.insertFrame("kd", docsDf.withColumn("key", concat(lit("k"), col("doc_id") % 2))
+        .select("key", "doc_id", "ts", "text", "score"))
+      db.rebuildBucketed("kd")
+      val a = db.bucketedTable("kd").select(col("key"), col("score"))
+      val b = db.bucketedTable("kd").select(col("key"), col("doc_id"))
+      val j = a.hint("merge").join(b.hint("merge"), Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      j.collect()
+      assert(graft.core.PlanMetrics.shuffleExchanges(
+        j.queryExecution.executedPlan) === 0L,
+        s"typed twin join must be exchange-free:\n${j.queryExecution.executedPlan}")
+      // refresh stays incremental with typed columns
+      db.insertFrame("kd", docsDf.filter(col("doc_id") === 1)
+        .withColumn("key", lit("k1"))
+        .select("key", "doc_id", "ts", "text", "score"))
+      assert(db.refreshBucketed("kd").mode === "append")
     } finally db.close()
   }
 
@@ -151,6 +181,14 @@ class TypedTableSpec extends SparkSuite {
       // key lookup serves the widened projection over old + new files
       assert(db.queryKey("kd", "k1").columns.contains("lang"))
       assert(db.queryKey("kd", "k9").select("lang").head().getString(0) === "en")
+      // the additive-evolution promise: a PRE-evolution writer (no
+      // 'lang' column in its frame) keeps working — the column fills
+      // NULL; only missing ts/key fail
+      db.insertFrame("kd", Seq(("k10", 10L, ts("2024-01-03 10:00:00"), "theta", 0.2))
+        .toDF("key", "doc_id", "ts", "text", "score"))
+      assert(db.queryKey("kd", "k10").select("lang").head().isNullAt(0))
+      intercept[org.apache.spark.sql.AnalysisException](
+        db.insertFrame("kd", Seq((11L, "iota")).toDF("doc_id", "text")))
       // invalid evolutions stay invalid
       intercept[InvalidSchemaException](
         db.addColumn("kd", StructField("bucket", StringType)))
