@@ -129,6 +129,45 @@ class TailSourceSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("typed tables stream in BOTH directions: sink declares the schema, tail serves it") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("typedstream").toString
+    val landing = Files.createTempDirectory("typedlanding")
+    val out = Files.createTempDirectory("typedout").toString
+    // a TYPED landing batch: doc_id/ts/text/score, no key, no data
+    import spark.implicits._
+    Seq((1L, Timestamp.valueOf("2024-04-01 10:00:00"), "alpha", 0.5),
+        (2L, Timestamp.valueOf("2024-04-02 11:00:00"), "beta", 0.9))
+      .toDF("doc_id", "ts", "text", "score")
+      .write.parquet(landing.toString + "/b0")
+    val sink = spark.readStream
+      .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, score DOUBLE")
+      .parquet(landing.toString + "/*")
+      .writeStream.format("chrono")
+      .option("path", s"$root/docs").option("bucket", "day")
+      .option("checkpointLocation", Files.createTempDirectory("cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sink.awaitTermination()
+    // the sink DECLARED the stream's typed schema for the new table
+    val back = spark.read.format("chrono").load(s"$root/docs")
+    assert(back.columns.toSeq === Seq("doc_id", "ts", "text", "score", "bucket"))
+    assert(back.count() === 2)
+    // and the tail source serves the same declared columns
+    val tail = spark.readStream.format("chrono").load(s"$root/docs")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", Files.createTempDirectory("cp2").toString)
+      .start()
+    tail.processAllAvailable()
+    tail.stop()
+    val tailed = spark.read.parquet(out)
+    assert(tailed.columns.toSet ===
+      Set("doc_id", "ts", "text", "score", "bucket"))
+    assert(tailed.select("text").as[String].collect().sorted ===
+      Array("alpha", "beta"))
+  }
+
   test("granularity mismatch fails loudly on batch reads and streams") {
     val (db, root) = mk("day")
     try {
