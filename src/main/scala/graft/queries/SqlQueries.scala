@@ -390,6 +390,55 @@ object SqlQueries {
     q.withColumn("prune_ok", lit(ok))
   }
 
+  /** D40: the CURATION-IN-STORE composition — the LLM-pipeline shape
+    * end to end INSIDE managed typed tables: documents land in a chrono
+    * table (typed, keyless), exact dedup (d1's md5 keep-min semantics)
+    * + a quality floor + token counting run over the MANAGED table via
+    * `format("chrono")`, and the curated result is written back as a
+    * SECOND managed typed table and served from it. Storage in, storage
+    * out — no loose parquet anywhere. Every step deterministic, so the
+    * whole composition is hash-exact against one DuckDB oracle. */
+  def curationInStoreQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("d40_db")
+    val baseUs = 1704067200000000L
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        timestamp_micros(lit(baseUs) +
+          (col("doc_id") % 30) * lit(86400000000L)).as("ts"),
+        col("text"), col("lang"))
+      .write.format("chrono").option("bucket", "day")
+      .save(root.resolve("docs").toString)
+    val docs = spark.read.format("chrono").load(root.resolve("docs").toString)
+    val curated = docs
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("bigint"))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .filter(col("doc_id") === col("keep_id") && col("n_tok") >= 5)
+      .select(col("doc_id"), col("ts"), col("lang"),
+        col("n_tok"), col("content_hash"))
+    curated.write.format("chrono").option("bucket", "day")
+      .save(root.resolve("curated").toString)
+    spark.read.format("chrono").load(root.resolve("curated").toString)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d40Oracle =
+    """WITH base AS (
+      |  SELECT doc_id, lang, md5(text) AS content_hash,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |keep AS (
+      |  SELECT *, MIN(doc_id) OVER (PARTITION BY content_hash) AS keep_id
+      |  FROM base)
+      |SELECT doc_id, lang, n_tok, content_hash
+      |FROM keep WHERE doc_id = keep_id AND n_tok >= 5
+      |ORDER BY doc_id""".stripMargin
+
   private val q61Oracle =
     """SELECT doc_id,
       |  make_timestamp(1704067200000000 + (doc_id % 30) * 86400000000
@@ -420,6 +469,7 @@ object SqlQueries {
     QueryDef("q60_chrono_catalog", chronoCatalogQ, Some(q58Oracle)),
     QueryDef("q62_chrono_maintenance_sql", chronoMaintenanceSqlQ, Some(q58Oracle)),
     QueryDef("q61_chrono_typed_docs", chronoTypedDocsQ, Some(q61Oracle)),
+    QueryDef("d40_curation_in_store", curationInStoreQ, Some(d40Oracle)),
     QueryDef("q56_sql_storage", sqlStorageQ, Some(
       // result exact vs the raw fixture; the pruning claim is the
       // in-query prune_ok verdict (scan metrics have no SQL twin)
