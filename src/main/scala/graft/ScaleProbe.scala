@@ -91,6 +91,9 @@ object ScaleProbe {
     if (args.headOption.contains("tailage"))
       return tailAgeProbe(args(1).toInt,
         if (args.length > 2) args(2).toInt else 200)
+    if (args.headOption.contains("catalogscan"))
+      return catalogScanProbe(args(1).toInt,
+        if (args.length > 2) args(2).toInt else 200)
     if (args.headOption.contains("semantic2a"))
       return semantic2AdaptiveProbe(args(1), args(2).toInt, args(3).toInt,
         if (args.length > 4) args(4).toDouble else 0.9,
@@ -506,6 +509,74 @@ object ScaleProbe {
       val (ubMin, ubMed, ubInc, ubSeen) = measure(None)
       val (wmMin, wmMed, wmInc, wmSeen) = measure(Some(7))
       println(f"""{"probe":"tail_age","n_buckets":$nBuckets,"rows":${nBuckets.toLong * rowsPerBucket},"unbounded_idle_min_sec":$ubMin%.4f,"unbounded_idle_med_sec":$ubMed%.4f,"unbounded_inc_sec":$ubInc%.4f,"unbounded_seen":$ubSeen,"wm7_idle_min_sec":$wmMin%.4f,"wm7_idle_med_sec":$wmMed%.4f,"wm7_inc_sec":$wmInc%.4f,"wm7_seen":$wmSeen}""")
+    } finally {
+      db.close()
+      rmrf(root)
+    }
+  }
+
+  /** Catalog-path scan planning vs TABLE AGE (r16): a `nBuckets`-day
+    * table queried through the V2 TableCatalog with a 5-bucket ts
+    * range. The lazy [[graft.sources.ChronoPartitionIndex]] must keep
+    * the PRUNED query's cost flat in bucket count (label pruning first,
+    * survivors' entries fetched via a pushed bucket-IN sidecar read) —
+    * run at two ages and compare `pruned_sec`; `full_sec` (a count over
+    * everything) legitimately grows with data. Also reports the exact
+    * files scanned by the pruned query (must equal 5 × files/bucket). */
+  private def catalogScanProbe(nBuckets: Int, rowsPerBucket: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("catscan").toString
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "day", sketchLgK = 0,
+        sketchCmsDepth = 0, sketchBloomKeys = 0, writersPerBucket = 1))
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val baseUs = 1104537600000000L // 2005-01-01
+      db.createTable("ev")
+      val step = math.max(1, nBuckets / 8)
+      (0 until nBuckets by step).foreach { lo =>
+        val hi = math.min(lo + step, nBuckets)
+        db.insert("ev", spark.range(lo.toLong * rowsPerBucket,
+            hi.toLong * rowsPerBucket)
+          .select(concat(lit("k"), col("id") % 1000).as("key"),
+            timestamp_micros(lit(baseUs) +
+              expr(s"id div $rowsPerBucket") * lit(86400000000L)).as("ts"),
+            encode(lit("x"), "UTF-8").as("data"))
+          .as[graft.core.ChronoRow])
+      }
+      val cat = s"catscan${nBuckets}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ChronoCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.dataDir", root)
+      spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+      // pruned: 5 buckets in the middle (warm once, then best-of-3 —
+      // each run re-resolves the relation, so PLANNING is in the time)
+      val lo = "2005-03-01 00:00:00"
+      val hi = "2005-03-05 23:59:59"
+      def pruned() = spark.sql(
+        s"""SELECT count(*) AS n FROM $cat.ev
+           |WHERE ts BETWEEN TIMESTAMP '$lo' AND TIMESTAMP '$hi'""".stripMargin)
+      pruned().collect()
+      val prunedRuns = (1 to 3).map { _ =>
+        val q = pruned()
+        val (_, s) = timed(q.collect())
+        (s, graft.core.PlanMetrics.scannedFiles(q.queryExecution.executedPlan))
+      }
+      val (_, fullSec) = timed(
+        spark.sql(s"SELECT count(*) FROM $cat.ev").collect())
+      println(f"""{"probe":"catalog_scan","n_buckets":$nBuckets,"rows":${nBuckets.toLong * rowsPerBucket},"pruned_min_sec":${prunedRuns.map(_._1).min}%.4f,"pruned_med_sec":${prunedRuns.map(_._1).sorted.apply(1)}%.4f,"pruned_files":${prunedRuns.head._2},"full_sec":$fullSec%.4f}""")
     } finally {
       db.close()
       rmrf(root)
