@@ -237,9 +237,18 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * not depend on spark.sql.session.timeZone. convert_timezone renders
     * the instant as UTC wall-clock (TIMESTAMP_NTZ); date_trunc +
     * date_format on NTZ are then timezone-independent. */
-  private def bucketExpr = date_format(
-    date_trunc(config.bucket, convert_timezone(lit("UTC"), col("ts"))),
-    if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
+  private def bucketExpr(gran: String) = date_format(
+    date_trunc(gran, convert_timezone(lit("UTC"), col("ts"))),
+    if (gran == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
+
+  /** UTC label formatter for a granularity — the parse/format twin of
+    * [[bucketExpr]]. */
+  private def labelFmt(gran: String): java.text.SimpleDateFormat = {
+    val fmt = new java.text.SimpleDateFormat(
+      if (gran == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt
+  }
 
   // --- DDL (db.go:80-142) ---
 
@@ -271,7 +280,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     spark.sql(s"DROP TABLE IF EXISTS ${bucketedCatalogName(name)}")
     unregisterTwinRouting(name)
     schemaCache.remove(name)
-    granularityChecked.remove(name)
+    granCache.remove(name)
     deleteRecursively(tablePath(name))
   }
 
@@ -325,26 +334,26 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       else ChronoDB.EnvelopeSchema)
   }
 
-  /** A handle whose `bucket` config disagrees with an existing table's
-    * on-disk labels must not WRITE — it would mix "2024-01-05" and
-    * "2024-01-05-10" labels in one table, breaking label arithmetic
-    * (query/cleanup parsing, BucketPruneRule bounds) for every reader.
-    * Loud beats mixed (the ADVICE-r15 mis-prune guard, applied to the
-    * facade's own write path). Reads are unaffected — label SNIFFING
-    * serves them. Checked once per (handle, table): the label set only
-    * changes through this handle while the LOCK is held. */
-  private val granularityChecked =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** The table's EFFECTIVE bucket granularity — per table, not per
+    * handle: the on-disk labels are ground truth when any exist (a
+    * handle whose `bucket` config disagrees ADAPTS — writing mixed
+    * hour/day labels into one table, or stamping the wrong granularity
+    * metadata on a read, would break label arithmetic and silently
+    * mis-prune for every reader); the handle's configured default
+    * applies only to EMPTY tables (it is what the first insert will
+    * write). This is what lets one data dir — and one catalog — hold
+    * hour and day tables side by side. Cached per (handle, table):
+    * only this handle mutates the label set while the LOCK is held,
+    * and the one transition (empty → first labels) writes the same
+    * granularity the cache already chose. */
+  private val granCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def requireGranularityMatch(name: String): Unit =
-    granularityChecked.getOrElseUpdate(name, {
-      listBuckets(name).headOption.foreach { label =>
-        val actual = if (label.length >= 13) "hour" else "day"
-        if (actual != config.bucket)
-          throw new GranularityMismatchException(config.bucket, label)
-      }
-      true
-    })
+  private def granularityFor(name: String): String =
+    granCache.getOrElseUpdate(name,
+      listBuckets(name).headOption
+        .map(l => if (l.length >= 13) "hour" else "day")
+        .getOrElse(config.bucket))
 
   private def hasKeyCol(name: String): Boolean =
     tableSchema(name).fieldNames.contains("key")
@@ -688,9 +697,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def insertFrame(name: String, df: DataFrame,
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     requireTable(name)
-    requireGranularityMatch(name)
     invalidateTwin(name)
     val schema = tableSchema(name)
+    val gran = granularityFor(name)
     val keyed = schema.fieldNames.contains("key")
     // Normalize ts to session-zoned TimestampType at the ingest boundary:
     // a frame built over a TIMESTAMP_NTZ source keeps the NTZ physical
@@ -727,11 +736,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // bounds, giving `WHERE ts BETWEEN …` — DataFrame or chrono_ SQL
     // view — the same file pruning [[query]] spells by hand
     val tsMeta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putString(graft.plans.BucketPruneRule.GranularityKey, config.bucket)
+      .putString(graft.plans.BucketPruneRule.GranularityKey, gran)
       .build()
     val batch = fresh
       .withMetadata("ts", tsMeta)
-      .withColumn("bucket", bucketExpr)
+      .withColumn("bucket", bucketExpr(gran))
     // salt the repartition inside each bucket: a hot hour would
     // otherwise funnel through ONE writer task (skew at ingest — the
     // usual shape is "all of right now lands in the current bucket").
@@ -981,9 +990,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * Adds a derived bucket predicate so partition pruning applies even
     * before parquet row-group stats are consulted. */
   def query(name: String, start: Timestamp, end: Timestamp): DataFrame = {
-    val fmt = new java.text.SimpleDateFormat(
-      if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val fmt = labelFmt(granularityFor(name))
     table(name)
       .filter(col("bucket").isNull ||
         (col("bucket") >= fmt.format(start) && col("bucket") <= fmt.format(end)))
@@ -1561,11 +1568,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val ttlSec = config.ttl.getOrElse(return Seq.empty)
     val p = requireTable(name)
     invalidateTwin(name)
-    val fmt = new java.text.SimpleDateFormat(
-      if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val gran = granularityFor(name)
+    val fmt = labelFmt(gran)
     // a bucket is wholly expired iff its END (bucket start + width) <= cutoff
-    val widthMs = if (config.bucket == "hour") 3600000L else 86400000L
+    val widthMs = if (gran == "hour") 3600000L else 86400000L
     val cutoff = now.getTime - ttlSec * 1000L
     val dropped = listBuckets(name).filter { b =>
       fmt.parse(b).getTime + widthMs <= cutoff
@@ -1631,7 +1637,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     requireOpen()
     invalidateTwin(name)
     schemaCache.remove(name)
-    granularityChecked.remove(name)
+    granCache.remove(name)
     val p = tablePath(name)
     deleteRecursively(p)
     val (sfs, s) = ChronoFs.resolve(src, hadoopConf)
@@ -1803,7 +1809,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def manifestTable(
       name: String, buckets: Option[Seq[String]]): DataFrame =
     ManifestFileIndex.relation(spark,  tablePath(name),
-        ManifestFileIndex.withGranularity(tableSchema(name), config.bucket),
+        ManifestFileIndex.withGranularity(tableSchema(name), granularityFor(name)),
         manifestEntries(name, buckets))
       .select(dataCols(name) :+ col("bucket"): _*)
 
@@ -2154,9 +2160,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * empty range. At 100 TB this is the difference between aggregating
     * a few KB per bucket and rescanning the range. */
   def approxDistinctKeys(name: String, start: Timestamp, end: Timestamp): Long = {
-    val fmt = new java.text.SimpleDateFormat(
-      if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val fmt = labelFmt(granularityFor(name))
     val inRange = sketchStats(name)
       .filter(col("bucket") >= fmt.format(start) && col("bucket") <= fmt.format(end))
     val est = inRange
@@ -2207,9 +2211,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def approxKeyCounts(
       name: String, start: Timestamp, end: Timestamp,
       keys: DataFrame, keyCol: String): DataFrame = {
-    val fmt = new java.text.SimpleDateFormat(
-      if (config.bucket == "hour") "yyyy-MM-dd-HH" else "yyyy-MM-dd")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val fmt = labelFmt(granularityFor(name))
     val merged = cmsStats(name)
       .filter(col("tbucket") >= fmt.format(start) && col("tbucket") <= fmt.format(end))
       .groupBy(col("d"), col("bucket"))

@@ -219,7 +219,7 @@ class TypedTableSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $cat.d")
   }
 
-  test("a handle with mismatched bucket granularity cannot write into an existing table") {
+  test("granularity is PER TABLE: a mismatched handle adapts, one dir holds hour and day tables") {
     val dir = Files.createTempDirectory("gran").toString
     val day = new ChronoDB(spark, ChronoConfig(dir, bucket = "day"))
     day.createTable("docs", docSchema)
@@ -227,12 +227,27 @@ class TypedTableSpec extends SparkSuite {
     day.close()
     val hour = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
     try {
-      // mixing hour labels into a day table would break label
-      // arithmetic for every reader — the write must fail loudly
-      intercept[GranularityMismatchException](
-        hour.insertFrame("docs", docsDf))
-      // reads sniff labels and are unaffected
-      assert(hour.table("docs").count() === 3)
+      // the on-disk labels are ground truth: an hour-config handle
+      // writing into the day table writes DAY labels (mixing label
+      // formats would break label arithmetic for every reader)
+      hour.insertFrame("docs", docsDf.filter(col("doc_id") === 1))
+      val labels = hour.table("docs").select("bucket")
+        .distinct().as[String].collect()
+      assert(labels.forall(_.length == 10), s"mixed labels: ${labels.toSeq}")
+      assert(hour.table("docs").count() === 4)
+      // ts-range queries parse labels with the TABLE's granularity, so
+      // they stay exact through the mismatched handle
+      assert(hour.query("docs", ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 23:59:59")).count() === 3)
+      // and the same handle creates a NEW table with ITS granularity —
+      // hour and day tables side by side under one data dir
+      hour.createTable("ev")
+      hour.insertSeq("ev", Seq(
+        ChronoRow("a", ts("2024-01-01 10:00:00"), Array[Byte](1))))
+      assert(hour.table("ev").select("bucket").as[String].head()
+        === "2024-01-01-10")
+      assert(hour.query("ev", ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:59:59")).count() === 1)
     } finally hour.close()
   }
 
