@@ -255,23 +255,58 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def createTable(name: String): Unit =
     createTable(name, ChronoDB.EnvelopeSchema)
 
+  def createTable(name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    createTable(name, schema, None)
+
   /** Typed-table DDL (VERDICT r15 Missing #2): the declared schema is
     * persisted as the `_table_schema.json` sidecar ("_"-prefixed, so
     * scans never see it) and every verb — insert alignment, scan
     * projection, sidecar maintenance — reads it back. The envelope
     * shape writes NO sidecar: absence means envelope, which is also
-    * what every pre-typed table on disk already is. */
-  def createTable(name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    * what every pre-typed table on disk already is.
+    *
+    * `granularity` pins the table's bucket granularity AT CREATE TIME
+    * (persisted as ts-field metadata inside the schema sidecar) — so a
+    * `CREATE TABLE ... 'bucket'='day'` under an hour-default catalog
+    * holds until the first insert writes real labels, whoever inserts.
+    * None = the first inserting handle's config decides (the default). */
+  def createTable(name: String,
+      schema: org.apache.spark.sql.types.StructType,
+      granularity: Option[String]): Unit = {
     requireOpen()
     ChronoDB.validateSchema(schema)
+    granularity.foreach(g => require(g == "hour" || g == "day",
+      s"granularity must be hour|day, got '$g'"))
     val p = tablePath(name)
     if (cfs.exists(p))
       throw new TableAlreadyExistsException(name)
     cfs.mkdirs(p)
-    if (!ChronoDB.sameShape(schema, ChronoDB.EnvelopeSchema))
-      cfs.writeLinesAtomic(schemaPath(name), Seq(schema.json))
+    val stored = granularity match {
+      case Some(g) => ManifestFileIndex.withGranularity(schema, g)
+      case None => schema
+    }
+    // a pinned granularity forces the sidecar even for envelope shape —
+    // the pin must survive until the first insert writes labels
+    if (granularity.isDefined ||
+        !ChronoDB.sameShape(schema, ChronoDB.EnvelopeSchema))
+      cfs.writeLinesAtomic(schemaPath(name), Seq(stored.json))
     schemaCache.put(name, normalizedSchema(schema))
+    granularity.foreach(granCache.put(name, _))
   }
+
+  /** A CREATE-time granularity pin persisted in the schema sidecar's
+    * ts metadata, if any. */
+  private def pinnedGranularity(name: String): Option[String] =
+    if (!cfs.exists(schemaPath(name))) None
+    else {
+      val ts = org.apache.spark.sql.types.DataType
+        .fromJson(cfs.readLines(schemaPath(name)).mkString("\n"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .find(_.name == "ts")
+      ts.filter(_.metadata.contains(graft.plans.BucketPruneRule.GranularityKey))
+        .map(_.metadata.getString(graft.plans.BucketPruneRule.GranularityKey))
+    }
 
   def dropTable(name: String): Unit = {
     requireOpen()
@@ -353,6 +388,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     granCache.getOrElseUpdate(name,
       listBuckets(name).headOption
         .map(l => if (l.length >= 13) "hour" else "day")
+        .orElse(pinnedGranularity(name))
         .getOrElse(config.bucket))
 
   private def hasKeyCol(name: String): Boolean =

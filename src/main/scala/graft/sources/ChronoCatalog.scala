@@ -171,12 +171,12 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val (cfs, root) = fsRoot
     val tableRoot = new HPath(root, ident.name())
-    // an EMPTY table has no bucket labels to sniff — the catalog's own
-    // configured granularity is the truth there (it is what the next
-    // INSERT through this catalog will write). One ROOT-level listing,
-    // never a per-bucket walk (loadTable runs on every reference).
-    val granularity =
-      ChronoLayout.sniffGranularityOpt(cfs, tableRoot).getOrElse(cfg.bucket)
+    // labels (ground truth) → CREATE-time pin → the catalog's default:
+    // one ROOT-level listing, never a per-bucket walk (loadTable runs
+    // on every reference)
+    val granularity = ChronoLayout.sniffGranularityOpt(cfs, tableRoot)
+      .orElse(ChronoLayout.pinnedGranularity(cfs, tableRoot))
+      .getOrElse(cfg.bucket)
     val declared = graft.core.ManifestFileIndex.withGranularity(
       ChronoLayout.declaredSchema(cfs, tableRoot)
         .getOrElse(ChronoDB.EnvelopeSchema), granularity)
@@ -194,7 +194,11 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     val schema = new StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(),
         c.nullable())))
-    withDb(_.createTable(tableName(ident), schema))
+    // TBLPROPERTIES('bucket'='day') pins THIS table's granularity under
+    // a catalog whose default differs (persisted in the schema sidecar
+    // until the first insert writes labels)
+    val bucket = Option(properties.get("bucket"))
+    withDb(_.createTable(tableName(ident), schema, bucket))
     loadTable(ident)
   }
 

@@ -117,7 +117,11 @@ final class ChronoSource extends RelationProvider
         index.firstBucketLabel.foreach(l =>
           ChronoLayout.validateGranularity(g, l))
         g
-      case None => index.granularity
+      case None => index.firstBucketLabel match {
+        case Some(l) => if (l.length >= 13) "hour" else "day"
+        case None => ChronoLayout.pinnedGranularity(cfs, root)
+          .getOrElse("hour")
+      }
     }
     // typed tables serve their declared columns; envelope tables the
     // reference's (key, ts, data) — either way ts carries the
@@ -250,7 +254,7 @@ final class ChronoSource extends RelationProvider
     require(cfs.isDirectory(root),
       s"chrono table directory not found: $root")
     val granularity = parameters.get("granularity")
-      .getOrElse(ChronoLayout.sniffGranularity(cfs, root))
+      .getOrElse(ChronoLayout.effectiveGranularity(cfs, root))
     (cfs, root, granularity)
   }
 
@@ -688,6 +692,22 @@ object ChronoLayout {
     * no files the metadata can prune nothing either way). */
   def sniffGranularity(cfs: ChronoFs, tableRoot: HPath): String =
     sniffGranularityOpt(cfs, tableRoot).getOrElse("hour")
+
+  /** A CREATE-time granularity pin persisted in the schema sidecar's
+    * ts metadata (`createTable(name, schema, Some(g))` /
+    * `TBLPROPERTIES('bucket'=g)`), if any — consulted by readers of
+    * EMPTY tables, where there are no labels to sniff yet. */
+  def pinnedGranularity(cfs: ChronoFs, tableRoot: HPath): Option[String] =
+    declaredSchema(cfs, tableRoot)
+      .flatMap(_.find(_.name == "ts"))
+      .filter(_.metadata.contains(graft.plans.BucketPruneRule.GranularityKey))
+      .map(_.metadata.getString(graft.plans.BucketPruneRule.GranularityKey))
+
+  /** labels (ground truth) → CREATE-time pin → "hour" default. */
+  def effectiveGranularity(cfs: ChronoFs, tableRoot: HPath): String =
+    sniffGranularityOpt(cfs, tableRoot)
+      .orElse(pinnedGranularity(cfs, tableRoot))
+      .getOrElse("hour")
 
   /** Directory-listing fallback: every `bucket=<label>` partition dir's
     * parquet files. One walk, driver-local — the O(table-age) cost the

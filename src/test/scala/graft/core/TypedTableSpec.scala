@@ -198,6 +198,31 @@ class TypedTableSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("CREATE-time granularity pin: TBLPROPERTIES bucket=day under an hour-default catalog") {
+    val dir = Files.createTempDirectory("pin").toString
+    val cat = s"pin${System.nanoTime() % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", dir)
+    // catalog default is HOUR; this table pins DAY at create time
+    spark.sql(s"CREATE TABLE $cat.d (key STRING, ts TIMESTAMP, data BINARY) " +
+      "TBLPROPERTIES ('bucket'='day')")
+    // the pin survives until the first insert — which writes DAY labels
+    spark.sql(s"INSERT INTO $cat.d (key, ts, data) VALUES " +
+      "('a', TIMESTAMP '2024-01-01 10:00:00', X'01')")
+    assert(spark.table(s"$cat.d").select("bucket").head().getString(0)
+      === "2024-01-01")
+    // and the facade pin API does the same
+    val db = new ChronoDB(spark, ChronoConfig(
+      Files.createTempDirectory("pin2").toString, bucket = "hour"))
+    try {
+      db.createTable("d2", ChronoDB.EnvelopeSchema, Some("day"))
+      db.insertSeq("d2", Seq(
+        ChronoRow("a", ts("2024-01-01 10:00:00"), Array[Byte](1))))
+      assert(db.table("d2").select("bucket").as[String].head() === "2024-01-01")
+    } finally db.close()
+  }
+
   test("catalog ALTER TABLE ADD COLUMN evolves a SQL table additively") {
     val dir = Files.createTempDirectory("alter").toString
     val cat = s"alt${System.nanoTime() % 1000000}"
