@@ -298,13 +298,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   /** A CREATE-time granularity pin persisted in the schema sidecar's
     * ts metadata, if any. */
   private def pinnedGranularity(name: String): Option[String] =
-    if (!cfs.exists(schemaPath(name))) None
-    else {
-      val ts = org.apache.spark.sql.types.DataType
-        .fromJson(cfs.readLines(schemaPath(name)).mkString("\n"))
+    cfs.readLinesRecover(schemaPath(name)).flatMap { lines =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(lines.mkString("\n"))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
         .find(_.name == "ts")
-      ts.filter(_.metadata.contains(graft.plans.BucketPruneRule.GranularityKey))
+        .filter(_.metadata.contains(graft.plans.BucketPruneRule.GranularityKey))
         .map(_.metadata.getString(graft.plans.BucketPruneRule.GranularityKey))
     }
 
@@ -313,6 +312,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // the bucketed twin's catalog entry points under this dir — drop it
     // too or a dangling external-table entry survives the data
     spark.sql(s"DROP TABLE IF EXISTS ${bucketedCatalogName(name)}")
+    // r16 changed the twin-name hash input (raw dataDir → qualified
+    // root): also drop the LEGACY-named entry, or a twin built before
+    // the change leaves a dangling external table over the deleted
+    // directory (ADVICE r16)
+    val legacy =
+      s"chrono_${name}_bucketed_${math.abs(config.dataDir.hashCode) % 100000}"
+    if (legacy != bucketedCatalogName(name))
+      spark.sql(s"DROP TABLE IF EXISTS $legacy")
     unregisterTwinRouting(name)
     schemaCache.remove(name)
     granCache.remove(name)
@@ -351,7 +358,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val widened = org.apache.spark.sql.types.StructType(
       tableSchema(name).fields :+ field.copy(nullable = true))
     ChronoDB.validateSchema(widened)
-    cfs.writeLinesAtomic(schemaPath(name), Seq(widened.json))
+    // tableSchema() is metadata-normalized, so re-apply the CREATE-time
+    // granularity pin (stored as ts-field metadata in the sidecar)
+    // before rewriting it — an ALTER between CREATE and the first
+    // insert would otherwise silently drop the pin (ADVICE r16)
+    val stored = pinnedGranularity(name) match {
+      case Some(g) => ManifestFileIndex.withGranularity(widened, g)
+      case None => widened
+    }
+    cfs.writeLinesAtomic(schemaPath(name), Seq(stored.json))
     schemaCache.put(name, normalizedSchema(widened))
     // the twin (if any) was built with the old column set
     invalidateTwin(name)
@@ -362,11 +377,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def tableSchema(name: String): org.apache.spark.sql.types.StructType = {
     requireTable(name)
     schemaCache.getOrElseUpdate(name,
-      if (cfs.exists(schemaPath(name)))
-        normalizedSchema(org.apache.spark.sql.types.DataType
-          .fromJson(cfs.readLines(schemaPath(name)).mkString("\n"))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      else ChronoDB.EnvelopeSchema)
+      cfs.readLinesRecover(schemaPath(name)) match {
+        case Some(lines) =>
+          normalizedSchema(org.apache.spark.sql.types.DataType
+            .fromJson(lines.mkString("\n"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        case None => ChronoDB.EnvelopeSchema
+      })
   }
 
   /** The table's EFFECTIVE bucket granularity — per table, not per

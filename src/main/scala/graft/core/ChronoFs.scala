@@ -82,6 +82,23 @@ final class ChronoFs(val fs: FileSystem) {
     finally in.close()
   }
 
+  /** [[readLines]] with recovery from the [[writeLinesAtomic]] crash
+    * window (ADVICE r16): a crash between `delete(p)` and
+    * `move(tmp, p)` leaves the destination ABSENT with the complete new
+    * content in `<p>.tmp` (the tmp is fully written and closed before
+    * the swap begins — a partial tmp can only coexist with a live `p`).
+    * Readers of swap-written sidecar text files (`_table_schema.json`)
+    * use this so a typed table never silently degrades to the envelope
+    * schema after such a crash. Read-only: promotion back to `p` is the
+    * owning writer's next [[writeLinesAtomic]], not the reader's job
+    * (readers may not hold the LOCK). None when neither file exists. */
+  def readLinesRecover(p: HPath): Option[Seq[String]] =
+    if (exists(p)) Some(readLines(p))
+    else {
+      val tmp = p.suffix(".tmp")
+      if (exists(tmp)) Some(readLines(tmp)) else None
+    }
+
   /** Small-text write via create-then-rename (atomic visibility on
     * HDFS/local — a reader never sees a partial log file). */
   def writeLinesAtomic(p: HPath, lines: Seq[String]): Unit = {

@@ -84,6 +84,12 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"catalog '$name' requires spark.sql.catalog.$name.dataDir"))
     val bucket = Option(options.get("bucket")).getOrElse("hour")
+    // validate HERE, not first-write: an invalid value would otherwise
+    // flow into loadTable's granularity fallback (where any non-'hour'
+    // string reads as day) and only surface when a write verb builds a
+    // ChronoDB (ADVICE r16)
+    require(bucket == "hour" || bucket == "day",
+      s"catalog '$name': bucket must be hour|day, got '$bucket'")
     val base = Option(options.get("stats")).getOrElse("full") match {
       case "full" => ChronoConfig.fullStats(dataDir, bucket = bucket)
       case "bloom" => ChronoConfig.smallBatch(dataDir, bucket = bucket)

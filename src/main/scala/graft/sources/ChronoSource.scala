@@ -671,12 +671,12 @@ object ChronoLayout {
   /** The table's DECLARED column schema — the `_table_schema.json`
     * sidecar a typed [[graft.core.ChronoDB.createTable]] writes — or
     * None for envelope (key, ts, data) tables (every pre-typed table). */
-  def declaredSchema(cfs: ChronoFs, tableRoot: HPath): Option[StructType] = {
-    val p = tableRoot.resolve("_table_schema.json")
-    if (!cfs.exists(p)) None
-    else Some(DataType.fromJson(cfs.readLines(p).mkString("\n"))
-      .asInstanceOf[StructType])
-  }
+  def declaredSchema(cfs: ChronoFs, tableRoot: HPath): Option[StructType] =
+    // readLinesRecover: survive the writeLinesAtomic crash window
+    // (sidecar absent, complete content in .tmp — ADVICE r16)
+    cfs.readLinesRecover(tableRoot.resolve("_table_schema.json"))
+      .map(lines => DataType.fromJson(lines.mkString("\n"))
+        .asInstanceOf[StructType])
 
   /** Driver-local granularity sniff from the first `bucket=` dir name
     * (one root-level listing, no Spark job): hour labels are 13 chars,

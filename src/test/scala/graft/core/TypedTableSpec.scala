@@ -223,6 +223,50 @@ class TypedTableSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("ADVICE r16: ALTER ADD COLUMN before first insert preserves the granularity pin") {
+    val dir = Files.createTempDirectory("pinalter").toString
+    val cat = s"pa${System.nanoTime() % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", dir)
+    // catalog default HOUR; table pinned DAY; ALTER lands BEFORE any
+    // insert — the widened-schema rewrite must carry the pin through
+    spark.sql(s"CREATE TABLE $cat.d (key STRING, ts TIMESTAMP, data BINARY) " +
+      "TBLPROPERTIES ('bucket'='day')")
+    spark.sql(s"ALTER TABLE $cat.d ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $cat.d (key, ts, data, note) VALUES " +
+      "('a', TIMESTAMP '2024-01-01 10:00:00', X'01', 'n')")
+    assert(spark.table(s"$cat.d").select("bucket").head().getString(0)
+      === "2024-01-01") // day label, not hour
+    spark.sql(s"DROP TABLE $cat.d")
+    spark.conf.unset(s"spark.sql.catalog.$cat")
+    spark.conf.unset(s"spark.sql.catalog.$cat.dataDir")
+  }
+
+  test("ADVICE r16: schema sidecar readable from the writeLinesAtomic crash window (.tmp only)") {
+    val (db, dir) = freshDb()
+    try {
+      db.createTable("docs", docSchema)
+      db.insertFrame("docs", docsDf)
+    } finally db.close()
+    // simulate a crash between delete(p) and move(tmp, p): the complete
+    // content sits in .tmp, the destination is absent
+    val p = java.nio.file.Paths.get(dir, "docs", "_table_schema.json")
+    java.nio.file.Files.move(p,
+      java.nio.file.Paths.get(dir, "docs", "_table_schema.json.tmp"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val db2 = new ChronoDB(spark, ChronoConfig(dir, bucket = "hour"))
+    try {
+      // without recovery this degrades to the envelope (key, ts, data)
+      assert(db2.tableSchema("docs").fieldNames.toSeq ===
+        Seq("doc_id", "ts", "text", "score"))
+      assert(db2.table("docs").columns.contains("text"))
+    } finally db2.close()
+    // the connector read path recovers too
+    assert(spark.read.format("chrono").load(s"$dir/docs")
+      .columns.contains("score"))
+  }
+
   test("catalog ALTER TABLE ADD COLUMN evolves a SQL table additively") {
     val dir = Files.createTempDirectory("alter").toString
     val cat = s"alt${System.nanoTime() % 1000000}"

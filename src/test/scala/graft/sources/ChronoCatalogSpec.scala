@@ -106,6 +106,17 @@ class ChronoCatalogSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $cat.ev")
   }
 
+  test("ADVICE r16: an invalid catalog bucket option fails at initialize, not first write") {
+    val cat = freshCat("bucket" -> "daily")
+    val e = intercept[Exception] {
+      spark.sql(s"SHOW TABLES IN $cat").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      t.getMessage != null && t.getMessage.contains("bucket must be hour|day")))
+  }
+
   test("INSERT OVERWRITE and PARTITIONED BY are rejected; DML honors the LOCK") {
     val cat = freshCat("bucket" -> "day")
     intercept[Exception] {
