@@ -1453,6 +1453,91 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         .filter(!coalesce(cond, lit(false))))
   }
 
+  /** Predicate update — the facade verb under SQL `UPDATE <catalog>.
+    * <table> SET ... WHERE ...` ([[graft.plans.ChronoDml]]): rows where
+    * `cond` is TRUE take the `sets` column values (cast to the declared
+    * types), every other row is untouched. Same copy-on-write shape as
+    * [[deleteWhere]]: one pushed discovery scan finds (and counts) the
+    * hit buckets, then exactly those buckets rewrite — including rows a
+    * `SET ts = ...` moves into a DIFFERENT bucket, which
+    * [[replaceBucketRows]] re-routes through the insert path. Returns
+    * rows updated. */
+  def updateWhere(name: String, sets: Seq[(String, org.apache.spark.sql.Column)],
+      cond: org.apache.spark.sql.Column): Long = {
+    requireTable(name)
+    invalidateTwin(name)
+    val schema = tableSchema(name)
+    require(sets.nonEmpty, "updateWhere: no SET assignments")
+    sets.foreach { case (c, _) =>
+      require(c != "bucket", "'bucket' is derived from ts — not assignable")
+      require(schema.fieldNames.contains(c), s"no such column: $c")
+    }
+    if (!hasData(name)) return 0L
+    val hits = table(name).filter(cond)
+      .groupBy(col("bucket")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val affected = hits.map(_._1).toSeq.sorted
+    if (affected.isEmpty) return 0L
+    val setMap = sets.toMap
+    val applied = coalesce(cond, lit(false))
+    val newRows = prunedScan(name, Some(affected))
+      .select(schema.fields.toSeq.map { f =>
+        setMap.get(f.name) match {
+          case Some(v) =>
+            when(applied, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    replaceBucketRows(name, affected, newRows)
+    hits.map(_._2).sum
+  }
+
+  /** Copy-on-write write-back shared by the row-level mutation verbs
+    * (SQL UPDATE / MERGE): replace the full row content of `affected`
+    * buckets with `newRows` (declared columns; `bucket` derived from
+    * `ts` here). Rows whose — possibly reassigned — ts lands OUTSIDE
+    * the affected set append through [[insertFrame]] instead; affected
+    * buckets that end up with no rows are dropped like the delete
+    * verbs' emptied buckets. The frame is MATERIALIZED (localCheckpoint)
+    * before any file is touched: it reads the same parquet files the
+    * dynamic overwrite replaces, and Spark's overwrite-while-reading
+    * guard covers only InsertIntoStatement. Manifest and sidecars
+    * repaired for exactly the touched buckets
+    * ([[repairAfterRewrite]]). */
+  private[graft] def replaceBucketRows(name: String, affected: Seq[String],
+      newRows: DataFrame): Unit = {
+    requireTable(name)
+    invalidateTwin(name)
+    if (affected.isEmpty) return
+    val cols = tableSchema(name).fieldNames.toSeq
+    val rep = newRows.select(cols.map(col): _*)
+      .withColumn("bucket", bucketExpr(granularityFor(name)))
+      .localCheckpoint()
+    val inside = rep.filter(col("bucket").isin(affected: _*))
+    val outside = rep.filter(!col("bucket").isin(affected: _*)).drop("bucket")
+    val present = inside.select(col("bucket")).distinct()
+      .collect().map(_.getString(0)).toSet
+    affected.filterNot(present).foreach { b =>
+      deleteRecursively(tablePath(name).resolve(s"bucket=$b"))
+    }
+    if (present.nonEmpty) {
+      val df = inside.repartition(col("bucket"))
+        .sortWithinPartitions(rewriteSortCols(name): _*)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try df.write.mode(SaveMode.Overwrite)
+        .option("compression", config.compression)
+        .partitionBy("bucket")
+        .parquet(tablePath(name).toString)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    repairAfterRewrite(name, affected, present.toSeq.sorted)
+    if (!outside.isEmpty) insertFrame(name, outside)
+  }
+
   /** Candidate buckets that may hold at least one key of `keysDf`,
     * decided PER BUCKET against the sidecar [key_min, key_max]
     * envelope — the Bloom-free prune for probe sets too large to test
@@ -1546,7 +1631,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       // actually hold a doomed key are checkpointed, not the table.
       val df = survivors(bs)
         .repartition(col("bucket"))
-        .sortWithinPartitions(col("ts"), col("key"))
+        .sortWithinPartitions(rewriteSortCols(name): _*)
         .localCheckpoint()
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1559,38 +1644,46 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    // manifest refresh BEFORE the sidecar repairs below — they read
-    // table(name), which plans from the manifest; stale entries for the
-    // just-replaced files would fail the repair scan itself
-    refreshManifest(name, hits.map(_._1).toSeq)
-    // sidecar: drop the emptied/rewritten buckets' rows, re-aggregate
-    // the rewritten buckets from their surviving data
+    repairAfterRewrite(name, hits.map(_._1).toSeq, rewrite.map(_._1).toSeq)
+    deleted
+  }
+
+  /** Rewritten buckets keep one sorted file each — by ts, then key
+    * where the schema declares one (typed keyless tables reach the
+    * rewrite verbs through deleteWhere/updateWhere now). */
+  private def rewriteSortCols(name: String): Seq[org.apache.spark.sql.Column] =
+    col("ts") +: (if (hasKeyCol(name)) Seq(col("key")) else Nil)
+
+  /** Shared repair tail of every bucket-rewrite verb (delete/update/
+    * merge): manifest refresh FIRST — the sidecar repairs read
+    * table(name), which plans from the manifest; stale entries for the
+    * just-replaced files would fail the repair scan itself — then the
+    * `_stats`/`_rollup` sidecars drop the touched buckets' rows and
+    * re-aggregate the rewritten buckets from their surviving data. */
+  private def repairAfterRewrite(name: String, touched: Seq[String],
+      rewritten: Seq[String]): Unit = {
+    refreshManifest(name, touched)
     recoverSidecar(statsPath(name))
     if (sketchingFor(name) && cfs.exists(statsPath(name))) {
-      val touched = hits.map(_._1)
       val kept = sidecarFold(name).filter(!col("bucket").isin(touched: _*))
       val folded =
-        if (rewrite.isEmpty) kept
+        if (rewritten.isEmpty) kept
         else kept.unionByName(
-          table(name).filter(col("bucket").isin(rewrite.map(_._1): _*))
+          table(name).filter(col("bucket").isin(rewritten: _*))
             .groupBy(col("bucket"))
             .agg(sidecarAggs.head, sidecarAggs.tail: _*))
       rewriteSidecar(statsPath(name), folded)
     }
-    // _rollup mirrors the _stats repair: drop the touched buckets'
-    // slots, re-aggregate the rewritten buckets from survivors
     recoverSidecar(rollupPath(name))
     if (rollupEnabled && cfs.exists(rollupPath(name))) {
-      val touched = hits.map(_._1)
       val kept = rollupFold(name).filter(!col("bucket").isin(touched: _*))
       val folded =
-        if (rewrite.isEmpty) kept
+        if (rewritten.isEmpty) kept
         else kept.unionByName(rollupGrouped(
-          table(name).filter(col("bucket").isin(rewrite.map(_._1): _*))))
+          table(name).filter(col("bucket").isin(rewritten: _*))))
       rewriteSidecar(rollupPath(name), folded)
     }
     invalidateColStats(name)
-    deleted
   }
 
   // --- Maintenance (table.go:240-369, 517-552) ---

@@ -14,6 +14,10 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // analyzer-level DML extension (UPDATE/MERGE on chrono catalog
+      // tables) — must ride session CREATION; installOptimizations can
+      // only add optimizer rules post-hoc
+      .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

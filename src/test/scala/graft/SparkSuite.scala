@@ -10,6 +10,7 @@ trait SparkSuite extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
