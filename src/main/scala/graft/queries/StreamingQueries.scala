@@ -248,6 +248,54 @@ object StreamingQueries {
       .orderBy(col("key"), col("ts"), col("event_type"))
   }
 
+  /** S20: tailing a CATALOG table — `spark.readStream.table("cat.ev")`
+    * (VERDICT r16 Missing #2): the V2 twin of s19 over the SAME shared
+    * tail state machine ([[graft.sources.ChronoTailLog]] under
+    * [[graft.sources.ChronoMicroBatchStream]]), reached with no path
+    * and no format string — pure catalog SQL in (INSERT INTO), catalog
+    * stream out. Staged replay verdict identical to s19's: the first
+    * drain must see ONLY the first half. */
+  def streamCatalogTailQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Engine.registerTables(spark, dir)
+    val root = Files.createTempDirectory("s20_db")
+    val out = Files.createTempDirectory("s20_out").toString
+    val cp = Files.createTempDirectory("s20_cp").toString
+    val cat = s"chrono_s20_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", root.toString)
+    spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+    try {
+      spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, event_type STRING)")
+      def insertHalf(cmp: String): Unit = spark.sql(
+        s"INSERT INTO $cat.ev (key, ts, event_type) " +
+          "SELECT CAST(user_id AS STRING), ts, event_type FROM events " +
+          s"WHERE ts $cmp TIMESTAMP '2024-01-16 00:00:00'")
+      insertHalf("<")
+      val q = spark.readStream.table(s"$cat.ev")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(out).count()
+      insertHalf(">=")
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.read.parquet(out)
+      val total = all.count()
+      val twoBatchesOk = c1 > 0 && c1 < total
+      all.select(col("key"), col("ts"), col("event_type"))
+        .withColumn("two_batches_ok", lit(twoBatchesOk))
+        .orderBy(col("key"), col("ts"), col("event_type"))
+        .localCheckpoint()
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.dataDir")
+      spark.conf.unset(s"spark.sql.catalog.$cat.bucket")
+    }
+  }
+
   def streamIngest(spark: SparkSession, dir: String): DataFrame = {
     val staticSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source wants a landing DIRECTORY — stage the
@@ -832,6 +880,12 @@ object StreamingQueries {
     QueryDef("s19_stream_source_chrono", streamSourceTailQ, Some(
       // the tail must deliver EXACTLY the table (each file once); the
       // staged-discovery claim is the in-query two_batches_ok verdict
+      """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+        |       TRUE AS two_batches_ok
+        |FROM events
+        |ORDER BY key, ts, event_type""".stripMargin)),
+    QueryDef("s20_stream_catalog_tail", streamCatalogTailQ, Some(
+      // identical delivery contract to s19, reached through the catalog
       """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
         |       TRUE AS two_batches_ok
         |FROM events

@@ -381,6 +381,69 @@ final class ChronoStreamSource(
     /** Fold the seen-log once this many per-ordinal files are committed. */
     compactThreshold: Int = 64) extends Source {
 
+  private val tail = new ChronoTailLog(spark, cfs, tableRoot, metadataPath,
+    granularity, watermarkBuckets, compactThreshold)
+
+  /** Declared (typed) or envelope data schema, granularity-tagged. */
+  private val dataSchema: StructType = ManifestFileIndex.withGranularity(
+    ChronoLayout.declaredSchema(cfs, tableRoot)
+      .getOrElse(graft.core.ChronoDB.EnvelopeSchema), granularity)
+
+  override val schema: StructType = StructType(
+    dataSchema.fields :+ StructField("bucket", StringType, nullable = true))
+
+  override def getOffset: Option[Offset] = {
+    val m = tail.discover()
+    if (m < 0) None else Some(LongOffset(m))
+  }
+
+  private def ordinal(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): org.apache.spark.sql.DataFrame = {
+    val entries = tail.entriesBetween(start.map(ordinal).getOrElse(-1L),
+      ordinal(end))
+    val index = new graft.core.ManifestFileIndex(tableRoot, entries)
+    val rel = HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty[String, String])(spark)
+    // the engine splices this plan under the streaming execution, so
+    // the relation must carry the streaming flag (FileStreamSource's
+    // own getBatch shape)
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+      LogicalRelation(rel, isStreaming = true))
+  }
+
+  override def commit(end: Offset): Unit = tail.foldCommitted(ordinal(end))
+
+  override def stop(): Unit = ()
+}
+
+/** The tail-discovery state machine shared by BOTH tail entry points —
+  * the V1 path source (`readStream.format("chrono").load(dir)`,
+  * [[ChronoStreamSource]]) and the V2 catalog stream
+  * (`readStream.table("cat.ev")`, [[ChronoMicroBatchStream]]): one
+  * seen-log format under the query checkpoint, one watermark semantics,
+  * one append-only enforcement — so the two surfaces see IDENTICAL
+  * batches over the same table (pinned by ChronoDmlSpec/TailSourceSpec).
+  * Semantics documented on [[ChronoSource.createSource]] /
+  * [[ChronoStreamSource]]. */
+final class ChronoTailLog(
+    spark: SparkSession,
+    cfs: ChronoFs,
+    tableRoot: HPath,
+    metadataPath: String,
+    granularity: String,
+    watermarkBuckets: Option[Int],
+    compactThreshold: Int) {
+
   import ChronoFs.PathOps
 
   private val logDir = {
@@ -393,14 +456,6 @@ final class ChronoStreamSource(
     (fs, d)
   }
   private def logFs: ChronoFs = logDir._1
-
-  /** Declared (typed) or envelope data schema, granularity-tagged. */
-  private val dataSchema: StructType = ManifestFileIndex.withGranularity(
-    ChronoLayout.declaredSchema(cfs, tableRoot)
-      .getOrElse(graft.core.ChronoDB.EnvelopeSchema), granularity)
-
-  override val schema: StructType = StructType(
-    dataSchema.fields :+ StructField("bucket", StringType, nullable = true))
 
   // recovered state: the union of the compacted snapshot (if any) and
   // all later per-ordinal logs (restart-safe)
@@ -456,22 +511,40 @@ final class ChronoStreamSource(
   /** Current committed files, restricted to the watermark window when
     * one is configured — the restriction is a pushed `bucket >=`
     * predicate on the KB-scale manifest read, so per-trigger discovery
-    * cost is O(window), flat in table age. */
+    * cost is O(window), flat in table age.
+    *
+    * Retries ONCE on a FileNotFound mid-read: a live trigger can list
+    * the `_manifest` fold while maintenance swaps it
+    * (rewriteSidecar's tmp/old protocol) and then read paths the swap
+    * deleted; the retry re-resolves the sidecar state and reads the
+    * NEW fold — after which the append-only check fires its
+    * DETERMINISTIC [[StreamRewriteException]] if history was rewritten
+    * (instead of a confusing FAILED_READ). */
   private def currentEntries(): Seq[ManifestEntry] = {
-    val wm = lowWatermark
-    ChronoLayout.foldedManifest(spark, cfs, tableRoot) match {
-      case Some(df) =>
-        val bounded = wm.map(w => df.filter(col("bucket") >= lit(w)))
-          .getOrElse(df)
-        bounded.collect().map(r => ManifestEntry(r.getString(0),
-          r.getString(1), r.getLong(2), r.getLong(3))).toSeq
-      case None =>
-        val all = ChronoLayout.listEntries(cfs, tableRoot)
-        wm.map(w => all.filter(_.bucket >= w)).getOrElse(all)
+    def isFnf(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        isFnf(t.getCause))
+    def once(): Seq[ManifestEntry] = {
+      val wm = lowWatermark
+      ChronoLayout.foldedManifest(spark, cfs, tableRoot) match {
+        case Some(df) =>
+          val bounded = wm.map(w => df.filter(col("bucket") >= lit(w)))
+            .getOrElse(df)
+          bounded.collect().map(r => ManifestEntry(r.getString(0),
+            r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+        case None =>
+          val all = ChronoLayout.listEntries(cfs, tableRoot)
+          wm.map(w => all.filter(_.bucket >= w)).getOrElse(all)
+      }
     }
+    try once()
+    catch { case t: Throwable if isFnf(t) => once() }
   }
 
-  override def getOffset: Option[Offset] = synchronized {
+  /** One discovery trigger: diff the manifest against the seen set,
+    * persist any fresh batch, return the latest batch ordinal (-1 when
+    * nothing has ever been seen). */
+  def discover(): Long = synchronized {
     val current = currentEntries()
     // append-only enforcement: a seen file missing from the manifest
     // means maintenance rewrote history under the tail — fail loudly
@@ -500,41 +573,21 @@ final class ChronoStreamSource(
       fresh.foreach(noteSeen)
       evictBelowWatermark()
     }
-    if (maxBatch < 0) None else Some(LongOffset(maxBatch))
+    maxBatch
   }
 
-  private def ordinal(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.trim.toLong
-  }
-
-  override def getBatch(start: Option[Offset], end: Offset): org.apache.spark.sql.DataFrame = {
-    val lo = start.map(ordinal).getOrElse(-1L)
-    val hi = ordinal(end)
-    val entries = ((lo + 1) to hi).flatMap(readLog)
-    val index = new graft.core.ManifestFileIndex(tableRoot, entries)
-    val rel = HadoopFsRelation(
-      location = index,
-      partitionSchema = index.partitionSchema,
-      dataSchema = dataSchema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
-      options = Map.empty[String, String])(spark)
-    // the engine splices this plan under the streaming execution, so
-    // the relation must carry the streaming flag (FileStreamSource's
-    // own getBatch shape)
-    org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
-      LogicalRelation(rel, isStreaming = true))
-  }
+  /** The committed file entries of batch ordinals (lo, hi] — replayable
+    * across restarts (read from the persisted per-ordinal logs, never
+    * re-diffed from the table). */
+  def entriesBetween(lo: Long, hi: Long): Seq[ManifestEntry] =
+    ((lo + 1) to hi).flatMap(readLog)
 
   /** Batches <= `end` are durably committed and never re-requested —
     * fold their per-ordinal logs into one `.compact` snapshot once
     * enough accumulate, so restart recovery reads O(recent) files
     * (Spark's FileStreamSource compacts its metadata log for exactly
     * this reason — ADVICE r15). */
-  override def commit(end: Offset): Unit = synchronized {
-    val hi = ordinal(end)
+  def foldCommitted(hi: Long): Unit = synchronized {
     val names = logFs.list(logDir._2).map(_.getPath.getName)
     val olderCompacts = names.filter(_.endsWith(".compact"))
       .map(_.stripSuffix(".compact")).filter(_.forall(_.isDigit)).map(_.toLong)
@@ -554,8 +607,6 @@ final class ChronoStreamSource(
     olderCompacts.filter(_ != hi).foreach(id =>
       logFs.deleteIfExists(logDir._2.resolve(s"$id.compact")))
   }
-
-  override def stop(): Unit = ()
 }
 
 /** V1 streaming sink over the ChronoDB write verbs — see

@@ -32,6 +32,81 @@ class TailSourceSpec extends SparkSuite {
       Files.createTempDirectory("tailmeta").toString, "day", wm, compactEvery)
   }
 
+  test("catalog tail (readStream.table) sees the same rows as the path tail, incrementally") {
+    val root = Files.createTempDirectory("cattail").toString
+    val cat = s"ct${System.nanoTime() % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, v BIGINT)")
+    def insertStage(lo: Int, hi: Int): Unit =
+      spark.sql(s"INSERT INTO $cat.ev (key, ts, v) SELECT " +
+        s"CAST(id AS STRING), timestamp_micros(1704067200000000 + id * 86400000000), id " +
+        s"FROM range($lo, $hi)")
+    insertStage(0, 4)
+    val outP = Files.createTempDirectory("cattail_p").toString
+    val outC = Files.createTempDirectory("cattail_c").toString
+    val qPath = spark.readStream.format("chrono").load(s"$root/ev")
+      .writeStream.format("parquet").option("path", outP)
+      .option("checkpointLocation", Files.createTempDirectory("cp_p").toString)
+      .start()
+    val qCat = spark.readStream.table(s"$cat.ev")
+      .writeStream.format("parquet").option("path", outC)
+      .option("checkpointLocation", Files.createTempDirectory("cp_c").toString)
+      .start()
+    qPath.processAllAvailable(); qCat.processAllAvailable()
+    val c1p = spark.read.parquet(outP).count()
+    val c1c = spark.read.parquet(outC).count()
+    assert(c1p === 4L && c1c === 4L)
+    insertStage(4, 10)
+    qPath.processAllAvailable(); qCat.processAllAvailable()
+    qPath.stop(); qCat.stop()
+    def canon(path: String) = spark.read.parquet(path)
+      .selectExpr("key", "ts", "v", "bucket")
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(canon(outC) === canon(outP))
+    assert(canon(outC).size === 10)
+    // both surfaces tailed incrementally (first drain < total)
+    assert(c1c < 10L)
+    spark.sql(s"DROP TABLE $cat.ev")
+    spark.conf.unset(s"spark.sql.catalog.$cat")
+    spark.conf.unset(s"spark.sql.catalog.$cat.dataDir")
+    spark.conf.unset(s"spark.sql.catalog.$cat.bucket")
+  }
+
+  test("catalog tail enforces the append-only contract (rewrite under the tail fails loudly)") {
+    val root = Files.createTempDirectory("cattail2").toString
+    val cat = s"ct2${System.nanoTime() % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, v BIGINT)")
+    // fragment one bucket past the compact threshold (fullStats default
+    // 4) so compact() has a victim
+    (0 until 5).foreach(i => spark.sql(
+      s"INSERT INTO $cat.ev (key, ts, v) VALUES " +
+        s"('k$i', TIMESTAMP '2024-04-01 10:0$i:00', $i)"))
+    val out = Files.createTempDirectory("cattail2_out").toString
+    val q = spark.readStream.table(s"$cat.ev")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", Files.createTempDirectory("cp2").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).count() === 5L)
+    assert(spark.sql(s"CALL $cat.system.compact('ev')").head().getLong(0) === 1L)
+    spark.sql(s"INSERT INTO $cat.ev (key, ts, v) VALUES " +
+      "('k9', TIMESTAMP '2024-04-02 10:00:00', 9)")
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[StreamRewriteException]) ||
+      e.getMessage.contains("rewrote"))
+    q.stop()
+    spark.conf.unset(s"spark.sql.catalog.$cat")
+    spark.conf.unset(s"spark.sql.catalog.$cat.dataDir")
+    spark.conf.unset(s"spark.sql.catalog.$cat.bucket")
+  }
+
   test("append-only contract enforced: compaction under a live tail fails loudly") {
     val (db, root) = mk()
     try {
