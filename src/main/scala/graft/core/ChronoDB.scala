@@ -60,13 +60,22 @@ final case class ChronoConfig(
                                        // the per-query manifest read at
                                        // O(threshold) for ingests that never
                                        // compact.
-    keyBuckets: Int = 0)               // analytic key-bucketed layout: when
+    keyBuckets: Int = 0,               // analytic key-bucketed layout: when
                                        // > 0, [[ChronoDB.rebuildBucketed]]
                                        // materializes a Spark-bucketed,
                                        // key-sorted twin of the table so
                                        // fact-fact joins on `key` plan
                                        // WITHOUT an exchange on either side
                                        // (0 = feature off).
+    lockLeaseMs: Long = 60000L)        // writer-LOCK lease: a holder
+                                       // heartbeats the LOCK file every
+                                       // lease/3; an opener finding a lock
+                                       // whose heartbeat is OLDER than the
+                                       // lease takes it over (crashed-holder
+                                       // recovery — the r16 lock leaked
+                                       // forever on s3a/crash). A LIVE
+                                       // holder is never stolen from while
+                                       // its heartbeats land on time.
 
 object ChronoConfig {
   /** SHIPPED small-batch / streaming-ingest preset: key Bloom +
@@ -203,30 +212,118 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private val (cfs, root) = ChronoFs.resolve(config.dataDir, hadoopConf)
   cfs.mkdirs(root)
 
-  /** Process lock — the reference ships CreateLock/Release
-    * (internal/utils/fileutils.go:242-271: O_CREATE|O_EXCL file,
-    * removed on release) but never wires it into DB.Open; implemented
-    * honestly here like the other declared-but-dead intent (RowIterator,
-    * Query.Limit): double-opening a data dir is rejected until the
-    * first instance is [[close]]d. Atomic on HDFS/local
-    * ([[ChronoFs.createExclusive]]); best-effort on S3. */
+  /** Process LOCK, r17: a LEASE protocol, not a bare exist-check. The
+    * reference ships CreateLock/Release (internal/utils/fileutils.go:
+    * 242-271: O_CREATE|O_EXCL file, removed on release) but never wires
+    * it into DB.Open; r16 implemented that honestly — and inherited its
+    * weakness: a crashed holder leaked the LOCK forever, and on object
+    * stores "best-effort" was doing real work in the sentence. Now:
+    *
+    *  - the LOCK file carries the holder's UUID; the holder HEARTBEATS
+    *    it (content rewrite → mtime bump) every `lockLeaseMs / 3` from
+    *    a daemon thread;
+    *  - an opener finding a lock whose heartbeat is older than
+    *    `lockLeaseMs` takes it over: rename-aside (the CAS — of two
+    *    racing stealers exactly one rename succeeds on HDFS/local),
+    *    then create-exclusive + claim. A lock with a FRESH heartbeat is
+    *    never stolen — [[DatabaseLockedException]] as before;
+    *  - a holder whose lease was stolen anyway (heartbeats delayed past
+    *    the lease — long GC pause, network partition) discovers it at
+    *    its next heartbeat and POISONS the handle: every subsequent
+    *    verb throws, instead of two writers corrupting sidecars.
+    *
+    * S3A caveat, narrowed: `rename` there is copy+delete (non-atomic),
+    * so two stealers racing within the same window could both proceed —
+    * but the window is now one takeover of an already-crashed holder,
+    * not the entire lifetime of every lock. HDFS/local get the full
+    * guarantee. */
   private val lockPath = root.resolve("LOCK")
-  if (!cfs.createExclusive(lockPath))
-    throw new DatabaseLockedException(config.dataDir)
+  private val holderId = java.util.UUID.randomUUID().toString
+
+  /** (holder uuid — "" for a legacy/bare lock file, heartbeat millis). */
+  private def lockHolder(): Option[(String, Long)] =
+    try {
+      val st = cfs.fs.getFileStatus(lockPath)
+      val uuid =
+        try cfs.readLines(lockPath).headOption.getOrElse("").trim
+        catch { case _: java.io.IOException => "" }
+      Some((uuid, st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  private def writeLockPayload(): Unit = {
+    val out = cfs.fs.create(lockPath, true)
+    try out.write(holderId.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def acquireLock(): Unit = {
+    if (cfs.createExclusive(lockPath)) { writeLockPayload(); return }
+    val (uuid, hb) = lockHolder().getOrElse(("", 0L))
+    val age = System.currentTimeMillis() - hb
+    if (age <= config.lockLeaseMs)
+      throw new DatabaseLockedException(config.dataDir,
+        s"held by ${if (uuid.isEmpty) "<unknown>" else uuid}, " +
+          s"heartbeat ${age}ms ago (lease ${config.lockLeaseMs}ms)")
+    // stale: the holder stopped heartbeating at least a full lease ago —
+    // take over. The rename is the CAS: a racing stealer's rename fails.
+    val aside = lockPath.suffix(s".stale.$holderId")
+    try cfs.move(lockPath, aside)
+    catch {
+      case _: java.io.IOException =>
+        throw new DatabaseLockedException(config.dataDir,
+          "stale-lock takeover lost to a concurrent opener")
+    }
+    if (!cfs.createExclusive(lockPath)) {
+      cfs.deleteIfExists(aside)
+      throw new DatabaseLockedException(config.dataDir,
+        "stale-lock takeover lost to a concurrent opener")
+    }
+    writeLockPayload()
+    cfs.deleteIfExists(aside)
+    log.warn(s"took over stale LOCK at $lockPath (holder " +
+      s"${if (uuid.isEmpty) "<unknown>" else uuid}, heartbeat ${age}ms ago)")
+  }
+
+  acquireLock()
 
   @volatile private var closed = false
+  @volatile private var lockLostTo: Option[String] = None
 
-  private def requireOpen(): Unit =
+  private def beat(): Unit =
+    try lockHolder() match {
+      case Some((u, _)) if u == holderId => writeLockPayload()
+      case Some((u, _)) => lockLostTo = Some(if (u.isEmpty) "<unknown>" else u)
+      case None => lockLostTo = Some("<lock file deleted>")
+    } catch { case _: Throwable => () } // missed beat ≠ broken handle
+
+  private val heartbeat = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, s"chrono-lock-heartbeat-$holderId")
+        t.setDaemon(true); t })
+    val period = math.max(config.lockLeaseMs / 3, 50L)
+    ex.scheduleAtFixedRate(() => beat(), period, period,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    ex
+  }
+
+  private def requireOpen(): Unit = {
     if (closed) throw new DatabaseClosedException
+    lockLostTo.foreach(u => throw new DatabaseLockedException(config.dataDir,
+      s"this handle's lease was taken over by $u — refusing to write " +
+        "beside another holder"))
+  }
 
   /** Release the data-dir lock (reference ErrDatabaseClosed semantics:
-    * all verbs fail after close). Idempotent. */
+    * all verbs fail after close). Idempotent. Deletes the LOCK only
+    * while it still carries THIS handle's uuid — never a successor's. */
   def close(): Unit = synchronized {
     if (!closed) {
       closed = true
+      heartbeat.shutdownNow()
       // a closed handle must stop answering twin-routing lookups
       routedTables.keys.foreach(unregisterTwinRouting)
-      cfs.deleteIfExists(lockPath)
+      if (lockLostTo.isEmpty &&
+          lockHolder().exists { case (u, _) => u == holderId })
+        cfs.deleteIfExists(lockPath)
     }
   }
 

@@ -14,8 +14,9 @@ final class TableAlreadyExistsException(table: String)
 final class InvalidConfigException(detail: String)
   extends ChronoException(s"invalid config: $detail")
 
-final class DatabaseLockedException(dir: String)
-  extends ChronoException(s"data dir already open (LOCK present): $dir")
+final class DatabaseLockedException(dir: String, detail: String = "")
+  extends ChronoException(s"data dir already open (LOCK present): $dir" +
+    (if (detail.isEmpty) "" else s" — $detail"))
 
 final class DatabaseClosedException
   extends ChronoException("database is closed")
@@ -84,5 +85,9 @@ object ChronoConfigValidation {
     if (c.sketchCmsDepth > 0 && c.sketchCmsWidth < 2)
       throw new InvalidConfigException(
         s"sketchCmsWidth must be >= 2 when CMS is on, got ${c.sketchCmsWidth}")
+    if (c.lockLeaseMs < 100)
+      throw new InvalidConfigException(
+        s"lockLeaseMs must be >= 100 (heartbeats fire every lease/3), " +
+          s"got ${c.lockLeaseMs}")
   }
 }

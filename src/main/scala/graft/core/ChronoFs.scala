@@ -14,11 +14,13 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, LocatedFileStatus
   * (internal/utils/fileutils.go); the 100-TB north star is not.
   *
   * Semantics preserved from the nio layer, stated where they matter:
-  *  - [[createExclusive]] is the LOCK primitive (fileutils.go:242-271's
-  *    O_CREATE|O_EXCL): `FileSystem.createNewFile` is atomic on HDFS
-  *    and local; on S3A it is best-effort (S3 has no atomic
-  *    create-if-absent) — the documented single-writer model already
-  *    assumes cooperating processes.
+  *  - [[createExclusive]] is the LOCK acquisition primitive
+  *    (fileutils.go:242-271's O_CREATE|O_EXCL): atomic on HDFS and
+  *    local. Since r17 the LOCK itself is a LEASE (holder UUID +
+  *    heartbeat + stale takeover via rename-CAS — [[ChronoDB]] lock
+  *    scaladoc), so a crashed holder no longer leaks the lock, and the
+  *    remaining S3A weakness is one non-atomic rename during a
+  *    takeover of an already-dead holder, not the lock's lifetime.
   *  - [[move]] is the sidecar-swap primitive: `rename` is atomic on
   *    HDFS/local (the `.tmp`/`.old` crash protocol's requirement) and
   *    fails LOUDLY here instead of Hadoop's silent `false`.
