@@ -85,6 +85,9 @@ object ChronoConfigValidation {
     if (c.sketchCmsDepth > 0 && c.sketchCmsWidth < 2)
       throw new InvalidConfigException(
         s"sketchCmsWidth must be >= 2 when CMS is on, got ${c.sketchCmsWidth}")
+    if (c.trashGraceMs < 0)
+      throw new InvalidConfigException(
+        s"trashGraceMs must be >= 0 (0 = off), got ${c.trashGraceMs}")
     if (c.lockLeaseMs < 100)
       throw new InvalidConfigException(
         s"lockLeaseMs must be >= 100 (heartbeats fire every lease/3), " +
