@@ -179,6 +179,21 @@ object ChronoDB {
     }
   }
 
+  /** ts-field metadata key carrying a CREATE-time declared TTL
+    * (seconds) in the `_table_schema.json` sidecar — the retention twin
+    * of [[graft.plans.BucketPruneRule.GranularityKey]]. */
+  val TtlKey = "chrono.ttlSec"
+
+  /** Tag the schema's ts field with a declared TTL, PRESERVING its
+    * other metadata (the granularity pin rides the same field). */
+  def withTtl(schema: StructType, ttlSec: Long): StructType =
+    StructType(schema.fields.map { f =>
+      if (f.name == "ts")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(TtlKey, ttlSec).build())
+      else f
+    })
+
   /** Name+type equality, ignoring nullability and metadata — the
     * "is this the envelope" test. */
   private[core] def sameShape(a: StructType, b: StructType): Boolean =
@@ -383,27 +398,68 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * None = the first inserting handle's config decides (the default). */
   def createTable(name: String,
       schema: org.apache.spark.sql.types.StructType,
-      granularity: Option[String]): Unit = {
+      granularity: Option[String]): Unit =
+    createTable(name, schema, granularity, None)
+
+  /** [[createTable]] with a DECLARED per-table TTL (seconds) — the
+    * reference's TTL is one config knob for the whole DB
+    * (config.go:12-42); a real store holds tables with different
+    * retention side by side, so the TTL can now be pinned AT CREATE
+    * TIME (persisted as ts-field metadata in the schema sidecar,
+    * exactly like the granularity pin) and OVERRIDES the handle
+    * config's `ttl` for this table in every consumer: the insert-time
+    * gate, [[upsertFrame]]'s change-batch gate, [[cleanup]], and
+    * [[Maintenance]]'s background tick — whichever handle runs them. */
+  def createTable(name: String,
+      schema: org.apache.spark.sql.types.StructType,
+      granularity: Option[String],
+      ttlSec: Option[Long]): Unit = {
     requireOpen()
     ChronoDB.validateSchema(schema)
     granularity.foreach(g => require(g == "hour" || g == "day",
       s"granularity must be hour|day, got '$g'"))
+    ttlSec.foreach(t => require(t > 0, s"ttl must be positive, got $t"))
     val p = tablePath(name)
     if (cfs.exists(p))
       throw new TableAlreadyExistsException(name)
     cfs.mkdirs(p)
-    val stored = granularity match {
+    val pinned = granularity match {
       case Some(g) => ManifestFileIndex.withGranularity(schema, g)
       case None => schema
     }
-    // a pinned granularity forces the sidecar even for envelope shape —
-    // the pin must survive until the first insert writes labels
-    if (granularity.isDefined ||
+    val stored = ttlSec match {
+      case Some(t) => ChronoDB.withTtl(pinned, t)
+      case None => pinned
+    }
+    // a pinned granularity/ttl forces the sidecar even for envelope
+    // shape — the pin must survive until the first insert writes labels
+    if (granularity.isDefined || ttlSec.isDefined ||
         !ChronoDB.sameShape(schema, ChronoDB.EnvelopeSchema))
       cfs.writeLinesAtomic(schemaPath(name), Seq(stored.json))
     schemaCache.put(name, normalizedSchema(schema))
     granularity.foreach(granCache.put(name, _))
+    ttlCache.put(name, ttlSec)
   }
+
+  /** The table's EFFECTIVE TTL: declared at CREATE (schema-sidecar ts
+    * metadata) beats the handle config's DB-wide knob. Cached per
+    * (handle, table) — only DDL changes it, and DDL updates the cache. */
+  private val ttlCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Long]]
+
+  private def declaredTtl(name: String): Option[Long] =
+    ttlCache.getOrElseUpdate(name,
+      cfs.readLinesRecover(schemaPath(name)).flatMap { lines =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(lines.mkString("\n"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .find(_.name == "ts")
+          .filter(_.metadata.contains(ChronoDB.TtlKey))
+          .map(_.metadata.getLong(ChronoDB.TtlKey))
+      })
+
+  def ttlFor(name: String): Option[Long] =
+    declaredTtl(name).orElse(config.ttl)
 
   /** A CREATE-time granularity pin persisted in the schema sidecar's
     * ts metadata, if any. */
@@ -433,6 +489,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     unregisterTwinRouting(name)
     schemaCache.remove(name)
     granCache.remove(name)
+    ttlCache.remove(name)
     deleteRecursively(tablePath(name))
   }
 
@@ -468,12 +525,20 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val widened = org.apache.spark.sql.types.StructType(
       tableSchema(name).fields :+ field.copy(nullable = true))
     ChronoDB.validateSchema(widened)
-    // tableSchema() is metadata-normalized, so re-apply the CREATE-time
-    // granularity pin (stored as ts-field metadata in the sidecar)
-    // before rewriting it — an ALTER between CREATE and the first
-    // insert would otherwise silently drop the pin (ADVICE r16)
-    val stored = pinnedGranularity(name) match {
-      case Some(g) => ManifestFileIndex.withGranularity(widened, g)
+    // tableSchema() is metadata-normalized, so carry the ON-DISK ts
+    // metadata (the CREATE-time granularity pin and declared TTL) onto
+    // the widened schema before rewriting the sidecar — an ALTER
+    // between CREATE and the first insert would otherwise silently
+    // drop the pins (ADVICE r16)
+    val onDiskTsMeta = cfs.readLinesRecover(schemaPath(name)).flatMap { lines =>
+      org.apache.spark.sql.types.DataType.fromJson(lines.mkString("\n"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .find(_.name == "ts").map(_.metadata)
+    }
+    val stored = onDiskTsMeta match {
+      case Some(m) => org.apache.spark.sql.types.StructType(
+        widened.fields.map(f =>
+          if (f.name == "ts") f.copy(metadata = m) else f))
       case None => widened
     }
     cfs.writeLinesAtomic(schemaPath(name), Seq(stored.json))
@@ -886,7 +951,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       }: _*)
     // >= keeps a row aged exactly ttl — the reference drops only when
     // age strictly exceeds TTL (table.go:93).
-    val fresh = config.ttl match {
+    val fresh = ttlFor(name) match {
       case Some(ttlSec) =>
         normed.filter(col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
       case None => normed
@@ -1434,7 +1499,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // part in NEITHER verb, so the key's live state survives. (insert
     // re-applies the same >= cutoff; harmless.)
     val normed = Tables.normTs(df)
-    val fresh = config.ttl match {
+    val fresh = ttlFor(name) match {
       case Some(ttlSec) => normed.filter(
         col("ts") >= lit(new Timestamp(now.getTime - ttlSec * 1000L)))
       case None => normed
@@ -1883,7 +1948,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * reference's tablet-granularity deletion. Returns dropped buckets. */
   def cleanup(name: String,
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Seq[String] = {
-    val ttlSec = config.ttl.getOrElse(return Seq.empty)
+    val ttlSec = ttlFor(name).getOrElse(return Seq.empty)
     val p = requireTable(name)
     invalidateTwin(name)
     val gran = granularityFor(name)

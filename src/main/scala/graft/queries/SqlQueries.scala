@@ -358,12 +358,37 @@ object SqlQueries {
     val scanned = PlanMetrics.scannedFiles(q.queryExecution.executedPlan)
     val expected = after.count(e =>
       e.bucket >= "2024-01-05" && e.bucket <= "2024-01-09").toLong
+    // r17: TTL DECLARED AT CREATE (TBLPROPERTIES). A 2000-day retention
+    // admits the 2024 fixture through the insert-time gate at any
+    // plausible wall clock; wall-clock cleanup then drops NOTHING (no
+    // bucket is 2000 days past its end yet), while cleanup_as_of a far
+    // date drops EVERY bucket — the declared pin drives both, and the
+    // undeclared table (no catalog ttl option either) drops none.
+    spark.sql(s"CREATE TABLE $cat.ttl_ev (key STRING, ts TIMESTAMP, " +
+      "data BINARY) TBLPROPERTIES ('ttl'='2000d')")
+    spark.sql(s"INSERT INTO $cat.ttl_ev (key, ts, data) " +
+      "SELECT CAST(user_id AS STRING), ts, encode(event_type, 'UTF-8') " +
+      "FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'")
+    val ttlBuckets = graft.sources.ChronoLayout
+      .listEntries(root.resolve("ttl_ev")).map(_.bucket).distinct.size.toLong
+    val ttlNowDropped = spark.sql(s"CALL $cat.system.cleanup('ttl_ev')")
+      .head().getLong(0)
+    val ttlDropped = spark.sql(s"CALL $cat.system.cleanup_as_of('ttl_ev', " +
+      "TIMESTAMP '2031-01-01 00:00:00')").head().getLong(0)
+    val ttlEmpty = spark.sql(s"SELECT count(*) FROM $cat.ttl_ev")
+      .head().getLong(0) == 0L
+    val mainDropped = spark.sql(s"CALL $cat.system.cleanup_as_of('ev', " +
+      "TIMESTAMP '2031-01-01 00:00:00')").head().getLong(0)
+    val ttlOk = ttlBuckets > 0 && ttlNowDropped == 0L &&
+      ttlDropped == ttlBuckets && ttlEmpty && mainDropped == 0L
     val ok = vacuumed == 0L &&
       after.size <= before.size &&
       (compacted == 0L) == (after.size == before.size) &&
-      scanned == expected && scanned > 0 && scanned < after.size
+      scanned == expected && scanned > 0 && scanned < after.size &&
+      ttlOk
     val snap = q.withColumn("prune_ok", lit(ok)).localCheckpoint()
     spark.sql(s"DROP TABLE $cat.ev")
+    spark.sql(s"DROP TABLE $cat.ttl_ev")
     snap
     }
   }

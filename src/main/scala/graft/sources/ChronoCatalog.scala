@@ -202,9 +202,13 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
         c.nullable())))
     // TBLPROPERTIES('bucket'='day') pins THIS table's granularity under
     // a catalog whose default differs (persisted in the schema sidecar
-    // until the first insert writes labels)
+    // until the first insert writes labels);
+    // TBLPROPERTIES('ttl'='30d'|'12h'|'45m'|'3600s'|'<seconds>') pins a
+    // per-table retention that overrides the catalog's `ttl` option in
+    // every consumer (insert gate, CALL cleanup, Maintenance)
     val bucket = Option(properties.get("bucket"))
-    withDb(_.createTable(tableName(ident), schema, bucket))
+    val ttlSec = Option(properties.get("ttl")).map(ChronoCatalog.parseTtlSeconds)
+    withDb(_.createTable(tableName(ident), schema, bucket, ttlSec))
     loadTable(ident)
   }
 
@@ -258,15 +262,58 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       db => t => db.refreshBucketed(t).files.toLong)))
 
   override def listProcedures(ns: Array[String]): Array[Identifier] =
-    maintenanceProcs.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    (maintenanceProcs.keys.toSeq :+ "cleanup_as_of").sorted
+      .map(Identifier.of(Array("system"), _)).toArray
+
+  /** `CALL <cat>.system.cleanup_as_of('t', TIMESTAMP '...')` —
+    * [[ChronoDB.cleanup]] evaluated AS OF an explicit instant (the
+    * facade's `now` parameter exposed to SQL): retention replay /
+    * dry-run-at-a-date, and the deterministic form a test can pin (the
+    * wall-clock form drops nothing until real time passes). */
+  private def cleanupAsOfProcedure(): procedures.UnboundProcedure =
+    new procedures.UnboundProcedure {
+      override def name(): String = "cleanup_as_of"
+      override def description(): String =
+        "chrono cleanup evaluated as of an explicit timestamp"
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = "cleanup_as_of"
+          override def description(): String =
+            "chrono cleanup evaluated as of an explicit timestamp"
+          override def parameters(): Array[procedures.ProcedureParameter] =
+            Array(
+              procedures.ProcedureParameter
+                .in("table", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("as_of", org.apache.spark.sql.types.TimestampType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val table = input.getUTF8String(0).toString
+            val asOf = new java.sql.Timestamp(input.getLong(1) / 1000L)
+            val n = withDb(_.cleanup(table, asOf).size.toLong)
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  Array(org.apache.spark.sql.catalyst.InternalRow(n))
+                override def readSchema(): StructType = StructType(Seq(
+                  org.apache.spark.sql.types.StructField("buckets_dropped",
+                    org.apache.spark.sql.types.LongType, nullable = false)))
+              }
+            util.Collections.singletonList(out).iterator()
+          }
+        }
+    }
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
     if (!ident.namespace().sameElements(Array("system")))
       throw new NoSuchNamespaceException(ident.namespace())
+    if (ident.name() == "cleanup_as_of") return cleanupAsOfProcedure()
     val (resultCol, run) = maintenanceProcs.getOrElse(ident.name(),
       throw new UnsupportedOperationException(
         s"no such procedure: ${ident.name()} — available: " +
-          maintenanceProcs.keys.toSeq.sorted.mkString(", ")))
+          (maintenanceProcs.keys.toSeq :+ "cleanup_as_of").sorted
+            .mkString(", ")))
     val procName = ident.name()
     new procedures.UnboundProcedure {
       override def name(): String = procName
@@ -297,6 +344,23 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
           }
         }
     }
+  }
+}
+
+object ChronoCatalog {
+  /** `TBLPROPERTIES('ttl'=...)` accepts plain seconds or a
+    * days/hours/minutes/seconds suffix: '30d', '12h', '45m', '3600s'. */
+  def parseTtlSeconds(s: String): Long = {
+    val t = s.trim
+    val sec = t.last match {
+      case 'd' => t.dropRight(1).toLong * 86400L
+      case 'h' => t.dropRight(1).toLong * 3600L
+      case 'm' => t.dropRight(1).toLong * 60L
+      case 's' => t.dropRight(1).toLong
+      case _ => t.toLong
+    }
+    require(sec > 0, s"ttl must be positive, got '$s'")
+    sec
   }
 }
 

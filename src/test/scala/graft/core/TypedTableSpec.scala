@@ -223,6 +223,43 @@ class TypedTableSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("TTL declared at CREATE overrides the handle config for every consumer, survives ALTER") {
+    val dir = Files.createTempDirectory("ttlpin").toString
+    // handle config: NO ttl — the declared pin must be the one honored
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, writersPerBucket = 1))
+    try {
+      db.createTable("d", ChronoDB.EnvelopeSchema, Some("day"), Some(3600L))
+      assert(db.ttlFor("d") === Some(3600L))
+      // insert-time gate honors the declared TTL: an already-expired
+      // row is dropped silently (reference table.go:93-96 semantics)
+      db.insertSeq("d", Seq(
+        ChronoRow("old", ts("2024-03-01 08:00:00"), Array[Byte](1)),
+        ChronoRow("new", ts("2024-03-01 11:30:00"), Array[Byte](2))),
+        now = ts("2024-03-01 12:00:00"))
+      assert(db.table("d").count() === 1L)
+      // ALTER preserves BOTH ts pins (granularity + ttl)
+      db.addColumn("d", StructField("note", StringType))
+      assert(db.ttlFor("d") === Some(3600L))
+      // cleanup through a DIFFERENT handle (and different config ttl)
+      // still honors the declared pin, at bucket granularity
+      db.insertSeq("d", Seq(
+        ChronoRow("day2", ts("2024-03-02 10:00:00"), Array[Byte](3))),
+        now = ts("2024-03-02 10:30:00"))
+    } finally db.close()
+    val db2 = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      ttl = Some(999999999L), sketchLgK = 0, sketchCmsDepth = 0,
+      writersPerBucket = 1))
+    try {
+      assert(db2.ttlFor("d") === Some(3600L))
+      // day 1's bucket is wholly expired an hour+ past its end; day 2's
+      // is not
+      assert(db2.cleanup("d", now = ts("2024-03-02 12:00:00")) ===
+        Seq("2024-03-01"))
+      assert(db2.table("d").count() === 1L)
+    } finally db2.close()
+  }
+
   test("ADVICE r16: ALTER ADD COLUMN before first insert preserves the granularity pin") {
     val dir = Files.createTempDirectory("pinalter").toString
     val cat = s"pa${System.nanoTime() % 1000000}"
