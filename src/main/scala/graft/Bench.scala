@@ -62,7 +62,9 @@ object Bench {
       // BENCH_rN.json itself
       "q58_chrono_source", "d39_bucketed_autoroute",
       "s18_stream_sink_chrono", "s19_stream_source_chrono",
-      "q60_chrono_catalog", "q61_chrono_typed_docs")
+      "q60_chrono_catalog", "q61_chrono_typed_docs",
+      // r17 surface: SQL row-level DML + the catalog streaming tail
+      "q63_chrono_sql_delete", "s20_stream_catalog_tail")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =
@@ -122,17 +124,26 @@ object Bench {
     // box inflates median and mean, but the min of 3 still approaches
     // the true cost), and the raw per-run times (run order, unsorted)
     // let a judge see WHICH run an outlier hit without re-running.
-    def time3(qs: Seq[graft.core.QueryDef]): Seq[(String, Double, Double, Seq[Double])] =
+    // Per run, the gate-marked SETUP time (graft.core.BenchPhases —
+    // temp-table seeding inside the storage gates) is captured beside
+    // the total, and the detail artifact reports {setup, measured}
+    // per query so a BENCH_rN delta on q60/q61/d39/s18/s19/q63/s20
+    // tracks the OPERATOR, not the seeding (VERDICT r16 "wrong" #3).
+    def time3(qs: Seq[graft.core.QueryDef])
+        : Seq[(String, Double, Double, Seq[Double], Double)] =
       qs.map { q =>
         var ok = true
-        val raw = (1 to 3).map { _ =>
+        val timed = (1 to 3).map { _ =>
+          graft.core.BenchPhases.reset()
           val t0 = System.nanoTime()
           ok = run(q) && ok
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, graft.core.BenchPhases.setupSec)
         }
+        val raw = timed.map(_._1)
         val sorted = raw.sorted
-        if (ok) (q.name, sorted(1), sorted(0), raw)
-        else (q.name, -1.0, -1.0, raw.map(_ => -1.0))
+        val setupMed = timed.map(_._2).sorted.apply(1)
+        if (ok) (q.name, sorted(1), sorted(0), raw, setupMed)
+        else (q.name, -1.0, -1.0, raw.map(_ => -1.0), -1.0)
       }
     val results = time3(headline)
     val secResults = time3(secondary)
@@ -160,6 +171,12 @@ object Bench {
     val sec = obj(secResults.map(r => r._1 -> r._2))
     val secMin = obj(secResults.map(r => r._1 -> r._3))
     val secRaw = objArr(secResults.map(r => r._1 -> r._4))
+    // {setup, measured} split for the gate-marked storage queries
+    // (zero setup = the whole query IS the operator)
+    val withSetup = secResults.filter(_._5 > 0)
+    val secSetup = obj(withSetup.map(r => r._1 -> r._5))
+    val secMeasured = obj(withSetup.map(r =>
+      r._1 -> (if (r._2 < 0) -1.0 else math.max(r._2 - r._5, 0.0))))
     // a failed headline query (-1 sentinel) must poison the totals
     // loudly, not shave them: totals go negative iff anything failed
     val total =
@@ -215,7 +232,7 @@ object Bench {
       s""""headline_rerun":{"total":$rTotal,"min_total":$rMin,"load_at_rerun":$loadAtRerun,"queries":${obj(rr.map(r => r._1 -> r._2))},"queries_min":${obj(rr.map(r => r._1 -> r._3))}},"""
     }.getOrElse("")
     val contended = loadAtStart > 2.0
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"queries":$qs,"queries_min":$qsMin,"queries_raw":$qsRaw,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"secondary_raw":$secRaw,$ingest$rerunJson"load_avg_1m":$load,"load_at_start":$loadAtStart,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"queries":$qs,"queries_min":$qsMin,"queries_raw":$qsRaw,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"secondary_raw":$secRaw,"secondary_setup":$secSetup,"secondary_measured":$secMeasured,$ingest$rerunJson"load_avg_1m":$load,"load_at_start":$loadAtStart,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
     // A failed run must not leave a plausible-looking artifact behind:
     // r13's bench failed 140/140 invocations yet exited 0 and wrote the
     // all-−1 detail file, which then got committed as the round's
