@@ -69,9 +69,12 @@ import graft.core.{ChronoConfig, ChronoDB, ChronoFs, ManifestEntry}
   * as callable procedures, each returning its metric as a one-row
   * result.
   *
-  * Namespace model: one flat namespace, `default` — the reference's DB
-  * has no schema levels either. `chrono.ev` and `chrono.default.ev`
-  * both resolve. */
+  * Namespace model (r17): `default` = the dataDir root (the reference's
+  * flat DB); `CREATE NAMESPACE <cat>.raw` adds ONE level — a marked
+  * subdir that is its own facade root (own LOCK: writers in different
+  * zones never contend), for the raw/curated/serving zoning a training
+  * store wants. `chrono.ev`, `chrono.default.ev` and `chrono.raw.ev`
+  * all resolve; maintenance procedures take `'t'` or `'ns.t'`. */
 final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
 
@@ -117,20 +120,72 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     try f(db) finally db.close()
   }
 
+  /** r17 multi-namespace model: a NAMESPACE is a first-level subdir of
+    * dataDir carrying a `_namespace` marker file (created by `CREATE
+    * NAMESPACE` — the marker disambiguates a namespace dir from a table
+    * dir, which is also a first-level subdir). `default` = the dataDir
+    * root itself, as before. One level only (the reference's DB has no
+    * schema levels; one is the useful extension — raw/curated/serving
+    * zones under one store). Each namespace is its own facade root:
+    * mutating verbs hold that NAMESPACE's LOCK, so writers in different
+    * zones never contend. Per-table granularity/TTL (r16/r17) apply
+    * unchanged — they live with the table, not the namespace. */
+  private def isNamespaceDir(cfs: ChronoFs, root: HPath, name: String): Boolean =
+    cfs.exists(new HPath(new HPath(root, name), "_namespace"))
+
+  private def namespaceNames(): Seq[String] = {
+    val (cfs, root) = fsRoot
+    cfs.list(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(isNamespaceDir(cfs, root, _)).sorted.toSeq
+  }
+
   private def requireNs(ns: Array[String]): Unit =
-    if (!(ns.isEmpty || ns.sameElements(Array("default"))))
-      throw new NoSuchNamespaceException(ns)
+    if (!isDefaultNs(ns) && !(ns.length == 1 && {
+      val (cfs, root) = fsRoot
+      isNamespaceDir(cfs, root, ns(0))
+    })) throw new NoSuchNamespaceException(ns)
+
+  private def isDefaultNs(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("default"))
+
+  /** The namespace's own data root — the dataDir itself for `default`,
+    * the marked subdir otherwise. */
+  private def nsRoot(ns: Array[String]): HPath = {
+    requireNs(ns)
+    val (_, root) = fsRoot
+    if (isDefaultNs(ns)) root else new HPath(root, ns(0))
+  }
+
+  /** Per-namespace facade config (each namespace is a facade root). */
+  private def nsCfg(ns: Array[String]): ChronoConfig =
+    if (isDefaultNs(ns)) cfg else cfg.copy(dataDir = nsRoot(ns).toString)
+
+  private def withDbIn[A](ns: Array[String])(f: ChronoDB => A): A = {
+    val db = new ChronoDB(spark, nsCfg(ns))
+    try f(db) finally db.close()
+  }
 
   private def tableName(ident: Identifier): String = {
     requireNs(ident.namespace())
     ident.name()
   }
 
-  // --- namespaces: one flat level ---
+  /** Maintenance-procedure table argument: `'t'` (default namespace)
+    * or `'ns.t'`. */
+  private def splitTableArg(arg: String): (Array[String], String) =
+    arg.split('.') match {
+      case Array(t) => (Array("default"), t)
+      case Array(n, t) => (Array(n), t)
+      case _ => throw new IllegalArgumentException(
+        s"table argument must be 't' or 'ns.t', got '$arg'")
+    }
+
+  // --- namespaces ---
 
   override def defaultNamespace(): Array[String] = Array("default")
 
-  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+  override def listNamespaces(): Array[Array[String]] =
+    (Array("default") +: namespaceNames().map(Array(_))).toArray
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
     requireNs(ns)
@@ -139,44 +194,71 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
     requireNs(ns)
-    Map("location" -> cfg.dataDir).asJava
+    Map("location" -> nsRoot(ns).toString).asJava
   }
 
   override def createNamespace(ns: Array[String],
-      metadata: util.Map[String, String]): Unit =
-    throw new UnsupportedOperationException(
-      "chrono catalogs have one flat namespace ('default')")
+      metadata: util.Map[String, String]): Unit = {
+    require(ns.length == 1 && ns(0).nonEmpty && !ns(0).startsWith("_") &&
+      !ns(0).contains("/"),
+      s"chrono namespaces are one level: ${ns.mkString(".")}")
+    if (ns(0) == "default" || {
+      val (cfs, root) = fsRoot
+      cfs.isDirectory(new HPath(root, ns(0)))
+    }) throw new IllegalArgumentException(
+      s"namespace or table '${ns(0)}' already exists")
+    val (cfs, root) = fsRoot
+    cfs.mkdirs(new HPath(root, ns(0)))
+    cfs.writeLinesAtomic(new HPath(new HPath(root, ns(0)), "_namespace"),
+      Seq("chrono namespace"))
+  }
 
   override def alterNamespace(ns: Array[String],
       changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("chrono namespaces are fixed")
+    throw new UnsupportedOperationException("chrono namespaces carry no properties")
 
-  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException("chrono namespaces are fixed")
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (isDefaultNs(ns)) throw new UnsupportedOperationException(
+      "the default namespace is the data dir itself — not droppable")
+    requireNs(ns)
+    if (!cascade && listTables(ns).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${ns(0)} is not empty — use CASCADE")
+    // drop through the facade per table (twin catalog cleanup), then
+    // the marker + dir
+    if (cascade) withDbIn(ns)(db => db.listTables().foreach(db.dropTable))
+    val (cfs, _) = fsRoot
+    cfs.deleteRecursively(nsRoot(ns))
+    true
+  }
 
   // --- tables ---
 
   /** READ verb — lists table directories without taking the writer
     * LOCK (a long-lived facade elsewhere must not make SHOW TABLES
-    * fail; reads never needed the lock on any other path either). */
+    * fail; reads never needed the lock on any other path either).
+    * Namespace dirs are excluded from the default listing (and the
+    * marker file is not a directory, so it self-excludes). */
   override def listTables(ns: Array[String]): Array[Identifier] = {
     requireNs(ns)
-    val (cfs, root) = fsRoot
-    cfs.list(root).filter(_.isDirectory).map(_.getPath.getName).sorted
-      .map(Identifier.of(Array("default"), _)).toArray
+    val (cfs, _) = fsRoot
+    val base = nsRoot(ns)
+    val nsName = if (isDefaultNs(ns)) "default" else ns(0)
+    cfs.list(base).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => isDefaultNs(ns) && isNamespaceDir(cfs, base, n))
+      .sorted.map(Identifier.of(Array(nsName), _)).toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean = {
-    val (cfs, root) = fsRoot
-    (ident.namespace().isEmpty ||
-      ident.namespace().sameElements(Array("default"))) &&
-      cfs.isDirectory(new HPath(root, ident.name()))
-  }
+  override def tableExists(ident: Identifier): Boolean =
+    try {
+      val (cfs, _) = fsRoot
+      cfs.isDirectory(new HPath(nsRoot(ident.namespace()), ident.name()))
+    } catch { case _: NoSuchNamespaceException => false }
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val (cfs, root) = fsRoot
-    val tableRoot = new HPath(root, ident.name())
+    val (cfs, _) = fsRoot
+    val tableRoot = new HPath(nsRoot(ident.namespace()), ident.name())
     // labels (ground truth) → CREATE-time pin → the catalog's default:
     // one ROOT-level listing, never a per-bucket walk (loadTable runs
     // on every reference)
@@ -186,9 +268,11 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     val declared = graft.core.ManifestFileIndex.withGranularity(
       ChronoLayout.declaredSchema(cfs, tableRoot)
         .getOrElse(ChronoDB.EnvelopeSchema), granularity)
+    val nsPart =
+      if (isDefaultNs(ident.namespace())) "" else s"${ident.namespace()(0)}."
     new ChronoV2Table(spark, cfs, tableRoot,
-      s"$catalogName.${ident.name()}", ident.name(), declared,
-      granularity, cfg)
+      s"$catalogName.$nsPart${ident.name()}", ident.name(), declared,
+      granularity, nsCfg(ident.namespace()))
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
@@ -208,7 +292,8 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     // every consumer (insert gate, CALL cleanup, Maintenance)
     val bucket = Option(properties.get("bucket"))
     val ttlSec = Option(properties.get("ttl")).map(ChronoCatalog.parseTtlSeconds)
-    withDb(_.createTable(tableName(ident), schema, bucket, ttlSec))
+    withDbIn(ident.namespace())(
+      _.createTable(tableName(ident), schema, bucket, ttlSec))
     loadTable(ident)
   }
 
@@ -220,7 +305,7 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        withDb(_.addColumn(tableName(ident),
+        withDbIn(ident.namespace())(_.addColumn(tableName(ident),
           org.apache.spark.sql.types.StructField(
             add.fieldNames()(0), add.dataType(), nullable = true)))
       case other => throw new UnsupportedOperationException(
@@ -235,7 +320,7 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     else {
       // the facade's delete protocol: twin catalog cleanup + recursive
       // delete under the LOCK
-      withDb(_.dropTable(tableName(ident)))
+      withDbIn(ident.namespace())(_.dropTable(tableName(ident)))
       true
     }
 
@@ -289,9 +374,9 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
           override def isDeterministic: Boolean = false
           override def call(input: org.apache.spark.sql.catalyst.InternalRow)
               : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
-            val table = input.getUTF8String(0).toString
+            val (tblNs, table) = splitTableArg(input.getUTF8String(0).toString)
             val asOf = new java.sql.Timestamp(input.getLong(1) / 1000L)
-            val n = withDb(_.cleanup(table, asOf).size.toLong)
+            val n = withDbIn(tblNs)(_.cleanup(table, asOf).size.toLong)
             val out: org.apache.spark.sql.connector.read.Scan =
               new org.apache.spark.sql.connector.read.LocalScan {
                 override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
@@ -330,8 +415,8 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
           override def isDeterministic: Boolean = false
           override def call(input: org.apache.spark.sql.catalyst.InternalRow)
               : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
-            val table = input.getUTF8String(0).toString
-            val n = withDb(db => run(db)(table))
+            val (tblNs, table) = splitTableArg(input.getUTF8String(0).toString)
+            val n = withDbIn(tblNs)(db => run(db)(table))
             val out: org.apache.spark.sql.connector.read.Scan =
               new org.apache.spark.sql.connector.read.LocalScan {
                 override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =

@@ -20,6 +20,7 @@ object ChronoProps extends Properties("chrono") {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -24,6 +24,7 @@ object TypedTableProps extends Properties("typedtable") {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

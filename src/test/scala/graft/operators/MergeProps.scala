@@ -28,6 +28,7 @@ object MergeProps extends Properties("merge") {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -146,6 +146,47 @@ class ChronoCatalogSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $cat.ev")
   }
 
+  test("multi-namespace: CREATE NAMESPACE zones with own locks; cross-namespace SHOW/DML") {
+    val cat = freshCat("bucket" -> "day")
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE NAMESPACE $cat.curated")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).toSet === Set("default", "raw", "curated"))
+    // tables in default and in a zone; the zone dir is NOT a table
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, v BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.raw.docs (doc_id BIGINT, ts TIMESTAMP, text STRING)")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSeq === Seq("ev"))
+    assert(spark.sql(s"SHOW TABLES IN $cat.raw").collect()
+      .map(_.getString(1)).toSeq === Seq("docs"))
+    // full verb surface inside the zone: INSERT / SELECT / DELETE / CALL
+    spark.sql(s"INSERT INTO $cat.raw.docs (doc_id, ts, text) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 'a')," +
+      "(2, TIMESTAMP '2024-01-02 10:00:00', 'b')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.raw.docs").head().getLong(0) === 2L)
+    spark.sql(s"DELETE FROM $cat.raw.docs WHERE doc_id = 2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.raw.docs").head().getLong(0) === 1L)
+    assert(spark.sql(s"CALL $cat.system.vacuum_orphans('raw.docs')")
+      .head().getLong(0) === 0L)
+    // zones lock independently: a facade holding the DEFAULT root's
+    // lock must not block zone DML
+    val dataDir = spark.conf.get(s"spark.sql.catalog.$cat.dataDir")
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(dataDir, bucket = "day"))
+    try spark.sql(s"INSERT INTO $cat.raw.docs (doc_id, ts, text) VALUES " +
+      "(3, TIMESTAMP '2024-01-03 10:00:00', 'c')")
+    finally db.close()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.raw.docs").head().getLong(0) === 2L)
+    // non-empty namespace refuses a bare DROP; CASCADE drops through
+    // the facade's delete protocol
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.raw") }
+    spark.sql(s"DROP NAMESPACE $cat.raw CASCADE")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).toSet === Set("default", "curated"))
+    spark.sql(s"DROP NAMESPACE $cat.curated")
+    spark.sql(s"DROP TABLE $cat.ev")
+  }
+
   test("ADVICE r16: an invalid catalog bucket option fails at initialize, not first write") {
     val cat = freshCat("bucket" -> "daily")
     val e = intercept[Exception] {
