@@ -87,6 +87,8 @@ object ScaleProbe {
         if (args.length > 2) args(2) else "user_id")
     if (args.headOption.contains("bucketjoin")) return bucketJoinProbe(args(1))
     if (args.headOption.contains("lifecycle")) return lifecycleProbe(args(1))
+    if (args.headOption.contains("dml"))
+      return dmlProbe(args(1), if (args.length > 2) args(2).toInt else 1)
     if (args.headOption.contains("tailsource")) return tailSourceProbe(args(1))
     if (args.headOption.contains("tailage"))
       return tailAgeProbe(args(1).toInt,
@@ -379,6 +381,121 @@ object ScaleProbe {
       if (!ok) sys.exit(1)
     } finally {
       db.close()
+      rmrf(root)
+    }
+  }
+
+  /** Row-level DML vs TABLE AGE (r17): the copy-on-write verbs' cost
+    * must track the AFFECTED window, not the table — at 100 TB a
+    * 3-bucket DELETE/UPDATE/MERGE on a decade-old table has to read and
+    * rewrite three buckets' worth of data, full stop. `mult` replicates
+    * the fixture with shifted ts (mult× the BUCKET COUNT, same rows per
+    * bucket, same fixed 3-bucket mutation window): run at mult=1 and
+    * mult=10, the delete/update/merge timings must be FLAT while table
+    * age grows 10× — and the probe asserts the untouched buckets'
+    * file lists are BYTE-IDENTICAL before/after each verb (nothing
+    * outside the window was rewritten), plus exact row accounting. The
+    * MERGE runs through the real SQL path (catalog + extension), so the
+    * measurement covers the whole stack, not just the facade tail. */
+  private def dmlProbe(sfDir: String, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("dmlprobe").toString
+    val cat = s"dmlp${System.nanoTime() % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "day"))
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      db.createTable("ev", schema)
+      val base = graft.core.Tables.t(spark, sfDir, "events")
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          col("event_id").cast("long").as("v"))
+      // mult× the table AGE: each replica shifts ts by k·35 days (the
+      // fixture spans ~30), so bucket count grows mult× while the
+      // mutation window below stays the same 3 buckets
+      val aged = base.crossJoin(
+          spark.range(mult).select(col("id").as("__k")))
+        .select(col("key"),
+          (col("ts") + make_dt_interval(col("__k") * lit(35L))).as("ts"),
+          col("v"))
+      val (_, insertSec) = timed(db.insertFrame("ev", aged))
+      val rows = db.table("ev").count()
+      val buckets = graft.sources.ChronoLayout
+        .listEntries(java.nio.file.Paths.get(root, "ev"))
+        .map(_.bucket).distinct.size
+      def fileSnapshot(excludeLo: String, excludeHi: String) =
+        graft.sources.ChronoLayout
+          .listEntries(java.nio.file.Paths.get(root, "ev"))
+          .filterNot(e => e.bucket >= excludeLo && e.bucket <= excludeHi)
+          .map(e => (e.bucket, e.file, e.size)).toSet
+      // --- DELETE: 3 buckets (Jan 1-3 of the FIRST replica) ---
+      val preDel = fileSnapshot("2024-01-01", "2024-01-03")
+      val (deleted, deleteSec) = timed(db.deleteWhere("ev",
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00"))))
+      val delUntouched = fileSnapshot("2024-01-01", "2024-01-03") == preDel
+      // --- UPDATE: the next 3 buckets ---
+      val preUpd = fileSnapshot("2024-01-04", "2024-01-06")
+      val (updated, updateSec) = timed(db.updateWhere("ev",
+        Seq("v" -> (col("v") * lit(2L))),
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-07 00:00:00"))))
+      val updUntouched = fileSnapshot("2024-01-04", "2024-01-06") == preUpd
+      // --- MERGE (the full SQL stack): upsert a small change batch
+      //     whose keys hit the NEXT 3 buckets ---
+      spark.sql(s"SELECT key, ts, v FROM $cat.ev " +
+        "WHERE ts >= TIMESTAMP '2024-01-07 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-10 00:00:00'")
+        .groupBy("key").agg(max("ts").as("mts"), count(lit(1)).as("mn"))
+        .createOrReplaceTempView("dml_changes")
+      val preMrg = fileSnapshot("2024-01-07", "2024-01-09")
+      // the catalog MERGE opens its own facade handle on this root —
+      // release the probe's LOCK first (single-writer contract)
+      db.close()
+      // the ON clause carries the change batch's ts bounds — the CDC
+      // best practice that lets the affected-bucket discovery PRUNE
+      // (a bare key-equality merge must by definition look everywhere)
+      val (merged, mergeSec) = timed(spark.sql(
+        s"""MERGE INTO $cat.ev t USING dml_changes s
+           |ON t.key = s.key AND t.ts = s.mts
+           |  AND t.ts >= TIMESTAMP '2024-01-07 00:00:00'
+           |  AND t.ts < TIMESTAMP '2024-01-10 00:00:00'
+           |WHEN MATCHED THEN UPDATE SET v = t.v + s.mn
+           |""".stripMargin).head().getLong(0))
+      val mrgUntouched = fileSnapshot("2024-01-07", "2024-01-09") == preMrg
+      val after = spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+      val rowsOk = after == rows - deleted
+      val ok = delUntouched && updUntouched && mrgUntouched && rowsOk &&
+        deleted > 0 && updated > 0 && merged > 0
+      println(f"""{"probe":"dml","mult":$mult,"rows":$rows,"buckets":$buckets,"insert_sec":$insertSec%.3f,"deleted":$deleted,"delete_sec":$deleteSec%.3f,"updated":$updated,"update_sec":$updateSec%.3f,"merged":$merged,"merge_sec":$mergeSec%.3f,"untouched_outside_window":${delUntouched && updUntouched && mrgUntouched},"rows_ok":$rowsOk,"ok":$ok}""")
+      if (!ok) sys.exit(1)
+    } finally {
+      db.close()
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.dataDir")
+      spark.conf.unset(s"spark.sql.catalog.$cat.bucket")
       rmrf(root)
     }
   }
