@@ -52,6 +52,56 @@ object ChronoProps extends Properties("chrono") {
       got == want
     }
 
+  property("deleteWhere == brute-force complement; sidecars stay consistent") =
+    forAll(genRows, genRange) { case (rows, (s, e)) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val db = new ChronoDB(spark,
+        ChronoConfig(Files.createTempDirectory("propdel").toString))
+      try {
+        db.createTable("t")
+        db.insertSeq("t", rows)
+        // predicate mixes the time axis and a key shape — both rewrite
+        // paths (emptied buckets + survivor rewrites) get exercised as
+        // the random range slides
+        val cond = col("ts") >= lit(s) && col("ts") <= lit(e) &&
+          col("key") >= lit("g")
+        val doomed = rows.count(r =>
+          !r.ts.before(s) && !r.ts.after(e) && r.key >= "g")
+        val deleted = db.deleteWhere("t", cond)
+        val got = db.table("t").collect()
+          .map(r => (r.getString(0), r.getTimestamp(1))).sorted.toSeq
+        val want = rows.filterNot(r =>
+          !r.ts.before(s) && !r.ts.after(e) && r.key >= "g")
+          .map(r => (r.key, r.ts)).sorted
+        deleted == doomed && got == want && db.sidecarsConsistent("t")
+      } finally db.close()
+    }
+
+  property("updateWhere == brute-force CASE; moved-ts rows re-bucket") =
+    forAll(genRows, genRange) { case (rows, (s, e)) =>
+      import org.apache.spark.sql.functions.{col, expr, lit}
+      val db = new ChronoDB(spark,
+        ChronoConfig(Files.createTempDirectory("propupd").toString))
+      try {
+        db.createTable("t")
+        db.insertSeq("t", rows)
+        val cond = col("ts") >= lit(s) && col("ts") <= lit(e)
+        // move hit rows 10 days forward — every hit crosses into a
+        // bucket OUTSIDE the affected set (the re-bucket insert path)
+        val updated = db.updateWhere("t",
+          Seq("ts" -> (col("ts") + expr("INTERVAL 10 DAYS"))), cond)
+        val hit = rows.count(r => !r.ts.before(s) && !r.ts.after(e))
+        val got = db.table("t").collect()
+          .map(r => (r.getString(0), r.getTimestamp(1))).sorted.toSeq
+        val want = rows.map { r =>
+          if (!r.ts.before(s) && !r.ts.after(e))
+            (r.key, new Timestamp(r.ts.getTime + 10L * 86400000L))
+          else (r.key, r.ts)
+        }.sorted
+        updated == hit && got == want && db.sidecarsConsistent("t")
+      } finally db.close()
+    }
+
   property("asOf == brute-force argmax over t' <= t") = {
     import spark.implicits._
     val genKT: Gen[(Long, Long)] = for {
