@@ -36,7 +36,7 @@ import graft.core.{ChronoConfig, ChronoDB, ChronoFs, ManifestEntry}
   *   spark.sql.catalog.chrono.dataDir = /data/chrono        (required)
   *   spark.sql.catalog.chrono.bucket  = hour|day            (default hour)
   *   spark.sql.catalog.chrono.stats   = full|bloom|none     (default full)
-  *   spark.sql.catalog.chrono.ttl     = <seconds>           (optional)
+  *   spark.sql.catalog.chrono.ttl     = <seconds>|30d|12h    (optional)
   * }}}
   * One dataDir = one [[ChronoConfig]] — exactly the facade's model (a
   * ChronoDB handle carries one config for every table under its root),
@@ -102,7 +102,7 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
         s"stats must be full|bloom|none, got '$other'")
     }
     cfg = base.copy(
-      ttl = Option(options.get("ttl")).map(_.toLong),
+      ttl = Option(options.get("ttl")).map(ChronoCatalog.parseTtlSeconds),
       keyBuckets = Option(options.get("keyBuckets")).map(_.toInt).getOrElse(0))
   }
 
