@@ -324,10 +324,24 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       true
     }
 
-  override def renameTable(from: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "chrono tables do not support RENAME (the reference has no such " +
-        "verb either); copy via backup/restore")
+  /** `ALTER TABLE ... RENAME TO ...` (r17 — the last refused catalog
+    * verb): a same-namespace rename is one directory move under that
+    * namespace's LOCK ([[ChronoDB.renameTable]]: sidecars and
+    * granularity/TTL pins travel relative; the path-keyed bucketed twin
+    * drops and rebuilds on next use). CROSS-namespace renames are
+    * refused loudly — a move between two independently-locked facade
+    * roots has a visible half-moved window this engine will not offer;
+    * use backup/restore for zone promotion. */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    val sameNs =
+      (isDefaultNs(from.namespace()) && isDefaultNs(to.namespace())) ||
+        from.namespace().sameElements(to.namespace())
+    if (!sameNs) throw new UnsupportedOperationException(
+      "chrono RENAME moves a table within ITS namespace (one lock, one " +
+        "atomic move); promote across zones via backup/restore")
+    withDbIn(from.namespace())(_.renameTable(from.name(), to.name()))
+  }
 
   // --- maintenance procedures: `CALL <cat>.system.compact('ev')` —
   //     the reference's background maintenance loop (table.go:240-369,

@@ -187,6 +187,69 @@ class ChronoCatalogSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $cat.ev")
   }
 
+  test("ALTER TABLE RENAME: sidecars and pins travel, twin rebuilds, cross-ns refused") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.old (key STRING, ts TIMESTAMP, v BIGINT) " +
+      "TBLPROPERTIES ('bucket'='day', 'ttl'='2000d')")
+    spark.sql(s"INSERT INTO $cat.old (key, ts, v) SELECT CAST(id AS STRING), " +
+      "timestamp_micros(1704067200000000 + id * 86400000000), id FROM range(6)")
+    // the TO identifier is CATALOG-RELATIVE (Spark hands the connector
+    // whatever trails the catalog) — plain `fresh` or `default.fresh`
+    spark.sql(s"ALTER TABLE $cat.old RENAME TO fresh")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSeq === Seq("fresh"))
+    // data, typed schema, and the DAY pin (bucket labels) traveled
+    assert(spark.sql(s"SELECT count(*) FROM $cat.fresh").head().getLong(0) === 6L)
+    assert(spark.table(s"$cat.fresh").columns.toSeq ===
+      Seq("key", "ts", "v", "bucket"))
+    assert(spark.sql(s"SELECT bucket FROM $cat.fresh LIMIT 1")
+      .head().getString(0).length === 10) // day label
+    // the declared TTL pin traveled too (facade view of the new name)
+    val dataDir = spark.conf.get(s"spark.sql.catalog.$cat.dataDir")
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(dataDir, bucket = "day"))
+    try {
+      assert(db.ttlFor("fresh") === Some(2000L * 86400))
+      assert(db.manifestConsistent("fresh") && db.sidecarsConsistent("fresh"))
+    } finally db.close()
+    // old name gone; rename onto an existing table refused
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.old").collect() }
+    spark.sql(s"CREATE TABLE $cat.other (key STRING, ts TIMESTAMP, v BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.fresh RENAME TO other")
+    }
+    // cross-namespace refusal, loudly
+    spark.sql(s"CREATE NAMESPACE $cat.zone")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.fresh RENAME TO zone.fresh")
+    }
+    assert(e.getMessage.contains("backup/restore"))
+    spark.sql(s"DROP NAMESPACE $cat.zone")
+    spark.sql(s"DROP TABLE $cat.fresh"); spark.sql(s"DROP TABLE $cat.other")
+  }
+
+  test("rename invalidates the bucketed twin wholesale; next rebuild serves the new path") {
+    val dir = Files.createTempDirectory("rename_twin").toString
+    val db = new graft.core.ChronoDB(spark, graft.core.ChronoConfig(dir,
+      bucket = "day", keyBuckets = 4))
+    try {
+      import spark.implicits._
+      db.createTable("t")
+      db.insertSeq("t", (0 until 8).map(i => graft.core.ChronoRow(s"k$i",
+        java.sql.Timestamp.valueOf(f"2024-01-0${i % 3 + 1} 10:00:00"),
+        Array[Byte](1))))
+      db.rebuildBucketed("t")
+      assert(db.bucketedTable("t").count() === 8L)
+      db.renameTable("t", "t2")
+      assert(db.table("t2").count() === 8L)
+      intercept[Exception](db.table("t"))
+      // the twin was dropped with the rename — a fresh rebuild works
+      // under the new name/path
+      assert(db.refreshBucketed("t2").mode === "rebuild")
+      assert(db.bucketedTable("t2").count() === 8L)
+    } finally db.close()
+  }
+
   test("ADVICE r16: an invalid catalog bucket option fails at initialize, not first write") {
     val cat = freshCat("bucket" -> "daily")
     val e = intercept[Exception] {
