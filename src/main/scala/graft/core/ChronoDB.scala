@@ -917,7 +917,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
 
   def listTables(): Seq[String] = {
     requireOpen()
-    cfs.list(root).filter(_.isDirectory).map(_.getPath.getName).sorted
+    // catalog NAMESPACE dirs (marked subdirs, r17) are sub-roots, not
+    // tables of THIS root — a facade opened on a catalog's dataDir must
+    // not run table verbs (Maintenance tick, backupAll) against them.
+    // They still back up: copyRecursively of a namespace dir would be
+    // correct, but zoned stores are backed up per namespace root.
+    cfs.list(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => cfs.exists(root.resolve(n).resolve("_namespace")))
+      .sorted
   }
 
   private def requireTable(name: String): HPath = {
