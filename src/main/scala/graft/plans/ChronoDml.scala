@@ -224,24 +224,42 @@ private object ChronoDmlRunner {
 
       // --- fate of existing rows in affected buckets (computed and
       //     MATERIALIZED against pre-mutation state) ---
-      val fate: Option[DataFrame] = if (affected.isEmpty) None else {
+      val fate: Option[DataFrame] = if (affected.isEmpty) None
+      else if (c.matchedActions.isEmpty) {
+        // BY-SOURCE-only merge: no source columns are needed, so the
+        // fate splits into a semi-join (matched rows pass through
+        // UNCHANGED — and a target row matching several source rows
+        // must not duplicate, which the left-outer form below would do
+        // without its cardinality raise) and an anti-join (the rows the
+        // BY SOURCE clauses act on)
+        val tAff = tDF.filter(targetAttr("bucket").isin(affected: _*))
+        val passCols = declared.map(f => targetAttr(f.name).as(f.name)) ++
+          Seq(lit(true).as("__keep"), lit(false).as("__changed"))
+        val matchedRows = tAff.join(sDF, condCol, "left_semi")
+          .select(passCols: _*)
+        val bySourceCols = declared.map(f =>
+          valueChain(c.notMatchedBySourceActions, f, targetAttr(f.name))
+            .as(f.name)) ++
+          Seq(keepChain(c.notMatchedBySourceActions).as("__keep"),
+            firedChain(c.notMatchedBySourceActions).as("__changed"))
+        val unmatched = tAff.join(sDF, condCol, "left_anti")
+          .select(bySourceCols: _*)
+        Some(matchedRows.unionByName(unmatched).localCheckpoint())
+      } else {
         val tAff = tDF.filter(targetAttr("bucket").isin(affected: _*))
         val joined = tAff
           .withColumn("__tid", monotonically_increasing_id())
           .join(sDF.withColumn("__src", lit(1)), condCol, "left_outer")
         val matchedSide = col("__src") === 1
         // SQL cardinality rule: >1 source match for one target row is
-        // an error whenever matched actions exist — folded into the
-        // keep flag so it evaluates exactly once per row
+        // an error when matched actions exist — folded into the keep
+        // flag so it evaluates exactly once per row
         val n = count(col("__src")).over(Window.partitionBy(col("__tid")))
-        val keepBase = when(matchedSide, keepChain(c.matchedActions))
-          .otherwise(keepChain(c.notMatchedBySourceActions))
-        val keep =
-          if (c.matchedActions.isEmpty) keepBase
-          else when(n > 1, raise_error(lit(
-              "MERGE cardinality violation: a target row matched more " +
-                "than one source row")).cast("boolean"))
-            .otherwise(keepBase)
+        val keep = when(n > 1, raise_error(lit(
+            "MERGE cardinality violation: a target row matched more " +
+              "than one source row")).cast("boolean"))
+          .otherwise(when(matchedSide, keepChain(c.matchedActions))
+            .otherwise(keepChain(c.notMatchedBySourceActions)))
         val changed = when(matchedSide, firedChain(c.matchedActions))
           .otherwise(firedChain(c.notMatchedBySourceActions))
         val cols = declared.map { f =>

@@ -128,6 +128,26 @@ class ChronoDmlSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $cat.ev")
   }
 
+  test("BY-SOURCE-only MERGE with a duplicate-matching source never duplicates target rows") {
+    val (cat, dir) = freshCat()
+    seed(cat, rows = 6)
+    // key '1' appears TWICE in the source; with no matched actions the
+    // cardinality rule does not apply — but the matched row must pass
+    // through exactly ONCE (the left-outer form would duplicate it)
+    spark.sql("SELECT '1' AS mk UNION ALL SELECT '1' UNION ALL SELECT '2'")
+      .createOrReplaceTempView("dupsrc")
+    val res = spark.sql(
+      s"""MERGE INTO $cat.ev t USING dupsrc s ON t.key = s.mk
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'orphan'
+         |""".stripMargin)
+    assert(res.head().getLong(0) === 4L) // 6 rows − 2 matched
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === 6L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE note = 'orig'")
+      .head().getLong(0) === 2L) // keys 1,2 untouched, present ONCE each
+    assert(sidecarsOk(dir, "ev"))
+    spark.sql(s"DROP TABLE $cat.ev")
+  }
+
   test("MERGE refusals: schema evolution, subquery condition, missing ts in INSERT") {
     val (cat, _) = freshCat()
     seed(cat, rows = 4)
