@@ -302,6 +302,65 @@ object StreamingQueries {
     }
   }
 
+  /** S21: `df.writeStream.toTable("cat.ev")` — the STREAMING_WRITE half
+    * of the catalog story (s20 is the read half): micro-batches stage
+    * as executor-written parquet and the epoch commit ADOPTS them
+    * through insertFrame (LOCK + manifest + sidecars; exactly-once via
+    * the per-query epoch log — [[graft.sources.ChronoStreamingWrite]]).
+    * Gate = the s18 staged-landing shape aimed at a CATALOG table by
+    * name, no format string, no path; verdict pins manifest + sidecar
+    * consistency after the stream. */
+  def streamCatalogSinkQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Engine.registerTables(spark, dir)
+    val root = Files.createTempDirectory("s21_db")
+    val landing = Files.createTempDirectory("s21_landing")
+    val cp = Files.createTempDirectory("s21_cp").toString
+    val cat = s"chrono_s21_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", root.toString)
+    spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+    try {
+      spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, event_type STRING)")
+      val ev = Tables.t(spark, dir, "events")
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          col("event_type"))
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.core.BenchPhases.setup {
+        Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split))
+          .zipWithIndex.foreach { case (half, i) =>
+            half.coalesce(1).write.mode("overwrite")
+              .parquet(s"$landing/stage$i")
+            val part = new java.io.File(s"$landing/stage$i").listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            Files.move(part.toPath, landing.resolve(f"batch$i%03d.parquet"))
+          }
+      }
+      val q = spark.readStream
+        .schema("key STRING, ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.ev")
+      q.processAllAvailable(); q.stop()
+      val maintOk = {
+        val db = new graft.core.ChronoDB(spark,
+          graft.core.ChronoConfig(root.toString, bucket = "day"))
+        try db.manifestConsistent("ev") && db.sidecarsConsistent("ev")
+        finally db.close()
+      }
+      spark.sql(s"SELECT key, ts, event_type FROM $cat.ev")
+        .withColumn("maint_ok", lit(maintOk))
+        .orderBy(col("key"), col("ts"), col("event_type"))
+        .localCheckpoint()
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.dataDir")
+      spark.conf.unset(s"spark.sql.catalog.$cat.bucket")
+    }
+  }
+
   def streamIngest(spark: SparkSession, dir: String): DataFrame = {
     val staticSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source wants a landing DIRECTORY — stage the
@@ -894,6 +953,13 @@ object StreamingQueries {
       // identical delivery contract to s19, reached through the catalog
       """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
         |       TRUE AS two_batches_ok
+        |FROM events
+        |ORDER BY key, ts, event_type""".stripMargin)),
+    QueryDef("s21_stream_catalog_sink", streamCatalogSinkQ, Some(
+      // the adopt protocol must land EXACTLY the fixture (exactly-once
+      // epochs); the maintenance claim is the in-query verdict
+      """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+        |       TRUE AS maint_ok
         |FROM events
         |ORDER BY key, ts, event_type""".stripMargin)),
     QueryDef("s18_stream_sink_chrono", streamSinkFormatQ, Some(

@@ -517,7 +517,7 @@ final class ChronoV2Table(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   private lazy val fileIndex: PartitioningAwareFileIndex =
     new ChronoPartitionIndex(sparkSession, cfs, tableRoot, granularity)
@@ -588,6 +588,17 @@ final class ChronoV2Table(
               finally db.close()
             }
           }
+        /** `df.writeStream.toTable("cat.ev")` — the stage-then-adopt
+          * streaming write ([[ChronoStreamingWrite]]): executors stage
+          * per-task parquet, the epoch commit adopts through
+          * insertFrame with EXACTLY-ONCE epoch tracking. Append only —
+          * Update-mode upsert rides the V1 format sink. */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new ChronoStreamingWrite(sparkSession, tableRoot, tableName, cfg,
+            org.apache.spark.sql.types.StructType(
+              info.schema().fields.filterNot(_.name == "bucket")),
+            info.queryId())
       }
     }
 }
