@@ -432,7 +432,7 @@ final class ChronoStreamSource(
   * (`readStream.table("cat.ev")`, [[ChronoMicroBatchStream]]): one
   * seen-log format under the query checkpoint, one watermark semantics,
   * one append-only enforcement — so the two surfaces see IDENTICAL
-  * batches over the same table (pinned by ChronoDmlSpec/TailSourceSpec).
+  * batches over the same table (pinned by TailSourceSpec).
   * Semantics documented on [[ChronoSource.createSource]] /
   * [[ChronoStreamSource]]. */
 final class ChronoTailLog(
