@@ -1729,8 +1729,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     invalidateTwin(name)
     if (affected.isEmpty) return
     val cols = tableSchema(name).fieldNames.toSeq
+    // a mutation that nulls ts has no bucket to land in — and a NULL
+    // bucket would fall out of BOTH the overwrite and the re-insert
+    // filters below, silently losing the row: fail at materialization
     val rep = newRows.select(cols.map(col): _*)
-      .withColumn("bucket", bucketExpr(granularityFor(name)))
+      .withColumn("bucket",
+        when(col("ts").isNull, raise_error(lit(
+          "row-level mutation produced a NULL ts — the time axis " +
+            "derives the storage bucket")).cast("string"))
+          .otherwise(bucketExpr(granularityFor(name))))
       .localCheckpoint()
     val inside = rep.filter(col("bucket").isin(affected: _*))
     val outside = rep.filter(!col("bucket").isin(affected: _*)).drop("bucket")

@@ -148,6 +148,22 @@ class ChronoDmlSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $cat.ev")
   }
 
+  test("UPDATE SET ts = NULL fails loudly and loses nothing (the bucket axis guard)") {
+    val (cat, dir) = freshCat()
+    seed(cat, rows = 4)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.ev SET ts = NULL WHERE v = 1")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(x => x.getMessage != null &&
+      x.getMessage.contains("NULL ts")))
+    // nothing was mutated or lost
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === 4L)
+    assert(sidecarsOk(dir, "ev"))
+    spark.sql(s"DROP TABLE $cat.ev")
+  }
+
   test("MERGE refusals: schema evolution, subquery condition, missing ts in INSERT") {
     val (cat, _) = freshCat()
     seed(cat, rows = 4)
