@@ -1739,8 +1739,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
             "derives the storage bucket")).cast("string"))
           .otherwise(bucketExpr(granularityFor(name))))
       .localCheckpoint()
-    val inside = rep.filter(col("bucket").isin(affected: _*))
-    val outside = rep.filter(!col("bucket").isin(affected: _*)).drop("bucket")
+    val inside = filterBuckets(rep, affected, keep = true)
+    val outside = filterBuckets(rep, affected, keep = false).drop("bucket")
     val present = inside.select(col("bucket")).distinct()
       .collect().map(_.getString(0)).toSet
     affected.filterNot(present).foreach { b =>
@@ -1891,22 +1891,22 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     refreshManifest(name, touched)
     recoverSidecar(statsPath(name))
     if (sketchingFor(name) && cfs.exists(statsPath(name))) {
-      val kept = sidecarFold(name).filter(!col("bucket").isin(touched: _*))
+      val kept = filterBuckets(sidecarFold(name), touched, keep = false)
       val folded =
         if (rewritten.isEmpty) kept
         else kept.unionByName(
-          table(name).filter(col("bucket").isin(rewritten: _*))
+          filterBuckets(table(name), rewritten, keep = true)
             .groupBy(col("bucket"))
             .agg(sidecarAggs.head, sidecarAggs.tail: _*))
       rewriteSidecar(statsPath(name), folded)
     }
     recoverSidecar(rollupPath(name))
     if (rollupEnabled && cfs.exists(rollupPath(name))) {
-      val kept = rollupFold(name).filter(!col("bucket").isin(touched: _*))
+      val kept = filterBuckets(rollupFold(name), touched, keep = false)
       val folded =
         if (rewritten.isEmpty) kept
         else kept.unionByName(rollupGrouped(
-          table(name).filter(col("bucket").isin(rewritten: _*))))
+          filterBuckets(table(name), rewritten, keep = true)))
       rewriteSidecar(rollupPath(name), folded)
     }
     invalidateColStats(name)
@@ -2280,10 +2280,27 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       if (config.manifest && manifestExists(name)) manifestTable(name, cand)
       else table(name)
     cand match {
-      case Some(bs) => base.filter(col("bucket").isin(bs: _*))
+      case Some(bs) => filterBuckets(base, bs, keep = true)
       case None => base
     }
   }
+
+  /** Bucket-membership filter that stays ANALYZER-cheap at any bucket
+    * count: a literal In below the budget (partition-prunable, the
+    * common case), a broadcast semi/anti join above it — a whole-table
+    * mutation on a 100k-bucket table must not build a 100k-literal
+    * expression tree (the [[literalKeyLimit]] discipline applied to the
+    * bucket axis). Above-budget callers already read every bucket, so
+    * losing the partition-predicate form costs no pruning. */
+  private def filterBuckets(df: DataFrame, buckets: Seq[String],
+      keep: Boolean): DataFrame =
+    if (buckets.size <= literalKeyLimit) {
+      if (keep) df.filter(col("bucket").isin(buckets: _*))
+      else df.filter(!col("bucket").isin(buckets: _*))
+    } else {
+      val b = broadcast(buckets.toDF("bucket"))
+      df.join(b, Seq("bucket"), if (keep) "left_semi" else "left_anti")
+    }
 
   /** Rewrite the touched buckets' manifest rows from a fresh listing of
     * exactly those directories — the mutation-path repair

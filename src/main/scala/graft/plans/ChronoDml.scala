@@ -213,14 +213,21 @@ private object ChronoDmlRunner {
 
       // --- affected buckets: semi-join discovery (pushed filters prune
       //     the scan); BY SOURCE clauses force whole-table semantics ---
+      val wholeTable = c.notMatchedBySourceActions.nonEmpty
       val affected: Seq[String] =
-        if (c.matchedActions.isEmpty && c.notMatchedBySourceActions.isEmpty) Nil
-        else if (c.notMatchedBySourceActions.nonEmpty)
+        if (c.matchedActions.isEmpty && !wholeTable) Nil
+        else if (wholeTable)
           tDF.select(targetAttr("bucket")).distinct()
             .collect().map(_.getString(0)).toSeq.sorted
         else tDF.join(sDF, condCol, "left_semi")
           .select(targetAttr("bucket")).distinct()
           .collect().map(_.getString(0)).toSeq.sorted
+      // whole-table semantics: no bucket filter at all (an In-list over
+      // every bucket of an old table is analyzer poison and prunes
+      // nothing)
+      def restrict(df: DataFrame): DataFrame =
+        if (wholeTable) df
+        else df.filter(targetAttr("bucket").isin(affected: _*))
 
       // --- fate of existing rows in affected buckets (computed and
       //     MATERIALIZED against pre-mutation state) ---
@@ -232,7 +239,7 @@ private object ChronoDmlRunner {
         // must not duplicate, which the left-outer form below would do
         // without its cardinality raise) and an anti-join (the rows the
         // BY SOURCE clauses act on)
-        val tAff = tDF.filter(targetAttr("bucket").isin(affected: _*))
+        val tAff = restrict(tDF)
         val passCols = declared.map(f => targetAttr(f.name).as(f.name)) ++
           Seq(lit(true).as("__keep"), lit(false).as("__changed"))
         val matchedRows = tAff.join(sDF, condCol, "left_semi")
@@ -246,7 +253,7 @@ private object ChronoDmlRunner {
           .select(bySourceCols: _*)
         Some(matchedRows.unionByName(unmatched).localCheckpoint())
       } else {
-        val tAff = tDF.filter(targetAttr("bucket").isin(affected: _*))
+        val tAff = restrict(tDF)
         val joined = tAff
           .withColumn("__tid", monotonically_increasing_id())
           .join(sDF.withColumn("__src", lit(1)), condCol, "left_outer")
@@ -276,9 +283,7 @@ private object ChronoDmlRunner {
       //     `affected` by construction, so the anti-join scans only the
       //     affected buckets — or the full table when nothing rewrites) ---
       val inserts: Option[DataFrame] = if (c.notMatchedActions.isEmpty) None else {
-        val antiTarget =
-          if (affected.isEmpty) tDF
-          else tDF.filter(targetAttr("bucket").isin(affected: _*))
+        val antiTarget = if (affected.isEmpty) tDF else restrict(tDF)
         val anti = sDF.join(antiTarget, condCol, "left_anti")
         val cols = declared.map(f =>
           valueChain(c.notMatchedActions, f, lit(null).cast(f.dataType))
