@@ -512,8 +512,17 @@ final class ChronoV2Table(
 
   override def partitioning(): Array[Transform] = Array.empty
 
-  override def properties(): util.Map[String, String] =
-    Map("provider" -> "chrono", "location" -> tableRoot.toString).asJava
+  /** `SHOW TBLPROPERTIES` observability: the effective granularity and
+    * any CREATE-time TTL pin ride along with provider/location. */
+  override def properties(): util.Map[String, String] = {
+    val base = Map("provider" -> "chrono",
+      "location" -> tableRoot.toString, "bucket" -> granularity)
+    val ttl = ChronoLayout.declaredSchema(cfs, tableRoot)
+      .flatMap(_.find(_.name == "ts"))
+      .filter(_.metadata.contains(ChronoDB.TtlKey))
+      .map(f => "ttl" -> s"${f.metadata.getLong(ChronoDB.TtlKey)}s")
+    (base ++ ttl).asJava
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

@@ -204,6 +204,11 @@ class ChronoCatalogSpec extends SparkSuite {
       Seq("key", "ts", "v", "bucket"))
     assert(spark.sql(s"SELECT bucket FROM $cat.fresh LIMIT 1")
       .head().getString(0).length === 10) // day label
+    // SHOW TBLPROPERTIES observability: pins visible from SQL
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.fresh").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("bucket").contains("day"))
+    assert(props.get("ttl").contains(s"${2000L * 86400}s"))
     // the declared TTL pin traveled too (facade view of the new name)
     val dataDir = spark.conf.get(s"spark.sql.catalog.$cat.dataDir")
     val db = new graft.core.ChronoDB(spark,
