@@ -632,11 +632,7 @@ object ScaleProbe {
             encode(lit("y"), "UTF-8").as("data"))
           .as[graft.core.ChronoRow])
         val (_, incSec) = timed(src.getOffset)
-        val f = classOf[graft.sources.ChronoStreamSource]
-          .getDeclaredField("seen")
-        f.setAccessible(true)
-        val seenSize = f.get(src)
-          .asInstanceOf[scala.collection.mutable.Set[(String, String)]].size
+        val seenSize = src.seenSize
         rmrf(meta.toString)
         (idle.min, idle.sorted.apply(2), incSec, seenSize)
       }

@@ -384,6 +384,9 @@ final class ChronoStreamSource(
   private val tail = new ChronoTailLog(spark, cfs, tableRoot, metadataPath,
     granularity, watermarkBuckets, compactThreshold)
 
+  /** Driver-state size (probe observability — ScaleProbe tailage). */
+  private[graft] def seenSize: Int = tail.seenSize
+
   /** Declared (typed) or envelope data schema, granularity-tagged. */
   private val dataSchema: StructType = ManifestFileIndex.withGranularity(
     ChronoLayout.declaredSchema(cfs, tableRoot)
@@ -480,6 +483,9 @@ final class ChronoTailLog(
     }
     evictBelowWatermark()
   }
+
+  /** Current seen-set size — the bounded-driver-state claim's metric. */
+  private[graft] def seenSize: Int = synchronized(seen.size)
 
   private def noteSeen(e: ManifestEntry): Unit = {
     seen += ((e.bucket, e.file))
