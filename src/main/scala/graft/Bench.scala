@@ -63,9 +63,11 @@ object Bench {
       "q58_chrono_source", "d39_bucketed_autoroute",
       "s18_stream_sink_chrono", "s19_stream_source_chrono",
       "q60_chrono_catalog", "q61_chrono_typed_docs",
-      // r17 surface: SQL row-level DML + the catalog streaming pair
+      // r17 surface: SQL row-level DML + the catalog streaming pair +
+      // time travel (history record on every verb, snapshot read-back)
       "q63_chrono_sql_delete", "s20_stream_catalog_tail",
-      "s21_stream_catalog_sink")
+      "s21_stream_catalog_sink", "q66_chrono_time_travel",
+      "q67_chrono_change_feed")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =

@@ -89,6 +89,8 @@ object ScaleProbe {
     if (args.headOption.contains("lifecycle")) return lifecycleProbe(args(1))
     if (args.headOption.contains("dml"))
       return dmlProbe(args(1), if (args.length > 2) args(2).toInt else 1)
+    if (args.headOption.contains("history"))
+      return historyProbe(args(1), if (args.length > 2) args(2).toInt else 1)
     if (args.headOption.contains("tailsource")) return tailSourceProbe(args(1))
     if (args.headOption.contains("tailage"))
       return tailAgeProbe(args(1).toInt,
@@ -397,6 +399,89 @@ object ScaleProbe {
     * outside the window was rewritten), plus exact row accounting. The
     * MERGE runs through the real SQL path (catalog + extension), so the
     * measurement covers the whole stack, not just the facade tail. */
+  /** Version-history scale probe (`history <sfDir> <mult>`): mult× the
+    * table AGE (same aging trick as the dml probe), then measure the
+    * costs the time-travel design claims are flat or delta-sized —
+    * per-commit record overhead (small inserts), snapshot
+    * reconstruction + read at head, a 3-bucket delete, the SUPERSEDED
+    * snapshot read after it (grace-retained), and the change feed
+    * between the two versions (must price at the changed window, never
+    * the table). */
+  private def historyProbe(sfDir: String, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("histprobe").toString
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "day",
+        trashGraceMs = 3600000L))
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      db.createTable("ev", schema)
+      val base = graft.core.Tables.t(spark, sfDir, "events")
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          col("event_id").cast("long").as("v"))
+      val aged = base.crossJoin(
+          spark.range(mult).select(col("id").as("__k")))
+        .select(col("key"),
+          (col("ts") + make_dt_interval(col("__k") * lit(35L))).as("ts"),
+          col("v"))
+      val (_, insertSec) = timed(db.insertFrame("ev", aged))   // v1
+      val rows = db.table("ev").count()
+      val buckets = graft.sources.ChronoLayout
+        .listEntries(java.nio.file.Paths.get(root, "ev"))
+        .map(_.bucket).distinct.size
+      // per-commit overhead at this age: 10 one-bucket micro-inserts
+      val small = base.filter(
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+        .limit(500).localCheckpoint()
+      val smallSecs = (1 to 10).map(_ => timed(db.insertFrame("ev", small))._2)
+      val smallMed = smallSecs.sorted.apply(smallSecs.size / 2)
+      val preVer = db.history("ev").head.version               // v11
+      val preRows = db.table("ev").count()
+      val (headRows, snapHeadSec) =
+        timed(db.tableAsOf("ev", preVer).count())
+      val (deleted, deleteSec) = timed(db.deleteWhere("ev",
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00"))))
+      val postVer = db.history("ev").head.version
+      // the SUPERSEDED snapshot still reads in full (grace retention)
+      val (oldRows, snapOldSec) =
+        timed(db.tableAsOf("ev", preVer).count())
+      // change feed prices at the changed window, never the table
+      val (feedRows, feedSec) =
+        timed(db.changesBetween("ev", preVer, postVer).count())
+      val hFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "ev", "_history")).count()
+      val hBytes = java.nio.file.Files.list(
+          java.nio.file.Paths.get(root, "ev", "_history"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      val ok = headRows == preRows && oldRows == preRows &&
+        feedRows == deleted && deleted > 0
+      println(f"""{"probe":"history","mult":$mult,"rows":$rows,"buckets":$buckets,"insert_sec":$insertSec%.3f,"small_insert_med_sec":$smallMed%.3f,"snapshot_head_sec":$snapHeadSec%.3f,"delete_sec":$deleteSec%.3f,"snapshot_old_sec":$snapOldSec%.3f,"feed_sec":$feedSec%.3f,"feed_rows":$feedRows,"deleted":$deleted,"history_files":$hFiles,"history_kb":${hBytes / 1024},"ok":$ok}""")
+    } finally {
+      db.close()
+      spark.stop()
+    }
+  }
+
   private def dmlProbe(sfDir: String, mult: Int): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkSession.builder()

@@ -1724,7 +1724,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * repaired for exactly the touched buckets
     * ([[repairAfterRewrite]]). */
   private[graft] def replaceBucketRows(name: String, affected: Seq[String],
-      newRows: DataFrame): Unit = {
+      newRows: DataFrame, verb: String = "update"): Unit = {
     requireTable(name)
     invalidateTwin(name)
     if (affected.isEmpty) return
@@ -1743,6 +1743,34 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val outside = filterBuckets(rep, affected, keep = false).drop("bucket")
     val present = inside.select(col("bucket")).distinct()
       .collect().map(_.getString(0)).toSet
+    if (graceActive(name)) {
+      // SNAPSHOT-GRACE write-back (same contract as [[finishDelete]]'s
+      // grace branch): new files append, replaced files stay recorded
+      // in `_trash`, the manifest flips — pre-mutation readers and
+      // time-travel snapshots keep collecting
+      val old = manifestEntries(name, Some(affected))
+      val oldSet = old.map(e => (e.bucket, e.file)).toSet
+      val preTrash = trashedFiles(name)
+      val since = System.currentTimeMillis() / 1000L * 1000L
+      if (present.nonEmpty)
+        inside.repartition(col("bucket"))
+          .sortWithinPartitions(rewriteSortCols(name): _*)
+          .write.mode(SaveMode.Append)
+          .option("compression", config.compression)
+          .partitionBy("bucket")
+          .parquet(tablePath(name).toString)
+      val fresh = present.toSeq.sorted
+        .flatMap(listBucketFiles(name, _)).filter { r =>
+          val id = (r.getString(0), r.getString(1))
+          r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
+        }
+      repairAfterRewrite(name, affected, present.toSeq.sorted, verb,
+        Some(fresh))
+      appendTrash(name, old.map(e => (e.bucket, e.file)),
+        System.currentTimeMillis())
+      if (!outside.isEmpty) insertFrame(name, outside)
+      return
+    }
     affected.filterNot(present).foreach { b =>
       deleteRecursively(tablePath(name).resolve(s"bucket=$b"))
     }
@@ -1760,7 +1788,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    repairAfterRewrite(name, affected, present.toSeq.sorted)
+    repairAfterRewrite(name, affected, present.toSeq.sorted, verb)
     if (!outside.isEmpty) insertFrame(name, outside)
   }
 
@@ -1836,10 +1864,46 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * survivors. Returns rows deleted. */
   private def finishDelete(name: String,
       hits: Array[(String, Long, Long)],
-      survivors: Seq[String] => DataFrame): Long = {
+      survivors: Seq[String] => DataFrame,
+      verb: String = "delete"): Long = {
     if (hits.isEmpty) return 0L
     val deleted = hits.map(_._2).sum
     val (emptied, rewrite) = hits.partition { case (_, hit, total) => hit == total }
+    if (graceActive(name)) {
+      // SNAPSHOT-GRACE rewrite (uniform with compact/cleanup — without
+      // this, a row-level delete would destroy superseded files that
+      // the grace promise, and TIME TRAVEL, keep readable): survivors
+      // land as NEW files (append), the replaced files stay in place
+      // recorded in `_trash`, the manifest flips to exactly the new
+      // files — emptied buckets simply lose their manifest rows, their
+      // dirs drain at vacuum
+      val touched = hits.map(_._1).toSeq
+      val old = manifestEntries(name, Some(touched))
+      val oldSet = old.map(e => (e.bucket, e.file)).toSet
+      val preTrash = trashedFiles(name)
+      val since = System.currentTimeMillis() / 1000L * 1000L
+      if (rewrite.nonEmpty) {
+        val bs = rewrite.map(_._1).toSeq
+        survivors(bs)
+          .repartition(col("bucket"))
+          .sortWithinPartitions(rewriteSortCols(name): _*)
+          .localCheckpoint()
+          .write.mode(SaveMode.Append)
+          .option("compression", config.compression)
+          .partitionBy("bucket")
+          .parquet(tablePath(name).toString)
+      }
+      val fresh = rewrite.map(_._1).toSeq
+        .flatMap(listBucketFiles(name, _)).filter { r =>
+          val id = (r.getString(0), r.getString(1))
+          r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
+        }
+      repairAfterRewrite(name, touched, rewrite.map(_._1).toSeq, verb,
+        Some(fresh))
+      appendTrash(name, old.map(e => (e.bucket, e.file)),
+        System.currentTimeMillis())
+      return deleted
+    }
     // a bucket losing ALL rows gets no row in the overwrite frame, and
     // dynamic overwrite only replaces partitions PRESENT in new data —
     // drop it directly instead (the cleanup() path)
@@ -1847,7 +1911,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       deleteRecursively(tablePath(name).resolve(s"bucket=$b"))
     }
     if (rewrite.nonEmpty) {
-      val bs = rewrite.map(_._1)
+      val bs = rewrite.map(_._1).toSeq
       // localCheckpoint MATERIALIZES the survivors before the overwrite
       // starts: the frame below reads the same parquet files the write
       // replaces, and Spark's overwrite-while-reading guard only covers
@@ -1870,7 +1934,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    repairAfterRewrite(name, hits.map(_._1).toSeq, rewrite.map(_._1).toSeq)
+    repairAfterRewrite(name, hits.map(_._1).toSeq, rewrite.map(_._1).toSeq,
+      verb)
     deleted
   }
 
@@ -1887,8 +1952,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * `_stats`/`_rollup` sidecars drop the touched buckets' rows and
     * re-aggregate the rewritten buckets from their surviving data. */
   private def repairAfterRewrite(name: String, touched: Seq[String],
-      rewritten: Seq[String]): Unit = {
-    refreshManifest(name, touched)
+      rewritten: Seq[String], verb: String,
+      explicitRows: Option[Seq[org.apache.spark.sql.Row]] = None): Unit = {
+    // grace-mode rewrites leave superseded files ON DISK — a relist
+    // cannot be the source of truth there; the caller passes exactly
+    // this write's files (the compact-grace contract)
+    explicitRows match {
+      case Some(rows) => refreshManifestTo(name, touched, rows, verb)
+      case None => refreshManifest(name, touched, verb)
+    }
     recoverSidecar(statsPath(name))
     if (sketchingFor(name) && cfs.exists(statsPath(name))) {
       val kept = filterBuckets(sidecarFold(name), touched, keep = false)
@@ -1959,7 +2031,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         val id = (r.getString(0), r.getString(1))
         r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
       }
-      refreshManifestTo(name, victims, fresh)
+      refreshManifestTo(name, victims, fresh, "compact")
       appendTrash(name, old, System.currentTimeMillis())
     } else {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -1974,7 +2046,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       }
       // manifest refresh FIRST (compaction replaced the victims' files;
       // a reader planning from stale entries would chase deleted paths)
-      refreshManifest(name, victims)
+      refreshManifest(name, victims, "compact")
     }
     // fold the sketch sidecar too: per-insert rows merge to one row per
     // bucket (lossless — sketch union, n/counter addition), so sidecar
@@ -2022,7 +2094,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           .map(e => (e.bucket, e.file))
         val live = old.map(_._1).distinct.sorted
         if (live.nonEmpty) {
-          refreshManifestTo(name, live, Seq.empty)
+          refreshManifestTo(name, live, Seq.empty, "cleanup")
           appendTrash(name, old, now.getTime)
         }
         live
@@ -2033,7 +2105,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (dropped.nonEmpty) {
       // manifest first: the dropped buckets' entries now dangle (the
       // grace branch above already rewrote the manifest itself)
-      if (!graceActive(name)) refreshManifest(name, dropped)
+      if (!graceActive(name)) refreshManifest(name, dropped, "cleanup")
       // retention applies to the sidecars as well: a stale sketch row
       // would keep counting dropped buckets' keys into range estimates.
       // Recover BEFORE the existence guards — after a crashed mid-swap
@@ -2206,12 +2278,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           orphans.take(5).map(r =>
             s"bucket=${r.getString(0)}/${r.getString(1)}").mkString(", "))
     }
-    if (fresh.nonEmpty)
+    if (fresh.nonEmpty) {
       manifestRowsDf(fresh)
         .coalesce(1)
         .write.mode(SaveMode.Append)
         .option("compression", config.compression)
         .parquet(manifestPath(name).toString)
+      recordHistory(name, "insert", adds = fresh.map(rowToEntry),
+        removes = Seq.empty)
+    }
     // Checkpoint fold: each batch appends one fragment, and only
     // compact/mutations rewrite — a long-running ingest that never
     // compacts would otherwise pay an O(batches) manifest read per
@@ -2308,13 +2383,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * via [[rewriteSidecar]]; a crash BEFORE this rewrite leaves
     * dangling entries that fail loudly (FileNotFound at scan time) —
     * [[rebuildManifest]] is the repair verb. */
-  private def refreshManifest(name: String, touched: Seq[String]): Unit = {
+  private def refreshManifest(name: String, touched: Seq[String],
+      verb: String): Unit = {
     // trash-logged files may still sit in a touched dir (grace window);
     // a relist must never resurrect them into the manifest
     val trashed = trashedFiles(name)
     refreshManifestTo(name, touched,
       touched.flatMap(listBucketFiles(name, _))
-        .filterNot(r => trashed((r.getString(0), r.getString(1)))))
+        .filterNot(r => trashed((r.getString(0), r.getString(1)))), verb)
   }
 
   /** [[refreshManifest]] with an EXPLICIT replacement row set for the
@@ -2322,18 +2398,141 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * `trashGraceMs`) leave superseded files on disk, so a relist cannot
     * be the source of truth there. */
   private def refreshManifestTo(name: String, touched: Seq[String],
-      rows: Seq[org.apache.spark.sql.Row]): Unit = {
+      rows: Seq[org.apache.spark.sql.Row], verb: String): Unit = {
     // keyed on the SIDECAR's existence, not config.manifest: a mutation
     // through a manifest=false handle must still keep an existing
     // `_manifest` true — a stale one would dangle (FileNotFound) or
     // hide rewritten files from a later manifest=true reopen
     recoverSidecar(manifestPath(name))
     if (!cfs.exists(manifestPath(name)) || touched.isEmpty) return
+    // pre-verb state of exactly the touched buckets (pushed bucket-IN
+    // read, O(touched)) — the history commit's remove side
+    val pre = manifestEntries(name, Some(touched))
     val kept = manifestFold(name).filter(!col("bucket").isin(touched: _*))
     val folded =
       if (rows.isEmpty) kept
       else kept.unionByName(manifestRowsDf(rows))
     rewriteSidecar(manifestPath(name), folded)
+    val preIds = pre.map(e => (e.bucket, e.file)).toSet
+    val rowIds = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    recordHistory(name, verb,
+      adds = rows.filterNot(r =>
+        preIds((r.getString(0), r.getString(1)))).map(rowToEntry),
+      removes = pre.filterNot(e => rowIds((e.bucket, e.file))))
+  }
+
+  // --- version history (`_history` commit log): snapshot versioning +
+  //     time travel — see [[ChronoHistory]] for the model and the
+  //     (crash-lag, checkpoint-heal) consistency contract. Recording
+  //     rides the SAME guard as every manifest maintenance verb: the
+  //     sidecar's existence, whoever's handle runs the verb. ---
+
+  private def rowToEntry(r: org.apache.spark.sql.Row): ManifestEntry =
+    ManifestEntry(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+
+  /** Record one commit AFTER its manifest mutation landed (history
+    * lags, never leads). No-op for manifest-less tables and for verbs
+    * that changed nothing. The live-set argument is BY-NAME: it is read
+    * only at history adoption and at checkpoint cadence. */
+  private def recordHistory(name: String, verb: String,
+      adds: Seq[ManifestEntry], removes: Seq[ManifestEntry]): Unit =
+    if ((adds.nonEmpty || removes.nonEmpty) && cfs.exists(manifestPath(name)))
+      ChronoHistory.record(cfs, tablePath(name), verb, adds, removes,
+        manifestEntries(name, None), config.manifestFoldFiles,
+        System.currentTimeMillis())
+
+  /** Commit log, newest first — the `DESCRIBE HISTORY` surface
+    * ([[ChronoHistory.commits]]). */
+  def history(name: String): Seq[ChronoCommit] = {
+    requireTable(name)
+    ChronoHistory.commits(cfs, tablePath(name))
+  }
+
+  /** TIME TRAVEL: the table AS OF a committed version — the file set
+    * reconstructed from the `_history` log (checkpoint + replay,
+    * O(manifestFoldFiles) small reads) and planned through the SAME
+    * manifest-built index as a live read. Readable while the version's
+    * files remain on disk: live files always, superseded files within
+    * the `trashGraceMs` window ([[vacuumOrphans]] defines the horizon —
+    * a purged snapshot fails loudly here, never mid-query). Additive
+    * schema evolution serves old versions with the CURRENT declared
+    * schema (old files read NULL in later columns — the same contract
+    * as live reads of pre-ALTER files). */
+  def tableAsOf(name: String, version: Long): DataFrame = {
+    val p = requireTable(name)
+    val entries = ChronoHistory.snapshot(cfs, p, version)
+    val live = manifestEntries(name, None)
+      .map(e => (e.bucket, e.file)).toSet
+    val missing = ChronoHistory.missingFiles(cfs, p, entries, live)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"version $version of table '$name' is no longer readable: " +
+          s"${missing.size} of its file(s) have been vacuumed past the " +
+          s"trash grace window (first: bucket=${missing.head._1}/" +
+          s"${missing.head._2})")
+    ManifestFileIndex.relation(spark, p,
+      ManifestFileIndex.withGranularity(tableSchema(name),
+        granularityFor(name)), entries)
+  }
+
+  /** [[tableAsOf]] resolved by instant: the last version committed at
+    * or before `asOf` ([[ChronoHistory.resolveTimestamp]]). */
+  def tableAsOfTimestamp(name: String, asOf: Timestamp): DataFrame =
+    tableAsOf(name,
+      ChronoHistory.resolveTimestamp(cfs, requireTable(name), asOf.getTime))
+
+  /** CHANGE FEED derived from the version history: the row-level diff
+    * between two committed versions, as the table's columns plus
+    * `_change_type` ('insert' | 'delete'; an update surfaces as the
+    * delete+insert pair, the classic CDC-by-diff contract).
+    *
+    * Scale shape: files are immutable, so only files PRESENT IN EXACTLY
+    * ONE of the two snapshots can contribute — the verb reads those
+    * files alone (both sides planned through the pinned manifest index,
+    * same pruning machinery as any scan), never the table. The diff is
+    * bag-correct under duplicate rows (the store permits identical
+    * (key, ts, data) rows): both sides aggregate to per-row counts, the
+    * net count decides the change type, and `explode(sequence)` re-emits
+    * exactly |net| copies. One shuffle, sized by the CHANGED data.
+    * Readability bounded like [[tableAsOf]]: the from-side files must
+    * still be trash-retained. */
+  def changesBetween(name: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val p = requireTable(name)
+    require(fromVersion <= toVersion,
+      s"changesBetween: from $fromVersion > to $toVersion")
+    val from = ChronoHistory.snapshot(cfs, p, fromVersion)
+    val to = ChronoHistory.snapshot(cfs, p, toVersion)
+    val fromIds = from.map(e => (e.bucket, e.file)).toSet
+    val toIds = to.map(e => (e.bucket, e.file)).toSet
+    val added = to.filterNot(e => fromIds((e.bucket, e.file)))
+    val removed = from.filterNot(e => toIds((e.bucket, e.file)))
+    val schema = ManifestFileIndex.withGranularity(tableSchema(name),
+      granularityFor(name))
+    val cols = tableSchema(name).fieldNames.toSeq
+    val live = manifestEntries(name, None)
+      .map(e => (e.bucket, e.file)).toSet
+    val missing = ChronoHistory.missingFiles(cfs, p, added ++ removed, live)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"changesBetween($fromVersion, $toVersion) on '$name' is no " +
+          s"longer computable: ${missing.size} changed file(s) vacuumed " +
+          s"past the trash grace window (first: bucket=${missing.head._1}/" +
+          s"${missing.head._2})")
+    def counted(entries: Seq[ManifestEntry], as: String): DataFrame =
+      ManifestFileIndex.relation(spark, p, schema, entries)
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as(as))
+    val net = counted(added, "__a")
+      .join(counted(removed, "__r"), cols, "full_outer")
+      .withColumn("__net",
+        coalesce(col("__a"), lit(0L)) - coalesce(col("__r"), lit(0L)))
+      .filter(col("__net") =!= 0L)
+    net.select((cols.map(col) :+
+        when(col("__net") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type") :+
+        abs(col("__net")).as("__n")): _*)
+      .withColumn("__i", explode(expr("sequence(1, __n)")))
+      .drop("__n", "__i")
   }
 
   // --- reader snapshot grace (`_trash` log): bucket \t file \t
@@ -2388,6 +2587,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val rows = listBuckets(name).flatMap(listBucketFiles(name, _))
       .filterNot(r => trashed((r.getString(0), r.getString(1))))
     rewriteSidecar(manifestPath(name), manifestRowsDf(rows))
+    // a rebuild is a new ground truth, not a delta: force a history
+    // CHECKPOINT at a fresh version — this is also the resync point for
+    // the crash-lag window ([[ChronoHistory]] consistency contract)
+    ChronoHistory.recordCheckpoint(cfs, tablePath(name), "rebuild",
+      rows.map(rowToEntry), System.currentTimeMillis())
   }
 
   /** Garbage-collect a crashed insert's orphan files: data files on
@@ -2458,6 +2662,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       log.warn(s"table '$name': vacuumed $deleted orphan data file(s) " +
         s"older than ${horizonMs} ms (crashed inserts that never " +
         "committed to _manifest)")
+    // prune the version-history log to what remains reconstructable:
+    // versions older than BOTH horizons have lost their files above (or
+    // in the trash purge), so their commits are dead weight
+    val hGone = ChronoHistory.vacuum(cfs, tablePath(name),
+      nowMs - math.max(horizonMs, config.trashGraceMs))
+    if (hGone > 0)
+      log.info(s"table '$name': pruned $hGone history log file(s) past " +
+        "the retention horizon")
     deleted
   }
 

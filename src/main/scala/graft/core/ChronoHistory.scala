@@ -1,0 +1,275 @@
+package graft.core
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import ChronoFs.PathOps
+
+/** One recorded table commit: what a mutating verb did to the live
+  * file set, by (bucket, file) identity. `adds` carry full manifest
+  * metadata (size/mtime) so a snapshot rebuilds scan-ready
+  * [[ManifestEntry]]s without re-statting anything. */
+final case class ChronoCommit(
+    version: Long,
+    epochMs: Long,
+    verb: String,
+    adds: Seq[ManifestEntry],
+    removes: Seq[(String, String)])
+
+/** Table version history — the `_history` sidecar log that gives every
+  * chrono table SNAPSHOT VERSIONING and TIME TRAVEL (`VERSION AS OF` /
+  * `TIMESTAMP AS OF`, [[ChronoDB.tableAsOf]]).
+  *
+  * Model (public knowledge — the Delta Lake / Iceberg commit-log
+  * design, re-derived on the existing sidecar machinery): every
+  * manifest-changing verb appends ONE commit file recording the
+  * (bucket, file) adds/removes it made — O(delta) bytes, never
+  * O(table) — and every `foldEvery` commits a CHECKPOINT file holding
+  * the full live file list at that version (KB-scale: the same size as
+  * the `_manifest` fold written at the same cadence). Reconstructing
+  * version v = latest checkpoint ≤ v + replay of the commits after it:
+  * O(foldEvery) small reads, whatever the table's age.
+  *
+  * Layout under `<table>/_history/` ("_"-prefix ⇒ invisible to every
+  * data walker, exactly like the other sidecars):
+  * {{{
+  *   0.checkpoint       baseline: live file set when history began
+  *   <v>.commit         header line + add/remove action lines
+  *   <v>.checkpoint     full live file set at v (every foldEvery)
+  *   _head              last committed version (readLinesRecover-safe)
+  * }}}
+  *
+  * Consistency contract, stated honestly: the LIVE table's source of
+  * truth is `_manifest`, never this log. A commit is recorded AFTER its
+  * manifest mutation lands (history lags, never leads — a snapshot can
+  * never reference files the manifest never committed). A crash in the
+  * tiny window between the two omits that one commit; the divergence is
+  * bounded because every CHECKPOINT is derived from the live manifest,
+  * so reconstruction heals at the next checkpoint (≤ foldEvery commits
+  * away) — and [[ChronoDB.rebuildManifest]] force-writes one.
+  *
+  * Snapshot READABILITY is bounded by file retention, not by this log:
+  * a version's files must still be on disk — live, or
+  * superseded-but-retained under `trashGraceMs` (the `_trash` grace
+  * window this feature rides on). [[ChronoDB.vacuumOrphans]] purges
+  * trashed files past their grace and prunes history to what remains
+  * reconstructable, exactly like Delta's retention horizon.
+  *
+  * Reference intent: ChronoBase keeps immutable tablets and rebuilds
+  * table state from what is on disk (table.go:181-194 load); the
+  * history log is that idea made versioned — every past file-set is a
+  * first-class, readable state. */
+object ChronoHistory {
+
+  def dir(tableRoot: HPath): HPath = tableRoot.resolve("_history")
+
+  private def headPath(tableRoot: HPath): HPath = dir(tableRoot).resolve("_head")
+
+  private def commitPath(tableRoot: HPath, v: Long): HPath =
+    dir(tableRoot).resolve(s"$v.commit")
+
+  private def checkpointPath(tableRoot: HPath, v: Long): HPath =
+    dir(tableRoot).resolve(s"$v.checkpoint")
+
+  /** Last committed version; None = history has never been recorded. */
+  def headVersion(cfs: ChronoFs, tableRoot: HPath): Option[Long] =
+    cfs.readLinesRecover(headPath(tableRoot))
+      .flatMap(_.headOption).map(_.trim.toLong)
+
+  private def addLine(e: ManifestEntry): String =
+    s"add\t${e.bucket}\t${e.file}\t${e.size}\t${e.mtime}"
+
+  /** Record one commit. `adds`/`removes` are this verb's file-set
+    * delta; `liveAfter` is the post-verb LIVE file set, evaluated only
+    * when a checkpoint (or the first-commit baseline) needs it. Returns
+    * the committed version. Caller holds the writer LOCK. */
+  def record(cfs: ChronoFs, tableRoot: HPath, verb: String,
+      adds: Seq[ManifestEntry], removes: Seq[ManifestEntry],
+      liveAfter: => Seq[ManifestEntry], foldEvery: Int,
+      nowMs: Long): Long = {
+    cfs.mkdirs(dir(tableRoot))
+    val head = headVersion(cfs, tableRoot)
+    // lazily evaluated at most once even when both baseline and
+    // checkpoint need it
+    lazy val live = liveAfter
+    if (head.isEmpty) {
+      // adopt a pre-history table: baseline = the live set MINUS this
+      // verb's delta (the state the verb found) — no extra manifest
+      // read beyond the one a checkpoint pays anyway
+      val addIds = adds.map(e => (e.bucket, e.file)).toSet
+      val baseline = live.filterNot(e => addIds((e.bucket, e.file))) ++ removes
+      cfs.writeLinesAtomic(checkpointPath(tableRoot, 0L),
+        s"checkpoint\t0\t$nowMs" +: baseline.map(addLine))
+    }
+    // advance past any crash-orphaned commit file (a crash between the
+    // commit write and the head update leaves <head+1>.commit on disk)
+    var v = head.getOrElse(0L) + 1
+    while (cfs.exists(commitPath(tableRoot, v))) v += 1
+    cfs.writeLinesAtomic(commitPath(tableRoot, v),
+      s"commit\t$v\t$nowMs\t$verb" +:
+        (adds.map(addLine) ++
+          removes.map(e => s"remove\t${e.bucket}\t${e.file}")))
+    if (foldEvery > 0 && v % foldEvery == 0)
+      cfs.writeLinesAtomic(checkpointPath(tableRoot, v),
+        s"checkpoint\t$v\t$nowMs" +: live.map(addLine))
+    cfs.writeLinesAtomic(headPath(tableRoot), Seq(v.toString))
+    v
+  }
+
+  /** Force a checkpoint at a NEW version (rebuildManifest's resync: a
+    * full rewrite is not a delta, it is a new ground truth). */
+  def recordCheckpoint(cfs: ChronoFs, tableRoot: HPath, verb: String,
+      live: Seq[ManifestEntry], nowMs: Long): Long = {
+    cfs.mkdirs(dir(tableRoot))
+    var v = headVersion(cfs, tableRoot).getOrElse(-1L) + 1
+    while (cfs.exists(commitPath(tableRoot, v)) ||
+      cfs.exists(checkpointPath(tableRoot, v))) v += 1
+    cfs.writeLinesAtomic(commitPath(tableRoot, v),
+      Seq(s"commit\t$v\t$nowMs\t$verb"))
+    cfs.writeLinesAtomic(checkpointPath(tableRoot, v),
+      s"checkpoint\t$v\t$nowMs" +: live.map(addLine))
+    cfs.writeLinesAtomic(headPath(tableRoot), Seq(v.toString))
+    v
+  }
+
+  private def parseActions(lines: Seq[String])
+      : (Seq[ManifestEntry], Seq[(String, String)]) = {
+    val adds = Seq.newBuilder[ManifestEntry]
+    val removes = Seq.newBuilder[(String, String)]
+    lines.foreach { l =>
+      val a = l.split('\t')
+      a(0) match {
+        case "add" => adds += ManifestEntry(a(1), a(2), a(3).toLong, a(4).toLong)
+        case "remove" => removes += ((a(1), a(2)))
+        case _ => // header
+      }
+    }
+    (adds.result(), removes.result())
+  }
+
+  /** Read one commit file (with its delta). */
+  def readCommit(cfs: ChronoFs, tableRoot: HPath, v: Long): ChronoCommit = {
+    val lines = cfs.readLinesRecover(commitPath(tableRoot, v)).getOrElse(
+      throw new IllegalStateException(
+        s"history commit $v is missing (vacuumed past the retention " +
+          s"horizon, or never recorded) — this version is no longer " +
+          "reconstructable"))
+    val h = lines.head.split('\t')
+    val (adds, removes) = parseActions(lines.tail)
+    ChronoCommit(h(1).toLong, h(2).toLong, h(3), adds, removes)
+  }
+
+  /** Commit metadata for every RETAINED version, newest first — the
+    * `DESCRIBE HISTORY` surface. Version 0 appears as the adoption
+    * baseline when its checkpoint is retained. One directory listing +
+    * one small read per retained commit. */
+  def commits(cfs: ChronoFs, tableRoot: HPath): Seq[ChronoCommit] = {
+    if (!cfs.exists(dir(tableRoot))) return Seq.empty
+    val versions = cfs.list(dir(tableRoot)).map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).sorted
+    // synthetic baseline row for the adoption checkpoint — unless a
+    // real version-0 commit exists (recordCheckpoint at adoption)
+    val base =
+      if (versions.headOption.contains(0L)) None
+      else cfs.readLinesRecover(checkpointPath(tableRoot, 0L)).map { ls =>
+        val h = ls.head.split('\t')
+        ChronoCommit(0L, h(2).toLong, "baseline",
+          parseActions(ls.tail)._1, Seq.empty)
+      }
+    (base.toSeq ++ versions.map(readCommit(cfs, tableRoot, _))).reverse
+  }
+
+  /** Checkpoint versions present on disk, ascending. */
+  private def checkpointVersions(cfs: ChronoFs, tableRoot: HPath): Seq[Long] =
+    if (!cfs.exists(dir(tableRoot))) Seq.empty
+    else cfs.list(dir(tableRoot)).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted
+
+  /** The file set at `version`: latest retained checkpoint ≤ version,
+    * plus a replay of the commits after it — O(foldEvery) small reads.
+    * Fails loudly when the version is unknown or its history has been
+    * vacuumed past reconstruction. */
+  def snapshot(cfs: ChronoFs, tableRoot: HPath, version: Long)
+      : Seq[ManifestEntry] = {
+    val head = headVersion(cfs, tableRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $tableRoot has no version history (history is " +
+          "recorded from the first manifested mutation onward)"))
+    require(version >= 0 && version <= head,
+      s"version $version out of range [0, $head]")
+    val base = checkpointVersions(cfs, tableRoot).filter(_ <= version)
+      .lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"no retained checkpoint at or before version $version — " +
+            "its history has been vacuumed past the retention horizon"))
+    val cpLines = cfs.readLinesRecover(checkpointPath(tableRoot, base)).get
+    val state = scala.collection.mutable.LinkedHashMap.empty[
+      (String, String), ManifestEntry]
+    parseActions(cpLines.tail)._1.foreach(e =>
+      state((e.bucket, e.file)) = e)
+    ((base + 1) to version).foreach { v =>
+      val c = readCommit(cfs, tableRoot, v)
+      c.removes.foreach(state.remove)
+      c.adds.foreach(e => state((e.bucket, e.file)) = e)
+    }
+    state.values.toSeq
+  }
+
+  /** Resolve `TIMESTAMP AS OF`: the last version committed at or before
+    * `tsMs` (the state a reader at that instant saw). */
+  def resolveTimestamp(cfs: ChronoFs, tableRoot: HPath, tsMs: Long): Long = {
+    val cs = commits(cfs, tableRoot)
+    if (cs.isEmpty) throw new IllegalArgumentException(
+      s"table at $tableRoot has no version history")
+    cs.filter(_.epochMs <= tsMs).map(_.version).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp ${new java.sql.Timestamp(tsMs)} is before this " +
+          s"table's history begins (${new java.sql.Timestamp(cs.last.epochMs)})"))
+  }
+
+  /** Snapshot entries absent from disk (vacuumed or externally
+    * deleted) — grouped per-bucket listings, but ONLY for entries not
+    * already vouched for by `live` (the current manifest: a live file
+    * exists by the commit protocol, no listing needed) — so a head
+    * snapshot validates with ZERO filesystem calls and an old one pays
+    * O(superseded buckets), not O(snapshot buckets). */
+  def missingFiles(cfs: ChronoFs, tableRoot: HPath,
+      entries: Seq[ManifestEntry],
+      live: Set[(String, String)] = Set.empty): Seq[(String, String)] =
+    entries.filterNot(e => live((e.bucket, e.file)))
+      .groupBy(_.bucket).toSeq.flatMap { case (b, es) =>
+        val d = tableRoot.resolve(s"bucket=$b")
+        val present: Set[String] =
+          if (cfs.exists(d)) cfs.list(d).map(_.getPath.getName).toSet
+          else Set.empty
+        es.filterNot(e => present(e.file)).map(e => (e.bucket, e.file))
+      }.sorted
+
+  /** Prune history to what is still reconstructable: drop commit and
+    * checkpoint files at or before the newest checkpoint that precedes
+    * the first RETAINED commit (epoch ≥ cutoff) — the Delta-style
+    * log-retention sweep. The reconstruction base checkpoint and
+    * everything after it survive; version 0's baseline goes with the
+    * rest once a newer base exists. Returns files deleted. */
+  def vacuum(cfs: ChronoFs, tableRoot: HPath, cutoffEpochMs: Long): Int = {
+    val head = headVersion(cfs, tableRoot).getOrElse(return 0)
+    val cps = checkpointVersions(cfs, tableRoot)
+    if (cps.isEmpty) return 0
+    // first version whose commit must stay readable
+    val keepFrom = commits(cfs, tableRoot).filter(_.epochMs >= cutoffEpochMs)
+      .map(_.version).minOption.getOrElse(head)
+    val base = cps.filter(_ <= keepFrom).lastOption.getOrElse(return 0)
+    var deleted = 0
+    cfs.list(dir(tableRoot)).foreach { st =>
+      val n = st.getPath.getName
+      val doomed =
+        if (n.endsWith(".commit")) n.stripSuffix(".commit").toLong <= base
+        else if (n.endsWith(".checkpoint"))
+          n.stripSuffix(".checkpoint").toLong < base
+        else false
+      if (doomed) { cfs.deleteIfExists(st.getPath); deleted += 1 }
+    }
+    deleted
+  }
+}

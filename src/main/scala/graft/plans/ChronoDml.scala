@@ -66,6 +66,9 @@ object ChronoDmlRule extends Rule[LogicalPlan] {
     p match {
       case SubqueryAlias(_, child) => chronoTarget(child)
       case r: DataSourceV2Relation if r.table.isInstanceOf[ChronoV2Table] =>
+        if (r.table.asInstanceOf[ChronoV2Table].isSnapshot)
+          throw new UnsupportedOperationException(
+            s"${r.table.name()} is a time-travel snapshot — read-only")
         Some(r)
       case _ => None
     }
@@ -297,7 +300,7 @@ private object ChronoDmlRunner {
       val changedRows = fate.map(f =>
         f.filter(col("__changed")).count()).getOrElse(0L)
       fate.foreach(f => db.replaceBucketRows(name, affected,
-        f.filter(col("__keep")).drop("__keep", "__changed")))
+        f.filter(col("__keep")).drop("__keep", "__changed"), verb = "merge"))
       val insertedRows = inserts.map(_.count()).getOrElse(0L)
       inserts.foreach(i => db.insertFrame(name, i))
       changedRows + insertedRows

@@ -247,17 +247,21 @@ object SqlQueries {
     * (localCheckpoint) before returning: a lazy frame would re-resolve
     * the catalog after the conf is gone. */
   private def withFreshCatalog[A](spark: SparkSession, tag: String,
-      root: java.nio.file.Path, bucket: String = "day")(body: String => A): A = {
+      root: java.nio.file.Path, bucket: String = "day",
+      opts: Map[String, String] = Map.empty)(body: String => A): A = {
     val cat = s"chrono_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.ChronoCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.dataDir", root.toString)
     spark.conf.set(s"spark.sql.catalog.$cat.bucket", bucket)
+    opts.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$cat.$k", v) }
     try body(cat)
     finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.dataDir")
       spark.conf.unset(s"spark.sql.catalog.$cat.bucket")
+      opts.keys.foreach(k => spark.conf.unset(s"spark.sql.catalog.$cat.$k"))
     }
   }
 
@@ -538,6 +542,151 @@ object SqlQueries {
       |FROM events GROUP BY user_id
       |ORDER BY key""".stripMargin
 
+  /** Q66: TIME TRAVEL (snapshot versioning, round 17) — the `_history`
+    * commit log ([[graft.core.ChronoHistory]]) read through native SQL
+    * `VERSION AS OF` / `TIMESTAMP AS OF` on a catalog table. The gate
+    * builds three versions (two INSERTs, one DELETE) under a trash
+    * grace window, then reads EVERY version back — including v1/v2
+    * whose superseded files only the grace retention keeps readable
+    * after the delete's copy-on-write rewrite — and emits per-version
+    * aggregates the oracle recomputes from the raw fixture. In-query
+    * verdict pins: the history procedure's verbs/versions, TIMESTAMP AS
+    * OF resolving between commits to the earlier version, and snapshot
+    * read-only refusal (an INSERT into `VERSION AS OF` throws and
+    * changes nothing). */
+  def chronoTimeTravelQ(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerTables(spark, dir)
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("q66_db")
+    withFreshCatalog(spark, "q66", root,
+      opts = Map("trashGrace" -> "1h")) { cat =>
+      graft.core.BenchPhases.setup {
+        spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
+        spark.sql(s"INSERT INTO $cat.ev (key, ts, data) " +   // v1
+          "SELECT CAST(user_id AS STRING), ts, encode(event_type, 'UTF-8') " +
+          "FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'")
+        spark.sql(s"INSERT INTO $cat.ev (key, ts, data) " +   // v2
+          "SELECT CAST(user_id AS STRING), ts, encode(event_type, 'UTF-8') " +
+          "FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'")
+      }
+      val minUser = spark.sql("SELECT CAST(min(user_id) AS STRING) FROM events")
+        .head().getString(0)
+      spark.sql(s"DELETE FROM $cat.ev WHERE key = '$minUser'")  // v3
+      // the commit log, newest first
+      val h = spark.sql(s"CALL $cat.system.history('ev')").collect()
+      val historyOk = h.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+        Seq((3L, "delete"), (2L, "insert"), (1L, "insert"), (0L, "baseline"))
+      // TIMESTAMP AS OF between v1 and v2 must resolve to v1
+      val (e1, e2) = (h.find(_.getLong(0) == 1L).get.getTimestamp(1).getTime,
+        h.find(_.getLong(0) == 2L).get.getTimestamp(1).getTime)
+      val mid = new java.sql.Timestamp((e1 + e2) / 2)
+      val tsOk = e2 > e1 && spark.sql(
+        s"SELECT count(*) FROM $cat.ev TIMESTAMP AS OF '$mid'")
+        .head().getLong(0) ==
+        spark.sql(s"SELECT count(*) FROM $cat.ev VERSION AS OF 1")
+          .head().getLong(0)
+      // snapshots are read-only: the INSERT throws and changes nothing
+      val before = spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+      val refused =
+        try {
+          spark.sql(s"INSERT INTO $cat.ev VERSION AS OF 1 VALUES " +
+            "('z', TIMESTAMP '2024-01-09 00:00:00', X'09', '2024-01-09')")
+          false
+        } catch { case _: Exception => true }
+      val roOk = refused &&
+        spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) == before
+      val ok = historyOk && tsOk && roOk
+      def stateAt(clause: String, v: Int): DataFrame = spark.sql(
+        s"""SELECT $v AS version, count(*) AS n,
+           |  count(DISTINCT key) AS keys, min(ts) AS ts_min, max(ts) AS ts_max
+           |FROM $cat.ev $clause""".stripMargin)
+      val snap = stateAt("VERSION AS OF 1", 1)
+        .unionAll(stateAt("VERSION AS OF 2", 2))
+        .unionAll(stateAt("VERSION AS OF 3", 3))
+        .unionAll(stateAt("", 99))
+        .orderBy(col("version"))
+        .withColumn("travel_ok", lit(ok))
+        .localCheckpoint()
+      spark.sql(s"DROP TABLE $cat.ev")
+      snap
+    }
+  }
+
+  /** Q67: CHANGE FEED — [[graft.core.ChronoDB.changesBetween]]: the
+    * row-level diff between two committed versions, derived from the
+    * history log by reading ONLY the files present in exactly one of
+    * the two snapshots (immutable files ⇒ shared files cannot
+    * contribute), bag-correct under duplicate rows, updates surfacing
+    * as delete+insert pairs. Three phases in one gate: full-insert feed
+    * (v0→v1), a predicate delete's feed (v1→v2, bucket bystanders net
+    * out of the diff), and an update's feed (v2→v3). The oracle
+    * recomputes every phase from the raw fixture. */
+  def chronoChangeFeedQ(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerTables(spark, dir)
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("q67_db")
+    val db = new graft.core.ChronoDB(spark, graft.core.ChronoConfig(
+      root.toString, bucket = "day", trashGraceMs = 3600000L))
+    try {
+      graft.core.BenchPhases.setup {
+        db.createTable("ev")
+        db.insertFrame("ev", spark.table("events").selectExpr(
+          "CAST(user_id AS STRING) AS key", "ts",
+          "encode(event_type, 'UTF-8') AS data"))               // v1
+      }
+      db.deleteWhere("ev",
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+                                                                 // v2
+      db.updateWhere("ev", Seq("data" ->
+        org.apache.spark.sql.functions.encode(lit("ZZZ_UPDATED"), "UTF-8")),
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
+                                                                 // v3
+      def feed(f: Long, t: Long, phase: Int): DataFrame =
+        db.changesBetween("ev", f, t).select(
+          lit(phase).as("phase"), col("key"), col("ts"),
+          expr("decode(data, 'UTF-8')").as("event_type"),
+          col("_change_type").as("change_type"))
+      feed(0, 1, 1).unionAll(feed(1, 2, 2)).unionAll(feed(2, 3, 3))
+        .orderBy(col("phase"), col("key"), col("ts"),
+          col("event_type"), col("change_type"))
+        .localCheckpoint()
+    } finally db.close()
+  }
+
+  private val q67Oracle =
+    """WITH base AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type FROM events),
+      |upd AS (SELECT * FROM base
+      |        WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+      |          AND ts <  TIMESTAMP '2024-01-04 00:00:00')
+      |SELECT 1 AS phase, key, ts, event_type, 'insert' AS change_type
+      |FROM base
+      |UNION ALL
+      |SELECT 2, key, ts, event_type, 'delete' FROM base
+      |WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+      |UNION ALL
+      |SELECT 3, key, ts, event_type, 'delete' FROM upd
+      |UNION ALL
+      |SELECT 3, key, ts, 'ZZZ_UPDATED', 'insert' FROM upd
+      |ORDER BY phase, key, ts, event_type, change_type""".stripMargin
+
+  private val q66Oracle =
+    """WITH base AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key, ts FROM events),
+      |v1 AS (SELECT * FROM base WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+      |v3 AS (SELECT * FROM base
+      |       WHERE key <> (SELECT CAST(min(user_id) AS VARCHAR) FROM events))
+      |SELECT 1 AS version, count(*) AS n, count(DISTINCT key) AS keys,
+      |       min(ts) AS ts_min, max(ts) AS ts_max, TRUE AS travel_ok FROM v1
+      |UNION ALL
+      |SELECT 2, count(*), count(DISTINCT key), min(ts), max(ts), TRUE FROM base
+      |UNION ALL
+      |SELECT 3, count(*), count(DISTINCT key), min(ts), max(ts), TRUE FROM v3
+      |UNION ALL
+      |SELECT 99, count(*), count(DISTINCT key), min(ts), max(ts), TRUE FROM v3
+      |ORDER BY version""".stripMargin
+
   /** Q61: TYPED-schema chrono tables (VERDICT r15 Missing #2) — the
     * documents fixture, with its text and typed columns, written INSIDE
     * a managed chrono table through `df.write.format("chrono")` (the
@@ -659,6 +808,8 @@ object SqlQueries {
     QueryDef("q63_chrono_sql_delete", chronoSqlDeleteQ, Some(q63Oracle)),
     QueryDef("q64_chrono_sql_update", chronoSqlUpdateQ, Some(q64Oracle)),
     QueryDef("q65_chrono_sql_merge", chronoSqlMergeQ, Some(q65Oracle)),
+    QueryDef("q66_chrono_time_travel", chronoTimeTravelQ, Some(q66Oracle)),
+    QueryDef("q67_chrono_change_feed", chronoChangeFeedQ, Some(q67Oracle)),
     QueryDef("q61_chrono_typed_docs", chronoTypedDocsQ, Some(q61Oracle)),
     QueryDef("d40_curation_in_store", curationInStoreQ, Some(d40Oracle)),
     QueryDef("q56_sql_storage", sqlStorageQ, Some(

@@ -103,7 +103,11 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     }
     cfg = base.copy(
       ttl = Option(options.get("ttl")).map(ChronoCatalog.parseTtlSeconds),
-      keyBuckets = Option(options.get("keyBuckets")).map(_.toInt).getOrElse(0))
+      keyBuckets = Option(options.get("keyBuckets")).map(_.toInt).getOrElse(0),
+      // reader snapshot grace AND the time-travel horizon ('7d', '12h',
+      // plain seconds): how long superseded files stay readable
+      trashGraceMs = Option(options.get("trashGrace"))
+        .map(ChronoCatalog.parseTtlSeconds(_) * 1000L).getOrElse(0L))
   }
 
   override def name(): String = catalogName
@@ -255,10 +259,46 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       cfs.isDirectory(new HPath(nsRoot(ident.namespace()), ident.name()))
     } catch { case _: NoSuchNamespaceException => false }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = loadTableAt(ident, None)
+
+  /** SQL TIME TRAVEL, version form: `SELECT ... FROM <cat>.<t> VERSION
+    * AS OF <v>` — the analyzer delivers the version string here; the
+    * snapshot's file set reconstructs from the `_history` commit log
+    * ([[graft.core.ChronoHistory]]) with NO lock taken (reads never
+    * contend with writers, same as every catalog read). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"chrono versions are numeric commit versions " +
+            s"(CALL $catalogName.system.history('<t>') lists them), " +
+            s"got '$version'")
+      }
+    loadTableAt(ident, Some(ident2 => graft.core.ChronoHistory.snapshot(
+      fsRoot._1, tableRootOf(ident2), v)))
+  }
+
+  /** SQL TIME TRAVEL, instant form: `TIMESTAMP AS OF <t>` (the analyzer
+    * passes MICROseconds since epoch) — resolved to the last version
+    * committed at or before the instant. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTableAt(ident, Some { ident2 =>
+      val (cfs, _) = fsRoot
+      val root = tableRootOf(ident2)
+      graft.core.ChronoHistory.snapshot(cfs, root,
+        graft.core.ChronoHistory.resolveTimestamp(cfs, root,
+          timestamp / 1000L))
+    })
+
+  private def tableRootOf(ident: Identifier): HPath =
+    new HPath(nsRoot(ident.namespace()), ident.name())
+
+  private def loadTableAt(ident: Identifier,
+      snapshotOf: Option[Identifier => Seq[ManifestEntry]]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val (cfs, _) = fsRoot
-    val tableRoot = new HPath(nsRoot(ident.namespace()), ident.name())
+    val tableRoot = tableRootOf(ident)
     // labels (ground truth) → CREATE-time pin → the catalog's default:
     // one ROOT-level listing, never a per-bucket walk (loadTable runs
     // on every reference)
@@ -270,9 +310,26 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
         .getOrElse(ChronoDB.EnvelopeSchema), granularity)
     val nsPart =
       if (isDefaultNs(ident.namespace())) "" else s"${ident.namespace()(0)}."
+    val snapshot = snapshotOf.map { f =>
+      val entries = f(ident)
+      // live-manifest vouching: files the current manifest records
+      // exist by the commit protocol — validation listings only touch
+      // SUPERSEDED buckets (KB-scale fold read, zero listings at head)
+      val live = ChronoLayout.foldedManifest(spark, cfs, tableRoot)
+        .map(_.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+        .getOrElse(Set.empty[(String, String)])
+      val missing = graft.core.ChronoHistory.missingFiles(cfs, tableRoot,
+        entries, live)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"this version of ${ident.name()} is no longer readable: " +
+          s"${missing.size} of its file(s) have been vacuumed past the " +
+          s"trash grace window (first: bucket=${missing.head._1}/" +
+          s"${missing.head._2})")
+      entries
+    }
     new ChronoV2Table(spark, cfs, tableRoot,
       s"$catalogName.$nsPart${ident.name()}", ident.name(), declared,
-      granularity, nsCfg(ident.namespace()))
+      granularity, nsCfg(ident.namespace()), snapshot)
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
@@ -361,8 +418,56 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       db => t => db.refreshBucketed(t).files.toLong)))
 
   override def listProcedures(ns: Array[String]): Array[Identifier] =
-    (maintenanceProcs.keys.toSeq :+ "cleanup_as_of").sorted
+    (maintenanceProcs.keys.toSeq ++ Seq("cleanup_as_of", "history")).sorted
       .map(Identifier.of(Array("system"), _)).toArray
+
+  /** `CALL <cat>.system.history('t')` — the table's retained commit
+    * log, newest first (the `DESCRIBE HISTORY` surface): one row per
+    * recorded verb with its version, instant, and file-set delta. Reads
+    * the `_history` sidecar directly — NO writer lock taken. */
+  private def historyProcedure(): procedures.UnboundProcedure =
+    new procedures.UnboundProcedure {
+      override def name(): String = "history"
+      override def description(): String =
+        "chrono table version history (newest first)"
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = "history"
+          override def description(): String =
+            "chrono table version history (newest first)"
+          override def parameters(): Array[procedures.ProcedureParameter] =
+            Array(procedures.ProcedureParameter
+              .in("table", org.apache.spark.sql.types.StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val (tblNs, table) = splitTableArg(input.getUTF8String(0).toString)
+            val (cfs, _) = fsRoot
+            val commits = graft.core.ChronoHistory.commits(cfs,
+              new HPath(nsRoot(tblNs), table))
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  commits.map(c => org.apache.spark.sql.catalyst.InternalRow(
+                    c.version, c.epochMs * 1000L,
+                    UTF8String.fromString(c.verb),
+                    c.adds.size.toLong, c.removes.size.toLong)).toArray
+                override def readSchema(): StructType = StructType(Seq(
+                  org.apache.spark.sql.types.StructField("version",
+                    org.apache.spark.sql.types.LongType, nullable = false),
+                  org.apache.spark.sql.types.StructField("commit_ts",
+                    org.apache.spark.sql.types.TimestampType, nullable = false),
+                  org.apache.spark.sql.types.StructField("verb",
+                    org.apache.spark.sql.types.StringType, nullable = false),
+                  org.apache.spark.sql.types.StructField("files_added",
+                    org.apache.spark.sql.types.LongType, nullable = false),
+                  org.apache.spark.sql.types.StructField("files_removed",
+                    org.apache.spark.sql.types.LongType, nullable = false)))
+              }
+            util.Collections.singletonList(out).iterator()
+          }
+        }
+    }
 
   /** `CALL <cat>.system.cleanup_as_of('t', TIMESTAMP '...')` —
     * [[ChronoDB.cleanup]] evaluated AS OF an explicit instant (the
@@ -408,11 +513,12 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     if (!ident.namespace().sameElements(Array("system")))
       throw new NoSuchNamespaceException(ident.namespace())
     if (ident.name() == "cleanup_as_of") return cleanupAsOfProcedure()
+    if (ident.name() == "history") return historyProcedure()
     val (resultCol, run) = maintenanceProcs.getOrElse(ident.name(),
       throw new UnsupportedOperationException(
         s"no such procedure: ${ident.name()} — available: " +
-          (maintenanceProcs.keys.toSeq :+ "cleanup_as_of").sorted
-            .mkString(", ")))
+          (maintenanceProcs.keys.toSeq ++ Seq("cleanup_as_of", "history"))
+            .sorted.mkString(", ")))
     val procName = ident.name()
     new procedures.UnboundProcedure {
       override def name(): String = procName
@@ -499,8 +605,16 @@ final class ChronoV2Table(
     val tableName: String,
     declaredSchema: StructType,
     granularity: String,
-    val cfg: ChronoConfig) extends Table with SupportsRead with SupportsWrite
+    val cfg: ChronoConfig,
+    snapshot: Option[Seq[ManifestEntry]] = None)
+    extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
+
+  /** A time-travel snapshot (`VERSION AS OF` / `TIMESTAMP AS OF`):
+    * the file index is PINNED to the reconstructed version and every
+    * mutating surface is refused — a snapshot is a read-only view of
+    * the past, exactly like Delta/Iceberg time travel. */
+  def isSnapshot: Boolean = snapshot.isDefined
 
   override def name(): String = qualifiedName
 
@@ -525,11 +639,14 @@ final class ChronoV2Table(
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    if (isSnapshot) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   private lazy val fileIndex: PartitioningAwareFileIndex =
-    new ChronoPartitionIndex(sparkSession, cfs, tableRoot, granularity)
+    new ChronoPartitionIndex(sparkSession, cfs, tableRoot, granularity,
+      pinned = snapshot)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
@@ -548,6 +665,7 @@ final class ChronoV2Table(
     * `bucket`) only — else the strategy refuses the DELETE loudly. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
       : Boolean = {
+    if (isSnapshot) return false
     val cols = schema().fieldNames.toSet
     filters.forall(f => f.references.forall(cols.contains) &&
       V1Filters.toColumn(f).isDefined)
@@ -559,6 +677,8 @@ final class ChronoV2Table(
     * path; the general conjunction rides [[ChronoDB.deleteWhere]]. */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
       : Unit = {
+    if (isSnapshot) throw new UnsupportedOperationException(
+      s"$qualifiedName is a time-travel snapshot — read-only")
     val db = new ChronoDB(sparkSession, cfg)
     try V1Filters.keyOnly(filters.toIndexedSeq) match {
       case Some(keys) => db.deleteKeys(tableName, keys)
@@ -579,7 +699,9 @@ final class ChronoV2Table(
     * path. INSERT OVERWRITE is rejected (the storage verbs for
     * replacement are upsert/delete — a blind truncate-and-load is not
     * a chrono verb; the reference has none either). */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (isSnapshot) throw new UnsupportedOperationException(
+      s"$qualifiedName is a time-travel snapshot — read-only")
     new WriteBuilder {
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -610,6 +732,7 @@ final class ChronoV2Table(
             info.queryId())
       }
     }
+  }
 }
 
 /** A [[ParquetScanBuilder]] whose built scan additionally answers the
@@ -756,17 +879,23 @@ final class ChronoPartitionIndex(
     sparkSession: SparkSession,
     cfs: ChronoFs,
     tableRoot: HPath,
-    granularity: String)
+    granularity: String,
+    pinned: Option[Seq[ManifestEntry]] = None)
   extends PartitioningAwareFileIndex(sparkSession, Map.empty, None,
     FileStatusCache.getOrCreate(sparkSession)) {
 
   private val manifest =
-    ChronoLayout.foldedManifest(sparkSession, cfs, tableRoot)
+    if (pinned.isDefined) None
+    else ChronoLayout.foldedManifest(sparkSession, cfs, tableRoot)
 
-  /** No manifest → one listing, held whole (the legacy budget). */
+  /** A PINNED entry set (time-travel snapshot — already reconstructed
+    * on the driver, O(snapshot) by nature) or, with no manifest, one
+    * listing held whole (the legacy budget). */
   private val listed: Option[Seq[ManifestEntry]] =
-    if (manifest.isDefined) None
-    else Some(ChronoLayout.listEntries(cfs, tableRoot))
+    pinned.orElse {
+      if (manifest.isDefined) None
+      else Some(ChronoLayout.listEntries(cfs, tableRoot))
+    }
 
   /** (label, totalSize) per bucket — the constructor's only job. */
   private val bucketSummary: Seq[(String, Long)] = manifest match {

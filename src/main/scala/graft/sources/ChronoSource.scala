@@ -129,6 +129,45 @@ final class ChronoSource extends RelationProvider
     val dataSchema = ManifestFileIndex.withGranularity(
       ChronoLayout.declaredSchema(cfs, root)
         .getOrElse(graft.core.ChronoDB.EnvelopeSchema), granularity)
+    // TIME TRAVEL on the path connector (parity with the catalog's
+    // `VERSION AS OF`): .option("versionAsOf", 3) or
+    // .option("timestampAsOf", "2026-01-01 00:00:00"|epochMillis) pins
+    // the scan to the reconstructed snapshot ([[graft.core
+    // .ChronoHistory]]) — read-only by construction (this relation has
+    // no write half). Readability bounded by the trash grace window;
+    // a vacuumed snapshot fails HERE, not FileNotFound mid-query.
+    val asOfVersion = (parameters.get("versionAsOf"),
+        parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "give versionAsOf OR timestampAsOf, not both")
+      case (Some(v), None) => Some(v.trim.toLong)
+      case (None, Some(t)) =>
+        val ms =
+          try java.sql.Timestamp.valueOf(t.trim).getTime
+          catch { case _: IllegalArgumentException => t.trim.toLong }
+        Some(graft.core.ChronoHistory.resolveTimestamp(cfs, root, ms))
+      case (None, None) => None
+    }
+    asOfVersion.foreach { v =>
+      val entries = graft.core.ChronoHistory.snapshot(cfs, root, v)
+      val live = ChronoLayout.foldedManifest(spark, cfs, root)
+        .map(_.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+        .getOrElse(Set.empty[(String, String)])
+      val missing = graft.core.ChronoHistory.missingFiles(cfs, root,
+        entries, live)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"version $v of $root is no longer readable: ${missing.size} of " +
+          s"its file(s) have been vacuumed past the trash grace window " +
+          s"(first: bucket=${missing.head._1}/${missing.head._2})")
+      val pinned = new ManifestFileIndex(root, entries)
+      return HadoopFsRelation(
+        location = pinned,
+        partitionSchema = pinned.partitionSchema,
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat = new ChronoReadOnlyParquetFormat(),
+        options = Map.empty[String, String])(spark)
+    }
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,

@@ -1,0 +1,270 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+/** Snapshot versioning + time travel (`_history` commit log,
+  * [[ChronoHistory]]): every manifest-changing verb records its
+  * file-set delta; `tableAsOf` / `VERSION AS OF` / `TIMESTAMP AS OF`
+  * reconstruct and read any retained version; readability is bounded
+  * by the `trashGraceMs` retention horizon (vacuum prunes both files
+  * and log); snapshots are read-only on every mutating surface. */
+class TimeTravelSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mk(graceMs: Long = 3600000L, foldFiles: Int = 64)
+      : (ChronoDB, String) = {
+    val dir = Files.createTempDirectory("ttravel").toString
+    (new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      writersPerBucket = 1, compactFileThreshold = 2,
+      manifestFoldFiles = foldFiles,
+      trashGraceMs = graceMs)), dir)
+  }
+
+  private def keysAt(db: ChronoDB, v: Long): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    db.tableAsOf("t", v).select(col("key"))
+      .collect().map(_.getString(0)).toSet
+  }
+
+  test("every verb commits a version; tableAsOf reconstructs each state") {
+    val (db, _) = mk()
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1)),
+        ChronoRow("b", ts("2024-03-02 10:00:00"), Array(2))))   // v1
+      db.insertSeq("t", Seq(ChronoRow("c", ts("2024-03-03 10:00:00"), Array(3)))) // v2
+      db.deleteKeys("t", Seq("a"))                               // v3
+      db.updateWhere("t", Seq("data" ->
+        org.apache.spark.sql.functions.lit(Array[Byte](9))),
+        org.apache.spark.sql.functions.col("key") === "b")       // v4
+      val h = db.history("t")
+      assert(h.map(_.verb) === Seq("update", "delete", "insert", "insert",
+        "baseline"))
+      assert(h.map(_.version) === Seq(4L, 3L, 2L, 1L, 0L))
+      assert(keysAt(db, 0) === Set.empty[String])               // baseline: empty
+      assert(keysAt(db, 1) === Set("a", "b"))
+      assert(keysAt(db, 2) === Set("a", "b", "c"))
+      assert(keysAt(db, 3) === Set("b", "c"))
+      assert(keysAt(db, 4) === Set("b", "c"))
+      // v4 content: b's payload updated — and the LIVE table matches v4
+      import org.apache.spark.sql.functions.col
+      val bData = db.tableAsOf("t", 4).filter(col("key") === "b")
+        .head().getAs[Array[Byte]]("data")
+      assert(bData.toSeq === Seq(9.toByte))
+      assert(db.table("t").count() === db.tableAsOf("t", 4).count())
+      // delta sizes recorded honestly: the delete rewrote 1 bucket
+      val del = h.find(_.verb == "delete").get
+      assert(del.removes.size === 1 && del.adds.isEmpty) // bucket emptied
+    } finally db.close()
+  }
+
+  test("compact under grace: pre-compact version still readable; after vacuum it fails loudly") {
+    val (db, _) = mk(graceMs = 400)
+    try {
+      db.createTable("t")
+      (0 until 3).foreach { i =>
+        db.insertSeq("t", Seq(ChronoRow(s"k$i",
+          ts(f"2024-03-01 1$i:00:00"), Array(i.toByte))))
+      }                                         // v1..v3, 3 files one bucket
+      assert(db.compact("t") === 1)             // v4
+      val h = db.history("t")
+      assert(h.head.verb === "compact")
+      assert(h.head.adds.size === 1 && h.head.removes.size === 3)
+      // pre-compact snapshot reads the retained superseded files
+      assert(keysAt(db, 3) === Set("k0", "k1", "k2"))
+      assert(db.tableAsOf("t", 3).inputFiles.length === 3)
+      assert(db.tableAsOf("t", 4).inputFiles.length === 1)
+      Thread.sleep(600)
+      assert(db.vacuumOrphans("t") === 3)
+      // v3's files are gone — loud failure, not FileNotFound mid-query
+      val e = intercept[Exception] { db.tableAsOf("t", 3).collect() }
+      assert(e.getMessage.contains("no longer readable") ||
+        e.getMessage.contains("no retained checkpoint"))
+      // the current version still reads
+      assert(keysAt(db, 4) === Set("k0", "k1", "k2"))
+    } finally db.close()
+  }
+
+  test("row-level DML under grace keeps pre-mutation snapshots readable (uniform grace)") {
+    val (db, dir) = mk()
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(
+        ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1)),
+        ChronoRow("b", ts("2024-03-01 11:00:00"), Array(2)),
+        ChronoRow("c", ts("2024-03-02 10:00:00"), Array(3))))   // v1
+      val preFiles = graft.sources.ChronoLayout
+        .listEntries(Paths.get(dir, "t")).map(_.file).toSet
+      assert(db.deleteKeys("t", Seq("a")) === 1L)               // v2: rewrite 03-01
+      assert(db.deleteKeys("t", Seq("c")) === 1L)               // v3: empty 03-02
+      // superseded files are RETAINED on disk (grace), not overwritten
+      val postFiles = graft.sources.ChronoLayout
+        .listEntries(Paths.get(dir, "t")).map(_.file).toSet
+      assert(preFiles.subsetOf(postFiles))
+      assert(keysAt(db, 1) === Set("a", "b", "c"))
+      assert(keysAt(db, 2) === Set("b", "c"))
+      assert(keysAt(db, 3) === Set("b"))
+      assert(db.table("t").count() === 1L)
+      assert(db.manifestConsistent("t"))
+      assert(db.sidecarsConsistent("t"))
+      // a reader that PLANNED pre-delete collects its snapshot
+      val planned = db.tableAsOf("t", 1)
+      db.updateWhere("t", Seq("data" ->
+        org.apache.spark.sql.functions.lit(Array[Byte](7))),
+        org.apache.spark.sql.functions.col("key") === "b")      // v4
+      assert(planned.count() === 3L)
+    } finally db.close()
+  }
+
+  test("timestamp resolution: last version at or before the instant") {
+    val (db, _) = mk()
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1))))
+      Thread.sleep(20)
+      db.insertSeq("t", Seq(ChronoRow("b", ts("2024-03-02 10:00:00"), Array(2))))
+      val h = db.history("t")
+      val (e1, e2) = (h.find(_.version == 1).get.epochMs,
+        h.find(_.version == 2).get.epochMs)
+      assert(e2 > e1)
+      // between the two commits → v1; at/after the second → v2
+      val mid = new Timestamp((e1 + e2) / 2)
+      assert(db.tableAsOfTimestamp("t", mid).count() === 1L)
+      assert(db.tableAsOfTimestamp("t",
+        new Timestamp(e2)).count() === 2L)
+      // before history begins → loud error
+      val e = intercept[IllegalArgumentException] {
+        db.tableAsOfTimestamp("t", new Timestamp(e1 - 3600000L))
+      }
+      assert(e.getMessage.contains("before"))
+    } finally db.close()
+  }
+
+  test("checkpoint replay: snapshots correct across the fold cadence; old log prunes at vacuum") {
+    val (db, dir) = mk(graceMs = 400, foldFiles = 4)
+    try {
+      db.createTable("t")
+      (1 to 10).foreach { i =>
+        db.insertSeq("t", Seq(ChronoRow(f"k$i%02d",
+          ts(f"2024-03-${i}%02d 10:00:00"), Array(i.toByte))))
+      } // v1..v10, checkpoints at v4 and v8
+      val hdir = Paths.get(dir, "t", "_history")
+      assert(Files.exists(hdir.resolve("4.checkpoint")))
+      assert(Files.exists(hdir.resolve("8.checkpoint")))
+      (1 to 10).foreach { v =>
+        assert(db.tableAsOf("t", v).count() === v.toLong, s"version $v")
+      }
+      Thread.sleep(600)
+      // log retention = max(horizon, grace); pass the short horizon so
+      // the sweep runs (all data files are manifest-recorded → safe)
+      db.vacuumOrphans("t", horizonMs = 400)
+      // all commits' epochs are now past the grace: the log prunes to
+      // the newest reconstruction base; head still reads
+      assert(!Files.exists(hdir.resolve("1.commit")))
+      assert(db.tableAsOf("t", 10).count() === 10L)
+      // inserts never trash files, so even PRUNED versions' files are
+      // still live-on-disk — but their commits are gone: loud error
+      val e = intercept[Exception] { db.tableAsOf("t", 1) }
+      assert(e.getMessage.contains("no retained checkpoint") ||
+        e.getMessage.contains("out of range"))
+    } finally db.close()
+  }
+
+  test("history adoption on a pre-history table: baseline checkpoint captures found state") {
+    val (db, dir) = mk()
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1))))
+      // simulate a table written before history existed
+      val hdir = Paths.get(dir, "t", "_history")
+      Files.walk(hdir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      db.insertSeq("t", Seq(ChronoRow("b", ts("2024-03-02 10:00:00"), Array(2))))
+      val h = db.history("t")
+      assert(h.map(_.verb) === Seq("insert", "baseline"))
+      assert(keysAt(db, 0) === Set("a"))   // the state adoption found
+      assert(keysAt(db, 1) === Set("a", "b"))
+    } finally db.close()
+  }
+
+  test("changesBetween: bag-correct row diff, updates as delete+insert pairs, only changed files read") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (db, _) = mk()
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(
+        ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1)),
+        ChronoRow("b", ts("2024-03-01 11:00:00"), Array(2)),
+        ChronoRow("b", ts("2024-03-01 11:00:00"), Array(2)),  // duplicate row
+        ChronoRow("c", ts("2024-03-02 10:00:00"), Array(3)))) // v1
+      db.deleteKeys("t", Seq("a"))                             // v2
+      db.updateWhere("t", Seq("data" -> lit(Array[Byte](9))),
+        col("key") === "b")                                    // v3
+      def changes(f: Long, t: Long): Seq[(String, String, Int)] =
+        db.changesBetween("t", f, t)
+          .select(col("key"), col("_change_type"), col("data"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1),
+            r.getAs[Array[Byte]](2)(0).toInt))
+          .sortBy(x => (x._1, x._2, x._3)).toSeq
+      // v0→v1: every insert, with duplicate multiplicity preserved
+      assert(changes(0, 1) === Seq(("a", "insert", 1), ("b", "insert", 2),
+        ("b", "insert", 2), ("c", "insert", 3)))
+      // v1→v2: just the delete — bucket bystanders (the b rows) net out
+      assert(changes(1, 2) === Seq(("a", "delete", 1)))
+      // v2→v3: the update as delete+insert pairs, ×2 (duplicate rows)
+      assert(changes(2, 3) === Seq(("b", "delete", 2), ("b", "delete", 2),
+        ("b", "insert", 9), ("b", "insert", 9)))
+      // composite v1→v3
+      assert(changes(1, 3) === Seq(("a", "delete", 1), ("b", "delete", 2),
+        ("b", "delete", 2), ("b", "insert", 9), ("b", "insert", 9)))
+      // identical versions → empty
+      assert(db.changesBetween("t", 3, 3).isEmpty)
+      // only CHANGED files are read: c's bucket never entered any diff
+      assert(!db.changesBetween("t", 1, 3).inputFiles
+        .exists(_.contains("bucket=2024-03-02")))
+    } finally db.close()
+  }
+
+  test("path-connector time travel: versionAsOf / timestampAsOf options") {
+    val (db, dir) = mk()
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(
+        ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1)),
+        ChronoRow("b", ts("2024-03-02 10:00:00"), Array(2))))   // v1
+      db.deleteKeys("t", Seq("a"))                               // v2
+      def read(opts: (String, String)*) = {
+        val r = spark.read.format("chrono")
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load(s"$dir/t")
+      }
+      assert(read("versionAsOf" -> "1").count() === 2L)
+      assert(read("versionAsOf" -> "2").count() === 1L)
+      assert(read().count() === 1L)
+      // timestampAsOf: epoch millis of v1's commit resolves to v1
+      val e1 = db.history("t").find(_.version == 1).get.epochMs
+      assert(read("timestampAsOf" -> e1.toString).count() === 2L)
+      intercept[IllegalArgumentException] {
+        read("versionAsOf" -> "1", "timestampAsOf" -> e1.toString).count()
+      }
+    } finally db.close()
+  }
+
+  test("rebuildManifest records a checkpoint commit (resync point)") {
+    val (db, _) = mk()
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1))))
+      db.rebuildManifest("t")
+      val h = db.history("t")
+      assert(h.head.verb === "rebuild")
+      assert(keysAt(db, h.head.version) === Set("a"))
+    } finally db.close()
+  }
+}

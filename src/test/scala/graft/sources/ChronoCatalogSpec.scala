@@ -298,4 +298,72 @@ class ChronoCatalogSpec extends SparkSuite {
       assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === 0L)
     } finally db.close()
   }
+
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF, history procedure, snapshots read-only") {
+    val cat = freshCat("bucket" -> "day", "trashGrace" -> "1h")
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
+    spark.sql(s"INSERT INTO $cat.ev (key, ts, data) VALUES " +
+      "('a', TIMESTAMP '2024-01-01 10:00:00', X'01')," +
+      "('b', TIMESTAMP '2024-01-02 11:00:00', X'02')")          // v1
+    Thread.sleep(20)
+    spark.sql(s"INSERT INTO $cat.ev (key, ts, data) VALUES " +
+      "('c', TIMESTAMP '2024-01-03 12:00:00', X'03')")          // v2
+    spark.sql(s"DELETE FROM $cat.ev WHERE key = 'a'")           // v3
+    // history procedure: one row per verb, newest first
+    val h = spark.sql(s"CALL $cat.system.history('ev')").collect()
+    assert(h.map(_.getString(2)).toSeq ===
+      Seq("delete", "insert", "insert", "baseline"))
+    assert(h.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L, 0L))
+    // VERSION AS OF reconstructs each state
+    def keysAt(q: String): Set[String] =
+      spark.sql(q).collect().map(_.getString(0)).toSet
+    assert(keysAt(s"SELECT key FROM $cat.ev VERSION AS OF 1") === Set("a", "b"))
+    assert(keysAt(s"SELECT key FROM $cat.ev VERSION AS OF 2") ===
+      Set("a", "b", "c"))
+    assert(keysAt(s"SELECT key FROM $cat.ev VERSION AS OF 3") === Set("b", "c"))
+    assert(keysAt(s"SELECT key FROM $cat.ev") === Set("b", "c"))
+    // TIMESTAMP AS OF: between v1 and v2 resolves to v1 (the analyzer
+    // passes micros — resolution semantics pinned end-to-end here)
+    val (e1, e2) = (h.find(_.getLong(0) == 1L).get.getTimestamp(1).getTime,
+      h.find(_.getLong(0) == 2L).get.getTimestamp(1).getTime)
+    assert(e2 > e1)
+    val mid = new java.sql.Timestamp((e1 + e2) / 2)
+    assert(keysAt(s"SELECT key FROM $cat.ev TIMESTAMP AS OF '$mid'") ===
+      Set("a", "b"))
+    // snapshots refuse every mutating surface — and refuse WITHOUT
+    // touching state (v1 and the live table read the same after)
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ev VERSION AS OF 1 VALUES " +
+        "('z', TIMESTAMP '2024-01-09 00:00:00', X'09', '2024-01-09')")
+    }
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.ev VERSION AS OF 1 WHERE key = 'a'")
+    }
+    assert(keysAt(s"SELECT key FROM $cat.ev VERSION AS OF 1") === Set("a", "b"))
+    assert(keysAt(s"SELECT key FROM $cat.ev") === Set("b", "c"))
+    // a non-numeric version is refused with the catalog's own message
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT key FROM $cat.ev VERSION AS OF 'abc'").collect()
+    }
+    assert(bad.getMessage.contains("numeric commit versions"))
+  }
+
+  test("time travel survives compact (grace retains superseded files)") {
+    val cat = freshCat("bucket" -> "day", "trashGrace" -> "1h")
+    spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
+    (1 to 5).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.ev (key, ts, data) VALUES " +
+        s"('k$i', TIMESTAMP '2024-01-01 0$i:00:00', X'0$i')")
+    }                                       // v1..v5 (threshold 4 → victim)
+    spark.sql(s"CALL $cat.system.compact('ev')")                 // v6
+    val h = spark.sql(s"CALL $cat.system.history('ev')").head()
+    assert(h.getString(2) === "compact" && h.getLong(0) === 6L)
+    // every pre-compact version still reads its own file set
+    (1 to 5).foreach { v =>
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.ev VERSION AS OF $v").head().getLong(0)
+        === v.toLong, s"version $v")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === 5L)
+  }
 }
