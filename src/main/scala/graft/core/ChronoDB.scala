@@ -2481,6 +2481,58 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     tableAsOf(name,
       ChronoHistory.resolveTimestamp(cfs, requireTable(name), asOf.getTime))
 
+  /** RESTORE the live table to a committed version (the Delta RESTORE
+    * verb): the manifest flips to the snapshot's file set, recorded as
+    * a NEW "restore" commit — history stays linear (no branch), so a
+    * second restore forward to the pre-restore head is redo, and both
+    * directions work while the grace window retains the off-manifest
+    * files. Trash bookkeeping follows the flip: files REJOINING the
+    * manifest leave the trash log (they are live again, vacuum must not
+    * purge them), files LEAVING it are trash-logged under grace — or
+    * deleted outright when grace is off (no retention promise to keep).
+    * Sidecars rebuild for exactly the buckets whose file set changed
+    * ([[repairAfterRewrite]] — stats/rollup re-aggregate from the
+    * restored data). Returns the number of buckets whose content
+    * changed. */
+  def restoreVersion(name: String, version: Long): Int = {
+    val p = requireTable(name)
+    invalidateTwin(name)
+    val entries = ChronoHistory.snapshot(cfs, p, version)
+    val live = manifestEntries(name, None)
+    val liveIds = live.map(e => (e.bucket, e.file)).toSet
+    val snapIds = entries.map(e => (e.bucket, e.file)).toSet
+    val missing = ChronoHistory.missingFiles(cfs, p, entries, liveIds)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore '$name' to version $version: ${missing.size} of " +
+          s"its file(s) have been vacuumed past the trash grace window " +
+          s"(first: bucket=${missing.head._1}/${missing.head._2})")
+    // buckets whose file set changes — the only ones any state touches
+    val byBucketLive = live.groupBy(_.bucket)
+    val byBucketSnap = entries.groupBy(_.bucket)
+    val touched = (byBucketLive.keySet ++ byBucketSnap.keySet).filter { b =>
+      byBucketLive.getOrElse(b, Nil).map(_.file).toSet !=
+        byBucketSnap.getOrElse(b, Nil).map(_.file).toSet
+    }.toSeq.sorted
+    if (touched.isEmpty) return 0
+    val rows = touched.flatMap(b => byBucketSnap.getOrElse(b, Nil))
+      .map(e => org.apache.spark.sql.Row(e.bucket, e.file, e.size, e.mtime))
+    // files rejoining the manifest must leave the trash log FIRST —
+    // a vacuum racing the flip must never purge a just-restored file
+    writeTrash(name, trashEntries(name)
+      .filterNot(t => snapIds((t._1, t._2))))
+    repairAfterRewrite(name,
+      touched, touched.filter(byBucketSnap.contains), "restore", Some(rows))
+    // files leaving the manifest: retained under grace, gone without
+    val leaving = live.filterNot(e => snapIds((e.bucket, e.file)))
+    if (graceActive(name))
+      appendTrash(name, leaving.map(e => (e.bucket, e.file)),
+        System.currentTimeMillis())
+    else leaving.foreach(e =>
+      cfs.deleteIfExists(p.resolve(s"bucket=${e.bucket}").resolve(e.file)))
+    touched.size
+  }
+
   /** CHANGE FEED derived from the version history: the row-level diff
     * between two committed versions, as the table's columns plus
     * `_change_type` ('insert' | 'delete'; an update surfaces as the

@@ -418,8 +418,49 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       db => t => db.refreshBucketed(t).files.toLong)))
 
   override def listProcedures(ns: Array[String]): Array[Identifier] =
-    (maintenanceProcs.keys.toSeq ++ Seq("cleanup_as_of", "history")).sorted
+    (maintenanceProcs.keys.toSeq ++
+      Seq("cleanup_as_of", "history", "restore_version")).sorted
       .map(Identifier.of(Array("system"), _)).toArray
+
+  /** `CALL <cat>.system.restore_version('t', <v>)` — roll the live
+    * table back (or forward) to a committed version
+    * ([[ChronoDB.restoreVersion]]): manifest flips to the snapshot,
+    * recorded as a NEW linear commit; works while the grace window
+    * retains the off-manifest files. */
+  private def restoreVersionProcedure(): procedures.UnboundProcedure =
+    new procedures.UnboundProcedure {
+      override def name(): String = "restore_version"
+      override def description(): String =
+        "restore a chrono table to a committed version"
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = "restore_version"
+          override def description(): String =
+            "restore a chrono table to a committed version"
+          override def parameters(): Array[procedures.ProcedureParameter] =
+            Array(
+              procedures.ProcedureParameter
+                .in("table", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("version", org.apache.spark.sql.types.LongType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val (tblNs, table) = splitTableArg(input.getUTF8String(0).toString)
+            val v = input.getLong(1)
+            val n = withDbIn(tblNs)(_.restoreVersion(table, v).toLong)
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  Array(org.apache.spark.sql.catalyst.InternalRow(n))
+                override def readSchema(): StructType = StructType(Seq(
+                  org.apache.spark.sql.types.StructField("buckets_changed",
+                    org.apache.spark.sql.types.LongType, nullable = false)))
+              }
+            util.Collections.singletonList(out).iterator()
+          }
+        }
+    }
 
   /** `CALL <cat>.system.history('t')` — the table's retained commit
     * log, newest first (the `DESCRIBE HISTORY` surface): one row per
@@ -514,10 +555,12 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(ident.namespace())
     if (ident.name() == "cleanup_as_of") return cleanupAsOfProcedure()
     if (ident.name() == "history") return historyProcedure()
+    if (ident.name() == "restore_version") return restoreVersionProcedure()
     val (resultCol, run) = maintenanceProcs.getOrElse(ident.name(),
       throw new UnsupportedOperationException(
         s"no such procedure: ${ident.name()} — available: " +
-          (maintenanceProcs.keys.toSeq ++ Seq("cleanup_as_of", "history"))
+          (maintenanceProcs.keys.toSeq ++
+            Seq("cleanup_as_of", "history", "restore_version"))
             .sorted.mkString(", ")))
     val procName = ident.name()
     new procedures.UnboundProcedure {

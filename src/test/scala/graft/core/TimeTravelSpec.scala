@@ -256,6 +256,67 @@ class TimeTravelSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("restoreVersion: undo, redo, linear history, sidecars consistent") {
+    import org.apache.spark.sql.functions.col
+    val (db, _) = mk()
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(
+        ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1)),
+        ChronoRow("b", ts("2024-03-02 10:00:00"), Array(2))))   // v1
+      db.insertSeq("t", Seq(
+        ChronoRow("c", ts("2024-03-03 10:00:00"), Array(3))))   // v2
+      db.deleteKeys("t", Seq("a"))                               // v3
+      def keys(): Set[String] =
+        db.table("t").select(col("key")).collect().map(_.getString(0)).toSet
+      assert(keys() === Set("b", "c"))
+      // UNDO the delete: restore to v2 (v4)
+      assert(db.restoreVersion("t", 2) > 0)
+      assert(keys() === Set("a", "b", "c"))
+      assert(db.manifestConsistent("t") && db.sidecarsConsistent("t"))
+      // keyed reads serve the restored state (sidecars rebuilt)
+      assert(db.queryKey("t", "a").count() === 1L)
+      // REDO: restore forward to v3 (v5) — linear history, no branch
+      assert(db.restoreVersion("t", 3) > 0)
+      assert(keys() === Set("b", "c"))
+      val h = db.history("t")
+      assert(h.map(_.verb).take(2) === Seq("restore", "restore"))
+      assert(h.map(_.version).take(2) === Seq(5L, 4L))
+      // restore to the CURRENT state is a no-op
+      assert(db.restoreVersion("t", 5) === 0)
+      // deep undo to v1 still works (grace retains everything in-test)
+      db.restoreVersion("t", 1)
+      assert(keys() === Set("a", "b"))
+      assert(db.manifestConsistent("t") && db.sidecarsConsistent("t"))
+    } finally db.close()
+  }
+
+  test("restore via SQL procedure: CALL system.restore_version") {
+    val dir = Files.createTempDirectory("ttravel").toString
+    val cat = s"ttcat${System.nanoTime() % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", dir)
+    spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+    spark.conf.set(s"spark.sql.catalog.$cat.trashGrace", "1h")
+    try {
+      spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
+      spark.sql(s"INSERT INTO $cat.ev VALUES " +
+        "('a', TIMESTAMP '2024-01-01 10:00:00', X'01', '2024-01-01')")
+      spark.sql(s"INSERT INTO $cat.ev VALUES " +
+        "('b', TIMESTAMP '2024-01-02 10:00:00', X'02', '2024-01-02')")
+      val n = spark.sql(s"CALL $cat.system.restore_version('ev', 1)")
+        .head().getLong(0)
+      assert(n === 1L)
+      assert(spark.sql(s"SELECT key FROM $cat.ev").collect()
+        .map(_.getString(0)).toSeq === Seq("a"))
+      // the restore is itself a commit
+      assert(spark.sql(s"CALL $cat.system.history('ev')")
+        .head().getString(2) === "restore")
+    } finally Seq("", ".dataDir", ".bucket", ".trashGrace")
+      .foreach(s => spark.conf.unset(s"spark.sql.catalog.$cat$s"))
+  }
+
   test("rebuildManifest records a checkpoint commit (resync point)") {
     val (db, _) = mk()
     try {
