@@ -435,10 +435,26 @@ object ScaleProbe {
           org.apache.spark.sql.types.TimestampType),
         org.apache.spark.sql.types.StructField("v",
           org.apache.spark.sql.types.LongType)))
-      db.createTable("ev", schema)
       val base = graft.core.Tables.t(spark, sfDir, "events")
         .select(col("user_id").cast("string").as("key"), col("ts"),
           col("event_id").cast("long").as("v"))
+      // A/B the record cost on a THROWAWAY table first: the same
+      // micro-insert with history OFF (config lever) — the delta vs
+      // small_insert_med below IS the per-commit history price
+      val small0 = base.filter(
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+        .limit(500).localCheckpoint()
+      val dbOff = new graft.core.ChronoDB(spark,
+        graft.core.ChronoConfig(
+          java.nio.file.Files.createTempDirectory("histoff").toString,
+          bucket = "day", history = false))
+      val offMed = try {
+        dbOff.createTable("ev", schema)
+        val secs = (1 to 10).map(_ =>
+          timed(dbOff.insertFrame("ev", small0))._2)
+        secs.sorted.apply(secs.size / 2)
+      } finally dbOff.close()
+      db.createTable("ev", schema)
       val aged = base.crossJoin(
           spark.range(mult).select(col("id").as("__k")))
         .select(col("key"),
@@ -475,7 +491,7 @@ object ScaleProbe {
         .mapToLong(p => java.nio.file.Files.size(p)).sum()
       val ok = headRows == preRows && oldRows == preRows &&
         feedRows == deleted && deleted > 0
-      println(f"""{"probe":"history","mult":$mult,"rows":$rows,"buckets":$buckets,"insert_sec":$insertSec%.3f,"small_insert_med_sec":$smallMed%.3f,"snapshot_head_sec":$snapHeadSec%.3f,"delete_sec":$deleteSec%.3f,"snapshot_old_sec":$snapOldSec%.3f,"feed_sec":$feedSec%.3f,"feed_rows":$feedRows,"deleted":$deleted,"history_files":$hFiles,"history_kb":${hBytes / 1024},"ok":$ok}""")
+      println(f"""{"probe":"history","mult":$mult,"rows":$rows,"buckets":$buckets,"insert_sec":$insertSec%.3f,"small_insert_med_sec":$smallMed%.3f,"small_insert_nohistory_med_sec":$offMed%.3f,"snapshot_head_sec":$snapHeadSec%.3f,"delete_sec":$deleteSec%.3f,"snapshot_old_sec":$snapOldSec%.3f,"feed_sec":$feedSec%.3f,"feed_rows":$feedRows,"deleted":$deleted,"history_files":$hFiles,"history_kb":${hBytes / 1024},"ok":$ok}""")
     } finally {
       db.close()
       spark.stop()

@@ -80,6 +80,16 @@ final case class ChronoConfig(
                                        // manifest (the source of truth that
                                        // makes in-place retention invisible
                                        // to scans).
+    history: Boolean = true,           // `_history` commit log: record
+                                       // every manifest-changing verb's
+                                       // file-set delta (snapshot
+                                       // versioning / time travel /
+                                       // change feed — [[ChronoHistory]]).
+                                       // Disable to A/B the record cost;
+                                       // reads of EXISTING history still
+                                       // work, new verbs just go
+                                       // unrecorded (tableAsOf past the
+                                       // gap fails loudly, never wrongly).
     lockLeaseMs: Long = 60000L)        // writer-LOCK lease: a holder
                                        // heartbeats the LOCK file every
                                        // lease/3; an opener finding a lock
@@ -2407,18 +2417,21 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (!cfs.exists(manifestPath(name)) || touched.isEmpty) return
     // pre-verb state of exactly the touched buckets (pushed bucket-IN
     // read, O(touched)) — the history commit's remove side
-    val pre = manifestEntries(name, Some(touched))
+    val pre =
+      if (config.history) manifestEntries(name, Some(touched)) else Seq.empty
     val kept = manifestFold(name).filter(!col("bucket").isin(touched: _*))
     val folded =
       if (rows.isEmpty) kept
       else kept.unionByName(manifestRowsDf(rows))
     rewriteSidecar(manifestPath(name), folded)
-    val preIds = pre.map(e => (e.bucket, e.file)).toSet
-    val rowIds = rows.map(r => (r.getString(0), r.getString(1))).toSet
-    recordHistory(name, verb,
-      adds = rows.filterNot(r =>
-        preIds((r.getString(0), r.getString(1)))).map(rowToEntry),
-      removes = pre.filterNot(e => rowIds((e.bucket, e.file))))
+    if (config.history) {
+      val preIds = pre.map(e => (e.bucket, e.file)).toSet
+      val rowIds = rows.map(r => (r.getString(0), r.getString(1))).toSet
+      recordHistory(name, verb,
+        adds = rows.filterNot(r =>
+          preIds((r.getString(0), r.getString(1)))).map(rowToEntry),
+        removes = pre.filterNot(e => rowIds((e.bucket, e.file))))
+    }
   }
 
   // --- version history (`_history` commit log): snapshot versioning +
@@ -2436,7 +2449,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * only at history adoption and at checkpoint cadence. */
   private def recordHistory(name: String, verb: String,
       adds: Seq[ManifestEntry], removes: Seq[ManifestEntry]): Unit =
-    if ((adds.nonEmpty || removes.nonEmpty) && cfs.exists(manifestPath(name)))
+    if (config.history && (adds.nonEmpty || removes.nonEmpty) &&
+        cfs.exists(manifestPath(name)))
       ChronoHistory.record(cfs, tablePath(name), verb, adds, removes,
         manifestEntries(name, None), config.manifestFoldFiles,
         System.currentTimeMillis())
@@ -2642,8 +2656,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // a rebuild is a new ground truth, not a delta: force a history
     // CHECKPOINT at a fresh version — this is also the resync point for
     // the crash-lag window ([[ChronoHistory]] consistency contract)
-    ChronoHistory.recordCheckpoint(cfs, tablePath(name), "rebuild",
-      rows.map(rowToEntry), System.currentTimeMillis())
+    if (config.history)
+      ChronoHistory.recordCheckpoint(cfs, tablePath(name), "rebuild",
+        rows.map(rowToEntry), System.currentTimeMillis())
   }
 
   /** Garbage-collect a crashed insert's orphan files: data files on

@@ -764,6 +764,110 @@ object SqlQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D42: DATASET VERSIONING — the training-data reason time travel
+    * exists: a curated dataset lives in a MANAGED versioned table, so a
+    * training run's exact input is re-servable forever (within
+    * retention) and two dataset versions diff row-for-row.
+    *
+    * The gate plays the lifecycle: curation run 1 (exact dedup keep-min
+    * + a token-count floor) over the first half of the corpus lands as
+    * dataset v1; the corpus GROWS (second half arrives) and an
+    * INCREMENTAL run 2 inserts only new-content survivors; a REVISED
+    * quality bar then deletes now-disqualified docs. Training run 1's
+    * input is re-read with `tableAsOf` AFTER both mutations and pinned
+    * equal to the snapshot captured at run 1 (the reproducibility
+    * verdict); the change feed between the two dataset versions is
+    * served as phase 3. All deterministic — one DuckDB oracle replays
+    * the whole lifecycle. */
+  def datasetVersioningQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("d42_db")
+    val baseUs = 1704067200000000L
+    val db = new graft.core.ChronoDB(spark, graft.core.ChronoConfig(
+      root.toString, bucket = "day", trashGraceMs = 3600000L))
+    try {
+      val base = Tables.t(spark, dir, "documents").select(col("doc_id"),
+        timestamp_micros(lit(baseUs) +
+          (col("doc_id") % 30) * lit(86400000000L)).as("ts"),
+        md5(col("text")).as("ch"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("bigint").as("n_tok"))
+      def curate(df: DataFrame): DataFrame = df
+        .withColumn("keep", min(col("doc_id")).over(
+          Window.partitionBy(col("ch"))))
+        .filter(col("doc_id") === col("keep") && col("n_tok") >= 20)
+        .drop("keep")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("ch",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_tok",
+          org.apache.spark.sql.types.LongType)))
+      graft.core.BenchPhases.setup {
+        db.createTable("curated", schema)
+        db.insertFrame("curated",
+          curate(base.filter(col("doc_id") % 2 === 0)))          // v1
+      }
+      val run1Ver = db.history("curated").head.version
+      val snap1 = db.table("curated").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      // the corpus grows; incremental curation inserts only survivors
+      // whose content is NEW to the dataset
+      db.insertFrame("curated",
+        curate(base.filter(col("doc_id") % 2 === 1))
+          .join(db.table("curated").select(col("ch")),
+            Seq("ch"), "left_anti")
+          .select(col("doc_id"), col("ts"), col("ch"), col("n_tok")))  // v2
+      // a revised quality bar disqualifies short docs
+      db.deleteWhere("curated", col("n_tok") < 40)                // v3
+      val headVer = db.history("curated").head.version
+      // REPRODUCIBILITY: training run 1's exact input, re-served after
+      // both mutations
+      val replay = db.tableAsOf("curated", run1Ver).select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      val verbs = db.history("curated").map(_.verb)
+      val ok = replay.sameElements(snap1) && headVer == 3L &&
+        verbs == Seq("delete", "insert", "insert", "baseline")
+      val p1 = db.tableAsOf("curated", run1Ver).select(
+        lit(1).as("phase"), col("doc_id"), lit("present").as("change_type"))
+      val p2 = db.table("curated").select(
+        lit(2).as("phase"), col("doc_id"), lit("present").as("change_type"))
+      val p3 = db.changesBetween("curated", run1Ver, headVer).select(
+        lit(3).as("phase"), col("doc_id"),
+        col("_change_type").as("change_type"))
+      p1.unionAll(p2).unionAll(p3)
+        .orderBy(col("phase"), col("doc_id"), col("change_type"))
+        .withColumn("repro_ok", lit(ok))
+        .localCheckpoint()
+    } finally db.close()
+  }
+
+  private val d42Oracle =
+    """WITH base AS (
+      |  SELECT doc_id, md5(text) AS ch,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |a AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+      |b AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+      |cur1 AS (SELECT doc_id, ch, n_tok FROM (
+      |  SELECT *, MIN(doc_id) OVER (PARTITION BY ch) AS keep FROM a)
+      |  WHERE doc_id = keep AND n_tok >= 20),
+      |bsurv AS (SELECT doc_id, ch, n_tok FROM (
+      |  SELECT *, MIN(doc_id) OVER (PARTITION BY ch) AS keep FROM b)
+      |  WHERE doc_id = keep AND n_tok >= 20
+      |    AND ch NOT IN (SELECT ch FROM cur1)),
+      |cur3 AS (SELECT * FROM cur1 UNION ALL SELECT * FROM bsurv)
+      |SELECT 1 AS phase, doc_id, 'present' AS change_type, TRUE AS repro_ok
+      |FROM cur1
+      |UNION ALL SELECT 2, doc_id, 'present', TRUE FROM cur3 WHERE n_tok >= 40
+      |UNION ALL SELECT 3, doc_id, 'insert', TRUE FROM bsurv WHERE n_tok >= 40
+      |UNION ALL SELECT 3, doc_id, 'delete', TRUE FROM cur1 WHERE n_tok < 40
+      |ORDER BY phase, doc_id, change_type""".stripMargin
+
   private val d40Oracle =
     """WITH base AS (
       |  SELECT doc_id, lang, md5(text) AS content_hash,
@@ -812,6 +916,7 @@ object SqlQueries {
     QueryDef("q67_chrono_change_feed", chronoChangeFeedQ, Some(q67Oracle)),
     QueryDef("q61_chrono_typed_docs", chronoTypedDocsQ, Some(q61Oracle)),
     QueryDef("d40_curation_in_store", curationInStoreQ, Some(d40Oracle)),
+    QueryDef("d42_dataset_versioning", datasetVersioningQ, Some(d42Oracle)),
     QueryDef("q56_sql_storage", sqlStorageQ, Some(
       // result exact vs the raw fixture; the pruning claim is the
       // in-query prune_ok verdict (scan metrics have no SQL twin)

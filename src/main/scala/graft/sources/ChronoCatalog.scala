@@ -678,7 +678,10 @@ final class ChronoV2Table(
       .flatMap(_.find(_.name == "ts"))
       .filter(_.metadata.contains(ChronoDB.TtlKey))
       .map(f => "ttl" -> s"${f.metadata.getLong(ChronoDB.TtlKey)}s")
-    (base ++ ttl).asJava
+    // current commit version (time travel) — one small read
+    val ver = graft.core.ChronoHistory.headVersion(cfs, tableRoot)
+      .map(v => "version" -> v.toString)
+    (base ++ ttl ++ ver).asJava
   }
 
   override def capabilities(): util.Set[TableCapability] =

@@ -177,4 +177,43 @@ object ChronoProps extends Properties("chrono") {
           .map(r => (r.getString(0), r.getTimestamp(1))).sorted.toSeq
         res(db1) == res(db2)
     }
+
+  property("history: tableAsOf matches a brute-force model at EVERY version; change feed is the model's bag diff") =
+    forAll(genRows, genRows, genRange) { case (r1, r2, (s, e)) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val db = new ChronoDB(spark,
+        ChronoConfig(Files.createTempDirectory("prophist").toString,
+          trashGraceMs = 3600000L))
+      try {
+        db.createTable("t")
+        def bag(rows: Seq[(String, Timestamp)]): Seq[(String, Long)] =
+          rows.map { case (k, t) => (k, t.getTime) }.sorted
+        db.insertSeq("t", r1)                                   // v1
+        db.insertSeq("t", r2)                                   // v2
+        val m1 = r1.map(r => (r.key, r.ts))
+        val m2 = m1 ++ r2.map(r => (r.key, r.ts))
+        val doomed = m2.filter { case (_, t) => !t.before(s) && !t.after(e) }
+        val deleted = db.deleteWhere("t",
+          col("ts") >= lit(s) && col("ts") <= lit(e))           // v3 if > 0
+        val m3 = m2.filterNot { case (_, t) => !t.before(s) && !t.after(e) }
+        val models = Seq(0L -> Seq.empty[(String, Timestamp)], 1L -> m1,
+          2L -> m2) ++ (if (deleted > 0) Seq(3L -> m3) else Nil)
+        def snapBag(v: Long): Seq[(String, Long)] =
+          db.tableAsOf("t", v).collect()
+            .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+            .sorted.toSeq
+        def feedBag(f: Long, t: Long): Seq[(String, Long, String)] =
+          db.changesBetween("t", f, t).collect()
+            .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+              r.getAs[String]("_change_type"))).sorted.toSeq
+        val snapsOk = models.forall { case (v, m) => snapBag(v) == bag(m) }
+        val feed12 = feedBag(1, 2) ==
+          r2.map(r => (r.key, r.ts.getTime, "insert")).sorted
+        val feed23 = deleted == 0 || feedBag(2, 3) ==
+          doomed.map { case (k, t) => (k, t.getTime, "delete") }.sorted
+        val head = db.history("t").head.version
+        snapsOk && feed12 && feed23 && deleted == doomed.size &&
+          head == (if (deleted > 0) 3L else 2L)
+      } finally db.close()
+    }
 }
