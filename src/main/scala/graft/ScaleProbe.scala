@@ -438,28 +438,30 @@ object ScaleProbe {
       val base = graft.core.Tables.t(spark, sfDir, "events")
         .select(col("user_id").cast("string").as("key"), col("ts"),
           col("event_id").cast("long").as("v"))
-      // A/B the record cost on a THROWAWAY table first: the same
-      // micro-insert with history OFF (config lever) — the delta vs
-      // small_insert_med below IS the per-commit history price
+      val aged = base.crossJoin(
+          spark.range(mult).select(col("id").as("__k")))
+        .select(col("key"),
+          (col("ts") + make_dt_interval(col("__k") * lit(35L))).as("ts"),
+          col("v"))
       val small0 = base.filter(
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
         .limit(500).localCheckpoint()
+      // A/B control: an IDENTICALLY AGED throwaway table with history
+      // OFF (config lever) runs the same micro-inserts — the delta vs
+      // small_insert_med below isolates the per-commit history price
+      // from the age-dependent insert cost both tables share
       val dbOff = new graft.core.ChronoDB(spark,
         graft.core.ChronoConfig(
           java.nio.file.Files.createTempDirectory("histoff").toString,
           bucket = "day", history = false))
       val offMed = try {
         dbOff.createTable("ev", schema)
+        dbOff.insertFrame("ev", aged)
         val secs = (1 to 10).map(_ =>
           timed(dbOff.insertFrame("ev", small0))._2)
         secs.sorted.apply(secs.size / 2)
       } finally dbOff.close()
       db.createTable("ev", schema)
-      val aged = base.crossJoin(
-          spark.range(mult).select(col("id").as("__k")))
-        .select(col("key"),
-          (col("ts") + make_dt_interval(col("__k") * lit(35L))).as("ts"),
-          col("v"))
       val (_, insertSec) = timed(db.insertFrame("ev", aged))   // v1
       val rows = db.table("ev").count()
       val buckets = graft.sources.ChronoLayout
@@ -484,11 +486,15 @@ object ScaleProbe {
       // change feed prices at the changed window, never the table
       val (feedRows, feedSec) =
         timed(db.changesBetween("ev", preVer, postVer).count())
-      val hFiles = java.nio.file.Files.list(
-        java.nio.file.Paths.get(root, "ev", "_history")).count()
-      val hBytes = java.nio.file.Files.list(
-          java.nio.file.Paths.get(root, "ev", "_history"))
-        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      val hDir = java.nio.file.Paths.get(root, "ev", "_history")
+      val (hFiles, hBytes) = {
+        val st = java.nio.file.Files.list(hDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          val ps = st.iterator().asScala.toList
+          (ps.size.toLong, ps.map(java.nio.file.Files.size).sum)
+        } finally st.close()
+      }
       val ok = headRows == preRows && oldRows == preRows &&
         feedRows == deleted && deleted > 0
       println(f"""{"probe":"history","mult":$mult,"rows":$rows,"buckets":$buckets,"insert_sec":$insertSec%.3f,"small_insert_med_sec":$smallMed%.3f,"small_insert_nohistory_med_sec":$offMed%.3f,"snapshot_head_sec":$snapHeadSec%.3f,"delete_sec":$deleteSec%.3f,"snapshot_old_sec":$snapOldSec%.3f,"feed_sec":$feedSec%.3f,"feed_rows":$feedRows,"deleted":$deleted,"history_files":$hFiles,"history_kb":${hBytes / 1024},"ok":$ok}""")

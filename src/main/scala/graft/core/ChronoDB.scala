@@ -977,7 +977,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * envelope path. Key-sketch sidecars apply iff the schema declares
     * `key`; the manifest/rollup/colstats machinery is column-agnostic. */
   def insertFrame(name: String, df: DataFrame,
-      now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
+      now: Timestamp = new Timestamp(System.currentTimeMillis()),
+      historyVerb: String = "insert"): Unit = {
     requireTable(name)
     invalidateTwin(name)
     val schema = tableSchema(name)
@@ -1126,7 +1127,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         }
       }.getOrElse(Seq.empty)
       if (legacyAdopt) rebuildManifest(name)
-      else appendManifest(name, touched, writeStart)
+      else appendManifest(name, touched, writeStart, historyVerb)
     }
     // Sidecar file AFTER data: a crash in between leaves data without
     // sidecar rows — detectable by [[sidecarsConsistent]] and repairable
@@ -1754,31 +1755,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val present = inside.select(col("bucket")).distinct()
       .collect().map(_.getString(0)).toSet
     if (graceActive(name)) {
-      // SNAPSHOT-GRACE write-back (same contract as [[finishDelete]]'s
-      // grace branch): new files append, replaced files stay recorded
-      // in `_trash`, the manifest flips — pre-mutation readers and
-      // time-travel snapshots keep collecting
-      val old = manifestEntries(name, Some(affected))
-      val oldSet = old.map(e => (e.bucket, e.file)).toSet
-      val preTrash = trashedFiles(name)
-      val since = System.currentTimeMillis() / 1000L * 1000L
-      if (present.nonEmpty)
-        inside.repartition(col("bucket"))
-          .sortWithinPartitions(rewriteSortCols(name): _*)
-          .write.mode(SaveMode.Append)
-          .option("compression", config.compression)
-          .partitionBy("bucket")
-          .parquet(tablePath(name).toString)
-      val fresh = present.toSeq.sorted
-        .flatMap(listBucketFiles(name, _)).filter { r =>
-          val id = (r.getString(0), r.getString(1))
-          r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
-        }
-      repairAfterRewrite(name, affected, present.toSeq.sorted, verb,
-        Some(fresh))
-      appendTrash(name, old.map(e => (e.bucket, e.file)),
-        System.currentTimeMillis())
-      if (!outside.isEmpty) insertFrame(name, outside)
+      graceRewrite(name, affected, present.toSeq.sorted,
+        if (present.nonEmpty) Some(inside) else None, verb)
+      if (!outside.isEmpty)
+        insertFrame(name, outside, historyVerb = s"$verb-move")
       return
     }
     affected.filterNot(present).foreach { b =>
@@ -1799,7 +1779,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       }
     }
     repairAfterRewrite(name, affected, present.toSeq.sorted, verb)
-    if (!outside.isEmpty) insertFrame(name, outside)
+    if (!outside.isEmpty)
+      insertFrame(name, outside, historyVerb = s"$verb-move")
   }
 
   /** Candidate buckets that may hold at least one key of `keysDf`,
@@ -1880,38 +1861,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val deleted = hits.map(_._2).sum
     val (emptied, rewrite) = hits.partition { case (_, hit, total) => hit == total }
     if (graceActive(name)) {
-      // SNAPSHOT-GRACE rewrite (uniform with compact/cleanup — without
-      // this, a row-level delete would destroy superseded files that
-      // the grace promise, and TIME TRAVEL, keep readable): survivors
-      // land as NEW files (append), the replaced files stay in place
-      // recorded in `_trash`, the manifest flips to exactly the new
-      // files — emptied buckets simply lose their manifest rows, their
-      // dirs drain at vacuum
-      val touched = hits.map(_._1).toSeq
-      val old = manifestEntries(name, Some(touched))
-      val oldSet = old.map(e => (e.bucket, e.file)).toSet
-      val preTrash = trashedFiles(name)
-      val since = System.currentTimeMillis() / 1000L * 1000L
-      if (rewrite.nonEmpty) {
-        val bs = rewrite.map(_._1).toSeq
-        survivors(bs)
-          .repartition(col("bucket"))
-          .sortWithinPartitions(rewriteSortCols(name): _*)
-          .localCheckpoint()
-          .write.mode(SaveMode.Append)
-          .option("compression", config.compression)
-          .partitionBy("bucket")
-          .parquet(tablePath(name).toString)
-      }
-      val fresh = rewrite.map(_._1).toSeq
-        .flatMap(listBucketFiles(name, _)).filter { r =>
-          val id = (r.getString(0), r.getString(1))
-          r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
-        }
-      repairAfterRewrite(name, touched, rewrite.map(_._1).toSeq, verb,
-        Some(fresh))
-      appendTrash(name, old.map(e => (e.bucket, e.file)),
-        System.currentTimeMillis())
+      val bs = rewrite.map(_._1).toSeq
+      graceRewrite(name, hits.map(_._1).toSeq, bs,
+        if (bs.nonEmpty) Some(survivors(bs)) else None, verb)
       return deleted
     }
     // a bucket losing ALL rows gets no row in the overwrite frame, and
@@ -1947,6 +1899,40 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     repairAfterRewrite(name, hits.map(_._1).toSeq, rewrite.map(_._1).toSeq,
       verb)
     deleted
+  }
+
+  /** The SNAPSHOT-GRACE write-back shared by every row-level rewrite
+    * verb (delete/update/merge — compact keeps its own shape): the
+    * rewritten rows land as NEW files (plain append — the source files
+    * are never invalidated, so no overwrite-while-reading checkpoint is
+    * needed here), the replaced files stay in place recorded in
+    * `_trash`, and the manifest flips to exactly this write's files
+    * (emptied buckets lose their rows; their dirs drain at vacuum).
+    * Pre-mutation readers and time-travel snapshots keep collecting.
+    * `frame` carries the rewritten buckets' surviving rows, un-sorted —
+    * partitioning and the one-sorted-file-per-bucket shape are applied
+    * here. */
+  private def graceRewrite(name: String, touched: Seq[String],
+      rewritten: Seq[String], frame: Option[DataFrame],
+      verb: String): Unit = {
+    val old = manifestEntries(name, Some(touched))
+    val oldSet = old.map(e => (e.bucket, e.file)).toSet
+    val preTrash = trashedFiles(name)
+    val since = System.currentTimeMillis() / 1000L * 1000L
+    frame.foreach(_
+      .repartition(col("bucket"))
+      .sortWithinPartitions(rewriteSortCols(name): _*)
+      .write.mode(SaveMode.Append)
+      .option("compression", config.compression)
+      .partitionBy("bucket")
+      .parquet(tablePath(name).toString))
+    val fresh = rewritten.flatMap(listBucketFiles(name, _)).filter { r =>
+      val id = (r.getString(0), r.getString(1))
+      r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
+    }
+    repairAfterRewrite(name, touched, rewritten, verb, Some(fresh))
+    appendTrash(name, old.map(e => (e.bucket, e.file)),
+      System.currentTimeMillis())
   }
 
   /** Rewritten buckets keep one sorted file each — by ts, then key
@@ -2270,7 +2256,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * one pushed `bucket IN` read of the KB-scale sidecar for the
     * orphan check — never O(table). */
   private def appendManifest(
-      name: String, touched: Seq[String], since: Long): Unit = {
+      name: String, touched: Seq[String], since: Long,
+      historyVerb: String = "insert"): Unit = {
     recoverSidecar(manifestPath(name))
     val cutoff = since - (since % 1000)
     val listed = touched.flatMap(listBucketFiles(name, _))
@@ -2294,7 +2281,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         .write.mode(SaveMode.Append)
         .option("compression", config.compression)
         .parquet(manifestPath(name).toString)
-      recordHistory(name, "insert", adds = fresh.map(rowToEntry),
+      recordHistory(name, historyVerb, adds = fresh.map(rowToEntry),
         removes = Seq.empty)
     }
     // Checkpoint fold: each batch appends one fragment, and only
@@ -2443,6 +2430,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def rowToEntry(r: org.apache.spark.sql.Row): ManifestEntry =
     ManifestEntry(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
 
+  /** Current manifest's (bucket, file) ids — the live-vouch set for
+    * [[ChronoHistory.requireReadable]]. */
+  private def liveIds(name: String): Set[(String, String)] =
+    manifestEntries(name, None).map(e => (e.bucket, e.file)).toSet
+
   /** Record one commit AFTER its manifest mutation landed (history
     * lags, never leads). No-op for manifest-less tables and for verbs
     * that changed nothing. The live-set argument is BY-NAME: it is read
@@ -2475,15 +2467,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def tableAsOf(name: String, version: Long): DataFrame = {
     val p = requireTable(name)
     val entries = ChronoHistory.snapshot(cfs, p, version)
-    val live = manifestEntries(name, None)
-      .map(e => (e.bucket, e.file)).toSet
-    val missing = ChronoHistory.missingFiles(cfs, p, entries, live)
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"version $version of table '$name' is no longer readable: " +
-          s"${missing.size} of its file(s) have been vacuumed past the " +
-          s"trash grace window (first: bucket=${missing.head._1}/" +
-          s"${missing.head._2})")
+    ChronoHistory.requireReadable(cfs, p, entries, liveIds(name),
+      s"version $version of table '$name'")
     ManifestFileIndex.relation(spark, p,
       ManifestFileIndex.withGranularity(tableSchema(name),
         granularityFor(name)), entries)
@@ -2513,14 +2498,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     invalidateTwin(name)
     val entries = ChronoHistory.snapshot(cfs, p, version)
     val live = manifestEntries(name, None)
-    val liveIds = live.map(e => (e.bucket, e.file)).toSet
     val snapIds = entries.map(e => (e.bucket, e.file)).toSet
-    val missing = ChronoHistory.missingFiles(cfs, p, entries, liveIds)
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"cannot restore '$name' to version $version: ${missing.size} of " +
-          s"its file(s) have been vacuumed past the trash grace window " +
-          s"(first: bucket=${missing.head._1}/${missing.head._2})")
+    ChronoHistory.requireReadable(cfs, p, entries,
+      live.map(e => (e.bucket, e.file)).toSet,
+      s"cannot restore '$name' to version $version: it")
     // buckets whose file set changes — the only ones any state touches
     val byBucketLive = live.groupBy(_.bucket)
     val byBucketSnap = entries.groupBy(_.bucket)
@@ -2576,22 +2557,22 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val schema = ManifestFileIndex.withGranularity(tableSchema(name),
       granularityFor(name))
     val cols = tableSchema(name).fieldNames.toSeq
-    val live = manifestEntries(name, None)
-      .map(e => (e.bucket, e.file)).toSet
-    val missing = ChronoHistory.missingFiles(cfs, p, added ++ removed, live)
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"changesBetween($fromVersion, $toVersion) on '$name' is no " +
-          s"longer computable: ${missing.size} changed file(s) vacuumed " +
-          s"past the trash grace window (first: bucket=${missing.head._1}/" +
-          s"${missing.head._2})")
+    ChronoHistory.requireReadable(cfs, p, added ++ removed, liveIds(name),
+      s"changesBetween($fromVersion, $toVersion) on '$name'")
     def counted(entries: Seq[ManifestEntry], as: String): DataFrame =
       ManifestFileIndex.relation(spark, p, schema, entries)
         .groupBy(cols.map(col): _*).agg(count(lit(1)).as(as))
-    val net = counted(added, "__a")
-      .join(counted(removed, "__r"), cols, "full_outer")
-      .withColumn("__net",
-        coalesce(col("__a"), lit(0L)) - coalesce(col("__r"), lit(0L)))
+    // NULL-SAFE join on the row columns: a NULL column value is a fact
+    // of life here (additive evolution reads NULL in later columns for
+    // pre-ALTER files), and a null-unsafe join would split such an
+    // unchanged row into a phantom delete+insert pair
+    val a = counted(added, "__a")
+    val r = counted(removed, "__r")
+    val net = a.join(r,
+        cols.map(c => a(c) <=> r(c)).reduce(_ && _), "full_outer")
+      .select((cols.map(c => coalesce(a(c), r(c)).as(c)) :+
+        (coalesce(a("__a"), lit(0L)) - coalesce(r("__r"), lit(0L)))
+          .as("__net")): _*)
       .filter(col("__net") =!= 0L)
     net.select((cols.map(col) :+
         when(col("__net") > 0, lit("insert")).otherwise(lit("delete"))

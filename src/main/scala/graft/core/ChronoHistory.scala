@@ -47,6 +47,14 @@ final case class ChronoCommit(
   * so reconstruction heals at the next checkpoint (≤ foldEvery commits
   * away) — and [[ChronoDB.rebuildManifest]] force-writes one.
   *
+  * One commit = one MANIFEST mutation, not one user verb: a cross-
+  * bucket `SET ts = ...` UPDATE (or MERGE) lands as its rewrite commit
+  * followed by a `"<verb>-move"` insert commit for the rows that left
+  * the affected buckets — each a real on-disk state (exactly what a
+  * crash between the two mutations would leave). The paired verb
+  * labels make the mid-verb version visible in `history()`; restoring
+  * to one restores that mid-verb state, by design.
+  *
   * Snapshot READABILITY is bounded by file retention, not by this log:
   * a version's files must still be on disk — live, or
   * superseded-but-retained under `trashGraceMs` (the `_trash` grace
@@ -85,9 +93,15 @@ object ChronoHistory {
   def record(cfs: ChronoFs, tableRoot: HPath, verb: String,
       adds: Seq[ManifestEntry], removes: Seq[ManifestEntry],
       liveAfter: => Seq[ManifestEntry], foldEvery: Int,
-      nowMs: Long): Long = {
+      nowMsRaw: Long): Long = {
     cfs.mkdirs(dir(tableRoot))
     val head = headVersion(cfs, tableRoot)
+    // MONOTONE epochs by construction (the Delta in-commit-timestamp
+    // move): a writer handoff across hosts, or an NTP step-back, could
+    // otherwise stamp a later version with an earlier instant — which
+    // would silently break the `TIMESTAMP AS OF` binary search
+    val nowMs = head.map(h =>
+      math.max(nowMsRaw, epochOf(cfs, tableRoot, h))).getOrElse(nowMsRaw)
     // lazily evaluated at most once even when both baseline and
     // checkpoint need it
     lazy val live = liveAfter
@@ -118,9 +132,12 @@ object ChronoHistory {
   /** Force a checkpoint at a NEW version (rebuildManifest's resync: a
     * full rewrite is not a delta, it is a new ground truth). */
   def recordCheckpoint(cfs: ChronoFs, tableRoot: HPath, verb: String,
-      live: Seq[ManifestEntry], nowMs: Long): Long = {
+      live: Seq[ManifestEntry], nowMsRaw: Long): Long = {
     cfs.mkdirs(dir(tableRoot))
-    var v = headVersion(cfs, tableRoot).getOrElse(-1L) + 1
+    val head0 = headVersion(cfs, tableRoot)
+    val nowMs = head0.map(h =>
+      math.max(nowMsRaw, epochOf(cfs, tableRoot, h))).getOrElse(nowMsRaw)
+    var v = head0.getOrElse(-1L) + 1
     while (cfs.exists(commitPath(tableRoot, v)) ||
       cfs.exists(checkpointPath(tableRoot, v))) v += 1
     cfs.writeLinesAtomic(commitPath(tableRoot, v),
@@ -164,9 +181,15 @@ object ChronoHistory {
     * one small read per retained commit. */
   def commits(cfs: ChronoFs, tableRoot: HPath): Seq[ChronoCommit] = {
     if (!cfs.exists(dir(tableRoot))) return Seq.empty
+    // CAP at _head: a crash between a commit write and the head update
+    // leaves an orphaned <head+1>.commit that is NOT a committed
+    // version (the next record() skips past it) — listing it here would
+    // advertise a version snapshot() rejects
+    val head = headVersion(cfs, tableRoot).getOrElse(return Seq.empty)
     val versions = cfs.list(dir(tableRoot)).map(_.getPath.getName)
       .filter(_.endsWith(".commit"))
-      .map(_.stripSuffix(".commit").toLong).sorted
+      .map(_.stripSuffix(".commit").toLong)
+      .filter(_ <= head).sorted
     // synthetic baseline row for the adoption checkpoint — unless a
     // real version-0 commit exists (recordCheckpoint at adoption)
     val base =
@@ -216,16 +239,50 @@ object ChronoHistory {
     state.values.toSeq
   }
 
+  /** Epoch of one retained version, reading ONLY its header line —
+    * commit if present, else its checkpoint (version 0's baseline, or
+    * a vacuumed range's surviving base). */
+  private def epochOf(cfs: ChronoFs, tableRoot: HPath, v: Long): Long = {
+    val lines = cfs.readLinesRecover(commitPath(tableRoot, v))
+      .orElse(cfs.readLinesRecover(checkpointPath(tableRoot, v)))
+      .getOrElse(throw new IllegalStateException(
+        s"history version $v has neither commit nor checkpoint on disk"))
+    lines.head.split('\t')(2).toLong
+  }
+
   /** Resolve `TIMESTAMP AS OF`: the last version committed at or before
-    * `tsMs` (the state a reader at that instant saw). */
+    * `tsMs` (the state a reader at that instant saw). Binary search
+    * over the RETAINED versions — epochs are monotone in version by
+    * the single-writer lock — reading O(log n) header lines, never the
+    * whole log (this runs on every TIMESTAMP AS OF reference). */
   def resolveTimestamp(cfs: ChronoFs, tableRoot: HPath, tsMs: Long): Long = {
-    val cs = commits(cfs, tableRoot)
-    if (cs.isEmpty) throw new IllegalArgumentException(
+    if (!cfs.exists(dir(tableRoot)))
+      throw new IllegalArgumentException(
+        s"table at $tableRoot has no version history")
+    // same _head cap as [[commits]]: never resolve to an orphan
+    val head = headVersion(cfs, tableRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $tableRoot has no version history"))
+    val versions = (cfs.list(dir(tableRoot)).map(_.getPath.getName)
+      .collect {
+        case n if n.endsWith(".commit") => n.stripSuffix(".commit").toLong
+        case n if n.endsWith(".checkpoint") =>
+          n.stripSuffix(".checkpoint").toLong
+      }).distinct.filter(_ <= head).sorted.toIndexedSeq
+    if (versions.isEmpty) throw new IllegalArgumentException(
       s"table at $tableRoot has no version history")
-    cs.filter(_.epochMs <= tsMs).map(_.version).maxOption.getOrElse(
+    if (epochOf(cfs, tableRoot, versions.head) > tsMs)
       throw new IllegalArgumentException(
         s"timestamp ${new java.sql.Timestamp(tsMs)} is before this " +
-          s"table's history begins (${new java.sql.Timestamp(cs.last.epochMs)})"))
+          "table's retained history begins")
+    // greatest version with epoch <= tsMs
+    var lo = 0; var hi = versions.size - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (epochOf(cfs, tableRoot, versions(mid)) <= tsMs) lo = mid
+      else hi = mid - 1
+    }
+    versions(lo)
   }
 
   /** Snapshot entries absent from disk (vacuumed or externally
@@ -245,6 +302,21 @@ object ChronoHistory {
           else Set.empty
         es.filterNot(e => present(e.file)).map(e => (e.bucket, e.file))
       }.sorted
+
+  /** The one readability gate every snapshot consumer runs: fail loudly
+    * at PLAN time (never FileNotFound mid-query) when any of the
+    * snapshot's files has been vacuumed past the trash grace window.
+    * `what` names the failing surface in the error. */
+  def requireReadable(cfs: ChronoFs, tableRoot: HPath,
+      entries: Seq[ManifestEntry], live: Set[(String, String)],
+      what: String): Unit = {
+    val missing = missingFiles(cfs, tableRoot, entries, live)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"$what is no longer readable: ${missing.size} of its file(s) " +
+          s"have been vacuumed past the trash grace window (first: " +
+          s"bucket=${missing.head._1}/${missing.head._2})")
+  }
 
   /** Prune history to what is still reconstructable: drop commit and
     * checkpoint files at or before the newest checkpoint that precedes

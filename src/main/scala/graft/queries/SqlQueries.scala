@@ -576,10 +576,17 @@ object SqlQueries {
       val h = spark.sql(s"CALL $cat.system.history('ev')").collect()
       val historyOk = h.map(r => (r.getLong(0), r.getString(2))).toSeq ==
         Seq((3L, "delete"), (2L, "insert"), (1L, "insert"), (0L, "baseline"))
-      // TIMESTAMP AS OF between v1 and v2 must resolve to v1
+      // TIMESTAMP AS OF between v1 and v2 must resolve to v1 — the
+      // literal is rendered in the SESSION timezone (Timestamp.toString
+      // would use the JVM default zone and shift the probe on a
+      // non-UTC host)
       val (e1, e2) = (h.find(_.getLong(0) == 1L).get.getTimestamp(1).getTime,
         h.find(_.getLong(0) == 2L).get.getTimestamp(1).getTime)
-      val mid = new java.sql.Timestamp((e1 + e2) / 2)
+      val mid = java.time.Instant.ofEpochMilli((e1 + e2) / 2)
+        .atZone(java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
       val tsOk = e2 > e1 && spark.sql(
         s"SELECT count(*) FROM $cat.ev TIMESTAMP AS OF '$mid'")
         .head().getLong(0) ==

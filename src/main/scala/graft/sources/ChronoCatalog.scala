@@ -318,13 +318,8 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       val live = ChronoLayout.foldedManifest(spark, cfs, tableRoot)
         .map(_.collect().map(r => (r.getString(0), r.getString(1))).toSet)
         .getOrElse(Set.empty[(String, String)])
-      val missing = graft.core.ChronoHistory.missingFiles(cfs, tableRoot,
-        entries, live)
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"this version of ${ident.name()} is no longer readable: " +
-          s"${missing.size} of its file(s) have been vacuumed past the " +
-          s"trash grace window (first: bucket=${missing.head._1}/" +
-          s"${missing.head._2})")
+      graft.core.ChronoHistory.requireReadable(cfs, tableRoot, entries,
+        live, s"this version of ${ident.name()}")
       entries
     }
     new ChronoV2Table(spark, cfs, tableRoot,

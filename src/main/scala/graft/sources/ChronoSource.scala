@@ -142,9 +142,17 @@ final class ChronoSource extends RelationProvider
         "give versionAsOf OR timestampAsOf, not both")
       case (Some(v), None) => Some(v.trim.toLong)
       case (None, Some(t)) =>
+        // all-digits = epoch millis; else a local-datetime string read
+        // in the SESSION timezone — the same zone SQL `TIMESTAMP AS OF`
+        // resolves in, so the two surfaces pick the same version on any
+        // host (the JVM default zone never participates)
+        val s = t.trim
         val ms =
-          try java.sql.Timestamp.valueOf(t.trim).getTime
-          catch { case _: IllegalArgumentException => t.trim.toLong }
+          if (s.forall(c => c.isDigit || c == '-') && s.nonEmpty) s.toLong
+          else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .atZone(java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone))
+            .toInstant.toEpochMilli
         Some(graft.core.ChronoHistory.resolveTimestamp(cfs, root, ms))
       case (None, None) => None
     }
@@ -153,12 +161,8 @@ final class ChronoSource extends RelationProvider
       val live = ChronoLayout.foldedManifest(spark, cfs, root)
         .map(_.collect().map(r => (r.getString(0), r.getString(1))).toSet)
         .getOrElse(Set.empty[(String, String)])
-      val missing = graft.core.ChronoHistory.missingFiles(cfs, root,
-        entries, live)
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"version $v of $root is no longer readable: ${missing.size} of " +
-          s"its file(s) have been vacuumed past the trash grace window " +
-          s"(first: bucket=${missing.head._1}/${missing.head._2})")
+      graft.core.ChronoHistory.requireReadable(cfs, root, entries, live,
+        s"version $v of $root")
       val pinned = new ManifestFileIndex(root, entries)
       return HadoopFsRelation(
         location = pinned,

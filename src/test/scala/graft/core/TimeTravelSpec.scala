@@ -317,6 +317,31 @@ class TimeTravelSpec extends SparkSuite {
       .foreach(s => spark.conf.unset(s"spark.sql.catalog.$cat$s"))
   }
 
+  test("cross-bucket ts move records the paired '<verb>-move' commit; mid-verb state is an honest version") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (db, _) = mk()
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(
+        ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1)),
+        ChronoRow("b", ts("2024-03-01 11:00:00"), Array(2))))   // v1
+      // move a's row into a bucket OUTSIDE the affected set: the verb
+      // lands as TWO manifest mutations — the rewrite (v2) and the
+      // re-route insert (v3), labeled as a pair
+      db.updateWhere("t",
+        Seq("ts" -> lit(ts("2024-03-05 10:00:00"))), col("key") === "a")
+      val h = db.history("t")
+      assert(h.map(_.verb) === Seq("update-move", "update", "insert",
+        "baseline"))
+      // the mid-verb version is exactly the state a crash between the
+      // two mutations would leave: a's row in NEITHER bucket yet
+      assert(db.tableAsOf("t", 2).count() === 1L)
+      assert(db.tableAsOf("t", 3).count() === 2L)
+      assert(db.table("t").filter(col("key") === "a")
+        .head().getTimestamp(1) === ts("2024-03-05 10:00:00"))
+    } finally db.close()
+  }
+
   test("rebuildManifest records a checkpoint commit (resync point)") {
     val (db, _) = mk()
     try {

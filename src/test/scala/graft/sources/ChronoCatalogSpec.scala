@@ -327,7 +327,13 @@ class ChronoCatalogSpec extends SparkSuite {
     val (e1, e2) = (h.find(_.getLong(0) == 1L).get.getTimestamp(1).getTime,
       h.find(_.getLong(0) == 2L).get.getTimestamp(1).getTime)
     assert(e2 > e1)
-    val mid = new java.sql.Timestamp((e1 + e2) / 2)
+    // render the literal in the session timezone (Timestamp.toString
+    // would use the JVM default zone — wrong on a non-UTC host)
+    val mid = java.time.Instant.ofEpochMilli((e1 + e2) / 2)
+      .atZone(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
     assert(keysAt(s"SELECT key FROM $cat.ev TIMESTAMP AS OF '$mid'") ===
       Set("a", "b"))
     // snapshots refuse every mutating surface — and refuse WITHOUT
@@ -346,6 +352,24 @@ class ChronoCatalogSpec extends SparkSuite {
       spark.sql(s"SELECT key FROM $cat.ev VERSION AS OF 'abc'").collect()
     }
     assert(bad.getMessage.contains("numeric commit versions"))
+    // the table-level guards themselves (SQL may refuse earlier at
+    // parse/analysis — this pins the LAST line of defense directly)
+    val tcat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val snapT = tcat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "ev"), "1").asInstanceOf[ChronoV2Table]
+    assert(snapT.isSnapshot)
+    assert(intercept[UnsupportedOperationException] {
+      snapT.newWriteBuilder(null)
+    }.getMessage.contains("read-only"))
+    assert(intercept[UnsupportedOperationException] {
+      snapT.deleteWhere(Array.empty[org.apache.spark.sql.sources.Filter])
+    }.getMessage.contains("read-only"))
+    assert(!snapT.canDeleteWhere(
+      Array.empty[org.apache.spark.sql.sources.Filter]))
+    assert(!snapT.capabilities().contains(
+      org.apache.spark.sql.connector.catalog.TableCapability.V1_BATCH_WRITE))
   }
 
   test("time travel survives compact (grace retains superseded files)") {
