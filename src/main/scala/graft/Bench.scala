@@ -67,7 +67,8 @@ object Bench {
       // time travel (history record on every verb, snapshot read-back)
       "q63_chrono_sql_delete", "s20_stream_catalog_tail",
       "s21_stream_catalog_sink", "q66_chrono_time_travel",
-      "q67_chrono_change_feed", "d42_dataset_versioning")
+      "q67_chrono_change_feed", "d42_dataset_versioning",
+      "s22_stream_change_feed")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =

@@ -2559,27 +2559,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val cols = tableSchema(name).fieldNames.toSeq
     ChronoHistory.requireReadable(cfs, p, added ++ removed, liveIds(name),
       s"changesBetween($fromVersion, $toVersion) on '$name'")
-    def counted(entries: Seq[ManifestEntry], as: String): DataFrame =
-      ManifestFileIndex.relation(spark, p, schema, entries)
-        .groupBy(cols.map(col): _*).agg(count(lit(1)).as(as))
-    // NULL-SAFE join on the row columns: a NULL column value is a fact
-    // of life here (additive evolution reads NULL in later columns for
-    // pre-ALTER files), and a null-unsafe join would split such an
-    // unchanged row into a phantom delete+insert pair
-    val a = counted(added, "__a")
-    val r = counted(removed, "__r")
-    val net = a.join(r,
-        cols.map(c => a(c) <=> r(c)).reduce(_ && _), "full_outer")
-      .select((cols.map(c => coalesce(a(c), r(c)).as(c)) :+
-        (coalesce(a("__a"), lit(0L)) - coalesce(r("__r"), lit(0L)))
-          .as("__net")): _*)
-      .filter(col("__net") =!= 0L)
-    net.select((cols.map(col) :+
-        when(col("__net") > 0, lit("insert")).otherwise(lit("delete"))
-          .as("_change_type") :+
-        abs(col("__net")).as("__n")): _*)
-      .withColumn("__i", explode(expr("sequence(1, __n)")))
-      .drop("__n", "__i")
+    ChronoChanges.frame(spark, p, schema, cols, added, removed)
   }
 
   // --- reader snapshot grace (`_trash` log): bucket \t file \t

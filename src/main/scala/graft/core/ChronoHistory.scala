@@ -13,7 +13,7 @@ final case class ChronoCommit(
     epochMs: Long,
     verb: String,
     adds: Seq[ManifestEntry],
-    removes: Seq[(String, String)])
+    removes: Seq[ManifestEntry])
 
 /** Table version history — the `_history` sidecar log that gives every
   * chrono table SNAPSHOT VERSIONING and TIME TRAVEL (`VERSION AS OF` /
@@ -118,10 +118,12 @@ object ChronoHistory {
     // commit write and the head update leaves <head+1>.commit on disk)
     var v = head.getOrElse(0L) + 1
     while (cfs.exists(commitPath(tableRoot, v))) v += 1
+    // removes carry full metadata too: the CHANGE FEED reads a commit's
+    // removed files directly from its record (no snapshot replay)
     cfs.writeLinesAtomic(commitPath(tableRoot, v),
       s"commit\t$v\t$nowMs\t$verb" +:
-        (adds.map(addLine) ++
-          removes.map(e => s"remove\t${e.bucket}\t${e.file}")))
+        (adds.map(addLine) ++ removes.map(e =>
+          s"remove\t${e.bucket}\t${e.file}\t${e.size}\t${e.mtime}")))
     if (foldEvery > 0 && v % foldEvery == 0)
       cfs.writeLinesAtomic(checkpointPath(tableRoot, v),
         s"checkpoint\t$v\t$nowMs" +: live.map(addLine))
@@ -149,14 +151,19 @@ object ChronoHistory {
   }
 
   private def parseActions(lines: Seq[String])
-      : (Seq[ManifestEntry], Seq[(String, String)]) = {
+      : (Seq[ManifestEntry], Seq[ManifestEntry]) = {
     val adds = Seq.newBuilder[ManifestEntry]
-    val removes = Seq.newBuilder[(String, String)]
+    val removes = Seq.newBuilder[ManifestEntry]
     lines.foreach { l =>
       val a = l.split('\t')
       a(0) match {
         case "add" => adds += ManifestEntry(a(1), a(2), a(3).toLong, a(4).toLong)
-        case "remove" => removes += ((a(1), a(2)))
+        case "remove" =>
+          // pre-extension records carried (bucket, file) only — size 0
+          // is a safe degenerate (the feed re-stats on demand, never)
+          removes += ManifestEntry(a(1), a(2),
+            if (a.length > 3) a(3).toLong else 0L,
+            if (a.length > 4) a(4).toLong else 0L)
         case _ => // header
       }
     }
@@ -233,7 +240,7 @@ object ChronoHistory {
       state((e.bucket, e.file)) = e)
     ((base + 1) to version).foreach { v =>
       val c = readCommit(cfs, tableRoot, v)
-      c.removes.foreach(state.remove)
+      c.removes.foreach(e => state.remove((e.bucket, e.file)))
       c.adds.foreach(e => state((e.bucket, e.file)) = e)
     }
     state.values.toSeq

@@ -254,6 +254,61 @@ object StreamingQueries {
       .orderBy(col("key"), col("ts"), col("event_type"))
   }
 
+  /** S22: the STREAMING CHANGE FEED
+    * ([[graft.sources.ChronoChangeFeedSource]]) — offsets are HISTORY
+    * VERSIONS, each micro-batch the row-level delta of the commits
+    * landed since the last trigger, so row-level DML does not kill the
+    * stream (the plain tail's append-only contract): it ARRIVES on it.
+    * The gate drains the v1 insert, then lands an insert AND a
+    * predicate DELETE between triggers and drains again — the feed
+    * output is (row, change_type, commit_version), hash-exact against
+    * the oracle's replay of all three commits. `two_batches_ok` pins
+    * that the first drain saw only v1 (a real feed, not a snapshot). */
+  def streamChangeFeedQ(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("s22_db")
+    val out = Files.createTempDirectory("s22_out").toString
+    val cp = Files.createTempDirectory("s22_cp").toString
+    import spark.implicits._
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root.toString, bucket = "day",
+        trashGraceMs = 3600000L))
+    val firstDrain =
+      try {
+        db.createTable("ev")
+        val ev = Tables.t(spark, dir, "events")
+          .select(col("user_id").cast("string").as("key"), col("ts"),
+            encode(col("event_type"), "UTF-8").as("data"))
+          .as[graft.core.ChronoRow]
+        val split = lit("2024-01-16 00:00:00").cast("timestamp")
+        graft.core.BenchPhases.setup(
+          db.insert("ev", ev.filter(col("ts") < split)))       // v1
+        val q = spark.readStream.format("chrono")
+          .option("changeFeed", "true")
+          .load(s"$root/ev")
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", cp)
+          .start()
+        q.processAllAvailable()
+        val c1 = spark.read.parquet(out).count()
+        db.insert("ev", ev.filter(col("ts") >= split))         // v2
+        db.deleteWhere("ev", col("ts") <
+          lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))  // v3
+        q.processAllAvailable()
+        q.stop()
+        c1
+      } finally db.close()
+    val all = spark.read.parquet(out)
+    val twoBatchesOk = firstDrain > 0 && firstDrain < all.count()
+    all.select(col("key"), col("ts"),
+        decode(col("data"), "UTF-8").as("event_type"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .withColumn("two_batches_ok", lit(twoBatchesOk))
+      .orderBy(col("key"), col("ts"), col("event_type"),
+        col("change_type"), col("commit_version"))
+  }
+
   /** S20: tailing a CATALOG table — `spark.readStream.table("cat.ev")`
     * (VERDICT r16 Missing #2): the V2 twin of s19 over the SAME shared
     * tail state machine ([[graft.sources.ChronoTailLog]] under
@@ -955,6 +1010,20 @@ object StreamingQueries {
         |       TRUE AS two_batches_ok
         |FROM events
         |ORDER BY key, ts, event_type""".stripMargin)),
+    QueryDef("s22_stream_change_feed", streamChangeFeedQ, Some(
+      // the feed must replay all three commits' row deltas with their
+      // versions: v1/v2 the two insert halves, v3 the delete's rows
+      """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+        |       'insert' AS change_type,
+        |       CAST(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |            THEN 1 ELSE 2 END AS BIGINT) AS commit_version,
+        |       TRUE AS two_batches_ok
+        |FROM events
+        |UNION ALL
+        |SELECT CAST(user_id AS VARCHAR), ts, event_type, 'delete',
+        |       CAST(3 AS BIGINT), TRUE
+        |FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        |ORDER BY key, ts, event_type, change_type, commit_version""".stripMargin)),
     QueryDef("s21_stream_catalog_sink", streamCatalogSinkQ, Some(
       // the adopt protocol must land EXACTLY the fixture (exactly-once
       // epochs); the maintenance claim is the in-query verdict

@@ -310,11 +310,16 @@ final class ChronoSource extends RelationProvider
       "chrono stream source serves the table's declared schema " +
         "(+ bucket) — a user schema is not accepted")
     val (cfs, root, granularity) = sourceTarget(sqlContext, parameters)
-    (shortName(), StructType(
-      ManifestFileIndex.withGranularity(
-        ChronoLayout.declaredSchema(cfs, root)
-          .getOrElse(graft.core.ChronoDB.EnvelopeSchema), granularity)
-        .fields :+ StructField("bucket", StringType, nullable = true)))
+    val dataSchema = ManifestFileIndex.withGranularity(
+      ChronoLayout.declaredSchema(cfs, root)
+        .getOrElse(graft.core.ChronoDB.EnvelopeSchema), granularity)
+    if (parameters.get("changeFeed").exists(_.toBoolean))
+      (shortName(), StructType(dataSchema.fields ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", LongType, nullable = false))))
+    else
+      (shortName(), StructType(dataSchema.fields :+
+        StructField("bucket", StringType, nullable = true)))
   }
 
   /** `spark.readStream.format("chrono").load(tableDir)` — TAIL a chrono
@@ -336,6 +341,10 @@ final class ChronoSource extends RelationProvider
       providerName: String,
       parameters: Map[String, String]): Source = {
     val (cfs, root, granularity) = sourceTarget(sqlContext, parameters)
+    if (parameters.get("changeFeed").exists(_.toBoolean))
+      return new ChronoChangeFeedSource(sqlContext.sparkSession, cfs, root,
+        granularity,
+        parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
     val watermarkBuckets = parameters.get("watermarkBuckets").map(_.toInt)
     watermarkBuckets.foreach(k => require(k >= 1,
       s"watermarkBuckets must be >= 1, got $k"))
@@ -468,6 +477,89 @@ final class ChronoStreamSource(
   }
 
   override def commit(end: Offset): Unit = tail.foldCommitted(ordinal(end))
+
+  override def stop(): Unit = ()
+}
+
+/** STREAMING CHANGE FEED — `spark.readStream.format("chrono")
+  * .option("changeFeed", "true").load(tableDir)`: each micro-batch is
+  * the row-level delta of the commits landed since the last trigger
+  * (declared columns + `_change_type` + `_commit_version`), the
+  * streaming form of [[graft.core.ChronoDB.changesBetween]] and the
+  * CDF answer to the plain tail's append-only restriction: DELETE /
+  * UPDATE / MERGE / compact do not kill this stream — they ARRIVE on
+  * it (updates as delete+insert pairs; compact emits nothing, its
+  * commit's adds and removes carry identical rows that net out).
+  *
+  * OFFSETS ARE HISTORY VERSIONS — the design's whole weight rests on
+  * commit immutability: a batch (v₁, v₂] re-planned after a restart
+  * reads the same commit files and the same immutable data files, so
+  * replay is deterministic with NO source-side state (no seen-log;
+  * the checkpoint's offset log alone recovers the stream). Per-batch
+  * cost is one [[graft.core.ChronoChanges]] diff per commit in the
+  * range — priced by each commit's delta, never the table.
+  *
+  * Retention contract: removed-side files must still be trash-retained
+  * ([[graft.core.ChronoConfig.trashGraceMs]]); a stream lagging past
+  * the grace window fails LOUDLY at batch planning
+  * ([[graft.core.ChronoHistory.requireReadable]]), never mid-query.
+  * `startingVersion` (default 0) positions the first batch AFTER that
+  * version — the Delta CDF convention: serve the initial STATE with a
+  * batch read (`versionAsOf`), then follow changes from there. */
+final class ChronoChangeFeedSource(
+    spark: SparkSession,
+    cfs: ChronoFs,
+    tableRoot: HPath,
+    granularity: String,
+    startingVersion: Long) extends Source {
+
+  private val dataSchema: StructType = ManifestFileIndex.withGranularity(
+    ChronoLayout.declaredSchema(cfs, tableRoot)
+      .getOrElse(graft.core.ChronoDB.EnvelopeSchema), granularity)
+  private val cols = dataSchema.fieldNames.toSeq
+
+  override val schema: StructType = StructType(dataSchema.fields ++ Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", LongType, nullable = false)))
+
+  override def getOffset: Option[Offset] =
+    graft.core.ChronoHistory.headVersion(cfs, tableRoot)
+      .filter(_ > startingVersion).map(LongOffset(_))
+
+  private def ordinal(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset],
+      end: Offset): org.apache.spark.sql.DataFrame = {
+    val from = start.map(ordinal).getOrElse(startingVersion)
+    val to = ordinal(end)
+    val commits = ((from + 1) to to).map(v =>
+      graft.core.ChronoHistory.readCommit(cfs, tableRoot, v))
+    // readability gate up front: every changed file of the range must
+    // still be on disk (live files by the commit protocol, superseded
+    // ones by grace retention)
+    val live = ChronoLayout.foldedManifest(spark, cfs, tableRoot)
+      .map(_.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+      .getOrElse(Set.empty[(String, String)])
+    graft.core.ChronoHistory.requireReadable(cfs, tableRoot,
+      commits.flatMap(c => c.adds ++ c.removes), live,
+      s"change-feed batch ($from, $to] of $tableRoot")
+    val frames = commits.map(c =>
+      graft.core.ChronoChanges.frame(spark, tableRoot, dataSchema, cols,
+          c.adds, c.removes)
+        .withColumn("_commit_version",
+          org.apache.spark.sql.functions.lit(c.version)))
+    // MicroBatchExecution asserts isStreaming on the returned frame;
+    // the computed diff plan re-wraps lazily (retries recompute from
+    // the same immutable inputs)
+    org.apache.spark.sql.GraftColumnBridge.asStreaming(
+      frames.reduce(_ unionAll _))
+  }
+
+  override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 }

@@ -22,6 +22,17 @@ object GraftColumnBridge {
       data.queryExecution.toRdd, data.schema, isStreaming = false)
   }
 
+  /** The inverse of [[asBatch]]: wrap a COMPUTED batch frame as a
+    * streaming DataFrame for a V1 Source's getBatch (MicroBatchExecution
+    * asserts `isStreaming` on the returned frame). The plan stays lazy
+    * (`toRdd`), so a task retry recomputes from the same immutable
+    * inputs. */
+  def asStreaming(data: Dataset[Row]): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = true)
+  }
+
   /** DataFrame over an already-built logical plan (sql-private
     * Dataset.ofRows) — the V1 streaming Source's getBatch needs to hand
     * the engine a LogicalRelation it constructed itself. */
