@@ -1930,7 +1930,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       val id = (r.getString(0), r.getString(1))
       r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
     }
-    repairAfterRewrite(name, touched, rewritten, verb, Some(fresh))
+    repairAfterRewrite(name, touched, rewritten, verb, Some(fresh),
+      preEntries = Some(old))
     appendTrash(name, old.map(e => (e.bucket, e.file)),
       System.currentTimeMillis())
   }
@@ -1949,12 +1950,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * re-aggregate the rewritten buckets from their surviving data. */
   private def repairAfterRewrite(name: String, touched: Seq[String],
       rewritten: Seq[String], verb: String,
-      explicitRows: Option[Seq[org.apache.spark.sql.Row]] = None): Unit = {
+      explicitRows: Option[Seq[org.apache.spark.sql.Row]] = None,
+      preEntries: Option[Seq[ManifestEntry]] = None): Unit = {
     // grace-mode rewrites leave superseded files ON DISK — a relist
     // cannot be the source of truth there; the caller passes exactly
-    // this write's files (the compact-grace contract)
+    // this write's files (the compact-grace contract) and the pre-verb
+    // entries it already read (skipping the history diff's re-read)
     explicitRows match {
-      case Some(rows) => refreshManifestTo(name, touched, rows, verb)
+      case Some(rows) =>
+        refreshManifestTo(name, touched, rows, verb, preEntries)
       case None => refreshManifest(name, touched, verb)
     }
     recoverSidecar(statsPath(name))
@@ -2015,7 +2019,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       // its grace elapses. `since` floor: a relist must adopt ONLY this
       // write's files — never a crashed insert's orphans (the same
       // cutoff contract as the insert path's manifest observe).
-      val old = manifestEntries(name, Some(victims)).map(e => (e.bucket, e.file))
+      val oldEntries = manifestEntries(name, Some(victims))
+      val old = oldEntries.map(e => (e.bucket, e.file))
       val oldSet = old.toSet
       val preTrash = trashedFiles(name)
       val since = System.currentTimeMillis() / 1000L * 1000L
@@ -2027,7 +2032,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         val id = (r.getString(0), r.getString(1))
         r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
       }
-      refreshManifestTo(name, victims, fresh, "compact")
+      refreshManifestTo(name, victims, fresh, "compact", Some(oldEntries))
       appendTrash(name, old, System.currentTimeMillis())
     } else {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -2086,11 +2091,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         // reader that planned pre-cleanup still collects. Only buckets
         // with LIVE manifest entries count as dropped (an earlier
         // grace-cleanup's lingering dirs must not re-count every call).
-        val old = manifestEntries(name, Some(expired))
-          .map(e => (e.bucket, e.file))
+        val oldEntries = manifestEntries(name, Some(expired))
+        val old = oldEntries.map(e => (e.bucket, e.file))
         val live = old.map(_._1).distinct.sorted
         if (live.nonEmpty) {
-          refreshManifestTo(name, live, Seq.empty, "cleanup")
+          refreshManifestTo(name, live, Seq.empty, "cleanup",
+            Some(oldEntries.filter(e => live.contains(e.bucket))))
           appendTrash(name, old, now.getTime)
         }
         live
@@ -2259,6 +2265,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       name: String, touched: Seq[String], since: Long,
       historyVerb: String = "insert"): Unit = {
     recoverSidecar(manifestPath(name))
+    // captured BEFORE this batch's append: when the append CREATES the
+    // manifest (a fresh table's first insert), the live set after it is
+    // exactly this batch — history adoption then needs no manifest read
+    val hadManifest = cfs.exists(manifestPath(name))
     val cutoff = since - (since % 1000)
     val listed = touched.flatMap(listBucketFiles(name, _))
     val (fresh, old) = listed.partition(_.getLong(3) >= cutoff)
@@ -2282,7 +2292,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         .option("compression", config.compression)
         .parquet(manifestPath(name).toString)
       recordHistory(name, historyVerb, adds = fresh.map(rowToEntry),
-        removes = Seq.empty)
+        removes = Seq.empty,
+        liveOverride =
+          if (hadManifest) None else Some(fresh.map(rowToEntry)))
     }
     // Checkpoint fold: each batch appends one fragment, and only
     // compact/mutations rewrite — a long-running ingest that never
@@ -2395,7 +2407,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * `trashGraceMs`) leave superseded files on disk, so a relist cannot
     * be the source of truth there. */
   private def refreshManifestTo(name: String, touched: Seq[String],
-      rows: Seq[org.apache.spark.sql.Row], verb: String): Unit = {
+      rows: Seq[org.apache.spark.sql.Row], verb: String,
+      preKnown: Option[Seq[ManifestEntry]] = None): Unit = {
     // keyed on the SIDECAR's existence, not config.manifest: a mutation
     // through a manifest=false handle must still keep an existing
     // `_manifest` true — a stale one would dangle (FileNotFound) or
@@ -2405,7 +2418,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // pre-verb state of exactly the touched buckets (pushed bucket-IN
     // read, O(touched)) — the history commit's remove side
     val pre =
-      if (config.history) manifestEntries(name, Some(touched)) else Seq.empty
+      if (!config.history) Seq.empty
+      else preKnown.getOrElse(manifestEntries(name, Some(touched)))
     val kept = manifestFold(name).filter(!col("bucket").isin(touched: _*))
     val folded =
       if (rows.isEmpty) kept
@@ -2438,13 +2452,18 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   /** Record one commit AFTER its manifest mutation landed (history
     * lags, never leads). No-op for manifest-less tables and for verbs
     * that changed nothing. The live-set argument is BY-NAME: it is read
-    * only at history adoption and at checkpoint cadence. */
+    * only at history adoption and at checkpoint cadence — and a caller
+    * that already KNOWS the live set (a fresh table's first insert:
+    * live == this batch's adds) passes it via `liveOverride`, skipping
+    * the manifest-read job entirely. */
   private def recordHistory(name: String, verb: String,
-      adds: Seq[ManifestEntry], removes: Seq[ManifestEntry]): Unit =
+      adds: Seq[ManifestEntry], removes: Seq[ManifestEntry],
+      liveOverride: Option[Seq[ManifestEntry]] = None): Unit =
     if (config.history && (adds.nonEmpty || removes.nonEmpty) &&
         cfs.exists(manifestPath(name)))
       ChronoHistory.record(cfs, tablePath(name), verb, adds, removes,
-        manifestEntries(name, None), config.manifestFoldFiles,
+        liveOverride.getOrElse(manifestEntries(name, None)),
+        config.manifestFoldFiles,
         System.currentTimeMillis())
 
   /** Commit log, newest first — the `DESCRIBE HISTORY` surface

@@ -46,7 +46,10 @@ final class StreamRewriteException(detail: String)
   extends ChronoException(
     s"chrono tail source: previously-emitted data files vanished from " +
       s"_manifest — a maintenance verb (compact/delete/cleanup/restore) " +
-      s"rewrote the table under a live tail. $detail")
+      s"rewrote the table under a live tail. To stream a table that " +
+      s"mutates, use the CHANGE FEED instead: readStream.format(" +
+      s""""chrono").option("changeFeed", "true") — rewrites arrive as """ +
+      s"row deltas there rather than failing the query. $detail")
 
 /** A declared or sniffed bucket granularity disagrees with the bucket
   * labels actually on disk — planning with it would derive bucket
