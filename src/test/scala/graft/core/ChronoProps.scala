@@ -216,4 +216,42 @@ object ChronoProps extends Properties("chrono") {
           head == (if (deleted > 0) 3L else 2L)
       } finally db.close()
     }
+
+  property("restoreVersion round-trips: the live table equals the model at every restored version, any order") =
+    forAll(genRows, genRows, genRange) { case (r1, r2, (s, e)) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val db = new ChronoDB(spark,
+        ChronoConfig(Files.createTempDirectory("proprest").toString,
+          trashGraceMs = 3600000L))
+      try {
+        db.createTable("t")
+        db.insertSeq("t", r1)                                   // v1
+        db.insertSeq("t", r2)                                   // v2
+        val m1 = r1.map(r => (r.key, r.ts.getTime)).sorted
+        val m2 = (m1 ++ r2.map(r => (r.key, r.ts.getTime))).sorted
+        val deleted = db.deleteWhere("t",
+          col("ts") >= lit(s) && col("ts") <= lit(e))           // v3 if > 0
+        val m3 = (r1 ++ r2).filterNot(r =>
+            !r.ts.before(s) && !r.ts.after(e))
+          .map(r => (r.key, r.ts.getTime)).sorted
+        val models: Seq[(Long, Seq[(String, Long)])] =
+          Seq(1L -> m1, 2L -> m2) ++ (if (deleted > 0) Seq(3L -> m3) else Nil)
+        def live(): Seq[(String, Long)] = db.table("t").collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+          .sorted.toSeq
+        // restore in a deliberately non-monotone order: back to v1,
+        // forward to the last, back to v2 — every hop must land the
+        // model's state with consistent sidecars, and each restore is
+        // itself a commit (history stays linear)
+        val order = Seq(models.head, models.last) ++ models.take(2).tail
+        var restores = 0
+        val hopsOk = order.forall { case (v, m) =>
+          if (db.restoreVersion("t", v) > 0) restores += 1
+          live() == m && db.manifestConsistent("t") &&
+            db.sidecarsConsistent("t")
+        }
+        val verbs = db.history("t").map(_.verb)
+        hopsOk && verbs.take(restores).forall(_ == "restore")
+      } finally db.close()
+    }
 }
