@@ -2095,8 +2095,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         val old = oldEntries.map(e => (e.bucket, e.file))
         val live = old.map(_._1).distinct.sorted
         if (live.nonEmpty) {
+          // live is exactly old's distinct buckets — oldEntries IS the
+          // pre set for the touched buckets
           refreshManifestTo(name, live, Seq.empty, "cleanup",
-            Some(oldEntries.filter(e => live.contains(e.bucket))))
+            Some(oldEntries))
           appendTrash(name, old, now.getTime)
         }
         live
@@ -2535,8 +2537,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // a vacuum racing the flip must never purge a just-restored file
     writeTrash(name, trashEntries(name)
       .filterNot(t => snapIds((t._1, t._2))))
+    val touchedSet = touched.toSet
     repairAfterRewrite(name,
-      touched, touched.filter(byBucketSnap.contains), "restore", Some(rows))
+      touched, touched.filter(byBucketSnap.contains), "restore", Some(rows),
+      // the pre-verb entries are already in hand — no re-read
+      preEntries = Some(live.filter(e => touchedSet(e.bucket))))
     // files leaving the manifest: retained under grace, gone without
     val leaving = live.filterNot(e => snapIds((e.bucket, e.file)))
     if (graceActive(name))

@@ -49,7 +49,8 @@ final class StreamRewriteException(detail: String)
       s"rewrote the table under a live tail. To stream a table that " +
       s"mutates, use the CHANGE FEED instead: readStream.format(" +
       s""""chrono").option("changeFeed", "true") — rewrites arrive as """ +
-      s"row deltas there rather than failing the query. $detail")
+      s"row deltas there rather than failing the query (requires the " +
+      s"writer to retain superseded files: trashGraceMs > 0). $detail")
 
 /** A declared or sniffed bucket granularity disagrees with the bucket
   * labels actually on disk — planning with it would derive bucket

@@ -159,11 +159,15 @@ object ChronoHistory {
       a(0) match {
         case "add" => adds += ManifestEntry(a(1), a(2), a(3).toLong, a(4).toLong)
         case "remove" =>
-          // pre-extension records carried (bucket, file) only — size 0
-          // is a safe degenerate (the feed re-stats on demand, never)
-          removes += ManifestEntry(a(1), a(2),
-            if (a.length > 3) a(3).toLong else 0L,
-            if (a.length > 4) a(4).toLong else 0L)
+          // STRICT: the change feed reads removed files straight from
+          // this record, and a lenient size-0 backfill would make those
+          // files scan as EMPTY (FileStatus length 0 → no splits) —
+          // silently wrong deltas. Fail loudly instead; rebuildManifest
+          // re-checkpoints a table with malformed records.
+          if (a.length < 5) throw new IllegalStateException(
+            s"malformed history remove record '$l' (missing file " +
+              "metadata) — run rebuildManifest() to re-checkpoint")
+          removes += ManifestEntry(a(1), a(2), a(3).toLong, a(4).toLong)
         case _ => // header
       }
     }

@@ -314,9 +314,7 @@ final class ChronoSource extends RelationProvider
       ChronoLayout.declaredSchema(cfs, root)
         .getOrElse(graft.core.ChronoDB.EnvelopeSchema), granularity)
     if (parameters.get("changeFeed").exists(_.toBoolean))
-      (shortName(), StructType(dataSchema.fields ++ Seq(
-        StructField("_change_type", StringType, nullable = false),
-        StructField("_commit_version", LongType, nullable = false))))
+      (shortName(), ChronoChangeFeedSource.feedSchema(dataSchema))
     else
       (shortName(), StructType(dataSchema.fields :+
         StructField("bucket", StringType, nullable = true)))
@@ -341,10 +339,28 @@ final class ChronoSource extends RelationProvider
       providerName: String,
       parameters: Map[String, String]): Source = {
     val (cfs, root, granularity) = sourceTarget(sqlContext, parameters)
-    if (parameters.get("changeFeed").exists(_.toBoolean))
+    if (parameters.get("changeFeed").exists(_.toBoolean)) {
+      val startingVersion =
+        parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+      // fail-fast contracts (a feed that can never produce must not
+      // hang silently): a table with DATA but no history was written
+      // by a history=false handle — no commits will ever appear; a
+      // startingVersion beyond the current head is a typo, not a
+      // future position (versions are dense — head+1 is the next)
+      val head = graft.core.ChronoHistory.headVersion(cfs, root)
+      if (head.isEmpty &&
+          cfs.list(root).exists(st => st.isDirectory &&
+            st.getPath.getName.startsWith("bucket=")))
+        throw new IllegalArgumentException(
+          s"change feed on $root: the table has data but no version " +
+            "history (its writer runs history = false) — no commits " +
+            "will ever arrive on this stream")
+      head.foreach(h => require(startingVersion <= h,
+        s"startingVersion $startingVersion is beyond the current head " +
+          s"version $h"))
       return new ChronoChangeFeedSource(sqlContext.sparkSession, cfs, root,
-        granularity,
-        parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+        granularity, startingVersion)
+    }
     val watermarkBuckets = parameters.get("watermarkBuckets").map(_.toInt)
     watermarkBuckets.foreach(k => require(k >= 1,
       s"watermarkBuckets must be >= 1, got $k"))
@@ -452,15 +468,10 @@ final class ChronoStreamSource(
     if (m < 0) None else Some(LongOffset(m))
   }
 
-  private def ordinal(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.trim.toLong
-  }
-
   override def getBatch(start: Option[Offset], end: Offset): org.apache.spark.sql.DataFrame = {
-    val entries = tail.entriesBetween(start.map(ordinal).getOrElse(-1L),
-      ordinal(end))
+    val entries = tail.entriesBetween(
+      start.map(ChronoStreamOffsets.ordinal).getOrElse(-1L),
+      ChronoStreamOffsets.ordinal(end))
     val index = new graft.core.ManifestFileIndex(tableRoot, entries)
     val rel = HadoopFsRelation(
       location = index,
@@ -476,9 +487,30 @@ final class ChronoStreamSource(
       LogicalRelation(rel, isStreaming = true))
   }
 
-  override def commit(end: Offset): Unit = tail.foldCommitted(ordinal(end))
+  override def commit(end: Offset): Unit =
+    tail.foldCommitted(ChronoStreamOffsets.ordinal(end))
 
   override def stop(): Unit = ()
+}
+
+/** Offset decoding shared by the V1 stream sources (LongOffset at
+  * runtime, SerializedOffset across restarts). */
+private[sources] object ChronoStreamOffsets {
+  def ordinal(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+}
+
+object ChronoChangeFeedSource {
+  /** Declared columns + the feed metadata pair — built in ONE place so
+    * [[ChronoSource.sourceSchema]] and the source agree by
+    * construction. */
+  def feedSchema(dataSchema: StructType): StructType = StructType(
+    dataSchema.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
 }
 
 /** STREAMING CHANGE FEED — `spark.readStream.format("chrono")
@@ -518,24 +550,18 @@ final class ChronoChangeFeedSource(
       .getOrElse(graft.core.ChronoDB.EnvelopeSchema), granularity)
   private val cols = dataSchema.fieldNames.toSeq
 
-  override val schema: StructType = StructType(dataSchema.fields ++ Seq(
-    StructField("_change_type", StringType, nullable = false),
-    StructField("_commit_version", LongType, nullable = false)))
+  override val schema: StructType =
+    ChronoChangeFeedSource.feedSchema(dataSchema)
 
   override def getOffset: Option[Offset] =
     graft.core.ChronoHistory.headVersion(cfs, tableRoot)
       .filter(_ > startingVersion).map(LongOffset(_))
 
-  private def ordinal(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.trim.toLong
-  }
-
   override def getBatch(start: Option[Offset],
       end: Offset): org.apache.spark.sql.DataFrame = {
-    val from = start.map(ordinal).getOrElse(startingVersion)
-    val to = ordinal(end)
+    val from = start.map(ChronoStreamOffsets.ordinal)
+      .getOrElse(startingVersion)
+    val to = ChronoStreamOffsets.ordinal(end)
     val commits = ((from + 1) to to).map(v =>
       graft.core.ChronoHistory.readCommit(cfs, tableRoot, v))
     // readability gate up front: every changed file of the range must

@@ -78,6 +78,30 @@ class ChangeFeedSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("change feed refuses a table whose writer disabled history (would hang forever)") {
+    val dir = Files.createTempDirectory("cfeed3").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      history = false))
+    try {
+      db.createTable("t")
+      db.insertSeq("t", Seq(
+        ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1))))
+      val e = intercept[Exception] {
+        spark.readStream.format("chrono")
+          .option("changeFeed", "true").load(s"$dir/t")
+          .writeStream.format("memory").queryName("cf_nohist")
+          .option("checkpointLocation",
+            Files.createTempDirectory("cfeed3_cp").toString)
+          .start()
+          .processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("no version history")))
+    } finally db.close()
+  }
+
   test("a feed lagging past the grace window fails loudly at batch planning") {
     val dir = Files.createTempDirectory("cfeed2").toString
     val out = Files.createTempDirectory("cfeed2_out").toString
