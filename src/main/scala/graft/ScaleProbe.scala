@@ -91,6 +91,8 @@ object ScaleProbe {
       return dmlProbe(args(1), if (args.length > 2) args(2).toInt else 1)
     if (args.headOption.contains("history"))
       return historyProbe(args(1), if (args.length > 2) args(2).toInt else 1)
+    if (args.headOption.contains("feedbacklog"))
+      return feedBacklogProbe(args(1).toInt)
     if (args.headOption.contains("tailsource")) return tailSourceProbe(args(1))
     if (args.headOption.contains("tailage"))
       return tailAgeProbe(args(1).toInt,
@@ -407,6 +409,88 @@ object ScaleProbe {
     * snapshot read after it (grace-retained), and the change feed
     * between the two versions (must price at the changed window, never
     * the table). */
+  /** Change-feed BACKLOG probe (`feedbacklog <nCommits>`): a catch-up
+    * batch over an n-commit backlog must plan as ONE frame (two scan
+    * legs, `_commit_version` a partition column of the file index —
+    * [[graft.core.ChronoChanges.versionedFrame]]), so its per-commit
+    * cost must FALL (fixed overhead amortizing), never rise. The
+    * pre-r18 union-per-commit plan paid analyzer/optimizer work
+    * superlinear in n before a row moved. Reported: wall seconds and
+    * ms/commit for one full-backlog batch, plus the capped first
+    * trigger (maxCommitsPerTrigger = 10) whose cost must be flat in n
+    * (admission control: backlog size must not leak into a single
+    * trigger's price). */
+  private def feedBacklogProbe(nCommits: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("feedprobe").toString
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "day", sketchLgK = 0,
+        sketchCmsDepth = 0, sketchBloomKeys = 0, writersPerBucket = 1,
+        trashGraceMs = 3600000L))
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      db.createTable("ev")
+      import spark.implicits._
+      (1 to nCommits).foreach { i =>
+        db.insertSeq("ev", Seq(graft.core.ChronoRow(s"k$i",
+          java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+          Array((i % 127).toByte))))
+      }
+      val (cfs, tableRoot) = graft.core.ChronoFs.resolve(s"$root/ev",
+        spark.sessionState.newHadoopConf())
+      // the exact batch plan the source hands the engine (the streaming
+      // wrap adds no plan nodes): one versionedFrame over the range
+      val dataSchema = graft.core.ManifestFileIndex.withGranularity(
+        graft.core.ChronoDB.EnvelopeSchema, "day")
+      val cols = dataSchema.fieldNames.toSeq
+      def batch(from: Long, to: Long): Long = {
+        val commits = ((from + 1) to to).map(v =>
+          graft.core.ChronoHistory.readCommit(cfs, tableRoot, v))
+        graft.core.ChronoChanges.versionedFrame(spark, tableRoot,
+          dataSchema, cols, commits).count()
+      }
+      // the PRE-r18 shape (one plan leg per commit, union-reduced) —
+      // kept here as the A/B so the plan-size claim stays measured,
+      // not asserted
+      def unionBatch(from: Long, to: Long): Long = {
+        val frames = ((from + 1) to to).map { v =>
+          val c = graft.core.ChronoHistory.readCommit(cfs, tableRoot, v)
+          graft.core.ChronoChanges.frame(spark, tableRoot, dataSchema,
+              cols, c.adds, c.removes)
+            .withColumn("_commit_version", lit(c.version))
+        }
+        frames.reduce(_ unionAll _).count()
+      }
+      // warm the code paths once on a small range
+      batch(0, math.min(5L, nCommits.toLong))
+      // one batch over the FULL backlog
+      val (fullRows, fullSec) = timed(batch(0, nCommits.toLong))
+      val (_, unionSec) = timed(unionBatch(0, nCommits.toLong))
+      // the capped first trigger: offset reservation + its batch
+      import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+      val capped = new graft.sources.ChronoChangeFeedSource(spark, cfs,
+        tableRoot, "day", 0L,
+        java.nio.file.Files.createTempDirectory("feedmeta").toString,
+        Some(10))
+      val (off, _) = timed(capped.getOffset)
+      val capEnd = off.map(o => o.asInstanceOf[LongOffset].offset)
+        .getOrElse(0L)
+      val (capRows, capSec) = timed(batch(0, capEnd))
+      println(f"""{"probe":"feedbacklog","commits":$nCommits,"full_rows":$fullRows,"full_sec":$fullSec%.3f,"ms_per_commit":${fullSec * 1000 / nCommits}%.3f,"capped_end":$capEnd,"capped_rows":$capRows,"capped_sec":$capSec%.3f,"union_per_commit_sec":$unionSec%.3f}""")
+    } finally { db.close(); spark.stop() }
+  }
+
   private def historyProbe(sfDir: String, mult: Int): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkSession.builder()

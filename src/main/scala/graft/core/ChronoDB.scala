@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.ChronoFs.PathOps
@@ -88,9 +88,15 @@ final case class ChronoConfig(
                                        // Disable to A/B the record cost;
                                        // reads of EXISTING history still
                                        // work, new verbs just go
-                                       // unrecorded (tableAsOf past the
-                                       // gap fails loudly, never wrongly).
-    lockLeaseMs: Long = 60000L)        // writer-LOCK lease: a holder
+                                       // unrecorded — marking the log
+                                       // STALE so the next recording
+                                       // verb resyncs with a checkpoint
+                                       // before its delta (unrecorded
+                                       // writes never corrupt a later
+                                       // snapshot; removed-file gaps
+                                       // additionally fail loudly via
+                                       // requireReadable).
+    lockLeaseMs: Long = 60000L,        // writer-LOCK lease: a holder
                                        // heartbeats the LOCK file every
                                        // lease/3; an opener finding a lock
                                        // whose heartbeat is OLDER than the
@@ -99,6 +105,15 @@ final case class ChronoConfig(
                                        // forever on s3a/crash). A LIVE
                                        // holder is never stolen from while
                                        // its heartbeats land on time.
+    literalInLimit: Int = 10000)       // literal-In expression budget: key
+                                       // and bucket membership filters use
+                                       // a literal In at or below this many
+                                       // values (partition/Bloom-prunable,
+                                       // analyzer-cheap) and a broadcast
+                                       // semi/anti join above it (a >10k-
+                                       // literal In tree is analyzer
+                                       // poison). Lowered only in tests to
+                                       // exercise the above-budget plans.
 
 object ChronoConfig {
   /** SHIPPED small-batch / streaming-ingest preset: key Bloom +
@@ -1604,8 +1619,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   /** Literal-In budget for the delete verbs: at or below this many
     * distinct keys the Bloom-pruned `isin` path wins (per-bucket Bloom
     * probes prune the scan, the In-list is analyzer-cheap); above it
-    * [[deleteMatching]]'s broadcast-join path takes over. */
-  private val literalKeyLimit = 10000
+    * [[deleteMatching]]'s broadcast-join path takes over. Sourced from
+    * [[ChronoConfig.literalInLimit]] so tests exercise the above-budget
+    * plans without materializing 10k real keys/buckets. */
+  private val literalKeyLimit = config.literalInLimit
 
   /** [[deleteKeys]] with the key set as a DataFrame — the 100-TB shape
     * of the erasure/CDC verb: a 10^5–10^6-key batch never materializes
@@ -2009,6 +2026,101 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         (Seq(col("ts")) ++
           (if (hasKeyCol(name)) Seq(col("key")) else Nil)): _*)
       .localCheckpoint()
+    rewriteLayout(name, victims, df, "compact")
+    victims.size
+  }
+
+  /** Z-ORDER storage verb (VERDICT r17 next #7; `CALL
+    * system.zorder('t', 'c1,c2')`): rewrite every bucket's files
+    * clustered by the interleaved Morton order of `zcols`
+    * ([[graft.operators.Layout]] — the d15 library path promoted to a
+    * maintenance verb), under the SAME commit protocol as [[compact]]:
+    * trash grace, manifest refresh, history commit, sidecar folds.
+    * Content-preserving by construction — same rows, new layout — so
+    * the history commit's adds/removes net out on the change feed
+    * exactly like a compact's. The reference's merge loop
+    * (table.go:240-331) rewrites a tablet time-ordered; this is that
+    * rewrite generalized to multi-dimensional clustering, which is what
+    * gives parquet min/max row-group pruning on EVERY participating
+    * dimension of a 2-D+ predicate instead of just ts.
+    *
+    * `zcols` must be >= 2 declared integral/timestamp/date columns;
+    * domains are taken from one min/max pass over the data (clamping
+    * makes outliers degrade locality, never correctness). Buckets are
+    * preserved (bucket = f(ts), rows cannot move); clustering happens
+    * WITHIN each bucket, so the rewrite is one repartition + per-bucket
+    * sort — no global shuffle beyond what any layout rewrite costs.
+    * Returns buckets rewritten. */
+  def zorder(name: String, zcols: Seq[String], bits: Int = 16): Int = {
+    requireTable(name)
+    invalidateTwin(name)
+    require(zcols.size >= 2,
+      s"z-order needs at least 2 columns, got ${zcols.mkString(", ")}")
+    if (!hasData(name)) return 0
+    val schema = tableSchema(name)
+    val longDims: Seq[Column] = zcols.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"z-order column '$c' is not declared on '$name' " +
+            s"(declared: ${schema.fieldNames.mkString(", ")})"))
+      f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => col(c).cast("long")
+        case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case org.apache.spark.sql.types.DateType => col(c).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"z-order column '$c' has type ${other.simpleString} — " +
+            "only integral, timestamp, and date columns interleave")
+      }
+    }
+    val victims = fileCountByBucket(name).keys.toSeq.sorted
+    val base = table(name)
+    // one min/max pass fixes each dimension's domain for scaleToBits
+    val aggCols = longDims.flatMap(d => Seq(min(d), max(d)))
+    val statsRow = base.agg(aggCols.head, aggCols.tail: _*).head()
+    val dims = longDims.zipWithIndex.map { case (d, i) =>
+      val mn = if (statsRow.isNullAt(2 * i)) 0L else statsRow.getLong(2 * i)
+      val mx = if (statsRow.isNullAt(2 * i + 1)) mn
+        else math.max(mn, statsRow.getLong(2 * i + 1))
+      graft.operators.Layout.scaleToBits(d, mn, mx, bits)
+    }
+    // RANGE partition on (bucket, z) — the OPTIMIZE ZORDER shape: each
+    // output file covers a CONTIGUOUS z-range within its bucket, so
+    // parquet min/max skips whole files on every interleaved dimension;
+    // a plain repartition(bucket) would fold each bucket into one file
+    // whose min/max spans everything (sorted inside, prunable only at
+    // row-group granularity). The partition count is EXPLICIT —
+    // max(shuffle fan-out, bytes/128 MB) — because AQE coalesces an
+    // unpinned range shuffle to one partition on small inputs, folding
+    // every bucket into a single file and erasing the layout the verb
+    // exists to build; at cluster scale the bytes term keeps output
+    // files near the row-group target.
+    val totalBytes = manifestEntries(name, None).map(_.size).sum
+    val parts = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      (totalBytes / (128L << 20) + 1L).toInt)
+    val df = base
+      .withColumn("__z", graft.operators.Layout.zValueN(dims, bits))
+      .repartitionByRange(parts, col("bucket"), col("__z"))
+      .sortWithinPartitions(col("bucket"), col("__z"))
+      .drop("__z")
+      .localCheckpoint()
+    rewriteLayout(name, victims, df, "zorder")
+    victims.size
+  }
+
+  /** The bucket-rewrite commit protocol shared by the
+    * CONTENT-PRESERVING layout verbs ([[compact]], [[zorder]]): land
+    * the clustered frame over the victim buckets — grace mode appends
+    * new files and trash-retains the superseded ones (pre-rewrite
+    * readers still collect), else a dynamic partition overwrite — then
+    * refresh the manifest (recording the history commit) and fold the
+    * sketch/rollup sidecars. `df` must hold exactly the victims' rows
+    * with a `bucket` column. */
+  private def rewriteLayout(name: String, victims: Seq[String],
+      df: DataFrame, verb: String): Unit = {
     if (graceActive(name)) {
       // SNAPSHOT-GRACE path (VERDICT r16 Missing #4): the compacted
       // rows land as NEW files (append — unique part names), the
@@ -2032,7 +2144,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         val id = (r.getString(0), r.getString(1))
         r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
       }
-      refreshManifestTo(name, victims, fresh, "compact", Some(oldEntries))
+      refreshManifestTo(name, victims, fresh, verb, Some(oldEntries))
       appendTrash(name, old, System.currentTimeMillis())
     } else {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -2045,9 +2157,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      // manifest refresh FIRST (compaction replaced the victims' files;
+      // manifest refresh FIRST (the rewrite replaced the victims' files;
       // a reader planning from stale entries would chase deleted paths)
-      refreshManifest(name, victims, "compact")
+      refreshManifest(name, victims, verb)
     }
     // fold the sketch sidecar too: per-insert rows merge to one row per
     // bucket (lossless — sketch union, n/counter addition), so sidecar
@@ -2063,7 +2175,6 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     recoverSidecar(rollupPath(name))
     if (rollupEnabled && cfs.exists(rollupPath(name)))
       rewriteSidecar(rollupPath(name), rollupFold(name))
-    victims.size
   }
 
   /** TTL cleanup (reference Cleanup, table.go:334-369): drops whole
@@ -2273,10 +2384,22 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val hadManifest = cfs.exists(manifestPath(name))
     val cutoff = since - (since % 1000)
     val listed = touched.flatMap(listBucketFiles(name, _))
-    val (fresh, old) = listed.partition(_.getLong(3) >= cutoff)
-    if (old.nonEmpty && cfs.exists(manifestPath(name))) {
-      val recorded = manifestEntries(name, Some(touched))
+    // files already in the manifest are NEVER this batch's: the mtime
+    // cutoff rounds down a second (second-truncating filesystems), so a
+    // rapid re-insert into the same bucket lists the PREVIOUS batch's
+    // files as fresh too — re-appending them would bloat the manifest
+    // fragments (the fold dedups) and, worse, re-ADD them in this
+    // commit's history delta, double-emitting their rows on the change
+    // feed. One pushed bucket-IN read of the KB-scale sidecar per
+    // batch, the same price every non-grace verb pays.
+    val recorded: Set[(String, String)] =
+      if (hadManifest) manifestEntries(name, Some(touched))
         .map(e => (e.bucket, e.file)).toSet
+      else Set.empty
+    val (timely, old) = listed.partition(_.getLong(3) >= cutoff)
+    val fresh = timely.filterNot(r =>
+      recorded((r.getString(0), r.getString(1))))
+    if (old.nonEmpty && hadManifest) {
       val orphans = old.filterNot(r =>
         recorded((r.getString(0), r.getString(1))))
       if (orphans.nonEmpty)
@@ -2378,11 +2501,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * expression tree (the [[literalKeyLimit]] discipline applied to the
     * bucket axis). Above-budget callers already read every bucket, so
     * losing the partition-predicate form costs no pruning. */
-  private def filterBuckets(df: DataFrame, buckets: Seq[String],
-      keep: Boolean): DataFrame =
+  private[graft] def filterBuckets(df: DataFrame, buckets: Seq[String],
+      keep: Boolean, bucketCol: Column = col("bucket")): DataFrame =
     if (buckets.size <= literalKeyLimit) {
-      if (keep) df.filter(col("bucket").isin(buckets: _*))
-      else df.filter(!col("bucket").isin(buckets: _*))
+      if (keep) df.filter(bucketCol.isin(buckets: _*))
+      else df.filter(!bucketCol.isin(buckets: _*))
     } else {
       val b = broadcast(buckets.toDF("bucket"))
       df.join(b, Seq("bucket"), if (keep) "left_semi" else "left_anti")
@@ -2434,7 +2557,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         adds = rows.filterNot(r =>
           preIds((r.getString(0), r.getString(1)))).map(rowToEntry),
         removes = pre.filterNot(e => rowIds((e.bucket, e.file))))
-    }
+    } else
+      // delta not computed on this path — the call only marks the log
+      // stale (see recordHistory)
+      recordHistory(name, verb, Seq.empty, Seq.empty)
   }
 
   // --- version history (`_history` commit log): snapshot versioning +
@@ -2460,19 +2586,64 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * the manifest-read job entirely. */
   private def recordHistory(name: String, verb: String,
       adds: Seq[ManifestEntry], removes: Seq[ManifestEntry],
-      liveOverride: Option[Seq[ManifestEntry]] = None): Unit =
-    if (config.history && (adds.nonEmpty || removes.nonEmpty) &&
-        cfs.exists(manifestPath(name)))
-      ChronoHistory.record(cfs, tablePath(name), verb, adds, removes,
-        liveOverride.getOrElse(manifestEntries(name, None)),
-        config.manifestFoldFiles,
+      liveOverride: Option[Seq[ManifestEntry]] = None): Unit = {
+    if (!cfs.exists(manifestPath(name))) return
+    val root = tablePath(name)
+    if (!config.history) {
+      // a history=false mutation on a table with a RECORDED head leaves
+      // the log's reconstructed head state stale — mark it (O(1), one
+      // marker file) so the next recording verb resyncs below; without
+      // the marker, a later delta commit on the stale base would make
+      // snapshot(head) silently omit the unrecorded writes (ADVICE r17)
+      if (ChronoHistory.headVersion(cfs, root).isDefined)
+        ChronoHistory.markStale(cfs, root)
+      return
+    }
+    if (adds.isEmpty && removes.isEmpty) return
+    lazy val live = liveOverride.getOrElse(manifestEntries(name, None))
+    if (ChronoHistory.clearStaleIfSet(cfs, root)) {
+      // ground-truth RESYNC first: checkpoint the state this verb FOUND
+      // (post-verb live minus this verb's delta — no extra manifest
+      // read), then record the verb's own delta commit on top, so its
+      // changes still arrive on the change feed. The unrecorded
+      // history=false writes surface as part of the resync checkpoint,
+      // never as phantom deltas.
+      val addIds = adds.map(e => (e.bucket, e.file)).toSet
+      val preLive = live.filterNot(e => addIds((e.bucket, e.file))) ++ removes
+      ChronoHistory.recordCheckpoint(cfs, root, "resync", preLive,
         System.currentTimeMillis())
+    }
+    ChronoHistory.record(cfs, root, verb, adds, removes, live,
+      config.manifestFoldFiles,
+      System.currentTimeMillis())
+  }
 
   /** Commit log, newest first — the `DESCRIBE HISTORY` surface
     * ([[ChronoHistory.commits]]). */
   def history(name: String): Seq[ChronoCommit] = {
     requireTable(name)
     ChronoHistory.commits(cfs, tablePath(name))
+  }
+
+  /** Bound the `_history` log itself by VERSION COUNT (VERDICT r17
+    * Missing #4): on a high-churn table the log accrues one commit
+    * file per mutation forever; this keeps the newest `keepVersions`
+    * versions reconstructable and sweeps what older versions no longer
+    * need ([[ChronoHistory.expireBefore]] — the on-disk bound is
+    * keepVersions plus at most one fold interval, because the
+    * reconstruction base is the newest checkpoint at or before the
+    * horizon). Expired versions fail loudly at plan time; the live
+    * table, newer versions, and the data files are untouched (data
+    * retention is [[vacuumOrphans]]' job, not this verb's). Returns
+    * files deleted. */
+  def expireHistory(name: String, keepVersions: Int): Int = {
+    requireTable(name)
+    require(keepVersions >= 1,
+      s"keepVersions must be >= 1, got $keepVersions")
+    val p = tablePath(name)
+    val head = ChronoHistory.headVersion(cfs, p).getOrElse(return 0)
+    ChronoHistory.expireBefore(cfs, p,
+      math.max(0L, head - keepVersions + 1))
   }
 
   /** TIME TRAVEL: the table AS OF a committed version — the file set
@@ -2843,6 +3014,67 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         config.rollupSlotUs
     val endUs = end.getTime * 1000L
     rollupFold(name)
+      .filter(col("slot_us") >= startSlot && col("slot_us") <= endUs)
+      .groupBy(col("slot_us"))
+      .agg(sum(col("n")).as("n"), sum(col("nv")).as("nv"),
+        sum(col("sum")).as("sum"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+      .select(timestamp_micros(col("slot_us")).as("slot_start"),
+        col("n"), col("nv"), col("sum"), col("vmin"), col("vmax"))
+  }
+
+  /** Snapshot-consistent continuous aggregate (VERDICT r17 Missing #3):
+    * [[rollupRange]] AS OF a committed version. The `_rollup` sidecar
+    * describes the LIVE table only — serving it under a snapshot would
+    * silently reflect post-snapshot mutations — so each snapshot bucket
+    * is answered from the sidecar ONLY when its snapshot file set
+    * equals its live file set (the sidecar row then describes the
+    * snapshot too, by the rewrite protocol: every mutation to a bucket
+    * re-aggregates its sidecar rows), and recomputed from the
+    * snapshot's own files otherwise. Cost: the usual KB sidecar fold
+    * plus O(diverged buckets) data reads — a snapshot taken yesterday
+    * on a huge table re-reads only the buckets mutated since.
+    * Slot-granularity contract identical to [[rollupRange]]. */
+  def rollupRangeAsOf(name: String, start: Timestamp, end: Timestamp,
+      version: Long): DataFrame = {
+    requireTable(name)
+    require(rollupEnabled, s"no rollup configured for '$name'")
+    val p = tablePath(name)
+    val snap = ChronoHistory.snapshot(cfs, p, version)
+    val live = manifestEntries(name, None)
+    ChronoHistory.requireReadable(cfs, p, snap,
+      live.map(e => (e.bucket, e.file)).toSet,
+      s"rollup as of version $version of '$name'")
+    recoverSidecar(rollupPath(name))
+    val sidecarOk = cfs.exists(rollupPath(name))
+    val snapBy = snap.groupBy(_.bucket)
+    val liveBy = live.groupBy(_.bucket)
+    val (same, diverged) = snapBy.partition { case (b, es) =>
+      sidecarOk && liveBy.get(b).exists(ls =>
+        ls.map(_.file).toSet == es.map(_.file).toSet)
+    }
+    val startSlot =
+      Math.floorDiv(start.getTime * 1000L, config.rollupSlotUs) *
+        config.rollupSlotUs
+    val endUs = end.getTime * 1000L
+    val parts = Seq.newBuilder[DataFrame]
+    if (same.nonEmpty)
+      parts += filterBuckets(rollupFold(name), same.keys.toSeq.sorted,
+        keep = true)
+    if (diverged.nonEmpty)
+      parts += rollupGrouped(ManifestFileIndex.relation(spark, p,
+        ManifestFileIndex.withGranularity(tableSchema(name),
+          granularityFor(name)), diverged.values.flatten.toSeq))
+    val built = parts.result()
+    if (built.isEmpty)
+      return spark.emptyDataFrame.select(
+        lit(null).cast("timestamp").as("slot_start"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("nv"),
+        lit(null).cast("long").as("sum"),
+        lit(null).cast("long").as("vmin"), lit(null).cast("long").as("vmax"))
+    built.map(_.select(col("slot_us"), col("n"), col("nv"), col("sum"),
+        col("vmin"), col("vmax")))
+      .reduce(_ unionByName _)
       .filter(col("slot_us") >= startSlot && col("slot_us") <= endUs)
       .groupBy(col("slot_us"))
       .agg(sum(col("n")).as("n"), sum(col("nv")).as("nv"),

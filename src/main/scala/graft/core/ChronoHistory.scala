@@ -131,6 +131,27 @@ object ChronoHistory {
     v
   }
 
+  private def stalePath(tableRoot: HPath): HPath =
+    dir(tableRoot).resolve("_stale")
+
+  /** Mark the log STALE: a history=false handle mutated a table whose
+    * log has a recorded head, so the head state reconstructed from the
+    * log no longer matches the live table. A later delta commit on that
+    * stale base would make `snapshot(head)` silently wrong — the next
+    * history=true mutation sees this marker and resyncs with a
+    * ground-truth checkpoint first ([[ChronoDB]] recordHistory). O(1):
+    * one marker file, no history machinery runs on the false path. */
+  def markStale(cfs: ChronoFs, tableRoot: HPath): Unit =
+    if (!cfs.exists(stalePath(tableRoot)))
+      cfs.writeLinesAtomic(stalePath(tableRoot), Seq("stale"))
+
+  /** Consume the stale marker: true iff it was set (caller must resync
+    * before recording a delta). */
+  def clearStaleIfSet(cfs: ChronoFs, tableRoot: HPath): Boolean = {
+    val p = stalePath(tableRoot)
+    if (cfs.exists(p)) { cfs.deleteIfExists(p); true } else false
+  }
+
   /** Force a checkpoint at a NEW version (rebuildManifest's resync: a
     * full rewrite is not a delta, it is a new ground truth). */
   def recordCheckpoint(cfs: ChronoFs, tableRoot: HPath, verb: String,
@@ -337,18 +358,37 @@ object ChronoHistory {
     * rest once a newer base exists. Returns files deleted. */
   def vacuum(cfs: ChronoFs, tableRoot: HPath, cutoffEpochMs: Long): Int = {
     val head = headVersion(cfs, tableRoot).getOrElse(return 0)
-    val cps = checkpointVersions(cfs, tableRoot)
-    if (cps.isEmpty) return 0
     // first version whose commit must stay readable
     val keepFrom = commits(cfs, tableRoot).filter(_.epochMs >= cutoffEpochMs)
       .map(_.version).minOption.getOrElse(head)
+    expireBefore(cfs, tableRoot, keepFrom)
+  }
+
+  /** The sweep shared by [[vacuum]] (epoch horizon) and the
+    * version-count verb ([[ChronoDB.expireHistory]] /
+    * `CALL system.expire_history`): delete commit and checkpoint files
+    * no longer needed to reconstruct versions >= `keepFrom`. The
+    * reconstruction base is the newest checkpoint at or before
+    * `keepFrom` — it and everything after it survive, so the on-disk
+    * bound is keepVersions + one fold interval of commits, never the
+    * table's whole mutation history. Commits: doomed only BELOW the
+    * first retained version — when a checkpoint sits exactly at
+    * `keepFrom` (base == keepFrom), that version's own commit is still
+    * inside retention and its delta must stay visible to history() and
+    * a feed positioned just before it. Expired versions refuse loudly
+    * at plan time ([[snapshot]]'s no-retained-checkpoint error). */
+  def expireBefore(cfs: ChronoFs, tableRoot: HPath, keepFrom: Long): Int = {
+    val cps = checkpointVersions(cfs, tableRoot)
+    if (cps.isEmpty) return 0
     val base = cps.filter(_ <= keepFrom).lastOption.getOrElse(return 0)
     var deleted = 0
     cfs.list(dir(tableRoot)).foreach { st =>
       val n = st.getPath.getName
       val doomed =
-        if (n.endsWith(".commit")) n.stripSuffix(".commit").toLong <= base
-        else if (n.endsWith(".checkpoint"))
+        if (n.endsWith(".commit")) {
+          val v = n.stripSuffix(".commit").toLong
+          v <= base && v < keepFrom
+        } else if (n.endsWith(".checkpoint"))
           n.stripSuffix(".checkpoint").toLong < base
         else false
       if (doomed) { cfs.deleteIfExists(st.getPath); deleted += 1 }

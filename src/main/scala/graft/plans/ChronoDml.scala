@@ -51,8 +51,45 @@ import graft.sources.ChronoV2Table
 class ChronoDmlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ChronoDmlRule)
+    ext.injectResolutionRule(session => ChronoCatalogChangeFeedRule(session))
     ext.injectPlannerStrategy(session => ChronoDmlStrategy(session))
   }
+}
+
+/** CHANGE FEED on the CATALOG path (VERDICT r17 Missing #5):
+  * `spark.readStream.option("changeFeed", "true").table("cat.ev")`.
+  * The V2 streaming scan cannot serve a CDF batch — each batch is a
+  * per-commit BAG DIFF (a join), and `planInputPartitions` can only
+  * express a file scan — so this resolution rule rewrites the
+  * streaming relation to the V1 change-feed source
+  * ([[graft.sources.ChronoChangeFeedSource]]) over the table's root,
+  * the same move Delta's analyzer makes for `readChangeFeed` reads
+  * (rewriting the relation to one with the CDF schema). Catalog-path
+  * and path-format feeds are therefore THE SAME source — batch
+  * pacing, offsets, and semantics identical by construction (pinned by
+  * the s23 gate). `startingVersion` / `maxCommitsPerTrigger` pass
+  * through. */
+case class ChronoCatalogChangeFeedRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case r: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if r.table.isInstanceOf[ChronoV2Table] &&
+            Option(r.extraOptions.get("changeFeed")).exists(_.toBoolean) =>
+        val t = r.table.asInstanceOf[ChronoV2Table]
+        if (t.isSnapshot) throw new UnsupportedOperationException(
+          s"${t.name()} is a time-travel snapshot — a change feed " +
+            "follows the LIVE table; drop VERSION AS OF and position " +
+            "with startingVersion instead")
+        val passthrough = Seq("startingVersion", "maxCommitsPerTrigger")
+          .flatMap(k => Option(r.extraOptions.get(k)).map(k -> _)).toMap
+        org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+          org.apache.spark.sql.execution.datasources.DataSource(
+            session,
+            className = "chrono",
+            options = Map("path" -> t.tableRoot.toString,
+              "changeFeed" -> "true") ++ passthrough))
+    }
 }
 
 /** Claims resolved UPDATE/MERGE plans whose target is a chrono catalog
@@ -227,10 +264,14 @@ private object ChronoDmlRunner {
           .collect().map(_.getString(0)).toSeq.sorted
       // whole-table semantics: no bucket filter at all (an In-list over
       // every bucket of an old table is analyzer poison and prunes
-      // nothing)
+      // nothing); the bounded case rides the facade's budgeted helper —
+      // literal In below the literal-key limit (partition-prunable),
+      // broadcast semi-join above it — so a big-CDC merge whose source
+      // touches >10k buckets never builds the giant In tree either
       def restrict(df: DataFrame): DataFrame =
         if (wholeTable) df
-        else df.filter(targetAttr("bucket").isin(affected: _*))
+        else db.filterBuckets(df, affected, keep = true,
+          bucketCol = targetAttr("bucket"))
 
       // --- fate of existing rows in affected buckets (computed and
       //     MATERIALIZED against pre-mutation state) ---

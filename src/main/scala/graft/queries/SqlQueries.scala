@@ -707,6 +707,71 @@ object SqlQueries {
     * it. `ts` is synthesized deterministically from doc_id (both
     * engines compute the same µs arithmetic) since the fixture has no
     * time axis. */
+  /** Q68: Z-ORDER as a STORAGE VERB (VERDICT r17 next #7) —
+    * `CALL system.zorder('ev', 'uid,ts')` ([[graft.core.ChronoDB
+    * .zorder]]): the d15 layout library promoted to a maintenance verb
+    * under the compact commit protocol (grace trash, manifest, history
+    * commit, sidecar folds). The gate inserts three day-buckets, runs a
+    * 2-D predicate (a ~2% uid band x a ts window) BEFORE and AFTER the
+    * verb, and pins: content hash unchanged (the oracle is a plain
+    * SELECT of the same rows), `zorder_ok` (buckets rewritten),
+    * `prune_ok` (the scan DECODED strictly fewer rows after — files
+    * within each bucket now cover disjoint z-ranges, so parquet min/max
+    * skips whole files/row-groups in BOTH dimensions; the pre-verb
+    * time-sorted layout can only prune on ts). */
+  def chronoZorderQ(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerTables(spark, dir)
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("q68_db")
+    withFreshCatalog(spark, "q68", root,
+      opts = Map("trashGrace" -> "1h")) { cat =>
+      graft.core.BenchPhases.setup {
+        spark.sql(s"CREATE TABLE $cat.ev (uid BIGINT, ts TIMESTAMP, v BIGINT)")
+        spark.sql(s"INSERT INTO $cat.ev (uid, ts, v) " +
+          "SELECT user_id, ts, event_id FROM events " +
+          "WHERE ts < TIMESTAMP '2024-01-04 00:00:00'")
+      }
+      val bandRow = spark.sql(
+        """SELECT percentile_approx(user_id, 0.50, 10000),
+          |       percentile_approx(user_id, 0.52, 10000)
+          |FROM events""".stripMargin).head()
+      val (uLo, uHi) = (bandRow.getLong(0), bandRow.getLong(1))
+      def decoded(): Long = {
+        val q = spark.sql(
+          s"""SELECT count(*) AS n, sum(v) AS sv FROM $cat.ev
+             |WHERE uid BETWEEN $uLo AND $uHi
+             |  AND ts BETWEEN TIMESTAMP '2024-01-01 06:00:00'
+             |             AND TIMESTAMP '2024-01-03 00:00:00'""".stripMargin)
+        q.collect()
+        def scanRows(p: org.apache.spark.sql.execution.SparkPlan): Long =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scanRows(a.executedPlan)
+            case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scanRows(s.plan)
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+            case other => other.children.map(scanRows).sum
+          }
+        scanRows(q.queryExecution.executedPlan)
+      }
+      val pre = decoded()
+      val rewritten = spark.sql(s"CALL $cat.system.zorder('ev', 'uid,ts')")
+        .head().getLong(0)
+      val post = decoded()
+      val ok = rewritten >= 1 && post < pre
+      val out = spark.sql(s"SELECT uid, ts, v FROM $cat.ev")
+        .withColumn("zorder_ok", lit(rewritten >= 1))
+        .withColumn("prune_ok", lit(ok))
+        .orderBy(col("uid"), col("ts"), col("v"))
+        .localCheckpoint()
+      spark.sql(s"DROP TABLE $cat.ev")
+      out
+    }
+  }
+
   def chronoTypedDocsQ(spark: SparkSession, dir: String): DataFrame = {
     Engine.installOptimizations(spark)
     val root = java.nio.file.Files.createTempDirectory("q61_db")
@@ -920,6 +985,13 @@ object SqlQueries {
     QueryDef("q64_chrono_sql_update", chronoSqlUpdateQ, Some(q64Oracle)),
     QueryDef("q65_chrono_sql_merge", chronoSqlMergeQ, Some(q65Oracle)),
     QueryDef("q66_chrono_time_travel", chronoTimeTravelQ, Some(q66Oracle)),
+    QueryDef("q68_chrono_zorder", chronoZorderQ, Some(
+      // content hash unchanged across the rewrite; the layout claims
+      // are the in-query verdicts pinned TRUE
+      """SELECT user_id AS uid, ts, event_id AS v,
+        |       TRUE AS zorder_ok, TRUE AS prune_ok
+        |FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+        |ORDER BY uid, ts, v""".stripMargin)),
     QueryDef("q67_chrono_change_feed", chronoChangeFeedQ, Some(q67Oracle)),
     QueryDef("q61_chrono_typed_docs", chronoTypedDocsQ, Some(q61Oracle)),
     QueryDef("d40_curation_in_store", curationInStoreQ, Some(d40Oracle)),

@@ -107,7 +107,9 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       // reader snapshot grace AND the time-travel horizon ('7d', '12h',
       // plain seconds): how long superseded files stay readable
       trashGraceMs = Option(options.get("trashGrace"))
-        .map(ChronoCatalog.parseTtlSeconds(_) * 1000L).getOrElse(0L))
+        .map(ChronoCatalog.parseTtlSeconds(_) * 1000L).getOrElse(0L),
+      literalInLimit = Option(options.get("literalInLimit"))
+        .map(_.toInt).getOrElse(10000))
   }
 
   override def name(): String = catalogName
@@ -414,8 +416,90 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(ns: Array[String]): Array[Identifier] =
     (maintenanceProcs.keys.toSeq ++
-      Seq("cleanup_as_of", "history", "restore_version")).sorted
+      Seq("cleanup_as_of", "history", "restore_version",
+        "expire_history", "zorder")).sorted
       .map(Identifier.of(Array("system"), _)).toArray
+
+  /** `CALL <cat>.system.expire_history('t', <keepVersions>)` — bound
+    * the `_history` log on a high-churn table
+    * ([[ChronoDB.expireHistory]]): the newest `keepVersions` versions
+    * stay reconstructable, older commit/checkpoint files are swept,
+    * expired versions refuse loudly at plan time. */
+  private def expireHistoryProcedure(): procedures.UnboundProcedure =
+    new procedures.UnboundProcedure {
+      override def name(): String = "expire_history"
+      override def description(): String =
+        "expire chrono version history beyond the newest N versions"
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = "expire_history"
+          override def description(): String =
+            "expire chrono version history beyond the newest N versions"
+          override def parameters(): Array[procedures.ProcedureParameter] =
+            Array(
+              procedures.ProcedureParameter
+                .in("table", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("keep_versions", org.apache.spark.sql.types.IntegerType)
+                .build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val (tblNs, table) = splitTableArg(input.getUTF8String(0).toString)
+            val keep = input.getInt(1)
+            val n = withDbIn(tblNs)(_.expireHistory(table, keep).toLong)
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  Array(org.apache.spark.sql.catalyst.InternalRow(n))
+                override def readSchema(): StructType = StructType(Seq(
+                  org.apache.spark.sql.types.StructField("files_expired",
+                    org.apache.spark.sql.types.LongType, nullable = false)))
+              }
+            util.Collections.singletonList(out).iterator()
+          }
+        }
+    }
+
+  /** `CALL <cat>.system.zorder('t', 'c1,c2')` — rewrite the table's
+    * buckets clustered by the interleaved Morton order of the given
+    * columns ([[ChronoDB.zorder]]): compact's commit protocol, the d15
+    * layout library as a storage verb. */
+  private def zorderProcedure(): procedures.UnboundProcedure =
+    new procedures.UnboundProcedure {
+      override def name(): String = "zorder"
+      override def description(): String =
+        "re-cluster a chrono table by the Z-order of the given columns"
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = "zorder"
+          override def description(): String =
+            "re-cluster a chrono table by the Z-order of the given columns"
+          override def parameters(): Array[procedures.ProcedureParameter] =
+            Array(
+              procedures.ProcedureParameter
+                .in("table", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("columns", org.apache.spark.sql.types.StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val (tblNs, table) = splitTableArg(input.getUTF8String(0).toString)
+            val cols = input.getUTF8String(1).toString
+              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val n = withDbIn(tblNs)(_.zorder(table, cols).toLong)
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  Array(org.apache.spark.sql.catalyst.InternalRow(n))
+                override def readSchema(): StructType = StructType(Seq(
+                  org.apache.spark.sql.types.StructField("buckets_rewritten",
+                    org.apache.spark.sql.types.LongType, nullable = false)))
+              }
+            util.Collections.singletonList(out).iterator()
+          }
+        }
+    }
 
   /** `CALL <cat>.system.restore_version('t', <v>)` — roll the live
     * table back (or forward) to a committed version
@@ -551,11 +635,14 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     if (ident.name() == "cleanup_as_of") return cleanupAsOfProcedure()
     if (ident.name() == "history") return historyProcedure()
     if (ident.name() == "restore_version") return restoreVersionProcedure()
+    if (ident.name() == "expire_history") return expireHistoryProcedure()
+    if (ident.name() == "zorder") return zorderProcedure()
     val (resultCol, run) = maintenanceProcs.getOrElse(ident.name(),
       throw new UnsupportedOperationException(
         s"no such procedure: ${ident.name()} — available: " +
           (maintenanceProcs.keys.toSeq ++
-            Seq("cleanup_as_of", "history", "restore_version"))
+            Seq("cleanup_as_of", "history", "restore_version",
+              "expire_history", "zorder"))
             .sorted.mkString(", ")))
     val procName = ident.name()
     new procedures.UnboundProcedure {
@@ -638,7 +725,7 @@ object ChronoCatalog {
 final class ChronoV2Table(
     sparkSession: SparkSession,
     cfs: ChronoFs,
-    tableRoot: HPath,
+    val tableRoot: HPath,
     qualifiedName: String,
     val tableName: String,
     declaredSchema: StructType,

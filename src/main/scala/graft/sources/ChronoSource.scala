@@ -147,12 +147,19 @@ final class ChronoSource extends RelationProvider
         // resolves in, so the two surfaces pick the same version on any
         // host (the JVM default zone never participates)
         val s = t.trim
+        // epoch branch = integer literals ONLY — a date-only value like
+        // '2024-01-01' has digits and dashes but is a DATE, not millis
         val ms =
-          if (s.forall(c => c.isDigit || c == '-') && s.nonEmpty) s.toLong
-          else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-            .atZone(java.time.ZoneId.of(
-              spark.sessionState.conf.sessionLocalTimeZone))
-            .toInstant.toEpochMilli
+          if (s.matches("-?\\d+")) s.toLong
+          else {
+            val iso = s.replace(' ', 'T')
+            val ldt =
+              if (iso.contains("T")) java.time.LocalDateTime.parse(iso)
+              else java.time.LocalDate.parse(iso).atStartOfDay()
+            ldt.atZone(java.time.ZoneId.of(
+                spark.sessionState.conf.sessionLocalTimeZone))
+              .toInstant.toEpochMilli
+          }
         Some(graft.core.ChronoHistory.resolveTimestamp(cfs, root, ms))
       case (None, None) => None
     }
@@ -358,8 +365,11 @@ final class ChronoSource extends RelationProvider
       head.foreach(h => require(startingVersion <= h,
         s"startingVersion $startingVersion is beyond the current head " +
           s"version $h"))
+      val maxCommits = parameters.get("maxCommitsPerTrigger").map(_.toInt)
+      maxCommits.foreach(n => require(n >= 1,
+        s"maxCommitsPerTrigger must be >= 1, got $n"))
       return new ChronoChangeFeedSource(sqlContext.sparkSession, cfs, root,
-        granularity, startingVersion)
+        granularity, startingVersion, metadataPath, maxCommits)
     }
     val watermarkBuckets = parameters.get("watermarkBuckets").map(_.toInt)
     watermarkBuckets.foreach(k => require(k >= 1,
@@ -535,15 +545,31 @@ object ChronoChangeFeedSource {
   * ([[graft.core.ChronoConfig.trashGraceMs]]); a stream lagging past
   * the grace window fails LOUDLY at batch planning
   * ([[graft.core.ChronoHistory.requireReadable]]), never mid-query.
-  * `startingVersion` (default 0) positions the first batch AFTER that
-  * version — the Delta CDF convention: serve the initial STATE with a
-  * batch read (`versionAsOf`), then follow changes from there. */
+  * `startingVersion` (default 0) positions the first batch strictly
+  * AFTER that version (EXCLUSIVE — Delta's same-named option is
+  * inclusive; stated here so nobody carries that expectation over):
+  * serve the initial STATE with a batch read (`versionAsOf` the same
+  * version), then follow changes from there.
+  *
+  * ADMISSION CONTROL (`maxCommitsPerTrigger`, the
+  * `maxFilesPerTrigger` idea applied to the version axis): without it,
+  * a feed starting on an existing table — or resuming after downtime —
+  * gets EVERY pending commit in one micro-batch. The cap lives in
+  * [[getOffset]] (this is a V1 Source: the offset WE return bounds the
+  * batch), advancing a reservation high-water mark at most `n` commits
+  * past the last reserved position per trigger. The mark is persisted
+  * under the source's checkpoint directory so a restart never
+  * re-reserves backwards (FileStreamSource persists its own log under
+  * the same contract), and [[getBatch]]/[[commit]] re-sync it from the
+  * engine's recovered offsets as a second line of defense. */
 final class ChronoChangeFeedSource(
     spark: SparkSession,
     cfs: ChronoFs,
     tableRoot: HPath,
     granularity: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long,
+    metadataPath: String,
+    maxCommitsPerTrigger: Option[Int]) extends Source {
 
   private val dataSchema: StructType = ManifestFileIndex.withGranularity(
     ChronoLayout.declaredSchema(cfs, tableRoot)
@@ -553,15 +579,55 @@ final class ChronoChangeFeedSource(
   override val schema: StructType =
     ChronoChangeFeedSource.feedSchema(dataSchema)
 
-  override def getOffset: Option[Offset] =
-    graft.core.ChronoHistory.headVersion(cfs, tableRoot)
-      .filter(_ > startingVersion).map(LongOffset(_))
+  // reservation high-water mark: the highest version ever handed to the
+  // engine as an offset. Monotone by construction — offsets are ranges
+  // (committed, reserved], so re-reserving the same range after a crash
+  // between reservation and the offset-log write replans the SAME
+  // batch (no loss, no duplicate), while a rewind would re-emit
+  // commits. Persisted as one small file per advance.
+  private val hwmPath: (ChronoFs, HPath) = {
+    import ChronoFs.PathOps
+    val (fs, p) = ChronoFs.resolve(metadataPath,
+      spark.sessionState.newHadoopConf())
+    fs.mkdirs(p)
+    (fs, p.resolve("chrono-feed-hwm"))
+  }
+  private var reservedTo: Long = math.max(startingVersion,
+    hwmPath._1.readLinesRecover(hwmPath._2)
+      .flatMap(_.headOption).map(_.trim.toLong).getOrElse(Long.MinValue))
+
+  private def noteReserved(v: Long): Unit = synchronized {
+    if (v > reservedTo) {
+      reservedTo = v
+      hwmPath._1.writeLinesAtomic(hwmPath._2, Seq(v.toString))
+    }
+  }
+
+  override def getOffset: Option[Offset] = synchronized {
+    graft.core.ChronoHistory.headVersion(cfs, tableRoot).foreach { head =>
+      val target = maxCommitsPerTrigger match {
+        case Some(n) => math.min(head, reservedTo + n)
+        case None => head
+      }
+      noteReserved(target)
+    }
+    if (reservedTo > startingVersion) Some(LongOffset(reservedTo)) else None
+  }
 
   override def getBatch(start: Option[Offset],
       end: Offset): org.apache.spark.sql.DataFrame = {
     val from = start.map(ChronoStreamOffsets.ordinal)
       .getOrElse(startingVersion)
     val to = ChronoStreamOffsets.ordinal(end)
+    // restart recovery: the engine replays its offset log before the
+    // first getOffset — adopt whatever position it hands us
+    noteReserved(math.max(from, to))
+    // a degenerate range (engine replanning around an empty reservation)
+    // is an empty batch, not a crash
+    if (from >= to)
+      return org.apache.spark.sql.GraftColumnBridge.asStreaming(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     val commits = ((from + 1) to to).map(v =>
       graft.core.ChronoHistory.readCommit(cfs, tableRoot, v))
     // readability gate up front: every changed file of the range must
@@ -573,19 +639,19 @@ final class ChronoChangeFeedSource(
     graft.core.ChronoHistory.requireReadable(cfs, tableRoot,
       commits.flatMap(c => c.adds ++ c.removes), live,
       s"change-feed batch ($from, $to] of $tableRoot")
-    val frames = commits.map(c =>
-      graft.core.ChronoChanges.frame(spark, tableRoot, dataSchema, cols,
-          c.adds, c.removes)
-        .withColumn("_commit_version",
-          org.apache.spark.sql.functions.lit(c.version)))
-    // MicroBatchExecution asserts isStreaming on the returned frame;
-    // the computed diff plan re-wraps lazily (retries recompute from
-    // the same immutable inputs)
+    // ONE frame for the whole range — `_commit_version` rides as a
+    // partition column of the file index, so the plan has two scan
+    // legs however many commits the batch spans (the union-per-commit
+    // this replaces cost the driver superlinear plan work on catch-up
+    // backlogs). MicroBatchExecution asserts isStreaming on the
+    // returned frame; retries recompute from the same immutable inputs.
     org.apache.spark.sql.GraftColumnBridge.asStreaming(
-      frames.reduce(_ unionAll _))
+      graft.core.ChronoChanges.versionedFrame(spark, tableRoot,
+        dataSchema, cols, commits))
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    noteReserved(ChronoStreamOffsets.ordinal(end))
 
   override def stop(): Unit = ()
 }

@@ -1,0 +1,65 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Second-JVM contender for [[CrossProcessLockSpec]] — a REAL process
+  * boundary on the writer LOCK. The in-JVM LeaseLockSpec fakes a
+  * crashed holder by aging the lock file's mtime; this main lets the
+  * spec race an ACTUAL separate process (open vs open, crash without
+  * release) against the suite's own handle, driving the REAL
+  * [[ChronoDB]] open path — heartbeat thread, takeover CAS and all.
+  *
+  * Stdout protocol (one token per line, parsed by the spec):
+  * `ACQUIRED`, `RELEASED`, `REFUSED <reason>`.
+  *
+  * Modes:
+  *  - `open <dir> <leaseMs>` — try to acquire once, release, exit.
+  *  - `hold <dir> <leaseMs> <holdMs>` — acquire, hold (the handle's own
+  *    daemon heartbeats), release, exit.
+  *  - `crash <dir> <leaseMs>` — acquire, then `Runtime.halt`: no
+  *    close(), no shutdown hooks — the LOCK file survives exactly as a
+  *    kill -9 would leave it.
+  */
+object LockContenderMain {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val dir = args(1)
+    val leaseMs = args(2).toLong
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cfg = ChronoConfig(dir, bucket = "day", sketchLgK = 0,
+      sketchCmsDepth = 0, sketchBloomKeys = 0, writersPerBucket = 1,
+      lockLeaseMs = leaseMs)
+    def say(s: String): Unit = { println(s); Console.out.flush() }
+    mode match {
+      case "open" =>
+        try {
+          val db = new ChronoDB(spark, cfg)
+          say("ACQUIRED")
+          db.close()
+          say("RELEASED")
+        } catch {
+          case e: DatabaseLockedException => say(s"REFUSED ${e.getMessage}")
+        }
+        spark.stop()
+      case "hold" =>
+        val db = new ChronoDB(spark, cfg)
+        say("ACQUIRED")
+        Thread.sleep(args(3).toLong)
+        db.close()
+        say("RELEASED")
+        spark.stop()
+      case "crash" =>
+        new ChronoDB(spark, cfg)
+        say("ACQUIRED")
+        Runtime.getRuntime.halt(0)
+      case other =>
+        say(s"REFUSED unknown mode $other")
+        sys.exit(2)
+    }
+  }
+}

@@ -353,4 +353,105 @@ class TimeTravelSpec extends SparkSuite {
       assert(keysAt(db, h.head.version) === Set("a"))
     } finally db.close()
   }
+
+  test("history=false writes mark the log STALE; the next recorded verb resyncs before its delta (no silent snapshot gap)") {
+    val dir = Files.createTempDirectory("ttravel_stale").toString
+    val cfg = ChronoConfig(dir, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      trashGraceMs = 3600000L)
+    val db1 = new ChronoDB(spark, cfg)
+    try {
+      db1.createTable("t")
+      db1.insertSeq("t",
+        Seq(ChronoRow("a", ts("2024-03-01 10:00:00"), Array(1))))  // v1
+    } finally db1.close()
+    // unrecorded write through a history=false handle
+    val db2 = new ChronoDB(spark, cfg.copy(history = false))
+    try db2.insertSeq("t",
+      Seq(ChronoRow("b", ts("2024-03-02 10:00:00"), Array(2))))
+    finally db2.close()
+    val db3 = new ChronoDB(spark, cfg)
+    try {
+      // before the fix: this delta landed on the stale base and
+      // snapshot(head) silently omitted 'b' until a fold healed it
+      db3.insertSeq("t",
+        Seq(ChronoRow("c", ts("2024-03-03 10:00:00"), Array(3))))
+      val head = db3.history("t").head.version
+      assert(keysAt(db3, head) === Set("a", "b", "c"))
+      // the resync checkpoint (head-1) is the state the verb FOUND —
+      // including the unrecorded write
+      assert(db3.history("t").find(_.version == head - 1)
+        .exists(_.verb == "resync"))
+      assert(keysAt(db3, head - 1) === Set("a", "b"))
+      // and the recorded pre-gap version is still served correctly
+      assert(keysAt(db3, 1) === Set("a"))
+    } finally db3.close()
+  }
+
+  test("expireHistory bounds the log by version count: expired versions refuse loudly, newer ones and the live table are intact") {
+    val (db, dir) = mk(foldFiles = 2)
+    try {
+      db.createTable("t")
+      def histFiles(): Int =
+        new java.io.File(s"$dir/t/_history").list()
+          .count(n => n.endsWith(".commit") || n.endsWith(".checkpoint"))
+      (1 to 8).foreach { i =>
+        db.insertSeq("t", Seq(
+          ChronoRow(s"k$i", ts("2024-03-01 10:00:00"), Array(i.toByte))))
+      }
+      val before = histFiles()
+      // keep 3 → horizon at v6; foldEvery=2 puts a checkpoint there, so
+      // the sweep lands exactly at the horizon
+      val n = db.expireHistory("t", keepVersions = 3)
+      assert(n > 0)
+      assert(histFiles() < before)
+      // the kept versions reconstruct
+      assert(keysAt(db, 8).size === 8)
+      assert(keysAt(db, 7).size === 7)
+      assert(keysAt(db, 6).size === 6)
+      // expired versions fail loudly at plan time
+      intercept[IllegalStateException] { db.tableAsOf("t", 5).collect() }
+      // the live table is untouched
+      assert(db.table("t").count() === 8L)
+      // churn bound: more mutations + another expire keep the log flat
+      (9 to 20).foreach { i =>
+        db.insertSeq("t", Seq(
+          ChronoRow(s"k$i", ts("2024-03-01 10:00:00"), Array(i.toByte))))
+      }
+      db.expireHistory("t", keepVersions = 3)
+      // bound = keepVersions + one fold interval of commits + the
+      // retained checkpoints after the base (foldEvery=2 → at most
+      // (3+2) commits + ~4 checkpoints)
+      assert(histFiles() <= 10, s"history not bounded: ${histFiles()} files")
+      assert(db.table("t").count() === 20L)
+    } finally db.close()
+  }
+
+  test("history vacuum keeps the first retained version's commit when a checkpoint sits exactly at the horizon") {
+    val (db, dir) = mk(foldFiles = 2)
+    try {
+      db.createTable("t")
+      (1 to 4).foreach { i =>
+        db.insertSeq("t", Seq(
+          ChronoRow(s"k$i", ts(s"2024-03-0$i 10:00:00"), Array(i.toByte))))
+        Thread.sleep(5) // distinct commit epochs
+      }
+      // foldEvery=2 → checkpoints at v2 and v4; retention cutoff at v2's
+      // epoch makes keepFrom = 2 with a checkpoint EXACTLY there
+      val e2 = db.history("t").find(_.version == 2L).get.epochMs
+      val (cfs, root) = ChronoFs.resolve(s"$dir/t",
+        spark.sessionState.newHadoopConf())
+      ChronoHistory.vacuum(cfs, root, e2)
+      // v2 is inside retention: its commit (and delta) must survive —
+      // the pre-fix boundary deleted it because a checkpoint sat at 2
+      assert(db.history("t").exists(c =>
+        c.version == 2L && c.adds.nonEmpty))
+      // the first retained version is fully servable: snapshot AND the
+      // diff starting there
+      assert(keysAt(db, 2) === Set("k1", "k2"))
+      assert(db.changesBetween("t", 2, 4).count() === 2)
+      // below the horizon is honestly gone
+      intercept[IllegalStateException] { db.tableAsOf("t", 1).collect() }
+    } finally db.close()
+  }
 }

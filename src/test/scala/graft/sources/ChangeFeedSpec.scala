@@ -78,6 +78,53 @@ class ChangeFeedSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("maxCommitsPerTrigger: a 100-commit backlog drains in exactly 10 capped batches whose union equals changesBetween") {
+    val dir = Files.createTempDirectory("cfeed_cap").toString
+    val out = Files.createTempDirectory("cfeed_cap_out").toString
+    val cp = Files.createTempDirectory("cfeed_cap_cp").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      trashGraceMs = 3600000L))
+    try {
+      db.createTable("t")
+      (1 to 100).foreach(i => db.insertSeq("t", Seq(
+        ChronoRow(s"k$i", ts("2024-03-01 10:00:00"), Array(i.toByte)))))
+      val q = spark.readStream.format("chrono")
+        .option("changeFeed", "true")
+        .option("maxCommitsPerTrigger", "10")
+        .load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // exactly 10 batches, each reserving exactly 10 versions — the
+      // offset log is the ground truth for pacing
+      import scala.jdk.CollectionConverters._
+      val offDir = java.nio.file.Paths.get(cp, "offsets")
+      val entries = java.nio.file.Files.list(offDir).iterator().asScala
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .map { p =>
+          val lines = java.nio.file.Files.readAllLines(p).asScala
+          (p.getFileName.toString.toLong, lines.last.trim.toLong)
+        }.toSeq.sortBy(_._1)
+      assert(entries.map(_._1) === (0L to 9L))
+      assert(entries.map(_._2) === (1L to 10L).map(_ * 10L))
+      // the capped union equals the uncapped batch verb
+      val got = spark.read.parquet(out)
+        .select(col("key"), col("_change_type"), col("_commit_version"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._3).toSeq
+      assert(got.size === 100)
+      assert(got.forall(_._2 == "insert"))
+      assert(got.map(_._3) === (1L to 100L))
+      val batch = db.changesBetween("t", 0, 100)
+        .select(col("key"), col("_change_type"))
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(batch === got.map(g => (g._1, g._2)).sorted)
+    } finally db.close()
+  }
+
   test("change feed refuses a table whose writer disabled history (would hang forever)") {
     val dir = Files.createTempDirectory("cfeed3").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
@@ -100,6 +147,51 @@ class ChangeFeedSpec extends SparkSuite {
       assert(chain(e).exists(c => c.getMessage != null &&
         c.getMessage.contains("no version history")))
     } finally db.close()
+  }
+
+  test("catalog path: readStream.option(changeFeed).table resolves to the SAME feed source (rule rewrite), DML arrives with versions") {
+    val dir = Files.createTempDirectory("cfeed_cat").toString
+    val out = Files.createTempDirectory("cfeed_cat_out").toString
+    val cp = Files.createTempDirectory("cfeed_cat_cp").toString
+    val cat = s"cfc${System.nanoTime() % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[ChronoCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.dataDir", dir)
+    spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+    spark.conf.set(s"spark.sql.catalog.$cat.trashGrace", "3600")
+    try {
+      spark.sql(s"CREATE TABLE $cat.t (key STRING, ts TIMESTAMP, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.t (key, ts, v) VALUES " +
+        "('a', TIMESTAMP '2024-03-01 10:00:00', 1), " +
+        "('b', TIMESTAMP '2024-03-02 10:00:00', 2)")          // v1
+      val q = spark.readStream
+        .option("changeFeed", "true")
+        .option("maxCommitsPerTrigger", "1")
+        .table(s"$cat.t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      spark.sql(s"DELETE FROM $cat.t WHERE key = 'a'")         // v2
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out)
+        .select(col("key"), col("_change_type"), col("_commit_version"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._3, x._1, x._2)).toSeq
+      assert(got === Seq(("a", "insert", 1L), ("b", "insert", 1L),
+        ("a", "delete", 2L)))
+      // a snapshot relation refuses the feed loudly
+      val e = intercept[Exception] {
+        spark.readStream.option("changeFeed", "true")
+          .table(s"$cat.t VERSION AS OF 1")
+      }
+      assert(e.getMessage != null)
+      spark.sql(s"DROP TABLE $cat.t")
+    } finally {
+      Seq("", ".dataDir", ".bucket", ".trashGrace").foreach(s =>
+        spark.conf.unset(s"spark.sql.catalog.$cat$s"))
+    }
   }
 
   test("a feed lagging past the grace window fails loudly at batch planning") {

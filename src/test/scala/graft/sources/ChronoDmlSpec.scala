@@ -12,13 +12,17 @@ import graft.SparkSuite
   * ChronoCatalogSpec (it rides SupportsDelete, no extension). */
 class ChronoDmlSpec extends SparkSuite {
 
-  private def freshCat(): (String, String) = {
+  private def freshCat(extra: Map[String, String] = Map.empty)
+      : (String, String) = {
     val dir = Files.createTempDirectory("dml").toString
     val name = s"dml${System.nanoTime() % 1000000}"
     spark.conf.set(s"spark.sql.catalog.$name",
       classOf[ChronoCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.dataDir", dir)
     spark.conf.set(s"spark.sql.catalog.$name.bucket", "day")
+    extra.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$name.$k", v)
+    }
     (name, dir)
   }
 
@@ -161,6 +165,47 @@ class ChronoDmlSpec extends SparkSuite {
     // nothing was mutated or lost
     assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) === 4L)
     assert(sidecarsOk(dir, "ev"))
+    spark.sql(s"DROP TABLE $cat.ev")
+  }
+
+  test("MERGE with affected buckets above the literal-In budget stays correct and plans a broadcast semi-join, not a giant In") {
+    // budget of 3 with a source touching 10 day-buckets — the restrict
+    // must route through the facade's filterBuckets discipline
+    val (cat, dir) = freshCat(Map("literalInLimit" -> "3"))
+    seed(cat)  // 20 rows, 2/day over 10 day buckets
+    val res = spark.sql(
+      s"""MERGE INTO $cat.ev t USING (
+         |  SELECT CAST(id AS STRING) AS mk, id * 100 AS mv FROM range(20)
+         |) s ON t.key = s.mk
+         |WHEN MATCHED AND t.v < 18 THEN UPDATE SET v = s.mv, note = 'm'
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(res.head().getLong(0) === 20L)
+    val rows = spark.sql(
+      s"SELECT key, v, note FROM $cat.ev ORDER BY CAST(key AS INT)")
+      .collect()
+    assert(rows.length === 18) // v=18,19 deleted
+    assert(rows.forall(_.getString(2) == "m"))
+    assert(rows.map(_.getLong(1)).toSeq === (0 until 18).map(_ * 100L))
+    assert(sidecarsOk(dir, "ev"))
+    // plan-shape pin at the unit level: above budget → semi join, at or
+    // below → literal In (partition-prunable)
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(dir, bucket = "day", literalInLimit = 3))
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = spark.range(10).selectExpr(
+        "cast(id as string) as bucket", "id as v")
+      val above = db.filterBuckets(df, Seq("1", "2", "3", "4"),
+        keep = true, bucketCol = col("bucket"))
+        .queryExecution.optimizedPlan.toString
+      assert(above.contains("LeftSemi"), above)
+      assert(!above.contains(" IN ("), above)
+      val below = db.filterBuckets(df, Seq("1", "2"),
+        keep = true, bucketCol = col("bucket"))
+        .queryExecution.optimizedPlan.toString
+      assert(below.contains(" IN ("), below)
+      assert(!below.contains("LeftSemi"), below)
+    } finally db.close()
     spark.sql(s"DROP TABLE $cat.ev")
   }
 
