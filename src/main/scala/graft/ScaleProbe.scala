@@ -93,6 +93,8 @@ object ScaleProbe {
       return historyProbe(args(1), if (args.length > 2) args(2).toInt else 1)
     if (args.headOption.contains("feedbacklog"))
       return feedBacklogProbe(args(1).toInt)
+    if (args.headOption.contains("sharedwriters"))
+      return sharedWritersProbe(args(1).toInt, args(2).toInt)
     if (args.headOption.contains("tailsource")) return tailSourceProbe(args(1))
     if (args.headOption.contains("tailage"))
       return tailAgeProbe(args(1).toInt,
@@ -420,6 +422,61 @@ object ScaleProbe {
     * trigger (maxCommitsPerTrigger = 10) whose cost must be flat in n
     * (admission control: backlog size must not leak into a single
     * trigger's price). */
+  /** Shared-writer CONTENTION probe (`sharedwriters <writers> <n>`):
+    * `writers` verb-mode handles on one root, each committing `n`
+    * single-row inserts from its own thread, against a 1-writer
+    * baseline of the same total. What it prices: the commit critical
+    * section (lease acquire + manifest append + history record — a few
+    * KB-scale fs ops) bounds COMMIT rate, not data rate; real
+    * pipelines batch rows per commit, so commits/sec here is the floor
+    * a 1000-executor cluster's writers queue on, exactly like Delta's
+    * per-commit OCC. */
+  private def sharedWritersProbe(writers: Int, n: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def run(k: Int, per: Int): Double = {
+      val root = java.nio.file.Files.createTempDirectory("swprobe").toString
+      val cfg = graft.core.ChronoConfig(root, bucket = "day",
+        sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+        writersPerBucket = 1, lockMode = "verb", lockWaitMs = 600000L)
+      val handles = (0 until k).map(_ => new graft.core.ChronoDB(spark, cfg))
+      try {
+        handles.head.createTable("t")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
+        val t0 = System.nanoTime()
+        val fs = (0 until k).map { w =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              (1 to per).foreach(i => handles(w).insertSeq("t",
+                Seq(graft.core.ChronoRow(s"w${w}_$i",
+                  java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+                  Array((i % 127).toByte)))))
+          })
+        }
+        fs.foreach(_.get())
+        pool.shutdown()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(handles.head.table("t").count() == k.toLong * per,
+          "lost rows under contention")
+        require(handles.head.history("t").map(_.version).sorted ==
+          (0L to (k.toLong * per)), "non-dense history under contention")
+        sec
+      } finally handles.foreach(_.close())
+    }
+    run(1, 5) // warm
+    val base = run(1, writers * n)
+    val contended = run(writers, n)
+    val total = writers * n
+    println(f"""{"probe":"sharedwriters","writers":$writers,"commits":$total,"single_writer_sec":$base%.2f,"single_commits_per_sec":${total / base}%.2f,"contended_sec":$contended%.2f,"contended_commits_per_sec":${total / contended}%.2f}""")
+    spark.stop()
+  }
+
   private def feedBacklogProbe(nCommits: Int): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkSession.builder()

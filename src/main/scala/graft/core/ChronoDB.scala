@@ -105,7 +105,7 @@ final case class ChronoConfig(
                                        // forever on s3a/crash). A LIVE
                                        // holder is never stolen from while
                                        // its heartbeats land on time.
-    literalInLimit: Int = 10000)       // literal-In expression budget: key
+    literalInLimit: Int = 10000,       // literal-In expression budget: key
                                        // and bucket membership filters use
                                        // a literal In at or below this many
                                        // values (partition/Bloom-prunable,
@@ -114,6 +114,25 @@ final case class ChronoConfig(
                                        // literal In tree is analyzer
                                        // poison). Lowered only in tests to
                                        // exercise the above-budget plans.
+    lockMode: String = "handle",       // writer-lock SCOPE: "handle" =
+                                       // the lease is held for the
+                                       // handle's lifetime (exclusive
+                                       // writer — the reference's
+                                       // model); "verb" = SHARED
+                                       // WRITERS: each mutating verb
+                                       // acquires the lease, commits,
+                                       // and releases, so several
+                                       // handles/processes interleave
+                                       // writes on one root with every
+                                       // commit still serialized (the
+                                       // Delta/Iceberg multi-writer
+                                       // posture at verb granularity).
+                                       // Reads never lock in either
+                                       // mode.
+    lockWaitMs: Long = 60000L)         // verb-mode acquire wait: a verb
+                                       // finding the lease held retries
+                                       // (50 ms steps) up to this long
+                                       // before failing loudly.
 
 object ChronoConfig {
   /** SHIPPED small-batch / streaming-ingest preset: key Bloom +
@@ -344,17 +363,83 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       s"${if (uuid.isEmpty) "<unknown>" else uuid}, heartbeat ${age}ms ago)")
   }
 
-  acquireLock()
+  require(config.lockMode == "handle" || config.lockMode == "verb",
+    s"lockMode must be handle|verb, got '${config.lockMode}'")
+
+  /** True while THIS handle's uuid should be on the lock file — the
+    * heartbeat's gate. Handle mode: the whole lifetime. Verb mode:
+    * only inside [[locked]] sections. */
+  @volatile private var holdingLock = false
+
+  if (config.lockMode == "handle") { acquireLock(); holdingLock = true }
 
   @volatile private var closed = false
   @volatile private var lockLostTo: Option[String] = None
 
-  private def beat(): Unit =
+  // verb-mode reentrancy: outer public verbs wrap in [[locked]] and
+  // freely call other wrapped verbs (merge -> replaceBucketRows ->
+  // insertFrame); only depth 0 -> 1 acquires, 1 -> 0 releases
+  private val verbLockDepth: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+
+  /** Retry [[acquireLock]] until `lockWaitMs` lapses — verb-mode
+    * writers QUEUE on the lease instead of failing on first contact
+    * (a fresh-lease refusal here is contention, not a crash). */
+  private def acquireLockWait(): Unit = {
+    val deadline = System.currentTimeMillis() + config.lockWaitMs
+    var last: Option[String] = None
+    while (true) {
+      try { acquireLock(); return }
+      catch {
+        case e: DatabaseLockedException =>
+          last = Some(e.getMessage)
+          if (System.currentTimeMillis() >= deadline)
+            throw new DatabaseLockedException(config.dataDir,
+              s"verb-lock wait timed out after ${config.lockWaitMs}ms " +
+                s"(${last.getOrElse("")})")
+          Thread.sleep(50)
+      }
+    }
+  }
+
+  /** The mutation bracket: every mutating verb's body runs inside. In
+    * handle mode (exclusive writer) this is free — the handle already
+    * owns the lease. In verb mode it acquires the lease (waiting out
+    * other writers up to `lockWaitMs`), heartbeats while the verb
+    * runs, and releases after — so any number of handles/processes
+    * interleave commits on one root, each commit exclusive. Reentrant
+    * per thread; verbs of ONE handle serialize against all writers,
+    * including their own sibling threads. */
+  private def locked[A](f: => A): A = {
+    if (config.lockMode == "handle") return f
+    val depth = verbLockDepth.get()
+    if (depth > 0) {
+      verbLockDepth.set(depth + 1)
+      try f finally verbLockDepth.set(depth)
+    } else {
+      acquireLockWait()
+      verbLockDepth.set(1)
+      holdingLock = true
+      try f finally {
+        holdingLock = false
+        verbLockDepth.set(0)
+        try {
+          if (lockLostTo.isEmpty &&
+              lockHolder().exists { case (u, _) => u == holderId })
+            cfs.deleteIfExists(lockPath)
+        } catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  private def beat(): Unit = {
+    if (!holdingLock) return
     try lockHolder() match {
       case Some((u, _)) if u == holderId => writeLockPayload()
       case Some((u, _)) => lockLostTo = Some(if (u.isEmpty) "<unknown>" else u)
       case None => lockLostTo = Some("<lock file deleted>")
     } catch { case _: Throwable => () } // missed beat ≠ broken handle
+  }
 
   private val heartbeat = {
     val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
@@ -446,7 +531,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def createTable(name: String,
       schema: org.apache.spark.sql.types.StructType,
       granularity: Option[String],
-      ttlSec: Option[Long]): Unit = {
+      ttlSec: Option[Long]): Unit = locked {
     requireOpen()
     ChronoDB.validateSchema(schema)
     granularity.foreach(g => require(g == "hour" || g == "day",
@@ -516,7 +601,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * wholesale here (catalog entry + twin files), and the next
     * rebuildBucketed/refreshBucketed builds it fresh under the new
     * path — a rename costs one twin rebuild, never a wrong plan. */
-  def renameTable(from: String, to: String): Unit = {
+  def renameTable(from: String, to: String): Unit = locked {
     requireOpen()
     requireTable(from)
     require(to.nonEmpty && !to.contains("/") && !to.startsWith("_"),
@@ -535,7 +620,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     cfs.move(tablePath(from), tablePath(to))
   }
 
-  def dropTable(name: String): Unit = {
+  def dropTable(name: String): Unit = locked {
     requireOpen()
     // the bucketed twin's catalog entry points under this dir — drop it
     // too or a dangling external-table entry survives the data
@@ -582,7 +667,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * already-written files mean, which is a rewrite, not a metadata
     * edit. Works on envelope tables too (they become typed). */
   def addColumn(name: String,
-      field: org.apache.spark.sql.types.StructField): Unit = {
+      field: org.apache.spark.sql.types.StructField): Unit = locked {
     requireTable(name)
     val widened = org.apache.spark.sql.types.StructType(
       tableSchema(name).fields :+ field.copy(nullable = true))
@@ -679,7 +764,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * the way compact() is; one full rewrite buys every subsequent
     * key-join an exchange (the amortization bucketing exists for).
     * Returns the catalog name. */
-  def rebuildBucketed(name: String): String = {
+  def rebuildBucketed(name: String): String = locked {
     requireTable(name)
     requireKeyed(name, "rebuildBucketed")
     require(config.keyBuckets > 0,
@@ -775,7 +860,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * the recorded state (a crashed append — appending the delta again
     * would duplicate rows), or no state exists. Returns the action
     * taken and the data-file count incorporated. */
-  def refreshBucketed(name: String): BucketedRefresh = {
+  def refreshBucketed(name: String): BucketedRefresh = locked {
     requireTable(name)
     requireKeyed(name, "refreshBucketed")
     require(config.keyBuckets > 0,
@@ -935,7 +1020,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * the query. */
   private[graft] def twinPlanIfFresh(name: String)
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
-    if (closed || config.keyBuckets <= 0) return None
+    // shared-writer mode: the freshness memo is PER HANDLE — a sibling
+    // writer's mutation would not invalidate it here, and a stale twin
+    // would silently serve pre-mutation rows. Auto-routing is an
+    // optimization; correctness wins, so verb mode opts out (explicit
+    // bucketedTable() reads, which re-check on use, still work).
+    if (closed || config.keyBuckets <= 0 ||
+      config.lockMode == "verb") return None
     if (!twinFreshCache.getOrElse(name, false)) None
     else Some(spark.table(bucketedCatalogName(name)).queryExecution.analyzed)
   }
@@ -993,7 +1084,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * `key`; the manifest/rollup/colstats machinery is column-agnostic. */
   def insertFrame(name: String, df: DataFrame,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
-      historyVerb: String = "insert"): Unit = {
+      historyVerb: String = "insert"): Unit = locked {
     requireTable(name)
     invalidateTwin(name)
     val schema = tableSchema(name)
@@ -1559,7 +1650,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   /** Typed-table upsert — [[upsert]] over an arbitrary declared schema
     * (requires a `key` column, like every keyed verb). */
   def upsertFrame(name: String, df: DataFrame,
-      now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = locked {
     requireTable(name)
     requireKeyed(name, "upsert")
     // TTL-gate the change batch BEFORE deriving its key set: with a TTL
@@ -1588,7 +1679,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * actually hold any of them, one job rewrites exactly those
     * partitions. Rewrite volume is the same as N single deletes; job
     * count drops from N to 1. */
-  def deleteKeys(name: String, keys: Seq[String]): Long = {
+  def deleteKeys(name: String, keys: Seq[String]): Long = locked {
     requireTable(name)
     requireKeyed(name, "deleteKeys")
     invalidateTwin(name)
@@ -1637,7 +1728,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * driver work), then ONE broadcast outer-join pass finds per-bucket
     * hit counts and ONE broadcast anti-join rewrites the survivors.
     * Returns rows deleted. */
-  def deleteMatching(name: String, keysDf: DataFrame): Long = {
+  def deleteMatching(name: String, keysDf: DataFrame): Long = locked {
     requireTable(name)
     requireKeyed(name, "deleteMatching")
     invalidateTwin(name)
@@ -1680,7 +1771,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * drop, survivors rewrite one sorted file each, manifest + sidecars
     * repaired). Untouched buckets are never read twice and never
     * rewritten. */
-  def deleteWhere(name: String, cond: org.apache.spark.sql.Column): Long = {
+  def deleteWhere(name: String, cond: org.apache.spark.sql.Column): Long = locked {
     requireTable(name)
     invalidateTwin(name)
     if (!hasData(name)) return 0L
@@ -1710,7 +1801,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * [[replaceBucketRows]] re-routes through the insert path. Returns
     * rows updated. */
   def updateWhere(name: String, sets: Seq[(String, org.apache.spark.sql.Column)],
-      cond: org.apache.spark.sql.Column): Long = {
+      cond: org.apache.spark.sql.Column): Long = locked {
     requireTable(name)
     invalidateTwin(name)
     val schema = tableSchema(name)
@@ -1752,7 +1843,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * repaired for exactly the touched buckets
     * ([[repairAfterRewrite]]). */
   private[graft] def replaceBucketRows(name: String, affected: Seq[String],
-      newRows: DataFrame, verb: String = "update"): Unit = {
+      newRows: DataFrame, verb: String = "update"): Unit = locked {
     requireTable(name)
     invalidateTwin(name)
     if (affected.isEmpty) return
@@ -2007,7 +2098,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * more than `compactFileThreshold` files into one sorted file each,
     * via dynamic partition overwrite — untouched buckets keep their
     * files (the reference merges only adjacent small tablets). */
-  def compact(name: String): Int = {
+  def compact(name: String): Int = locked {
     requireTable(name)
     invalidateTwin(name)
     if (!hasData(name)) return 0
@@ -2051,7 +2142,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * WITHIN each bucket, so the rewrite is one repartition + per-bucket
     * sort — no global shuffle beyond what any layout rewrite costs.
     * Returns buckets rewritten. */
-  def zorder(name: String, zcols: Seq[String], bits: Int = 16): Int = {
+  def zorder(name: String, zcols: Seq[String], bits: Int = 16): Int = locked {
     requireTable(name)
     invalidateTwin(name)
     require(zcols.size >= 2,
@@ -2182,7 +2273,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * expired rows in a young bucket survive, exactly like the
     * reference's tablet-granularity deletion. Returns dropped buckets. */
   def cleanup(name: String,
-      now: Timestamp = new Timestamp(System.currentTimeMillis())): Seq[String] = {
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Seq[String] = locked {
     val ttlSec = ttlFor(name).getOrElse(return Seq.empty)
     val p = requireTable(name)
     invalidateTwin(name)
@@ -2277,7 +2368,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     cfs.copyRecursively(src, dfs, d, hadoopConf)
   }
 
-  def restore(name: String, src: String): Unit = {
+  def restore(name: String, src: String): Unit = locked {
     requireOpen()
     invalidateTwin(name)
     schemaCache.remove(name)
@@ -2636,7 +2727,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * table, newer versions, and the data files are untouched (data
     * retention is [[vacuumOrphans]]' job, not this verb's). Returns
     * files deleted. */
-  def expireHistory(name: String, keepVersions: Int): Int = {
+  def expireHistory(name: String, keepVersions: Int): Int = locked {
     requireTable(name)
     require(keepVersions >= 1,
       s"keepVersions must be >= 1, got $keepVersions")
@@ -2685,7 +2776,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * ([[repairAfterRewrite]] — stats/rollup re-aggregate from the
     * restored data). Returns the number of buckets whose content
     * changed. */
-  def restoreVersion(name: String, version: Long): Int = {
+  def restoreVersion(name: String, version: Long): Int = locked {
     val p = requireTable(name)
     invalidateTwin(name)
     val entries = ChronoHistory.snapshot(cfs, p, version)
@@ -2797,7 +2888,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * never recorded (a crashed insert's uncommitted batch, or a table
     * written before the manifest existed). The walk is the one
     * O(table) listing this verb exists to keep out of the query path. */
-  def rebuildManifest(name: String): Unit = {
+  def rebuildManifest(name: String): Unit = locked {
     requireTable(name)
     // adoption can change the data file set the twin was built from
     invalidateTwin(name)
@@ -2840,7 +2931,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * [[rebuildManifest]] (the adoption verb) after any restore BEFORE
     * vacuuming, and do not run vacuum concurrently with a restore. */
   def vacuumOrphans(name: String,
-      horizonMs: Long = 24L * 3600 * 1000): Int = {
+      horizonMs: Long = 24L * 3600 * 1000): Int = locked {
     requireTable(name)
     recoverSidecar(manifestPath(name))
     if (!cfs.exists(manifestPath(name))) return 0
@@ -3286,7 +3377,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * rather than appended per insert — [[insert]] invalidates it and
     * callers rebuild at stats-collection time, the ANALYZE model every
     * warehouse uses. */
-  def rebuildColStats(name: String, nHist: Int = 16): Unit = {
+  def rebuildColStats(name: String, nHist: Int = 16): Unit = locked {
     requireTable(name)
     if (!hasData(name)) { invalidateColStats(name); return }
     val hist = graft.operators.Stats.equiDepthHistogramBy(
@@ -3382,7 +3473,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * ANALYZEs; the cost is one pruned (ts-only) scan of the table, so
     * it is gated behind [[Maintenance]]'s opt-in flag rather than run
     * on every insert. */
-  def analyzeIfStale(name: String, nHist: Int = 16): Boolean = {
+  def analyzeIfStale(name: String, nHist: Int = 16): Boolean = locked {
     requireTable(name)
     recoverSidecar(colStatsPath(name))
     if (cfs.exists(colStatsPath(name)) || !hasData(name)) false
@@ -3542,7 +3633,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * big insert batch would run) and swap it in via the crash-safe
     * [[rewriteSidecar]]. After this, [[sidecarsConsistent]] holds by
     * construction. */
-  def rebuildSidecars(name: String): Unit = {
+  def rebuildSidecars(name: String): Unit = locked {
     requireTable(name)
     if (!hasData(name)) return
     // manifest FIRST: the stats re-aggregation below reads table(name),

@@ -772,6 +772,50 @@ object SqlQueries {
     }
   }
 
+  /** Q69: SHARED WRITERS (`lockMode = "verb"`) — two independent
+    * facade handles interleave mutations on ONE root, each verb
+    * acquiring the writer lease for its commit and releasing it (the
+    * Delta/Iceberg multi-writer posture at verb granularity; the
+    * handle-lifetime lease stays the default). The gate: h1 creates
+    * and inserts the first half, h2 inserts the second half, h2 runs a
+    * predicate delete, h1 reads — the converged table must equal the
+    * oracle, with history versions DENSE (one commit per verb, no lost
+    * or duplicated commits) and the manifest consistent, pinned by the
+    * in-query verdicts. CrossProcessLockSpec proves the same protocol
+    * across real process boundaries. */
+  def sharedWritersQ(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerTables(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("q69_db").toString
+    val cfg = graft.core.ChronoConfig(root, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      trashGraceMs = 3600000L, lockMode = "verb", lockWaitMs = 120000L)
+    val h1 = new graft.core.ChronoDB(spark, cfg)
+    val h2 = new graft.core.ChronoDB(spark, cfg)
+    try {
+      import spark.implicits._
+      h1.createTable("ev")
+      val ev = Tables.t(spark, dir, "events")
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          encode(col("event_type"), "UTF-8").as("data"))
+        .as[graft.core.ChronoRow]
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.core.BenchPhases.setup {
+        h1.insert("ev", ev.filter(col("ts") < split))            // v1
+        h2.insert("ev", ev.filter(col("ts") >= split))           // v2
+      }
+      h2.deleteWhere("ev", col("ts") <
+        lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))  // v3
+      val versions = h1.history("ev").map(_.version).sorted
+      val ok = versions == (0L to 3L) && h1.manifestConsistent("ev")
+      h1.table("ev")
+        .select(col("key"), col("ts"),
+          decode(col("data"), "UTF-8").as("event_type"))
+        .withColumn("writers_ok", lit(ok))
+        .orderBy(col("key"), col("ts"), col("event_type"))
+        .localCheckpoint()
+    } finally { h1.close(); h2.close() }
+  }
+
   def chronoTypedDocsQ(spark: SparkSession, dir: String): DataFrame = {
     Engine.installOptimizations(spark)
     val root = java.nio.file.Files.createTempDirectory("q61_db")
@@ -985,6 +1029,13 @@ object SqlQueries {
     QueryDef("q64_chrono_sql_update", chronoSqlUpdateQ, Some(q64Oracle)),
     QueryDef("q65_chrono_sql_merge", chronoSqlMergeQ, Some(q65Oracle)),
     QueryDef("q66_chrono_time_travel", chronoTimeTravelQ, Some(q66Oracle)),
+    QueryDef("q69_shared_writers", sharedWritersQ, Some(
+      // converged table = fixture minus the deleted window; the
+      // dense-history/consistency claims are the in-query verdict
+      """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+        |       TRUE AS writers_ok
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |ORDER BY key, ts, event_type""".stripMargin)),
     QueryDef("q68_chrono_zorder", chronoZorderQ, Some(
       // content hash unchanged across the rewrite; the layout claims
       // are the in-query verdicts pinned TRUE

@@ -109,7 +109,12 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
       trashGraceMs = Option(options.get("trashGrace"))
         .map(ChronoCatalog.parseTtlSeconds(_) * 1000L).getOrElse(0L),
       literalInLimit = Option(options.get("literalInLimit"))
-        .map(_.toInt).getOrElse(10000))
+        .map(_.toInt).getOrElse(10000),
+      // "verb" = SHARED WRITERS: several sessions/processes interleave
+      // writes on this catalog's tables, each commit lease-serialized
+      lockMode = Option(options.get("lockMode")).getOrElse("handle"),
+      lockWaitMs = Option(options.get("lockWaitMs"))
+        .map(_.toLong).getOrElse(60000L))
   }
 
   override def name(): String = catalogName

@@ -57,6 +57,23 @@ object LockContenderMain {
         new ChronoDB(spark, cfg)
         say("ACQUIRED")
         Runtime.getRuntime.halt(0)
+      case "shared" =>
+        // SHARED-WRITER contender: verb-scoped locking, k single-row
+        // inserts into table 't' with a caller-chosen key prefix —
+        // raced by the spec against its own writer and a sibling
+        // process
+        val db = new ChronoDB(spark, cfg.copy(
+          lockMode = "verb", lockWaitMs = 120000L))
+        val prefix = args(3)
+        val k = args(4).toInt
+        (1 to k).foreach { i =>
+          db.insertSeq("t", Seq(ChronoRow(s"$prefix$i",
+            java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+            Array((i % 127).toByte))))
+        }
+        db.close()
+        say("DONE")
+        spark.stop()
       case other =>
         say(s"REFUSED unknown mode $other")
         sys.exit(2)
