@@ -68,7 +68,11 @@ object Bench {
       "q63_chrono_sql_delete", "s20_stream_catalog_tail",
       "s21_stream_catalog_sink", "q66_chrono_time_travel",
       "q67_chrono_change_feed", "d42_dataset_versioning",
-      "s22_stream_change_feed")
+      "s22_stream_change_feed",
+      // r18 surface: catalog CDF, CDC replication, zorder verb,
+      // shared writers, snapshot-consistent rollup
+      "s23_stream_catalog_cdf", "s24_cdc_replicate",
+      "q68_chrono_zorder", "q69_shared_writers", "d43_rollup_asof")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =

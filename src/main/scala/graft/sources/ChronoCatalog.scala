@@ -945,9 +945,14 @@ final class ChronoMicroBatchStream(
     s"watermarkBuckets must be >= 1, got $k"))
   private val compactEvery =
     Option(options.get("seenLogCompactEvery")).map(_.toInt).getOrElse(64)
+  private val maxFilesPerTrigger =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  maxFilesPerTrigger.foreach(n => require(n >= 1,
+    s"maxFilesPerTrigger must be >= 1, got $n"))
 
   private val tail = new ChronoTailLog(spark, cfs, tableRoot,
-    checkpointLocation, granularity, watermarkBuckets, compactEvery)
+    checkpointLocation, granularity, watermarkBuckets, compactEvery,
+    maxFilesPerTrigger)
 
   private def ordinal(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset

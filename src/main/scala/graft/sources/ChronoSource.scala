@@ -378,8 +378,11 @@ final class ChronoSource extends RelationProvider
       .map(_.toInt).getOrElse(64)
     require(compactEvery >= 1,
       s"seenLogCompactEvery must be >= 1, got $compactEvery")
+    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
+    maxFiles.foreach(n => require(n >= 1,
+      s"maxFilesPerTrigger must be >= 1, got $n"))
     new ChronoStreamSource(sqlContext.sparkSession, cfs, root, metadataPath,
-      granularity, watermarkBuckets, compactEvery)
+      granularity, watermarkBuckets, compactEvery, maxFiles)
   }
 }
 
@@ -457,10 +460,12 @@ final class ChronoStreamSource(
     granularity: String,
     watermarkBuckets: Option[Int] = None,
     /** Fold the seen-log once this many per-ordinal files are committed. */
-    compactThreshold: Int = 64) extends Source {
+    compactThreshold: Int = 64,
+    /** Admission control: at most this many files per trigger. */
+    maxFilesPerTrigger: Option[Int] = None) extends Source {
 
   private val tail = new ChronoTailLog(spark, cfs, tableRoot, metadataPath,
-    granularity, watermarkBuckets, compactThreshold)
+    granularity, watermarkBuckets, compactThreshold, maxFilesPerTrigger)
 
   /** Driver-state size (probe observability — ScaleProbe tailage). */
   private[graft] def seenSize: Int = tail.seenSize
@@ -672,7 +677,8 @@ final class ChronoTailLog(
     metadataPath: String,
     granularity: String,
     watermarkBuckets: Option[Int],
-    compactThreshold: Int) {
+    compactThreshold: Int,
+    maxFilesPerTrigger: Option[Int] = None) {
 
   import ChronoFs.PathOps
 
@@ -800,10 +806,16 @@ final class ChronoTailLog(
       case _ => current.filterNot(e => seen((e.bucket, e.file)))
         .sortBy(e => (e.bucket, e.file))
     }
-    if (fresh.nonEmpty) {
-      writeLog(maxBatch + 1, fresh)
+    // ADMISSION CONTROL (r18, the change feed's maxCommitsPerTrigger
+    // applied to the file axis): a tail starting on an existing table —
+    // or resuming after downtime — must not get the whole backlog in
+    // one batch. Oldest buckets first (the sort above), the remainder
+    // stays un-seen and re-discovers next trigger.
+    val admitted = maxFilesPerTrigger.map(fresh.take).getOrElse(fresh)
+    if (admitted.nonEmpty) {
+      writeLog(maxBatch + 1, admitted)
       maxBatch += 1
-      fresh.foreach(noteSeen)
+      admitted.foreach(noteSeen)
       evictBelowWatermark()
     }
     maxBatch

@@ -74,6 +74,46 @@ class TailSourceSpec extends SparkSuite {
     spark.conf.unset(s"spark.sql.catalog.$cat.bucket")
   }
 
+  test("maxFilesPerTrigger paces a tail backlog on BOTH surfaces: capped batches, exact union") {
+    val (db, root) = mk()
+    try {
+      db.createTable("ev")
+      // 12 one-file commits (distinct days, one file each)
+      (1 to 12).foreach(d => db.insertSeq("ev", rows(d, s"d$d", n = 1)))
+      def drain(tag: String, reader: => org.apache.spark.sql.DataFrame)
+          : (Long, Long) = {
+        val out = Files.createTempDirectory(s"cap_$tag").toString
+        val cp = Files.createTempDirectory(s"capcp_$tag").toString
+        val q = reader.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp).start()
+        q.processAllAvailable(); q.stop()
+        import scala.jdk.CollectionConverters._
+        val batches = java.nio.file.Files
+          .list(java.nio.file.Paths.get(cp, "offsets")).iterator().asScala
+          .count(_.getFileName.toString.forall(_.isDigit))
+        (spark.read.parquet(out).count(), batches.toLong)
+      }
+      val (n1, b1) = drain("path", spark.readStream.format("chrono")
+        .option("maxFilesPerTrigger", "3").load(s"$root/ev"))
+      assert(n1 === 12L)
+      assert(b1 === 4L) // 12 files / 3 per trigger
+      // the V2 catalog surface takes the same option
+      val cat = s"cap${System.nanoTime() % 1000000}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[ChronoCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.dataDir", root)
+      spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+      try {
+        val (n2, b2) = drain("cat", spark.readStream
+          .option("maxFilesPerTrigger", "3").table(s"$cat.ev"))
+        assert(n2 === 12L)
+        assert(b2 === 4L)
+      } finally {
+        Seq("", ".dataDir", ".bucket").foreach(sfx =>
+          spark.conf.unset(s"spark.sql.catalog.$cat$sfx"))
+      }
+    } finally db.close()
+  }
+
   test("catalog tail enforces the append-only contract (rewrite under the tail fails loudly)") {
     val root = Files.createTempDirectory("cattail2").toString
     val cat = s"ct2${System.nanoTime() % 1000000}"
