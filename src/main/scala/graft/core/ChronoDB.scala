@@ -410,6 +410,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * interleave commits on one root, each commit exclusive. Reentrant
     * per thread; verbs of ONE handle serialize against all writers,
     * including their own sibling threads. */
+  /** Serializes the HEARTBEAT against lease release (verb-mode) and
+    * close(): a beat that passed the holding gate could otherwise
+    * recreate the LOCK file after release deleted it — an ownerless
+    * zombie every writer then waits a full lease on — or clobber a
+    * successor's payload with this handle's uuid (poisoning a healthy
+    * writer). The beat's fs ops run inside the monitor; verbs acquire
+    * it only at release (never during the verb body). */
+  private val lockMonitor = new Object
+
   private def locked[A](f: => A): A = {
     if (config.lockMode == "handle") return f
     val depth = verbLockDepth.get()
@@ -420,7 +429,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       acquireLockWait()
       verbLockDepth.set(1)
       holdingLock = true
-      try f finally {
+      // a sibling writer may have evolved schemas (addColumn) or
+      // dropped/recreated tables since this handle's last verb — the
+      // per-handle memos describe the state as of OUR last look, and a
+      // bucket rewrite planned from a stale schema would silently drop
+      // a sibling's added column. Entering the critical section is the
+      // one place a verb-mode handle is guaranteed alone: re-read.
+      schemaCache.clear(); granCache.clear(); ttlCache.clear()
+      try f finally lockMonitor.synchronized {
         holdingLock = false
         verbLockDepth.set(0)
         try {
@@ -432,8 +448,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     }
   }
 
-  private def beat(): Unit = {
-    if (!holdingLock) return
+  /** The verb-mode critical section, exposed for graft-internal callers
+    * whose read-compute-write spans MORE than one facade verb (SQL
+    * MERGE materializes its fate frames and then writes back through
+    * replaceBucketRows/insertFrame — without the outer bracket a
+    * sibling's commit between the two would be overwritten). Free in
+    * handle mode; reentrant. */
+  private[graft] def withVerbLock[A](f: => A): A = locked(f)
+
+  private def beat(): Unit = lockMonitor.synchronized {
+    if (!holdingLock || closed) return
     try lockHolder() match {
       case Some((u, _)) if u == holderId => writeLockPayload()
       case Some((u, _)) => lockLostTo = Some(if (u.isEmpty) "<unknown>" else u)
@@ -467,9 +491,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       heartbeat.shutdownNow()
       // a closed handle must stop answering twin-routing lookups
       routedTables.keys.foreach(unregisterTwinRouting)
-      if (lockLostTo.isEmpty &&
-          lockHolder().exists { case (u, _) => u == holderId })
-        cfs.deleteIfExists(lockPath)
+      lockMonitor.synchronized {
+        if (lockLostTo.isEmpty &&
+            lockHolder().exists { case (u, _) => u == holderId })
+          cfs.deleteIfExists(lockPath)
+      }
     }
   }
 
@@ -2160,7 +2186,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.LongType => col(c).cast("long")
         case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-        case org.apache.spark.sql.types.DateType => col(c).cast("long")
+        case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
         case other => throw new IllegalArgumentException(
           s"z-order column '$c' has type ${other.simpleString} — " +
             "only integral, timestamp, and date columns interleave")
@@ -2404,8 +2430,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       throw new InvalidConfigException(s"no such backup dir: $src")
     listTables().foreach(dropTable)
     sfs.list(s).filter(_.isDirectory).foreach { td =>
-      sfs.copyRecursively(td.getPath, cfs,
-        tablePath(td.getPath.getName), hadoopConf)
+      // the copy is a mutation too: without the lease a verb-mode
+      // sibling could commit into the half-restored table
+      locked {
+        sfs.copyRecursively(td.getPath, cfs,
+          tablePath(td.getPath.getName), hadoopConf)
+      }
     }
   }
 
@@ -2598,8 +2628,12 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       if (keep) df.filter(bucketCol.isin(buckets: _*))
       else df.filter(!bucketCol.isin(buckets: _*))
     } else {
-      val b = broadcast(buckets.toDF("bucket"))
-      df.join(b, Seq("bucket"), if (keep) "left_semi" else "left_anti")
+      // join on the CALLER'S column, not a name lookup — DML frames
+      // pass attribute-bound columns precisely because name resolution
+      // is unsafe there (semi/anti output keeps only df's columns)
+      val b = broadcast(buckets.toDF("__fb_bucket"))
+      df.join(b, bucketCol === b("__fb_bucket"),
+        if (keep) "left_semi" else "left_anti")
     }
 
   /** Rewrite the touched buckets' manifest rows from a fresh listing of

@@ -39,9 +39,37 @@ final class ChronoFs(val fs: FileSystem) {
   def mkdirs(p: HPath): Unit = fs.mkdirs(p)
 
   /** Atomic create-if-absent — true iff THIS call created the file. */
+  /** Atomic create-if-absent — the writer-lease CAS. On LOCAL paths
+    * Hadoop's createNewFile is exists-check-then-create (NOT atomic:
+    * two racing acquirers can both pass the check — observed as a
+    * double lease acquisition under verb-mode writer contention), so
+    * local goes through NIO's O_EXCL createFile. HDFS's
+    * create(overwrite=false) is namenode-atomic and keeps the Hadoop
+    * path; object stores without conditional-put keep their documented
+    * takeover-window caveat (ChronoDB.acquireLock). */
   def createExclusive(p: HPath): Boolean =
-    try fs.createNewFile(p)
-    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    if ("file" == fs.getScheme) {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException =>
+          // parent missing: create it, then retry the atomic create
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(p.toUri.getPath).getParent)
+          try {
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(p.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+      }
+    } else
+      try fs.createNewFile(p)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
 
   def deleteIfExists(p: HPath): Unit = fs.delete(p, false)
 

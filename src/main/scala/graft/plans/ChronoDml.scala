@@ -238,7 +238,13 @@ private object ChronoDmlRunner {
     val t = c.relation.table.asInstanceOf[ChronoV2Table]
     val name = t.tableName
     val db = new ChronoDB(session, t.cfg)
-    try {
+    // the WHOLE merge is one critical section: the fate/insert frames
+    // are materialized against pre-mutation state and written back
+    // through separately-locked verbs — under lockMode=verb a sibling's
+    // commit landing between the snapshot and the write-back would be
+    // silently overwritten without this outer bracket (free in the
+    // default handle mode, reentrant within)
+    try db.withVerbLock {
       val declared = db.tableSchema(name).fields.toSeq
       validateAssignments(declared, c)
       // ID-based frames over the ORIGINAL plans: action/condition

@@ -349,13 +349,16 @@ object StreamingQueries {
         .writeStream.format("parquet")
         .option("path", outCat).option("checkpointLocation", cpCat)
         .start()
-      qc.processAllAvailable()
-      val c1 = spark.read.parquet(outCat).count()
-      graft.core.BenchPhases.setup(insertHalf(">="))                    // v2
-      spark.sql(s"DELETE FROM $cat.ev " +
-        "WHERE ts < TIMESTAMP '2024-01-03 00:00:00'")                   // v3
-      qc.processAllAvailable()
-      qc.stop()
+      val c1 =
+        try {
+          qc.processAllAvailable()
+          val n = spark.read.parquet(outCat).count()
+          graft.core.BenchPhases.setup(insertHalf(">="))                // v2
+          spark.sql(s"DELETE FROM $cat.ev " +
+            "WHERE ts < TIMESTAMP '2024-01-03 00:00:00'")               // v3
+          qc.processAllAvailable()
+          n
+        } finally qc.stop() // a failed gate must not leak a live stream
       // the PATH form over the same table dir, same pacing
       val qp = spark.readStream.format("chrono")
         .option("changeFeed", "true")
@@ -364,8 +367,7 @@ object StreamingQueries {
         .writeStream.format("parquet")
         .option("path", outPath).option("checkpointLocation", cpPath)
         .start()
-      qp.processAllAvailable()
-      qp.stop()
+      try qp.processAllAvailable() finally qp.stop()
       def offsetEnds(cp: String): Seq[Long] = {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.list(java.nio.file.Paths.get(cp, "offsets"))
@@ -455,14 +457,16 @@ object StreamingQueries {
           }
         }
         .start()
-      q.processAllAvailable()
-      // an UPSERT (arrives as delete+insert pairs) and a predicate
-      // delete while the stream runs
-      db.upsert("src", ev.filter(col("ts") >= split).as[graft.core.ChronoRow])     // v2+
-      db.deleteWhere("src", col("ts") <
-        lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
-      q.processAllAvailable()
-      q.stop()
+      try {
+        q.processAllAvailable()
+        // an UPSERT (arrives as delete+insert pairs) and a predicate
+        // delete while the stream runs
+        db.upsert("src",
+          ev.filter(col("ts") >= split).as[graft.core.ChronoRow])       // v2+
+        db.deleteWhere("src", col("ts") <
+          lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        q.processAllAvailable()
+      } finally q.stop() // a failed gate must not leak a live stream
       def state(t: String) = db.table(t)
         .select(col("key"), col("ts"), decode(col("data"), "UTF-8").as("event_type"))
       val replicaOk = state("dst").exceptAll(state("src")).isEmpty &&

@@ -23,25 +23,8 @@ class CrossProcessLockSpec extends SparkSuite {
     ChronoConfig(dir, bucket = "day", sketchLgK = 0, sketchCmsDepth = 0,
       sketchBloomKeys = 0, writersPerBucket = 1, lockLeaseMs = leaseMs)
 
-  /** Launch the contender with this test JVM's own classpath and the
-    * JDK17 add-opens Spark needs (mirrors build.sbt). */
-  private def launch(args: String*): Process = {
-    val java = System.getProperty("java.home") + "/bin/java"
-    val opens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(java) ++ opens ++ Seq("-Xmx1500m",
-      "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.core.LockContenderMain") ++ args
-    new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-  }
+  private def launch(args: String*): Process =
+    LockContenderMain.launch(args: _*)
 
   /** Drain the contender's stdout until a line STARTS WITH one of the
     * tokens (returns that line) or the timeout lapses (fails). */

@@ -21,6 +21,29 @@ import org.apache.spark.sql.SparkSession
   *    kill -9 would leave it.
   */
 object LockContenderMain {
+
+  /** Launch the contender as a SECOND JVM with this test JVM's own
+    * classpath and the JDK17 add-opens Spark needs (mirrors build.sbt)
+    * — the one copy both CrossProcessLockSpec and SharedWritersSpec
+    * use, so a JDK/Spark flag bump happens in one place. */
+  def launch(args: String*): Process = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    new ProcessBuilder((Seq(java) ++ opens ++ Seq("-Xmx1500m",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.core.LockContenderMain") ++ args): _*)
+      .redirectErrorStream(true).start()
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val dir = args(1)

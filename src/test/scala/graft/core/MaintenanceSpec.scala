@@ -9,6 +9,39 @@ class MaintenanceSpec extends SparkSuite {
   private def ts(s: String) = Timestamp.valueOf(s)
   private def row(k: String, t: String) = ChronoRow(k, ts(t), Array[Byte](1))
 
+  test("zorder verb: integral/timestamp/DATE dims re-cluster, content preserved; strings refused") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val db = new ChronoDB(spark,
+      ChronoConfig(Files.createTempDirectory("zverb").toString,
+        bucket = "day", sketchLgK = 0, sketchCmsDepth = 0,
+        sketchBloomKeys = 0, writersPerBucket = 1))
+    try {
+      db.createTable("t", StructType(Seq(
+        StructField("key", StringType), StructField("ts", TimestampType),
+        StructField("d", DateType), StructField("v", LongType))))
+      val df = spark.range(200).selectExpr(
+        "cast(id as string) as key",
+        "timestamp_micros(1704067200000000 + (id % 3) * 86400000000) as ts",
+        "date_add(date'2024-01-01', cast(id % 40 as int)) as d",
+        "id as v")
+      db.insertFrame("t", df)
+      val before = db.table("t").select(col("key"), col("d"), col("v"))
+        .collect().map(r => (r.getString(0), r.getDate(1).toString,
+          r.getLong(2))).sorted.toSeq
+      // DATE participates as a z-dimension (unix_date scaling)
+      assert(db.zorder("t", Seq("d", "v")) >= 1)
+      val after = db.table("t").select(col("key"), col("d"), col("v"))
+        .collect().map(r => (r.getString(0), r.getDate(1).toString,
+          r.getLong(2))).sorted.toSeq
+      assert(after === before)
+      assert(db.manifestConsistent("t"))
+      val e = intercept[IllegalArgumentException](
+        db.zorder("t", Seq("key", "v")))
+      assert(e.getMessage.contains("only integral, timestamp, and date"))
+    } finally db.close()
+  }
+
   test("tick compacts fragmented buckets and drops expired ones") {
     val db = new ChronoDB(spark,
       ChronoConfig(Files.createTempDirectory("maint").toString,

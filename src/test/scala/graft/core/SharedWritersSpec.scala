@@ -109,24 +109,8 @@ class SharedWritersSpec extends SparkSuite {
     val mine = new ChronoDB(spark, cfg(dir))
     try {
       mine.createTable("t")
-      def launch(prefix: String, k: Int): Process = {
-        val java = System.getProperty("java.home") + "/bin/java"
-        val opens = Seq(
-          "java.base/java.lang", "java.base/java.lang.invoke",
-          "java.base/java.lang.reflect", "java.base/java.io",
-          "java.base/java.net", "java.base/java.nio",
-          "java.base/java.util", "java.base/java.util.concurrent",
-          "java.base/java.util.concurrent.atomic",
-          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-          "java.base/sun.security.action", "java.base/sun.util.calendar"
-        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-        new ProcessBuilder((Seq(java) ++ opens ++ Seq("-Xmx1500m",
-          "-Dspark.ui.enabled=false",
-          "-cp", System.getProperty("java.class.path"),
-          "graft.core.LockContenderMain", "shared", dir, "60000",
-          prefix, k.toString)): _*)
-          .redirectErrorStream(true).start()
-      }
+      def launch(prefix: String, k: Int): Process =
+        LockContenderMain.launch("shared", dir, "60000", prefix, k.toString)
       val p1 = launch("p1_", 6)
       val p2 = launch("p2_", 6)
       // race our own writer against both processes
