@@ -3452,6 +3452,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (stats.isEmpty)
       throw new IllegalStateException(
         s"no _colstats for '$name' — run rebuildColStats first")
+    estimateFromHistogram(stats, start, end)
+  }
+
+  /** Uniform-within-cell interpolation over (lo, hi, n) histogram rows
+    * intersected with the inclusive [start, end] µs range — shared by
+    * the live estimator above and the snapshot form below. */
+  private def estimateFromHistogram(stats: DataFrame,
+      start: Timestamp, end: Timestamp): Double = {
     val qlo = unix_micros(lit(start))
     val qhi = unix_micros(lit(end))
     val row = stats.agg(sum(
@@ -3462,6 +3470,49 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           greatest(col("hi") - col("lo"), lit(1L)).cast("double"))
     ).as("est")).collect()(0)
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** [[estimateRowsInRange]] AS OF a committed version — the
+    * snapshot-consistency trick [[rollupRangeAsOf]] applies to
+    * `_rollup`, on the `_colstats` histograms: a bucket's sidecar rows
+    * describe the snapshot too whenever its snapshot file set equals
+    * its live set (`_colstats` follows the ANALYZE model — every
+    * mutation invalidates it, so its presence means it matches the
+    * LIVE manifest); diverged buckets are EXACTLY recounted from the
+    * snapshot's trash-retained files clipped to the range (an in-range
+    * count over O(diverged buckets), strictly better than an
+    * estimate). Fails like the live form when the sidecar was never
+    * built. */
+  def estimateRowsInRangeAsOf(name: String, start: Timestamp,
+      end: Timestamp, version: Long): Double = {
+    val stats = colStats(name)
+    if (stats.isEmpty)
+      throw new IllegalStateException(
+        s"no _colstats for '$name' — run rebuildColStats first")
+    val p = tablePath(name)
+    val snap = ChronoHistory.snapshot(cfs, p, version)
+    val live = manifestEntries(name, None)
+    ChronoHistory.requireReadable(cfs, p, snap,
+      live.map(e => (e.bucket, e.file)).toSet,
+      s"estimate as of version $version of '$name'")
+    val liveBy = live.groupBy(_.bucket)
+    val (same, diverged) = snap.groupBy(_.bucket).partition {
+      case (b, es) => liveBy.get(b).exists(ls =>
+        ls.map(_.file).toSet == es.map(_.file).toSet)
+    }
+    val sidecarEst =
+      if (same.isEmpty) 0.0
+      else estimateFromHistogram(
+        filterBuckets(stats, same.keys.toSeq.sorted, keep = true,
+          bucketCol = col("tbucket")), start, end)
+    val exact =
+      if (diverged.isEmpty) 0L
+      else ManifestFileIndex.relation(spark, p,
+          ManifestFileIndex.withGranularity(tableSchema(name),
+            granularityFor(name)), diverged.values.flatten.toSeq)
+        .filter(col("ts") >= lit(start) && col("ts") <= lit(end))
+        .count()
+    sidecarEst + exact
   }
 
   /** [[estimateRowsInRange]] as a selectivity fraction of the table's

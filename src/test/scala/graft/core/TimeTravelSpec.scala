@@ -427,6 +427,35 @@ class TimeTravelSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("estimateRowsInRangeAsOf: sidecar reuse for matching buckets, exact recount of diverged ones") {
+    val (db, _) = mk()
+    try {
+      db.createTable("t")
+      // 4 day-buckets x 10 rows
+      db.insertSeq("t", (0 until 40).map(i => ChronoRow(s"k$i",
+        ts(f"2024-03-${i / 10 + 1}%02d 10:00:00"), Array((i % 127).toByte))))
+      db.rebuildColStats("t")
+      val v1 = db.history("t").head.version
+      val lo = ts("2024-03-01 00:00:00"); val hi = ts("2024-03-04 23:59:59")
+      val before = db.estimateRowsInRange("t", lo, hi)
+      // post-snapshot mutation drops the first two buckets
+      db.deleteWhere("t", org.apache.spark.sql.functions.col("ts") <
+        ts("2024-03-03 00:00:00"))
+      db.rebuildColStats("t")
+      val liveNow = db.estimateRowsInRange("t", lo, hi)
+      val asOf = db.estimateRowsInRangeAsOf("t", lo, hi, v1)
+      // the snapshot estimate sees all 40 rows (deleted buckets are
+      // EXACTLY recounted from the trash-retained snapshot files);
+      // the live one sees only the surviving 20
+      assert(math.abs(asOf - before) < 0.5, s"asOf=$asOf before=$before")
+      assert(asOf > liveNow + 10)
+      // a window fully inside the deleted range: live 0, as-of exact 10
+      val dLo = ts("2024-03-01 00:00:00"); val dHi = ts("2024-03-01 23:59:59")
+      assert(db.estimateRowsInRange("t", dLo, dHi) === 0.0)
+      assert(db.estimateRowsInRangeAsOf("t", dLo, dHi, v1) === 10.0)
+    } finally db.close()
+  }
+
   test("history vacuum keeps the first retained version's commit when a checkpoint sits exactly at the horizon") {
     val (db, dir) = mk(foldFiles = 2)
     try {
