@@ -2168,7 +2168,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * WITHIN each bucket, so the rewrite is one repartition + per-bucket
     * sort — no global shuffle beyond what any layout rewrite costs.
     * Returns buckets rewritten. */
-  def zorder(name: String, zcols: Seq[String], bits: Int = 16): Int = locked {
+  def zorder(name: String, zcols: Seq[String], bits: Int = 16,
+      filesPerBucket: Int = 8): Int = locked {
     requireTable(name)
     invalidateTwin(name)
     require(zcols.size >= 2,
@@ -2203,28 +2204,31 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         else math.max(mn, statsRow.getLong(2 * i + 1))
       graft.operators.Layout.scaleToBits(d, mn, mx, bits)
     }
-    // RANGE partition on (bucket, z) — the OPTIMIZE ZORDER shape: each
-    // output file covers a CONTIGUOUS z-range within its bucket, so
-    // parquet min/max skips whole files on every interleaved dimension;
-    // a plain repartition(bucket) would fold each bucket into one file
-    // whose min/max spans everything (sorted inside, prunable only at
-    // row-group granularity). The partition count is EXPLICIT —
-    // max(shuffle fan-out, bytes/128 MB) — because AQE coalesces an
-    // unpinned range shuffle to one partition on small inputs, folding
-    // every bucket into a single file and erasing the layout the verb
-    // exists to build; at cluster scale the bytes term keeps output
-    // files near the row-group target.
-    val totalBytes = manifestEntries(name, None).map(_.size).sum
-    val parts = math.max(
-      spark.sessionState.conf.numShufflePartitions,
-      (totalBytes / (128L << 20) + 1L).toInt)
+    // DETERMINISTIC z-chunk layout: each bucket's rows sort by z in one
+    // task (hash repartition on bucket — the same per-bucket task shape
+    // compact uses) and the writer rolls a new file every
+    // `maxRecordsPerFile` rows, so every output file is a CONTIGUOUS
+    // z-slice of its bucket and parquet min/max skips whole files on
+    // every interleaved dimension. Range-partitioning on (bucket, z)
+    // would parallelize inside a bucket but its boundary SAMPLING is
+    // seeded by the RDD id — a different layout (and pruning quality)
+    // every session, which flipped the q68 decode verdict at small
+    // scale; chunking after a deterministic sort costs nothing in
+    // layout quality and is reproducible bit for bit. Parallelism at
+    // cluster scale comes from bucket count, exactly like compact.
+    val perBucketMax = base.groupBy(col("bucket")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val rowsPerFile = math.max(1L,
+      (perBucketMax + filesPerBucket - 1) / filesPerBucket)
     val df = base
       .withColumn("__z", graft.operators.Layout.zValueN(dims, bits))
-      .repartitionByRange(parts, col("bucket"), col("__z"))
-      .sortWithinPartitions(col("bucket"), col("__z"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(
+        (Seq(col("bucket"), col("__z")) ++ longDims): _*)
       .drop("__z")
       .localCheckpoint()
-    rewriteLayout(name, victims, df, "zorder")
+    rewriteLayout(name, victims, df, "zorder",
+      maxRecordsPerFile = Some(rowsPerFile))
     victims.size
   }
 
@@ -2237,7 +2241,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * sketch/rollup sidecars. `df` must hold exactly the victims' rows
     * with a `bucket` column. */
   private def rewriteLayout(name: String, victims: Seq[String],
-      df: DataFrame, verb: String): Unit = {
+      df: DataFrame, verb: String,
+      maxRecordsPerFile: Option[Long] = None): Unit = {
+    def withRoll(w: org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row] =
+      maxRecordsPerFile.map(n =>
+        w.option("maxRecordsPerFile", n)).getOrElse(w)
     if (graceActive(name)) {
       // SNAPSHOT-GRACE path (VERDICT r16 Missing #4): the compacted
       // rows land as NEW files (append — unique part names), the
@@ -2253,8 +2263,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       val oldSet = old.toSet
       val preTrash = trashedFiles(name)
       val since = System.currentTimeMillis() / 1000L * 1000L
-      df.write.mode(SaveMode.Append)
-        .option("compression", config.compression)
+      withRoll(df.write.mode(SaveMode.Append)
+        .option("compression", config.compression))
         .partitionBy("bucket")
         .parquet(tablePath(name).toString)
       val fresh = victims.flatMap(listBucketFiles(name, _)).filter { r =>
@@ -2266,8 +2276,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     } else {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try df.write.mode(SaveMode.Overwrite)
-        .option("compression", config.compression)
+      try withRoll(df.write.mode(SaveMode.Overwrite)
+        .option("compression", config.compression))
         .partitionBy("bucket")
         .parquet(tablePath(name).toString)
       finally prev match {
