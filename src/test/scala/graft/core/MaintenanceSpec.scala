@@ -12,8 +12,9 @@ class MaintenanceSpec extends SparkSuite {
   test("zorder verb: integral/timestamp/DATE dims re-cluster, content preserved; strings refused") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
+    val zdir = Files.createTempDirectory("zverb").toString
     val db = new ChronoDB(spark,
-      ChronoConfig(Files.createTempDirectory("zverb").toString,
+      ChronoConfig(zdir,
         bucket = "day", sketchLgK = 0, sketchCmsDepth = 0,
         sketchBloomKeys = 0, writersPerBucket = 1))
     try {
@@ -29,6 +30,10 @@ class MaintenanceSpec extends SparkSuite {
       val before = db.table("t").select(col("key"), col("d"), col("v"))
         .collect().map(r => (r.getString(0), r.getDate(1).toString,
           r.getLong(2))).sorted.toSeq
+      // a crashed predecessor's staging dir must be swept by the verb
+      val staleStage = java.nio.file.Paths.get(
+        zdir, "t", "_staging", "rewrite-deadbeef")
+      java.nio.file.Files.createDirectories(staleStage)
       // DATE participates as a z-dimension (unix_date scaling)
       assert(db.zorder("t", Seq("d", "v")) >= 1)
       val after = db.table("t").select(col("key"), col("d"), col("v"))
@@ -36,6 +41,14 @@ class MaintenanceSpec extends SparkSuite {
           r.getLong(2))).sorted.toSeq
       assert(after === before)
       assert(db.manifestConsistent("t"))
+      // stage-then-adopt hygiene (VERDICT r18 #2): no rewrite staging
+      // survives the verb — neither this run's dir nor the stale one
+      import scala.jdk.CollectionConverters._
+      val stagingRoot = java.nio.file.Paths.get(zdir, "t", "_staging")
+      assert(!java.nio.file.Files.exists(staleStage))
+      assert(!java.nio.file.Files.exists(stagingRoot) ||
+        java.nio.file.Files.list(stagingRoot).iterator().asScala
+          .forall(p => !p.getFileName.toString.startsWith("rewrite-")))
       val e = intercept[IllegalArgumentException](
         db.zorder("t", Seq("key", "v")))
       assert(e.getMessage.contains("only integral, timestamp, and date"))

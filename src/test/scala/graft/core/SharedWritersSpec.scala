@@ -142,4 +142,34 @@ class SharedWritersSpec extends SparkSuite {
         (1 to 6).forall(i => keys(s"$p$i"))))
     } finally mine.close()
   }
+
+  test("close() while a sibling thread's verb is mid-commit leaves the lease to the verb's own release (ADVICE r18)") {
+    val dir = Files.createTempDirectory("shared5").toString
+    val db = new ChronoDB(spark, cfg(dir))
+    db.createTable("t")
+    val lock = java.nio.file.Paths.get(dir, "LOCK")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    @volatile var verbFailed: Throwable = null
+    val verb = new Thread(() => {
+      try db.withVerbLock { entered.countDown(); proceed.await() }
+      catch { case t: Throwable => verbFailed = t; entered.countDown() }
+    }, "mid-commit-verb")
+    verb.start()
+    entered.await()
+    assert(verbFailed == null)
+    assert(java.nio.file.Files.exists(lock), "verb holds the lease")
+    // close from ANOTHER thread while the verb is in flight: the old
+    // shape deleted the LOCK here (uuid matches), handing the lease to
+    // a foreign process mid-commit
+    db.close()
+    assert(java.nio.file.Files.exists(lock),
+      "close() must not delete the LOCK while a sibling verb is mid-commit")
+    proceed.countDown()
+    verb.join(30000)
+    assert(!verb.isAlive)
+    // the verb's own release path deleted it once the commit finished
+    assert(!java.nio.file.Files.exists(lock),
+      "the in-flight verb's release still deletes the LOCK after close()")
+  }
 }

@@ -125,6 +125,46 @@ class ChangeFeedSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("restart with the hwm LEADING the offset log serves the reservation as-is — never 2x the cap (ADVICE r18)") {
+    val dir = Files.createTempDirectory("cfeed_lead").toString
+    val meta = Files.createTempDirectory("cfeed_lead_meta").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      trashGraceMs = 3600000L))
+    try {
+      db.createTable("t")
+      (1 to 10).foreach(i => db.insertSeq("t", Seq(
+        ChronoRow(s"k$i", ts("2024-03-01 10:00:00"), Array(i.toByte)))))   // head = 10
+      val (cfs, root) = graft.core.ChronoFs.resolve(s"$dir/t",
+        spark.sessionState.newHadoopConf())
+      // simulate the crash window: reservation hwm persisted at 4, the
+      // engine's offset log never got it (its recovered position is 1)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(meta, "chrono-feed-hwm"), "4")
+      def offsetOf(src: ChronoChangeFeedSource): Long =
+        src.getOffset.map(o =>
+          o.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime
+            .LongOffset].offset).getOrElse(-1L)
+      val src = new ChronoChangeFeedSource(spark, cfs, root, "day",
+        startingVersion = 0L, metadataPath = meta,
+        maxCommitsPerTrigger = Some(3))
+      // first getOffset after restart: serve the recovered reservation
+      // (4) — NOT 4+3: the engine's first batch (1, 4] then spans at
+      // most one cap, where the old shape reserved (1, 7]
+      assert(offsetOf(src) === 4L)
+      // once the lead is consumed, normal cap-paced advance resumes
+      assert(offsetOf(src) === 7L)
+      assert(offsetOf(src) === 10L)
+      assert(offsetOf(src) === 10L) // head reached — no over-reserve
+      // a FRESH stream (no recovered hwm) advances by the cap at once
+      val meta2 = Files.createTempDirectory("cfeed_lead_meta2").toString
+      val fresh = new ChronoChangeFeedSource(spark, cfs, root, "day",
+        startingVersion = 0L, metadataPath = meta2,
+        maxCommitsPerTrigger = Some(3))
+      assert(offsetOf(fresh) === 3L)
+    } finally db.close()
+  }
+
   test("change feed refuses a table whose writer disabled history (would hang forever)") {
     val dir = Files.createTempDirectory("cfeed3").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
