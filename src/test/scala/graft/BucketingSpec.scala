@@ -213,6 +213,58 @@ class BucketingSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     } finally db.close()
   }
 
+  test("auto-routing under SHARED WRITERS (lockMode=verb): sibling mutation → fallback, sibling refresh → reroute") {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine}
+    import java.sql.Timestamp
+    Engine.installOptimizations(spark)
+    val root = java.nio.file.Files.createTempDirectory("bverb").toString
+    def cfg = ChronoConfig(root, bucket = "day", keyBuckets = 4,
+      lockMode = "verb", lockWaitMs = 120000L)
+    val a = new ChronoDB(spark, cfg)
+    val b = new ChronoDB(spark, cfg)
+    try {
+      def rows(tag: Int) = (0 until 40).map(i => ChronoRow(s"k${i % 10}",
+        Timestamp.valueOf(f"2024-01-${1 + i % 5}%02d 1$tag:00:00"),
+        Array[Byte](i.toByte)))
+      a.createTable("w"); a.insertSeq("w", rows(0))
+      a.rebuildBucketed("w")
+      def agg(db: ChronoDB) = db.table("w").select(col("key")).hint("merge")
+        .join(db.table("w").select(col("key"), col("ts")).hint("merge"),
+          Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      def shufflesOf(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        collectWithSubqueries(df.queryExecution.executedPlan) {
+          case s: ShuffleExchangeLike => s
+        }
+      }
+      // verb-mode routing works off the _bucketed_head marker — A
+      // routes with zero exchanges right after its own rebuild
+      val fresh = agg(a)
+      assert(shufflesOf(fresh).isEmpty,
+        s"verb-mode fresh twin must route:\n${fresh.queryExecution.executedPlan}")
+      assert(fresh.collect().map(_.getLong(1)).forall(_ === 16L))
+      // a SIBLING handle mutates: A's per-handle memo knows nothing —
+      // the head moved, so A must fall back to the plain scan and see
+      // the sibling's rows (8 per key per side → 64 pairs)
+      b.insertSeq("w", rows(1))
+      val stale = agg(a)
+      val out = stale.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.size === 10 && out.values.forall(_ === 64L),
+        s"sibling mutation must disable routing: $out")
+      // the SIBLING refreshes the twin: A reroutes (marker == head
+      // again) with no invalidation call on A — and A's plan must see
+      // the twin files the sibling appended (refreshTable on reroute)
+      assert(b.refreshBucketed("w").mode === "append")
+      val rerouted = agg(a)
+      assert(shufflesOf(rerouted).isEmpty,
+        s"sibling refresh must restore routing:\n${rerouted.queryExecution.executedPlan}")
+      val out2 = rerouted.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out2 === out, s"rerouted answer must match plain: $out2")
+    } finally { a.close(); b.close() }
+  }
+
   test("auto-routing: time-filtered scans keep the plain layout's partition pruning") {
     import graft.core.{ChronoConfig, ChronoDB, ChronoRow, Engine, PlanMetrics}
     import java.sql.Timestamp
