@@ -81,4 +81,60 @@ class LeaseLockSpec extends SparkSuite {
     assert(cfs.readLines(lock).head === "thief-uuid")
     cfs.deleteIfExists(lock)
   }
+
+  test("commit-time fencing: two believers after a non-atomic takeover — at most ONE commits (VERDICT r18)") {
+    // the exact state a lost takeover race leaves on an object store
+    // whose rename is copy+delete: handle A still believes it holds
+    // (its heartbeat hasn't fired), handle B won the takeover and wrote
+    // its own payload. Without fencing BOTH would commit; with it, A's
+    // commit verifies the payload immediately before the decisive swap
+    // and refuses.
+    val dir = Files.createTempDirectory("lease5").toString
+    // a huge lease → A's heartbeat period is ~hours: A can NOT learn of
+    // the loss from its beat — only the commit-time check can save it
+    val a = new ChronoDB(spark, cfg(dir, leaseMs = 3600000L))
+    a.createTable("t")
+    a.insertSeq("t", Seq(ChronoRow("pre",
+      Timestamp.valueOf("2024-01-01 10:00:00"), Array[Byte](1))))
+    // age A's heartbeat past a SHORT lease so B's open performs a real
+    // stale takeover (rename-aside CAS + create + claim)
+    val lock = Paths.get(dir, "LOCK")
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val b = new ChronoDB(spark, cfg(dir, leaseMs = 1000))
+    try {
+      // two believers now exist. A's commit must be FENCED: the insert
+      // fails at the manifest commit, before adoption
+      val e = intercept[DatabaseLockedException](
+        a.insertSeq("t", Seq(ChronoRow("lost",
+          Timestamp.valueOf("2024-01-01 11:00:00"), Array[Byte](2)))))
+      assert(e.getMessage.contains("fencing"))
+      // ... and A is poisoned for every later verb
+      intercept[DatabaseLockedException](a.createTable("t2"))
+      // B (the rightful holder, epoch advanced past A's) commits fine.
+      // DIFFERENT day-bucket than A's fenced row: an insert into the
+      // same bucket within the same wall-clock SECOND would adopt A's
+      // orphan through appendManifest's inclusive mtime floor (the
+      // documented coarse-mtime window) — that adoption is a separate,
+      // pre-existing trade; this spec pins the fencing contract.
+      b.insertSeq("t", Seq(ChronoRow("won",
+        Timestamp.valueOf("2024-01-02 12:00:00"), Array[Byte](3))))
+      val keys = b.table("t").select(
+        org.apache.spark.sql.functions.col("key"))
+        .collect().map(_.getString(0)).toSet
+      assert(keys === Set("pre", "won"), s"fenced row must not land: $keys")
+      // the takeover advanced the fencing epoch (uuid\nepoch payload).
+      // B's heartbeat rewrites the file with a truncating create every
+      // lease/3 — retry the read past that window
+      val (cfs, root) = ChronoFs.resolve(dir,
+        spark.sessionState.newHadoopConf())
+      val payload = (1 to 100).iterator.map { _ =>
+        try cfs.readLines(new org.apache.hadoop.fs.Path(root, "LOCK"))
+        catch { case _: java.io.IOException => Seq.empty[String] }
+      }.find(_.size >= 2).getOrElse(Seq.empty)
+      assert(payload.size >= 2 && payload(1).trim.toLong >= 2L,
+        s"takeover must advance the epoch: $payload")
+    } finally { a.close(); b.close() }
+  }
 }
