@@ -72,7 +72,11 @@ object Bench {
       // r18 surface: catalog CDF, CDC replication, zorder verb,
       // shared writers, snapshot-consistent rollup
       "s23_stream_catalog_cdf", "s24_cdc_replicate",
-      "q68_chrono_zorder", "q69_shared_writers", "d43_rollup_asof")
+      "q68_chrono_zorder", "q69_shared_writers", "d43_rollup_asof",
+      // r19 surface: persistent ANN index (build+compact+serve+stale+
+      // rebuild lifecycle — the index build/maintenance overhead the
+      // VERDICT asked to see in-artifact)
+      "d44_ann_index_serve")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =

@@ -3787,6 +3787,204 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     deleteRecursively(sidecarOld(colStatsPath(name)))
   }
 
+  // --- persistent ANN index (`_ann` + `_ann_cells` sidecars — VERDICT
+  //     r18 Missing #3): the FITTED coarse quantizer and its inverted
+  //     lists stored with the table, so IVF similarity queries skip the
+  //     per-query k-means fit (a full corpus pass × iterations — the
+  //     feature the similarity surface needs at 100 TB). Layout:
+  //       _ann        — KB-scale: one row per centroid (cell, center,
+  //                     assigned count) + the build parameters and the
+  //                     table HISTORY VERSION the build saw, committed
+  //                     LAST via the rewriteSidecar swap (= the adopt
+  //                     marker: its presence certifies _ann_cells is
+  //                     complete);
+  //       _ann_cells  — the inverted lists: (id, vec) PARTITIONED BY
+  //                     cell, so a query's I/O is exactly its probed
+  //                     cells' directories (~nprobe/nlist of the
+  //                     corpus), never a full scan.
+  //     Lifecycle (the `_colstats` contract, strict): serving requires
+  //     the history walk from built_version to head to contain ONLY
+  //     content-preserving verbs (compact/zorder — the index survives
+  //     layout maintenance, "folded by compact"); any insert/DML/
+  //     restore/cleanup commit makes [[annTopK]] refuse loudly and
+  //     [[buildAnnIndexIfStale]] is the repair verb. ---
+
+  private def annPath(name: String): HPath = tablePath(name).resolve("_ann")
+
+  private def annCellsPath(name: String): HPath =
+    tablePath(name).resolve("_ann_cells")
+
+  private val annSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("center",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("id_col",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("vec_col",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("nlist",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("seed",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("built_version",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Fit and persist the ANN index: k-means coarse quantizer (seeded,
+    * `maxIter` 10 — the [[graft.operators.Similarity.ivfTopK]] fit)
+    * over `vecCol`, inverted lists written cell-partitioned. Crash
+    * protocol: `_ann` is deleted FIRST (readers refuse while the build
+    * runs or after a crash) and rewritten LAST — the sidecar swap is
+    * the adopt. Returns the number of cells. */
+  def buildAnnIndex(name: String, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L): Int = locked {
+    requireTable(name)
+    val schema = tableSchema(name)
+    def requireCol(c: String): Unit = require(
+      schema.fieldNames.contains(c),
+      s"no column '$c' on '$name' (declared: ${schema.fieldNames.mkString(", ")})")
+    requireCol(idCol); requireCol(vecCol)
+    val builtVersion = ChronoHistory.headVersion(cfs, tablePath(name))
+      .getOrElse(throw new IllegalStateException(
+        s"ANN index on '$name' requires table history (the freshness " +
+          "authority) — enable manifest/history before buildAnnIndex"))
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = table(name)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(c.select(col("features")))
+    // invalidate before touching the lists: no reader may serve a
+    // half-built index
+    deleteRecursively(annPath(name))
+    deleteRecursively(sidecarTmp(annPath(name)))
+    deleteRecursively(sidecarOld(annPath(name)))
+    deleteRecursively(annCellsPath(name))
+    val assigned = model.transform(c)
+      .select(col("prediction").as("cell"), col("id"), col("vec"))
+    assigned.write
+      .partitionBy("cell")
+      .option("compression", config.compression)
+      .mode(SaveMode.Overwrite)
+      .parquet(annCellsPath(name).toString)
+    val counts = spark.read.parquet(annCellsPath(name).toString)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i, v.toArray.map(_.toFloat).toSeq,
+        counts.getOrElse(i, 0L), idCol, vecCol, nlist, seed, builtVersion)
+    }.toIndexedSeq
+    rewriteSidecar(annPath(name), spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      annSchema))
+    nlist
+  }
+
+  /** True iff the stored index may SERVE: `_ann` present and every
+    * history commit after its build version is content-preserving
+    * (compact/zorder rewrite layout, not rows — the inverted lists'
+    * vectors are copies of build-time rows, so any row mutation
+    * diverges them). The walk also demands the version range be DENSE
+    * in the retained log: an expired gap could hide a mutation, so it
+    * reads as stale (rebuild, don't guess). */
+  def annIndexFresh(name: String): Boolean = {
+    requireTable(name)
+    recoverSidecar(annPath(name))
+    if (!cfs.exists(annPath(name))) return false
+    val builtVersion = spark.read.schema(annSchema)
+      .parquet(annPath(name).toString)
+      .select(col("built_version")).head().getLong(0)
+    val p = tablePath(name)
+    ChronoHistory.headVersion(cfs, p).exists { head =>
+      val later = ChronoHistory.commits(cfs, p)
+        .filter(_.version > builtVersion)
+      later.map(_.version).sorted == (builtVersion + 1 to head) &&
+        later.forall(c => c.verb == "compact" || c.verb == "zorder")
+    }
+  }
+
+  /** Rebuild the index with its STORED parameters iff it has gone
+    * stale ([[annIndexFresh]] false). True = a rebuild ran. No-op
+    * (false) when fresh or when no index was ever built (building one
+    * is a deliberate, parameterized act — [[buildAnnIndex]]). */
+  def buildAnnIndexIfStale(name: String): Boolean = locked {
+    requireTable(name)
+    recoverSidecar(annPath(name))
+    if (!cfs.exists(annPath(name)) || annIndexFresh(name)) false
+    else {
+      val m = spark.read.schema(annSchema)
+        .parquet(annPath(name).toString).head()
+      buildAnnIndex(name, m.getString(3), m.getString(4), m.getInt(5),
+        m.getLong(6))
+      true
+    }
+  }
+
+  /** Top-k cosine neighbors from the STORED index — no fit, no corpus
+    * scan: probe selection is an in-row argsort over the KB centroid
+    * read, and the only data I/O is the probed cells' inverted-list
+    * directories (partition-pruned `cell IN`). Query columns must
+    * carry the index's id/vec columns. Refuses loudly when the index
+    * is missing or stale — approximate results must never silently
+    * omit post-build rows. */
+  def annTopK(name: String, queries: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    requireTable(name)
+    if (!annIndexFresh(name))
+      throw new IllegalStateException(
+        s"no fresh ANN index for '$name' — run buildAnnIndex / " +
+          "buildAnnIndexIfStale (the index refuses to serve across " +
+          "row mutations; compact/zorder preserve it)")
+    import org.apache.spark.sql.expressions.Window
+    val meta = spark.read.schema(annSchema)
+      .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
+    val (idCol, vecCol) = (meta.head.getString(3), meta.head.getString(4))
+    val cos = graft.functions.NativeExpressions.cosineNative _
+    val centersDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        meta.map(r => org.apache.spark.sql.Row(
+          r.getInt(0), r.getSeq[Float](1))).toIndexedSeq.asJava),
+      org.apache.spark.sql.types.StructType(annSchema.fields.take(2)))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centersDf))
+      .withColumn("cdist", cos(col("qv"), col("center")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    // the probed-cell union is tiny (≤ queries × nprobe): collect it
+    // so the list read PARTITION-PRUNES to exactly those directories
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val lists = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          queries.schema(idCol).dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("vec",
+          queries.schema(vecCol).dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = true))))
+      .option("basePath", annCellsPath(name).toString)
+      .parquet(annCellsPath(name).toString)
+      .filter(col("cell").isin(cells: _*))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    lists.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", cos(col("qv"), col("vec")))
+      .withColumnRenamed("id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   private def sidecarTmp(dir: HPath): HPath = dir.suffix(".tmp")
   private def sidecarOld(dir: HPath): HPath = dir.suffix(".old")
 

@@ -31,6 +31,22 @@ object PlanMetrics {
     case other => other.children.map(scannedFiles).sum
   }
 
+  /** [[scannedFiles]] restricted to V1 scans whose file-index roots
+    * contain `pathPart` — isolates ONE relation's post-pruning I/O in
+    * a multi-scan plan (the ANN probe-pruning verdict: the inverted-
+    * list scan must touch only the probed cells' files, whatever the
+    * query side reads). */
+  def scannedFilesUnder(p: SparkPlan, pathPart: String): Long = p match {
+    case a: AdaptiveSparkPlanExec => scannedFilesUnder(a.executedPlan, pathPart)
+    case q: QueryStageExec => scannedFilesUnder(q.plan, pathPart)
+    case r: ReusedExchangeExec => scannedFilesUnder(r.child, pathPart)
+    case s: FileSourceScanExec =>
+      if (s.relation.location.rootPaths.exists(_.toString.contains(pathPart)))
+        s.metrics("numFiles").value
+      else 0L
+    case other => other.children.map(scannedFilesUnder(_, pathPart)).sum
+  }
+
   /** Shuffle-exchange count (broadcast exchanges excluded) — the d39
     * auto-routing verdict: a co-located key join + key agg must plan
     * ZERO of these. */
