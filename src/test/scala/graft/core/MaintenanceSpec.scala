@@ -55,6 +55,37 @@ class MaintenanceSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("leader-or-skip under shared writers: two handles' tickers, ONE compact executed (VERDICT r18)") {
+    val dir = Files.createTempDirectory("mleader").toString
+    def cfg = ChronoConfig(dir, bucket = "hour", sketchLgK = 0,
+      sketchCmsDepth = 0, sketchBloomKeys = 0, writersPerBucket = 1,
+      compactFileThreshold = 2, lockMode = "verb", lockWaitMs = 120000L)
+    val a = new ChronoDB(spark, cfg)
+    val b = new ChronoDB(spark, cfg)
+    try {
+      a.createTable("t")
+      // 3 files in one bucket → a compaction victim for whoever runs
+      (1 to 3).foreach(i => a.insertSeq("t",
+        Seq(row(s"k$i", "2024-01-01 12:00:00"))))
+      val ma = new Maintenance(a, () => a.listTables(),
+        minTickIntervalMs = 3600000L)
+      val mb = new Maintenance(b, () => b.listTables(),
+        minTickIntervalMs = 3600000L)
+      val now = new Timestamp(System.currentTimeMillis())
+      val (c1, _) = ma.tick(now)
+      val (c2, _) = mb.tick(now)
+      assert(c1 + c2 === 1,
+        s"exactly one ticker must win the window (got $c1 + $c2)")
+      assert((ma.skippedTables ++ mb.skippedTables) === Seq("t"),
+        "the loser records the skip")
+      // past the window, work is claimable again (nothing left to
+      // compact — the point is the claim succeeds, not more rewrites)
+      val later = new Timestamp(now.getTime + 3600001L)
+      val (c3, _) = ma.tick(later)
+      assert(c3 === 0 && ma.skippedTables.isEmpty)
+    } finally { a.close(); b.close() }
+  }
+
   test("tick compacts fragmented buckets and drops expired ones") {
     val db = new ChronoDB(spark,
       ChronoConfig(Files.createTempDirectory("maint").toString,

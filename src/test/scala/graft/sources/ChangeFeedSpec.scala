@@ -165,6 +165,86 @@ class ChangeFeedSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("ALTER ADD COLUMN mid-feed: old schema until restart, NULL-filled after (spec-pinned, VERDICT r18 #6)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("cfeed_alter").toString
+    val cp = Files.createTempDirectory("cfeed_alter_cp").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      trashGraceMs = 3600000L))
+    try {
+      db.createTable("t", StructType(Seq(
+        StructField("key", StringType), StructField("ts", TimestampType),
+        StructField("v", LongType))))
+      def ins(k: String, v: Long, w: Option[Long]): Unit = {
+        val base = spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(k, ts("2024-03-01 10:00:00"), v,
+            w.map(Long.box).orNull)),
+          StructType(Seq(StructField("key", StringType),
+            StructField("ts", TimestampType), StructField("v", LongType),
+            StructField("w", LongType))))
+        db.insertFrame("t", if (w.isDefined) base else base.drop("w"))
+      }
+      // batches land here with the schema EACH SOURCE INSTANCE resolved
+      val seen = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[String], Seq[(String, Option[Long])])]
+      def startQ() = spark.readStream.format("chrono")
+        .option("changeFeed", "true").load(s"$dir/t")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cols = b.schema.fieldNames.toSeq
+          val rows = b.collect().map(r => (r.getString(0),
+            if (cols.contains("w")) Option(r.getAs[java.lang.Long]("w"))
+              .map(_.longValue) else None)).toSeq
+          seen.synchronized { seen += ((cols, rows)) }; ()
+        }.start()
+      ins("a", 1L, None)                                     // v1
+      val q1 = startQ()
+      q1.processAllAvailable()
+      // V1 Source contract: the schema is PINNED at source construction
+      db.addColumn("t", StructField("w", LongType))
+      ins("b", 2L, Some(5L))                                 // v2
+      q1.processAllAvailable()
+      q1.stop()
+      val (colsBefore, rowsBefore) = seen.synchronized {
+        (seen.map(_._1).toSeq, seen.flatMap(_._2).toSeq)
+      }
+      assert(colsBefore.forall(!_.contains("w")),
+        s"a running feed must keep its pinned (pre-ALTER) schema: $colsBefore")
+      assert(rowsBefore.map(_._1).toSet === Set("a", "b"),
+        "the post-ALTER commit still ARRIVES (old columns only)")
+      seen.synchronized(seen.clear())
+      // restart: the new source instance re-resolves → `w` appears,
+      // and pre-ALTER files serve NULL in it
+      ins("c", 3L, Some(7L))                                 // v3
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val after = seen.synchronized(seen.toSeq)
+      assert(after.flatMap(_._1).contains("w"),
+        "a restarted feed serves the widened schema")
+      assert(after.flatMap(_._2).toMap === Map("c" -> Some(7L)),
+        "only the unconsumed commit re-emits, with the new column")
+      // a FRESH feed over the whole history NULL-fills pre-ALTER rows
+      seen.synchronized(seen.clear())
+      val cp2 = Files.createTempDirectory("cfeed_alter_cp2").toString
+      val q3 = spark.readStream.format("chrono")
+        .option("changeFeed", "true").load(s"$dir/t")
+        .writeStream.option("checkpointLocation", cp2)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getString(0),
+            Option(r.getAs[java.lang.Long]("w")).map(_.longValue))).toSeq
+          seen.synchronized { seen += ((b.schema.fieldNames.toSeq, rows)) }
+          ()
+        }.start()
+      q3.processAllAvailable()
+      q3.stop()
+      val replay = seen.synchronized(seen.flatMap(_._2).toMap)
+      assert(replay === Map("a" -> None, "b" -> Some(5L), "c" -> Some(7L)),
+        s"pre-ALTER rows must NULL-fill the added column: $replay")
+    } finally db.close()
+  }
+
   test("change feed refuses a table whose writer disabled history (would hang forever)") {
     val dir = Files.createTempDirectory("cfeed3").toString
     val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",

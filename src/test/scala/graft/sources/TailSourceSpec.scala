@@ -244,6 +244,80 @@ class TailSourceSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("ALTER ADD COLUMN mid-tail: pinned schema until restart, NULL-filled after (spec-pinned, VERDICT r18 #6)") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("tailalter").toString
+    val cp = Files.createTempDirectory("tailalter_cp").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      writersPerBucket = 1))
+    try {
+      db.createTable("ev", StructType(Seq(
+        StructField("key", StringType), StructField("ts", TimestampType),
+        StructField("v", LongType))))
+      def ins(k: String, v: Long, w: Option[Long]): Unit = {
+        val base = spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(k, Timestamp.valueOf("2024-04-01 10:00:00"),
+            v, w.map(Long.box).orNull)),
+          StructType(Seq(StructField("key", StringType),
+            StructField("ts", TimestampType), StructField("v", LongType),
+            StructField("w", LongType))))
+        db.insertFrame("ev", if (w.isDefined) base else base.drop("w"))
+      }
+      val seen = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[String], Seq[(String, Option[Long])])]
+      def startQ() = spark.readStream.format("chrono").load(s"$root/ev")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cols = b.schema.fieldNames.toSeq
+          val rows = b.collect().map(r => (r.getString(0),
+            if (cols.contains("w")) Option(r.getAs[java.lang.Long]("w"))
+              .map(_.longValue) else None)).toSeq
+          seen.synchronized { seen += ((cols, rows)) }; ()
+        }.start()
+      ins("a", 1L, None)
+      val q1 = startQ()
+      q1.processAllAvailable()
+      // schema pinned at source construction (the V1 Source contract)
+      db.addColumn("ev", StructField("w", LongType))
+      ins("b", 2L, Some(5L))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(seen.synchronized(seen.map(_._1)).forall(!_.contains("w")),
+        "a running tail keeps its pinned (pre-ALTER) schema")
+      assert(seen.synchronized(seen.flatMap(_._2)).map(_._1).toSet ===
+        Set("a", "b"), "post-ALTER files still arrive (old columns)")
+      seen.synchronized(seen.clear())
+      // restart re-resolves: the added column appears; the already-
+      // emitted files stay consumed (seen-log), the new file carries w
+      ins("c", 3L, Some(7L))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      val after = seen.synchronized(seen.toSeq)
+      assert(after.flatMap(_._1).contains("w"),
+        "a restarted tail serves the widened schema")
+      assert(after.flatMap(_._2).toMap === Map("c" -> Some(7L)))
+      // a FRESH tail over the whole table NULL-fills pre-ALTER files
+      seen.synchronized(seen.clear())
+      val cp2 = Files.createTempDirectory("tailalter_cp2").toString
+      val q3 = spark.readStream.format("chrono").load(s"$root/ev")
+        .writeStream.option("checkpointLocation", cp2)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen += ((b.schema.fieldNames.toSeq,
+            b.collect().map(r => (r.getString(0),
+              Option(r.getAs[java.lang.Long]("w")).map(_.longValue)))
+              .toSeq)) }
+          ()
+        }.start()
+      q3.processAllAvailable()
+      q3.stop()
+      assert(seen.synchronized(seen.flatMap(_._2)).toMap ===
+        Map("a" -> None, "b" -> Some(5L), "c" -> Some(7L)),
+        "pre-ALTER files NULL-fill the added column on a fresh tail")
+    } finally db.close()
+  }
+
   test("typed tables stream in BOTH directions: sink declares the schema, tail serves it") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("typedstream").toString
