@@ -93,6 +93,11 @@ object ScaleProbe {
       return historyProbe(args(1), if (args.length > 2) args(2).toInt else 1)
     if (args.headOption.contains("feedbacklog"))
       return feedBacklogProbe(args(1).toInt)
+    if (args.headOption.contains("feedtrigger"))
+      return feedTriggerProbe(args(1).toInt)
+    if (args.headOption.contains("zorderverb"))
+      return zorderVerbProbe(args(1),
+        if (args.length > 2) args(2).toInt else 1)
     if (args.headOption.contains("sharedwriters"))
       return sharedWritersProbe(args(1).toInt, args(2).toInt)
     if (args.headOption.contains("tailsource")) return tailSourceProbe(args(1))
@@ -545,6 +550,129 @@ object ScaleProbe {
         .getOrElse(0L)
       val (capRows, capSec) = timed(batch(0, capEnd))
       println(f"""{"probe":"feedbacklog","commits":$nCommits,"full_rows":$fullRows,"full_sec":$fullSec%.3f,"ms_per_commit":${fullSec * 1000 / nCommits}%.3f,"capped_end":$capEnd,"capped_rows":$capRows,"capped_sec":$capSec%.3f,"union_per_commit_sec":$unionSec%.3f}""")
+    } finally { db.close(); spark.stop() }
+  }
+
+  /** VERDICT r18 #1 "Done" axis: the change feed's PER-TRIGGER cost
+    * must be FLAT in the table's live-file count. Build a table of
+    * `liveFiles` single-file commits spread across hour buckets, then
+    * time ONE one-commit trigger (getOffset + the full getBatch incl.
+    * the readability gate). The A/B is the pre-r19 gate shape — one
+    * Spark job + a full folded-manifest collect — timed at the same
+    * table size, so the artifact carries the removed cost, not a
+    * claim. Run at e.g. 200 and 10000 and compare trigger_ms. */
+  private def feedTriggerProbe(liveFiles: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("feedtrig").toString
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "hour", sketchLgK = 0,
+        sketchCmsDepth = 0, sketchBloomKeys = 0, writersPerBucket = 1,
+        trashGraceMs = 3600000L))
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      db.createTable("ev")
+      // grow the LIVE FILE COUNT in few commits: each bulk insert
+      // spans 2000 hour buckets → 2000 files per commit (the axis is
+      // file count, not commit count); the trigger's own commit below
+      // is one small single-bucket insert either way
+      val epoch0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      import spark.implicits._
+      val bulks = math.max(1, liveFiles / 2000)
+      (1 to bulks).foreach { b =>
+        val df = spark.range(2000).selectExpr(
+          s"concat('k$b-', id) as key",
+          s"timestamp_millis(${epoch0}L + id * 3600000L) as ts",
+          "encode(cast(id as string), 'UTF-8') as data")
+        db.insertFrame("ev", df)
+      }
+      db.insertSeq("ev", Seq(graft.core.ChronoRow("trigger",
+        new java.sql.Timestamp(epoch0), Array(1.toByte))))
+      val (cfs, tableRoot) = graft.core.ChronoFs.resolve(s"$root/ev",
+        spark.sessionState.newHadoopConf())
+      // one ONE-COMMIT trigger's work, exactly the source's getBatch
+      // body (offset read + the r19 listing-fallback readability gate +
+      // the versioned batch frame), minus the streaming wrap that
+      // MicroBatchExecution owns
+      val head = graft.core.ChronoHistory.headVersion(cfs, tableRoot).get
+      val dataSchema = graft.core.ManifestFileIndex.withGranularity(
+        graft.core.ChronoDB.EnvelopeSchema, "hour")
+      val cols = dataSchema.fieldNames.toSeq
+      def trigger(): (Long, Double) = timed {
+        graft.core.ChronoHistory.headVersion(cfs, tableRoot) // getOffset read
+        val commits = Seq(
+          graft.core.ChronoHistory.readCommit(cfs, tableRoot, head))
+        graft.core.ChronoHistory.requireReadable(cfs, tableRoot,
+          commits.flatMap(c => c.adds ++ c.removes),
+          Set.empty, "feedtrigger probe")
+        graft.core.ChronoChanges.versionedFrame(spark, tableRoot,
+          dataSchema, cols, commits).count()
+      }
+      trigger() // warm code paths
+      val runs = Seq.fill(probeRuns)(trigger()._2)
+      // the PRE-r19 gate shape at this table size: one Spark job + a
+      // full folded-manifest driver collect per trigger
+      val (liveSize, oldGateSec) = timed {
+        graft.sources.ChronoLayout.foldedManifest(spark, cfs, tableRoot)
+          .map(_.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+          .getOrElse(Set.empty[(String, String)]).size
+      }
+      println(f"""{"probe":"feedtrigger","live_files":$liveFiles,"manifest_entries":$liveSize,"trigger_ms":${runs.min * 1000}%.1f,"old_gate_ms":${oldGateSec * 1000}%.1f,"timed_runs":$probeRuns}""")
+    } finally { db.close(); spark.stop() }
+  }
+
+  /** VERDICT r18 #2 "Done" axis: the zorder VERB at a scale multiple
+    * with NO table-sized block-manager pinning. Pre-r19 the verb
+    * localCheckpoint'd the entire table (non-recomputable executor
+    * storage = table size); now the rewrite streams through the
+    * stage-then-adopt path — `pinned_rdd_blocks` must be 0 after the
+    * verb, and heap/spill ride the probe's listener. */
+  private def zorderVerbProbe(sfDir: String, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val spill = withSpill(spark)
+    val root = java.nio.file.Files.createTempDirectory("zverbprobe").toString
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "day", sketchLgK = 0,
+        sketchCmsDepth = 0, sketchBloomKeys = 0, writersPerBucket = 2))
+    try {
+      val ev = graft.core.Tables.normTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      val wide = (0 until mult).map(i => ev
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _)
+        .select(col("event_id").cast("string").as("key"), col("ts"),
+          col("user_id").as("v"))
+      import org.apache.spark.sql.types._
+      db.createTable("t", StructType(Seq(
+        StructField("key", StringType), StructField("ts", TimestampType),
+        StructField("v", LongType))))
+      db.insertFrame("t", wide)
+      val rows = db.table("t").count()
+      val t0 = System.nanoTime()
+      val buckets = db.zorder("t", Seq("v", "ts"), bits = 16,
+        filesPerBucket = 4)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val pinned = spark.sparkContext.getRDDStorageInfo.length
+      println(f"""{"probe":"zorderverb","mult":$mult,"rows":$rows,"buckets_rewritten":$buckets,"zorder_sec":$sec%.2f,"pinned_rdd_blocks":$pinned,${spill.json}"ok":${pinned == 0}}""")
     } finally { db.close(); spark.stop() }
   }
 
