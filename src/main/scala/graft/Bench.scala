@@ -75,8 +75,8 @@ object Bench {
       "q68_chrono_zorder", "q69_shared_writers", "d43_rollup_asof",
       // r19 surface: persistent ANN index (build+compact+serve+stale+
       // rebuild lifecycle — the index build/maintenance overhead the
-      // VERDICT asked to see in-artifact)
-      "d44_ann_index_serve")
+      // VERDICT asked to see in-artifact) + stored-index SemDeDup
+      "d44_ann_index_serve", "d45_semantic_dedup_stored")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =

@@ -318,7 +318,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     *    takeover rename atomic → full mutual exclusion;
     *  - HDFS: `create(overwrite=false)` is namenode-atomic, rename
     *    atomic → full mutual exclusion;
-    *  - object stores WITHOUT conditional-put wired (plain s3a):
+    *  - object stores WITHOUT conditional-put wired (plain S3A):
     *    takeover rename is copy+delete — two stealers racing one
     *    already-dead holder can BOTH believe they won for up to one
     *    heartbeat period. r19 adds FENCING at commit time: the lock
@@ -3880,17 +3880,26 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     import org.apache.spark.ml.functions.array_to_vector
     val c = table(name)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("features", array_to_vector(col("vec")))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(c.select(col("features")))
+      .fit(c.withColumn("features", array_to_vector(col("vec")))
+        .select(col("features")))
+    val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat).toSeq)
+    }.toIndexedSeq
     // invalidate before touching the lists: no reader may serve a
     // half-built index
     deleteRecursively(annPath(name))
     deleteRecursively(sidecarTmp(annPath(name)))
     deleteRecursively(sidecarOld(annPath(name)))
     deleteRecursively(annCellsPath(name))
-    val assigned = model.transform(c)
-      .select(col("prediction").as("cell"), col("id"), col("vec"))
+    // assignment by the SHARED cosine-argmax expression over the
+    // FLOAT-TRUNCATED stored centroids — NOT model.transform: the
+    // model's double centers never persist, so transform-made
+    // assignments would not be recomputable from `_ann` alone (the
+    // d45 integrity verdict re-derives every cell from the sidecar
+    // and demands exact equality). Cosine is also the index's serving
+    // metric (annTopK probes by cosine) — one metric throughout.
+    val assigned = annAssign(c, annCentsFrame(centers))
     assigned.write
       .partitionBy("cell")
       .option("compression", config.compression)
@@ -3899,14 +3908,71 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val counts = spark.read.parquet(annCellsPath(name).toString)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      org.apache.spark.sql.Row(i, v.toArray.map(_.toFloat).toSeq,
+    val rows = centers.map { case (i, cv) =>
+      org.apache.spark.sql.Row(i, cv,
         counts.getOrElse(i, 0L), idCol, vecCol, nlist, seed, builtVersion)
-    }.toIndexedSeq
+    }
     rewriteSidecar(annPath(name), spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
       annSchema))
     nlist
+  }
+
+  /** One-row broadcast centroid frame: `cents` = sorted array of
+    * (cell, cv) structs — the [[graft.operators.Dedup.semanticDedup]]
+    * shape. */
+  private def annCentsFrame(centers: Seq[(Int, Seq[Float])]): DataFrame =
+    spark.createDataFrame(centers).toDF("cell", "cv")
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+      .select(array_sort(col("cents")).as("cents"))
+
+  /** The ONE assignment expression (cosine argmax over the broadcast
+    * centroid array, ties to the smaller cell) shared by the index
+    * BUILD and the integrity verifier — determinism here is what makes
+    * stored assignments exactly recomputable from `_ann` alone. Input
+    * must carry (id, vec); output (cell, id, vec). */
+  private def annAssign(rows: DataFrame, cents: DataFrame): DataFrame = {
+    val cos = graft.functions.NativeExpressions.cosineNative _
+    rows.crossJoin(broadcast(cents))
+      .withColumn("cell", array_max(transform(col("cents"), ct => struct(
+        cos(col("vec"), ct.getField("cv")).as("cos"),
+        (-ct.getField("cell")).as("negcell"),
+        ct.getField("cell").as("cell")))).getField("cell"))
+      .select(col("cell"), col("id"), col("vec"))
+  }
+
+  /** Re-derive every LIVE row's cell from the STORED centroids — the
+    * d45 integrity comparator: on a fresh index this must equal the
+    * stored `_ann_cells` assignment exactly (same expression, same
+    * floats), so a corrupt or divergent list is detectable without
+    * trusting the lists themselves. Returns (id, cell). */
+  private[graft] def annAssignFromStored(name: String): DataFrame = {
+    recoverSidecar(annPath(name))
+    val meta = spark.read.schema(annSchema)
+      .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
+    val (idCol, vecCol) = (meta.head.getString(3), meta.head.getString(4))
+    val centers = meta.map(r =>
+      (r.getInt(0), r.getSeq[Float](1))).toIndexedSeq
+    annAssign(table(name).select(col(idCol).as("id"), col(vecCol).as("vec")),
+        annCentsFrame(centers))
+      .select(col("id"), col("cell"))
+  }
+
+  /** The stored inverted lists' (id, cell) pairs — the other half of
+    * the d45 integrity comparison. */
+  private[graft] def annStoredAssignments(name: String): DataFrame = {
+    val meta = spark.read.schema(annSchema)
+      .parquet(annPath(name).toString).head()
+    val idCol = meta.getString(3)
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          tableSchema(name)(idCol).dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = true))))
+      .option("basePath", annCellsPath(name).toString)
+      .parquet(annCellsPath(name).toString)
+      .select(col("id"), col("cell"))
   }
 
   /** True iff the stored index may SERVE: `_ann` present and every
@@ -4007,6 +4073,40 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),
         col("neighbor_id"), col("cos"))
+  }
+
+  /** SemDeDup served from the STORED index (the d33e/d33g-class
+    * queries' refit gap, closed): `_ann_cells` already holds the
+    * clustered corpus, so this pass skips BOTH the per-query k-means
+    * fit (a full corpus scan × iterations) and the assignment scan —
+    * its only work is the within-cell greedy pairing
+    * ([[graft.operators.Dedup.semanticDedupAssigned]], lower-id wins
+    * at cosine ≥ `threshold`). Same freshness contract as [[annTopK]]:
+    * refuses across row mutations. Returns keepers as (idCol, cell). */
+  def semanticDedupStored(name: String, threshold: Double): DataFrame = {
+    requireTable(name)
+    if (!annIndexFresh(name))
+      throw new IllegalStateException(
+        s"no fresh ANN index for '$name' — run buildAnnIndex / " +
+          "buildAnnIndexIfStale (the index refuses to serve across " +
+          "row mutations; compact/zorder preserve it)")
+    val meta = spark.read.schema(annSchema)
+      .parquet(annPath(name).toString).head()
+    val (idCol, vecCol) = (meta.getString(3), meta.getString(4))
+    val schema = tableSchema(name)
+    val lists = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          schema(idCol).dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("vec",
+          schema(vecCol).dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = true))))
+      .option("basePath", annCellsPath(name).toString)
+      .parquet(annCellsPath(name).toString)
+    graft.operators.Dedup.semanticDedupAssigned(
+      lists.select(col("id").as("__id"), col("vec").as("__vec"),
+        col("cell")), idCol, threshold)
   }
 
   private def sidecarTmp(dir: HPath): HPath = dir.suffix(".tmp")

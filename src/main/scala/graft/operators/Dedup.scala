@@ -596,6 +596,15 @@ object Dedup {
     greedyDropWithinCluster(assigned, idCol, threshold)
   }
 
+  /** [[semanticDedup]] over an ALREADY-ASSIGNED corpus — the entry the
+    * persistent ANN index serves (`_ann_cells` stores exactly the
+    * (`__id`, `__vec`, `cell`) frame this needs), so a stored-index
+    * SemDeDup pass skips BOTH the fit and the assignment scan: its
+    * only work is the within-cell pairing itself. */
+  def semanticDedupAssigned(assigned: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    greedyDropWithinCluster(assigned, idCol, threshold)
+
   /** Shared tail of the semantic-dedup family: given the clustered
     * corpus (`__id`, `__vec`, `cell`), apply SemDeDup's greedy per-pair
     * drop — any point with a LOWER-id same-cluster neighbor at cosine

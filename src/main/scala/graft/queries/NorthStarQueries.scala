@@ -194,6 +194,65 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D45: SemDeDup from the STORED index — the d33e/d33g refit gap
+    * closed: [[graft.core.ChronoDB.semanticDedupStored]] runs the
+    * greedy within-cell drop directly over the `_ann_cells` inverted
+    * lists, skipping BOTH the per-query k-means fit and the assignment
+    * scan (at 100 TB each is a full corpus pass). Verdicts, all eager:
+    *   - stored_matches_centroids: every stored cell EQUALS the cell
+    *     re-derived from `_ann`'s centroids by the build's own shared
+    *     assignment expression (exact — same floats, same ties), so
+    *     the lists are provably not stale or corrupt;
+    *   - dupfree_ok: no surviving same-cell pair at cosine ≥ t (the
+    *     d33e invariant, on the stored clustering);
+    *   - keepers_ok: the d33e keeper bound.
+    * The SQL-exact corpus count anchors the hash. */
+  def semanticDedupStoredQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB}
+    import org.apache.spark.sql.types._
+    val cos = NativeExpressions.cosineNative _
+    val root = java.nio.file.Files.createTempDirectory("d45_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0))
+    try {
+      val emb = t(spark, dir, "embeddings")
+      graft.core.BenchPhases.setup {
+        db.createTable("e", StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("embedding", ArrayType(FloatType)))))
+        db.insertFrame("e", emb.select(col("vec_id"),
+          to_timestamp(lit("2024-01-01 10:00:00")).as("ts"),
+          col("embedding")))
+        db.buildAnnIndex("e", "vec_id", "embedding", nlist = 16,
+          seed = 42L)
+      }
+      val kept = db.semanticDedupStored("e", threshold = 0.35)
+        .select(col("vec_id"), col("cell"))
+      val nKeepers = kept.count()
+      val nVecs = db.table("e").count()
+      // integrity: stored (id, cell) ≡ re-derived from `_ann` alone
+      val stored = db.annStoredAssignments("e")
+      val derived = db.annAssignFromStored("e")
+      val matches =
+        stored.join(derived, Seq("id", "cell"), "left_anti").count() == 0 &&
+        derived.join(stored, Seq("id", "cell"), "left_anti").count() == 0
+      // dup-free survivors (the d33e invariant over the stored cells)
+      val kv = kept.join(db.table("e")
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val nViol = kv.as("a")
+        .join(kv.as("b"), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .filter(cos(col("a.embedding"), col("b.embedding")) >= 0.35)
+        .count()
+      emb.agg(count(lit(1)).as("n_vecs"))
+        .select(col("n_vecs"), lit(16).as("nlist"),
+          lit(nKeepers >= 1 && nKeepers <= nVecs).as("keepers_ok"),
+          lit(nViol == 0).as("dupfree_ok"),
+          lit(matches).as("stored_matches_centroids"))
+    } finally db.close()
+  }
+
   /** D3f: int8 scalar-quantized two-stage ANN — codes (1/4 the scan
     * bytes) rank candidates by exact integer dot, float cosine rescores
     * only the survivors. The ENTIRE pipeline is oracle-replicated:
@@ -2084,6 +2143,14 @@ object NorthStarQueries {
         |       TRUE AS stale_detected, TRUE AS rebuilt,
         |       TRUE AS serves_after_rebuild
         |FROM embeddings WHERE vec_id < 32""".stripMargin)),
+    QueryDef("d45_semantic_dedup_stored", semanticDedupStoredQ, Some(
+      // self-validating: the corpus count anchors; the integrity
+      // verdict (stored lists exactly re-derivable from `_ann`), the
+      // d33e dup-free invariant and keeper bound must all come out TRUE
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs, 16 AS nlist,
+        |       TRUE AS keepers_ok, TRUE AS dupfree_ok,
+        |       TRUE AS stored_matches_centroids
+        |FROM embeddings""".stripMargin)),
     QueryDef("d4_text_stats", textStats, Some(
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,

@@ -88,6 +88,33 @@ class AnnIndexSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("semanticDedupStored: greedy drop straight off the lists, exact integrity, stale refusal") {
+    val dir = Files.createTempDirectory("ann3").toString
+    val db = freshDb(dir)
+    try {
+      seedTable(db, "e")
+      db.buildAnnIndex("e", "vec_id", "embedding", nlist = 8, seed = 7L)
+      // two tight orthogonal blobs at threshold 0.8: heavy within-blob
+      // dedup — survivors exist, most rows drop
+      val kept = db.semanticDedupStored("e", threshold = 0.8)
+      val n = kept.count()
+      assert(n >= 1 && n < 200, s"expected heavy dedup, kept $n of 200")
+      // stored lists exactly re-derivable from `_ann` alone (the
+      // shared-assignment-expression guarantee)
+      val stored = db.annStoredAssignments("e")
+      val derived = db.annAssignFromStored("e")
+      assert(stored.join(derived, Seq("id", "cell"), "left_anti")
+        .count() === 0L)
+      assert(derived.join(stored, Seq("id", "cell"), "left_anti")
+        .count() === 0L)
+      // same freshness contract as annTopK
+      db.insertFrame("e", spark.range(1).selectExpr(
+        "8000L as vec_id", "timestamp'2024-01-01 11:00:00' as ts",
+        "transform(sequence(0,7), j -> cast(0.25 as float)) as embedding"))
+      intercept[IllegalStateException](db.semanticDedupStored("e", 0.8))
+    } finally db.close()
+  }
+
   test("refusal semantics: missing index, stale after DML, rebuild-if-stale is a no-op without an index") {
     val dir = Files.createTempDirectory("ann2").toString
     val db = freshDb(dir)
