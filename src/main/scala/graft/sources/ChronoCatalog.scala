@@ -415,12 +415,17 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     "rebuild_sidecars" -> (("ok", db => t => { db.rebuildSidecars(t); 1L })),
     "analyze" -> (("rebuilt", db => t => if (db.analyzeIfStale(t)) 1L else 0L)),
     "refresh_bucketed" -> (("files_incorporated",
-      db => t => db.refreshBucketed(t).files.toLong)))
+      db => t => db.refreshBucketed(t).files.toLong)),
+    // `_colstats`-style repair verb for the persistent ANN index: a
+    // no-op when fresh or never built, a full rebuild from the STORED
+    // parameters when a row mutation staled it
+    "ann_rebuild_if_stale" -> (("rebuilt",
+      db => t => if (db.buildAnnIndexIfStale(t)) 1L else 0L)))
 
   override def listProcedures(ns: Array[String]): Array[Identifier] =
     (maintenanceProcs.keys.toSeq ++
       Seq("cleanup_as_of", "history", "restore_version",
-        "expire_history", "zorder")).sorted
+        "expire_history", "zorder", "build_ann_index")).sorted
       .map(Identifier.of(Array("system"), _)).toArray
 
   /** `CALL <cat>.system.expire_history('t', <keepVersions>)` — bound
@@ -497,6 +502,53 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
                   Array(org.apache.spark.sql.catalyst.InternalRow(n))
                 override def readSchema(): StructType = StructType(Seq(
                   org.apache.spark.sql.types.StructField("buckets_rewritten",
+                    org.apache.spark.sql.types.LongType, nullable = false)))
+              }
+            util.Collections.singletonList(out).iterator()
+          }
+        }
+    }
+
+  /** `CALL <cat>.system.build_ann_index('t', 'id_col', 'vec_col',
+    * <nlist>)` — fit and persist the table's ANN index
+    * ([[ChronoDB.buildAnnIndex]]: `_ann` centroids + cell-partitioned
+    * `_ann_cells` inverted lists); `system.ann_rebuild_if_stale` is
+    * the matching repair verb. */
+  private def buildAnnIndexProcedure(): procedures.UnboundProcedure =
+    new procedures.UnboundProcedure {
+      override def name(): String = "build_ann_index"
+      override def description(): String =
+        "fit and persist a chrono table's ANN index"
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = "build_ann_index"
+          override def description(): String =
+            "fit and persist a chrono table's ANN index"
+          override def parameters(): Array[procedures.ProcedureParameter] =
+            Array(
+              procedures.ProcedureParameter
+                .in("table", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("id_col", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("vec_col", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("nlist", org.apache.spark.sql.types.IntegerType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val (tblNs, table) = splitTableArg(input.getUTF8String(0).toString)
+            val idCol = input.getUTF8String(1).toString
+            val vecCol = input.getUTF8String(2).toString
+            val nlist = input.getInt(3)
+            val n = withDbIn(tblNs)(
+              _.buildAnnIndex(table, idCol, vecCol, nlist).toLong)
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  Array(org.apache.spark.sql.catalyst.InternalRow(n))
+                override def readSchema(): StructType = StructType(Seq(
+                  org.apache.spark.sql.types.StructField("cells",
                     org.apache.spark.sql.types.LongType, nullable = false)))
               }
             util.Collections.singletonList(out).iterator()
@@ -640,12 +692,13 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     if (ident.name() == "restore_version") return restoreVersionProcedure()
     if (ident.name() == "expire_history") return expireHistoryProcedure()
     if (ident.name() == "zorder") return zorderProcedure()
+    if (ident.name() == "build_ann_index") return buildAnnIndexProcedure()
     val (resultCol, run) = maintenanceProcs.getOrElse(ident.name(),
       throw new UnsupportedOperationException(
         s"no such procedure: ${ident.name()} — available: " +
           (maintenanceProcs.keys.toSeq ++
             Seq("cleanup_as_of", "history", "restore_version",
-              "expire_history", "zorder"))
+              "expire_history", "zorder", "build_ann_index"))
             .sorted.mkString(", ")))
     val procName = ident.name()
     new procedures.UnboundProcedure {

@@ -22,6 +22,33 @@ class ChronoCatalogSpec extends SparkSuite {
     name
   }
 
+  test("CALL system.build_ann_index / ann_rebuild_if_stale: the ANN lifecycle from SQL alone") {
+    val cat = freshCat("bucket" -> "day")
+    spark.sql(s"CREATE TABLE $cat.vecs " +
+      "(vec_id BIGINT, ts TIMESTAMP, embedding ARRAY<FLOAT>)")
+    spark.sql(s"INSERT INTO $cat.vecs (vec_id, ts, embedding) " +
+      "SELECT id AS vec_id, " +
+      "TIMESTAMP '2024-01-01 10:00:00' AS ts, " +
+      "transform(sequence(0, 7), j -> cast(" +
+      "  (case when j = cast(id % 2 as int) then 1.0 else 0.0 end)" +
+      "  + sin(id * 7 + j) * 0.1 as float)) AS embedding " +
+      "FROM range(100)")
+    assert(spark.sql(
+        s"CALL $cat.system.build_ann_index('vecs', 'vec_id', 'embedding', 8)")
+      .head().getLong(0) === 8L)
+    // fresh → the repair verb is a no-op
+    assert(spark.sql(s"CALL $cat.system.ann_rebuild_if_stale('vecs')")
+      .head().getLong(0) === 0L)
+    // a row mutation stales it → the repair verb rebuilds
+    spark.sql(s"INSERT INTO $cat.vecs (vec_id, ts, embedding) " +
+      "SELECT 9000L, " +
+      "TIMESTAMP '2024-01-01 11:00:00', " +
+      "transform(sequence(0, 7), j -> cast(0.5 as float))")
+    assert(spark.sql(s"CALL $cat.system.ann_rebuild_if_stale('vecs')")
+      .head().getLong(0) === 1L)
+    spark.sql(s"DROP TABLE $cat.vecs")
+  }
+
   test("SQL-only lifecycle: CREATE, INSERT, SELECT, SHOW, DROP") {
     val cat = freshCat("bucket" -> "day")
     spark.sql(s"CREATE TABLE $cat.ev (key STRING, ts TIMESTAMP, data BINARY)")
