@@ -984,9 +984,10 @@ final class ChronoMicroBatchStream(
     granularity: String,
     delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     options: CaseInsensitiveStringMap)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2}
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
   import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 
@@ -1013,6 +1014,31 @@ final class ChronoMicroBatchStream(
   override def initialOffset(): OffsetV2 = LongOffset(-1L)
 
   override def latestOffset(): OffsetV2 = LongOffset(tail.discover())
+
+  // --- SupportsAdmissionControl / SupportsTriggerAvailableNow (r19):
+  //     the MODERN form of the r18 cap — the engine learns this
+  //     source's pacing (getDefaultReadLimit derives from the same
+  //     maxFilesPerTrigger option ChronoTailLog enforces internally,
+  //     so the two can never disagree), and Trigger.AvailableNow gets
+  //     REAL semantics instead of an engine-side wrapper: the tail
+  //     pins the query-start file set, every batch stays capped, and
+  //     the query terminates once the pinned backlog drains (files
+  //     landing mid-run wait for the next AvailableNow run). ---
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    // the limit IS this source's own declared cap (see
+    // getDefaultReadLimit); ChronoTailLog.discover applies it when
+    // admitting, so the returned ordinal already respects it
+    LongOffset(tail.discover())
+
+  override def reportLatestOffset(): OffsetV2 = null
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    tail.pinAvailableNow()
 
   override def deserializeOffset(json: String): OffsetV2 =
     LongOffset(json.trim.toLong)

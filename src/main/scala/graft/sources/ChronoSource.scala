@@ -810,6 +810,22 @@ final class ChronoTailLog(
     catch { case t: Throwable if isFnf(t) => once() }
   }
 
+  // Trigger.AvailableNow support (the V2 catalog stream's
+  // SupportsTriggerAvailableNow hook): the set of files that existed
+  // when the query STARTED. While pinned, discover() admits only
+  // members of this set — files landing mid-run stay un-seen, so once
+  // the pinned backlog drains the ordinal stops advancing and the
+  // engine terminates the query, with maxFilesPerTrigger still pacing
+  // every batch along the way.
+  private var availableNowPin: Option[Set[(String, String)]] = None
+
+  /** Snapshot the currently-discoverable file set as the admissible
+    * universe for this query's lifetime. */
+  def pinAvailableNow(): Unit = synchronized {
+    availableNowPin =
+      Some(currentEntries().map(e => (e.bucket, e.file)).toSet)
+  }
+
   /** One discovery trigger: diff the manifest against the seen set,
     * persist any fresh batch, return the latest batch ordinal (-1 when
     * nothing has ever been seen). */
@@ -840,8 +856,14 @@ final class ChronoTailLog(
     // applied to the file axis): a tail starting on an existing table —
     // or resuming after downtime — must not get the whole backlog in
     // one batch. Oldest buckets first (the sort above), the remainder
-    // stays un-seen and re-discovers next trigger.
-    val admitted = maxFilesPerTrigger.map(fresh.take).getOrElse(fresh)
+    // stays un-seen and re-discovers next trigger. An AvailableNow pin
+    // additionally bounds admission to the query-start universe.
+    val admissible = availableNowPin match {
+      case Some(pin) => fresh.filter(e => pin((e.bucket, e.file)))
+      case None => fresh
+    }
+    val admitted = maxFilesPerTrigger.map(admissible.take)
+      .getOrElse(admissible)
     if (admitted.nonEmpty) {
       writeLog(maxBatch + 1, admitted)
       maxBatch += 1

@@ -114,6 +114,54 @@ class TailSourceSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("Trigger.AvailableNow on the catalog tail: capped batches, self-termination, query-start pin (r19)") {
+    val (db, root) = mk()
+    try {
+      db.createTable("ev")
+      (1 to 12).foreach(d => db.insertSeq("ev", rows(d, s"d$d", n = 1)))
+      val cat = s"avn${System.nanoTime() % 1000000}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[ChronoCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.dataDir", root)
+      spark.conf.set(s"spark.sql.catalog.$cat.bucket", "day")
+      try {
+        val out = Files.createTempDirectory("avn_out").toString
+        val cp = Files.createTempDirectory("avn_cp").toString
+        val q = spark.readStream
+          .option("maxFilesPerTrigger", "3").table(s"$cat.ev")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // AvailableNow must TERMINATE on its own once the query-start
+        // backlog drains — no stop() call here
+        assert(q.awaitTermination(120000),
+          "AvailableNow query must self-terminate")
+        assert(spark.read.parquet(out).count() === 12L)
+        // pacing survived: 12 files / cap 3 → 4 offset-log batches
+        import scala.jdk.CollectionConverters._
+        val batches = java.nio.file.Files
+          .list(java.nio.file.Paths.get(cp, "offsets")).iterator().asScala
+          .count(_.getFileName.toString.forall(_.isDigit))
+        assert(batches === 4,
+          s"12 files at cap 3 must drain in 4 capped batches, got $batches")
+        // a file committed AFTER the run stays for the NEXT run: a
+        // second AvailableNow pass picks up exactly the new file
+        db.insertSeq("ev", rows(13, "late", n = 1))
+        val q2 = spark.readStream
+          .option("maxFilesPerTrigger", "3").table(s"$cat.ev")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q2.awaitTermination(120000))
+        assert(spark.read.parquet(out).count() === 13L)
+      } finally {
+        Seq("", ".dataDir", ".bucket").foreach(sfx =>
+          spark.conf.unset(s"spark.sql.catalog.$cat$sfx"))
+      }
+    } finally db.close()
+  }
+
   test("catalog tail enforces the append-only contract (rewrite under the tail fails loudly)") {
     val root = Files.createTempDirectory("cattail2").toString
     val cat = s"ct2${System.nanoTime() % 1000000}"
