@@ -98,6 +98,9 @@ object ScaleProbe {
     if (args.headOption.contains("zorderverb"))
       return zorderVerbProbe(args(1),
         if (args.length > 2) args(2).toInt else 1)
+    if (args.headOption.contains("annserve"))
+      return annServeProbe(args(1),
+        if (args.length > 2) args(2).toInt else 1)
     if (args.headOption.contains("sharedwriters"))
       return sharedWritersProbe(args(1).toInt, args(2).toInt)
     if (args.headOption.contains("tailsource")) return tailSourceProbe(args(1))
@@ -627,6 +630,64 @@ object ScaleProbe {
           .getOrElse(Set.empty[(String, String)]).size
       }
       println(f"""{"probe":"feedtrigger","live_files":$liveFiles,"manifest_entries":$liveSize,"trigger_ms":${runs.min * 1000}%.1f,"old_gate_ms":${oldGateSec * 1000}%.1f,"timed_runs":$probeRuns}""")
+    } finally { db.close(); spark.stop() }
+  }
+
+  /** The persistent-ANN-index headline number: amortized SERVE cost
+    * from the stored index vs the d3e-class per-query path that fits
+    * k-means on every call. Corpus = embeddings × `mult` (ids offset
+    * per copy), nlist scaled with the corpus. One buildAnnIndex (timed
+    * — the amortized cost), then min-of-3 annTopK serves vs min-of-3
+    * fit-per-query ivfTopK runs over the same 16 queries. */
+  private def annServeProbe(sfDir: String, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("annserve").toString
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "day", sketchLgK = 0,
+        sketchCmsDepth = 0, sketchBloomKeys = 0))
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val base = emb.count()
+      val wide = (0 until mult).map(i => emb
+          .select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      import org.apache.spark.sql.types._
+      db.createTable("e", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("embedding", ArrayType(FloatType)))))
+      db.insertFrame("e", wide.select(col("vec_id"),
+        to_timestamp(lit("2024-01-01 10:00:00")).as("ts"),
+        col("embedding")))
+      val rows = base * mult
+      val nlist = math.max(16, (rows / 2000L).toInt)
+      val (_, buildSec) = timed(
+        db.buildAnnIndex("e", "vec_id", "embedding", nlist = nlist))
+      val queries = db.table("e").filter(col("vec_id") < 16)
+      def serve(): Long =
+        db.annTopK("e", queries, k = 5, nprobe = 6).count()
+      def refit(): Long =
+        graft.operators.Similarity.ivfTopK(
+          db.table("e").select(col("vec_id"), col("embedding")), queries,
+          "vec_id", "embedding", k = 5, nlist = nlist, nprobe = 6).count()
+      serve(); refit() // warm both paths
+      val serveSec = Seq.fill(probeRuns)(timed(serve())._2).min
+      val refitSec = Seq.fill(probeRuns)(timed(refit())._2).min
+      println(f"""{"probe":"annserve","mult":$mult,"rows":$rows,"nlist":$nlist,"build_sec":$buildSec%.2f,"serve_sec":$serveSec%.3f,"refit_per_query_path_sec":$refitSec%.3f,"speedup":${refitSec / serveSec}%.1f,"timed_runs":$probeRuns}""")
     } finally { db.close(); spark.stop() }
   }
 
