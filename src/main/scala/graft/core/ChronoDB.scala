@@ -3872,6 +3872,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       schema.fieldNames.contains(c),
       s"no column '$c' on '$name' (declared: ${schema.fieldNames.mkString(", ")})")
     requireCol(idCol); requireCol(vecCol)
+    require(hasData(name),
+      s"cannot build an ANN index on empty table '$name'")
     val builtVersion = ChronoHistory.headVersion(cfs, tablePath(name))
       .getOrElse(throw new IllegalStateException(
         s"ANN index on '$name' requires table history (the freshness " +
