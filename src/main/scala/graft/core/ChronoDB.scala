@@ -3992,11 +3992,16 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .parquet(annPath(name).toString)
       .select(col("built_version")).head().getLong(0)
     val p = tablePath(name)
+    // bounded walk, commit HEADERS only: read the verbs of exactly the
+    // versions since the build (≤64 — more layout-only commits than
+    // that between builds is implausible, and "stale" is always the
+    // safe answer), never the full retained log. An absent commit in
+    // the range (expired) reads as None → stale: the walk is a proof.
     ChronoHistory.headVersion(cfs, p).exists { head =>
-      val later = ChronoHistory.commits(cfs, p)
-        .filter(_.version > builtVersion)
-      later.map(_.version).sorted == (builtVersion + 1 to head) &&
-        later.forall(c => c.verb == "compact" || c.verb == "zorder")
+      head >= builtVersion && head - builtVersion <= 64 &&
+        (builtVersion + 1 to head).forall(v =>
+          ChronoHistory.commitVerb(cfs, p, v)
+            .exists(vb => vb == "compact" || vb == "zorder"))
     }
   }
 

@@ -216,6 +216,15 @@ object ChronoHistory {
     ChronoCommit(h(1).toLong, h(2).toLong, h(3), adds, removes)
   }
 
+  /** One commit's VERB from its header line alone (None when the file
+    * is absent — expired or never recorded): the KB read that lets a
+    * bounded freshness walk (ann index: "only content-preserving verbs
+    * since the build?") avoid [[commits]]' O(retained log) sweep. */
+  def commitVerb(cfs: ChronoFs, tableRoot: HPath, v: Long): Option[String] =
+    cfs.readLinesRecover(commitPath(tableRoot, v))
+      .flatMap(_.headOption).map(_.split('\t'))
+      .collect { case parts if parts.length >= 4 => parts(3) }
+
   /** Commit metadata for every RETAINED version, newest first — the
     * `DESCRIBE HISTORY` surface. Version 0 appears as the adoption
     * baseline when its checkpoint is retained. One directory listing +
