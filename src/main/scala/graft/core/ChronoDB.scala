@@ -1632,6 +1632,43 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .select(dataCols(name): _*)
   }
 
+  /** Snapshot-consistent KEY LOOKUP — [[queryKey]] AS OF a committed
+    * version, completing the as-of sidecar-serving family
+    * ([[rollupRangeAsOf]], [[estimateRowsInRangeAsOf]]). The `_stats`
+    * Bloom/min-max sidecar describes the LIVE table, so its pruning
+    * applies to exactly the buckets whose snapshot file set EQUALS
+    * their live set (the sidecar row then describes the snapshot too,
+    * by the rewrite protocol); DIVERGED buckets are never pruned —
+    * they scan from their snapshot's trash-retained files. Cost: the
+    * usual KB folds plus a scan of (bloom-surviving matching buckets
+    * ∪ diverged buckets) — a snapshot taken yesterday pays data reads
+    * only where the table mutated since. */
+  def queryKeyAsOf(name: String, key: String, version: Long): DataFrame = {
+    val p = requireTable(name)
+    requireKeyed(name, "queryKeyAsOf")
+    val snap = ChronoHistory.snapshot(cfs, p, version)
+    ChronoHistory.requireReadableAgainst(spark, cfs, p, snap,
+      manifestKeyFrame(name), s"version $version of table '$name'")
+    val live = manifestEntries(name, None)
+    val liveBy = live.groupBy(_.bucket)
+    val (same, diverged) = snap.groupBy(_.bucket).partition {
+      case (b, es) => liveBy.get(b).exists(ls =>
+        ls.map(_.file).toSet == es.map(_.file).toSet)
+    }
+    val entries = keyCandidateBuckets(name, key) match {
+      case Some(c) =>
+        val cs = c.toSet
+        val keep = same.keys.filter(cs).toSet ++ diverged.keys
+        snap.filter(e => keep(e.bucket))
+      case None => snap // no sidecar: the whole snapshot scans
+    }
+    ManifestFileIndex.relation(spark, p,
+        ManifestFileIndex.withGranularity(tableSchema(name),
+          granularityFor(name)), entries)
+      .filter(col("key") === lit(key))
+      .select(dataCols(name): _*)
+  }
+
   /** Key-RANGE scan (inclusive [lo, hi] in binary key order — the
     * prefix-scan access pattern: `queryKeyRange(t, "tenantX/", "tenantX/\uffff")`). The Bloom family cannot answer ranges, so
     * pruning here rides the key_min/key_max interval alone: a bucket
