@@ -126,12 +126,29 @@ final class ChronoFs(val fs: FileSystem) {
     * schema after such a crash. Read-only: promotion back to `p` is the
     * owning writer's next [[writeLinesAtomic]], not the reader's job
     * (readers may not hold the LOCK). None when neither file exists. */
-  def readLinesRecover(p: HPath): Option[Seq[String]] =
-    if (exists(p)) Some(readLines(p))
-    else {
-      val tmp = p.suffix(".tmp")
-      if (exists(tmp)) Some(readLines(tmp)) else None
+  def readLinesRecover(p: HPath): Option[Seq[String]] = {
+    val tmp = p.suffix(".tmp")
+    // bounded retry against a CONCURRENT writeLinesAtomic swap (delete
+    // target → rename tmp in): either file can vanish between our
+    // exists() and the read (observed: a feed's `_head` read crashed
+    // FileNotFound mid-DML). On an atomic-rename fs at least one of
+    // the pair exists at every instant of the swap, so a genuinely
+    // absent pair still returns None on the first pass; only a read
+    // that RACED a swap loops, and five consecutive lost races means
+    // something else deleted the file — let that propagate loudly.
+    var attempts = 5
+    while (true) {
+      attempts -= 1
+      try {
+        if (exists(p)) return Some(readLines(p))
+        else if (exists(tmp)) return Some(readLines(tmp))
+        else return None
+      } catch {
+        case e: java.io.FileNotFoundException => if (attempts <= 0) throw e
+      }
     }
+    None // unreachable
+  }
 
   /** Small-text write via create-then-rename (atomic visibility on
     * HDFS/local — a reader never sees a partial log file). */

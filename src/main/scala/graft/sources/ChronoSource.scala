@@ -461,10 +461,30 @@ final class ChronoStreamSource(
     /** Fold the seen-log once this many per-ordinal files are committed. */
     compactThreshold: Int = 64,
     /** Admission control: at most this many files per trigger. */
-    maxFilesPerTrigger: Option[Int] = None) extends Source {
+    maxFilesPerTrigger: Option[Int] = None) extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val tail = new ChronoTailLog(spark, cfs, tableRoot, metadataPath,
     granularity, watermarkBuckets, compactThreshold, maxFilesPerTrigger)
+
+  // Trigger.AvailableNow (r19, same rationale as the change feed's):
+  // the engine's fetch-once V1 wrapper + maxFilesPerTrigger stranded
+  // all but one cap's worth of the backlog; the shared ChronoTailLog
+  // pin gives the V1 path source the same true semantics as the V2
+  // catalog stream — query-start universe, capped batches,
+  // self-termination.
+  override def prepareForTriggerAvailableNow(): Unit =
+    tail.pinAvailableNow()
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
 
   /** Driver-state size (probe observability — ScaleProbe tailage). */
   private[graft] def seenSize: Int = tail.seenSize
@@ -578,7 +598,8 @@ final class ChronoChangeFeedSource(
     granularity: String,
     startingVersion: Long,
     metadataPath: String,
-    maxCommitsPerTrigger: Option[Int]) extends Source {
+    maxCommitsPerTrigger: Option[Int]) extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // SCHEMA PINNED AT SOURCE CONSTRUCTION (spec-pinned, VERDICT r18
   // Missing #4): the V1 Source contract fixes one schema per instance
@@ -632,8 +653,38 @@ final class ChronoChangeFeedSource(
   // hwm → same offset → no batch) before normal advancing resumes.
   private var restartLeadServed = false
 
+  // Trigger.AvailableNow (r19): WITHOUT this, the engine wraps a V1
+  // source in its fetch-once wrapper — under maxCommitsPerTrigger that
+  // captured ONE cap's worth and terminated, silently stranding the
+  // rest of the backlog (spec-caught). Implementing the interface the
+  // FileStreamSource way instead: prepare() pins the head at query
+  // start, getOffset never reserves past the pin, pacing stays the
+  // source's own, and the engine terminates once offsets stop
+  // advancing — the whole query-start backlog delivered in capped
+  // batches. ReadLimit stays allAvailable: commit-count pacing has no
+  // ReadLimit vocabulary, and deriving the cap here keeps engine and
+  // source agreeing by construction.
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowTarget = Some(
+      graft.core.ChronoHistory.headVersion(cfs, tableRoot)
+        .getOrElse(startingVersion))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
   override def getOffset: Option[Offset] = synchronized {
-    graft.core.ChronoHistory.headVersion(cfs, tableRoot).foreach { head =>
+    graft.core.ChronoHistory.headVersion(cfs, tableRoot).foreach { head0 =>
+      val head = availableNowTarget.fold(head0)(math.min(head0, _))
       val target = maxCommitsPerTrigger match {
         case Some(_) if !restartLeadServed && reservedTo > startingVersion =>
           reservedTo

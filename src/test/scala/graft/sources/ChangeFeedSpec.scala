@@ -125,6 +125,45 @@ class ChangeFeedSpec extends SparkSuite {
     } finally db.close()
   }
 
+  test("Trigger.AvailableNow on the V1 feed: engine wrapper + the cap — paced batches, self-termination (spec-pinned)") {
+    val dir = Files.createTempDirectory("cfeed_avn").toString
+    val out = Files.createTempDirectory("cfeed_avn_out").toString
+    val cp = Files.createTempDirectory("cfeed_avn_cp").toString
+    val db = new ChronoDB(spark, ChronoConfig(dir, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0,
+      trashGraceMs = 3600000L))
+    try {
+      db.createTable("t")
+      (1 to 10).foreach(i => db.insertSeq("t", Seq(
+        ChronoRow(s"k$i", ts("2024-03-01 10:00:00"), Array(i.toByte)))))
+      val q = spark.readStream.format("chrono")
+        .option("changeFeed", "true")
+        .option("maxCommitsPerTrigger", "3")
+        .load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // V1 sources ride the engine's AvailableNow wrapper; the pinned
+      // contract: the query SELF-TERMINATES with the whole query-start
+      // backlog delivered, and the source's own cap still paces the
+      // offset log (no single 10-commit mega-batch)
+      assert(q.awaitTermination(120000),
+        "AvailableNow feed must self-terminate")
+      assert(spark.read.parquet(out).count() === 10L)
+      import scala.jdk.CollectionConverters._
+      val ends = java.nio.file.Files
+        .list(java.nio.file.Paths.get(cp, "offsets")).iterator().asScala
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .map(p => java.nio.file.Files.readAllLines(p).asScala.last.trim.toLong)
+        .toSeq.sorted
+      assert(ends.nonEmpty && ends.last === 10L)
+      val spans = (0L +: ends).sliding(2).map(w => w(1) - w(0)).toSeq
+      assert(spans.forall(_ <= 3L),
+        s"every batch must respect the cap under AvailableNow: $spans")
+    } finally db.close()
+  }
+
   test("restart with the hwm LEADING the offset log serves the reservation as-is — never 2x the cap (ADVICE r18)") {
     val dir = Files.createTempDirectory("cfeed_lead").toString
     val meta = Files.createTempDirectory("cfeed_lead_meta").toString

@@ -155,6 +155,26 @@ class TailSourceSpec extends SparkSuite {
           .start()
         assert(q2.awaitTermination(120000))
         assert(spark.read.parquet(out).count() === 13L)
+        // the V1 PATH surface has the same true semantics (r19: the
+        // source implements SupportsTriggerAvailableNow itself — the
+        // engine's fetch-once wrapper would have stranded all but one
+        // cap's worth): fresh checkpoint, 13 files / cap 3 → 5 batches
+        val out2 = Files.createTempDirectory("avn_out2").toString
+        val cp2 = Files.createTempDirectory("avn_cp2").toString
+        val q3 = spark.readStream.format("chrono")
+          .option("maxFilesPerTrigger", "3").load(s"$root/ev")
+          .writeStream.format("parquet")
+          .option("path", out2).option("checkpointLocation", cp2)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q3.awaitTermination(120000),
+          "V1 path AvailableNow must self-terminate")
+        assert(spark.read.parquet(out2).count() === 13L)
+        val batches2 = java.nio.file.Files
+          .list(java.nio.file.Paths.get(cp2, "offsets")).iterator().asScala
+          .count(_.getFileName.toString.forall(_.isDigit))
+        assert(batches2 === 5,
+          s"13 files at cap 3 → 5 capped batches, got $batches2")
       } finally {
         Seq("", ".dataDir", ".bucket").foreach(sfx =>
           spark.conf.unset(s"spark.sql.catalog.$cat$sfx"))
