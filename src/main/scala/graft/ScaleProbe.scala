@@ -695,8 +695,8 @@ object ScaleProbe {
     * with NO table-sized block-manager pinning. Pre-r19 the verb
     * localCheckpoint'd the entire table (non-recomputable executor
     * storage = table size); now the rewrite streams through the
-    * stage-then-adopt path — `pinned_rdd_blocks` must be 0 after the
-    * verb, and heap/spill ride the probe's listener. */
+    * stage-then-adopt path — `pinned_cached_partitions` must be 0 after
+    * the verb, and heap/spill ride the probe's listener. */
   private def zorderVerbProbe(sfDir: String, mult: Int): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkSession.builder()
@@ -732,8 +732,13 @@ object ScaleProbe {
       val buckets = db.zorder("t", Seq("v", "ts"), bits = 16,
         filesPerBucket = 4)
       val sec = (System.nanoTime() - t0) / 1e9
-      val pinned = spark.sparkContext.getRDDStorageInfo.length
-      println(f"""{"probe":"zorderverb","mult":$mult,"rows":$rows,"buckets_rewritten":$buckets,"zorder_sec":$sec%.2f,"pinned_rdd_blocks":$pinned,${spill.json}"ok":${pinned == 0}}""")
+      // the metric is CACHED PARTITIONS actually pinned in the block
+      // manager, not the count of registered RDDs (an unrelated cached
+      // RDD elsewhere in the session would flip the verdict; an RDD
+      // registered but never materialized pins nothing) — ADVICE r19
+      val pinned = spark.sparkContext.getRDDStorageInfo
+        .map(_.numCachedPartitions.toLong).sum
+      println(f"""{"probe":"zorderverb","mult":$mult,"rows":$rows,"buckets_rewritten":$buckets,"zorder_sec":$sec%.2f,"pinned_cached_partitions":$pinned,${spill.json}"ok":${pinned == 0L}}""")
     } finally { db.close(); spark.stop() }
   }
 

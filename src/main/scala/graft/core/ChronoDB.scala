@@ -179,6 +179,31 @@ final case class TableStats(
   * the action. */
 final case class BucketedRefresh(mode: String, files: Int)
 
+/** How the stored ANN index may serve the table's CURRENT state — the
+  * freshness walk's full verdict (VERDICT r19 #1: rebuild-or-refuse is
+  * not a lifecycle on a continuously-ingesting table, the engine's core
+  * loop — reference db.go:145-152). [[ChronoDB.annServeState]]. */
+private[graft] sealed trait AnnServeState
+private[graft] object AnnServeState {
+  /** No index was ever built ([[ChronoDB.buildAnnIndex]] is the
+    * deliberate, parameterized act that creates one). */
+  case object Unbuilt extends AnnServeState
+  /** Every post-build commit is content-preserving: the stored cells
+    * alone serve. */
+  case object Fresh extends AnnServeState
+  /** Post-build commits are INSERTS (plus layout rewrites that never
+    * touched the inserted files): the stored cells serve, unioned with
+    * an exact scan of exactly `delta` — the queryKeyAsOf divergence
+    * trick applied to the index. Priced at the delta, not the corpus. */
+  final case class InsertDelta(delta: Seq[ManifestEntry])
+    extends AnnServeState
+  /** A post-build commit mutated rows or folded post-build inserts into
+    * rewritten files — the stored lists may omit/duplicate live vectors
+    * and only a rebuild repairs them. Always refuses loudly: an
+    * approximate result must never silently diverge from the corpus. */
+  final case class Unservable(reason: String) extends AnnServeState
+}
+
 object ChronoDB {
 
   import org.apache.spark.sql.types._
@@ -372,14 +397,48 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     if (!holdingLock || closed) return
     // under lockMonitor: our OWN heartbeat rewrites the payload with a
     // truncating create — an unsynchronized read racing it would see an
-    // empty file and self-poison a healthy handle
+    // empty file and self-poison a healthy handle.
+    //
+    // The read itself is DECIDED, never guessed (ADVICE r19, both
+    // directions): a transient store error or an empty/unreadable
+    // payload is retried a bounded number of times; only a CONCRETE
+    // observation — a foreign uuid, our own uuid, or a deleted lock —
+    // ends the loop. An empty payload that persists past the retries
+    // reads as NOT a loss (a sibling's mid-write truncation window is
+    // microseconds; three spaced reads outlast it, and the documented
+    // contract is that an unreadable lock never poisons a sole
+    // holder). A store ERROR that persists past the retries refuses
+    // THIS commit without poisoning the handle: on the S3-class
+    // stores fencing targets, proceeding on an unverified read would
+    // silently widen the verify→rename window to the whole error case.
     lockLostTo = lockLostTo.orElse(lockMonitor.synchronized {
-      try lockHolder() match {
-        case Some((u, _, _)) if u == holderId => None
-        case Some((u, e, _)) =>
-          Some(s"${if (u.isEmpty) "<unknown>" else u} (epoch $e)")
-        case None => Some("<lock file deleted>")
-      } catch { case scala.util.control.NonFatal(_) => None }
+      var verdict: Option[Option[String]] = None
+      var lastErr: Option[Throwable] = None
+      var attempt = 0
+      while (verdict.isEmpty && attempt < 3) {
+        if (attempt > 0) Thread.sleep(15L * attempt)
+        attempt += 1
+        try {
+          lockHolder() match {
+            case Some((u, _, _)) if u == holderId => verdict = Some(None)
+            case Some((u, e, _)) if u.nonEmpty =>
+              verdict = Some(Some(s"$u (epoch $e)"))
+            case Some(_) => // empty/unreadable payload: not decisive yet
+              lastErr = None
+            case None => verdict = Some(Some("<lock file deleted>"))
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) => lastErr = Some(e)
+        }
+      }
+      verdict.getOrElse {
+        lastErr.foreach(e => throw new DatabaseLockedException(
+          config.dataDir,
+          s"fencing check could not READ the lock at commit time " +
+            s"($what): ${e.getMessage} — refusing this commit (the " +
+            "handle stays live; retry the verb once the store answers)"))
+        None // readable-but-empty after retries: not a loss, by contract
+      }
     })
     lockLostTo.foreach(u => throw new DatabaseLockedException(config.dataDir,
       s"fencing check failed at commit time ($what): this handle's " +
@@ -2433,7 +2492,28 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         org.apache.spark.sql.Row] =
       maxRecordsPerFile.map(n =>
         w.option("maxRecordsPerFile", n)).getOrElse(w)
-    if (graceActive(name)) {
+    // store-aware branch dispatch (ADVICE r19): the non-grace adoption
+    // below does O(new files) driver renames — free where rename is a
+    // metadata move, copy+delete per file on object stores, with a
+    // widened crash window mid-adoption. On a non-atomic-rename scheme
+    // the APPEND branch (no renames at all) is therefore FORCED
+    // whenever a manifest exists to flip — even at trashGraceMs = 0,
+    // where the superseded files are merely vacuum-eligible at once
+    // instead of grace-retained. Only a manifest-less table on such a
+    // store still takes the rename path, loudly.
+    val graceBranch = graceActive(name) || (!cfs.renameIsAtomic && {
+      recoverSidecar(manifestPath(name))
+      val forced = cfs.exists(manifestPath(name))
+      if (forced) log.warn(s"table '$name': ${verb} on a non-atomic-" +
+        "rename store — taking the append/trash branch (no renames); " +
+        "set trashGraceMs > 0 to also grace-retain superseded files")
+      else log.warn(s"table '$name': ${verb} on a non-atomic-rename " +
+        "store WITHOUT a manifest — adoption will pay copy+delete per " +
+        "file with a visible mid-adoption window; enable the manifest " +
+        "(or trashGraceMs) to avoid renames here")
+      forced
+    })
+    if (graceBranch) {
       // SNAPSHOT-GRACE path (VERDICT r16 Missing #4): the compacted
       // rows land as NEW files (append — unique part names), the
       // superseded files stay IN PLACE recorded in `_trash`, and the
@@ -3875,6 +3955,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def annCellsPath(name: String): HPath =
     tablePath(name).resolve("_ann_cells")
 
+  /** Delta-append staging dir (sibling of `_ann_cells`, "_"-prefixed ⇒
+    * invisible to data walkers): [[appendAnnDelta]] stages the newly
+    * assigned rows here, then adopts them file-by-file under a
+    * `delta-v<version>-` name tag. */
+  private def annDeltaStagingPath(name: String): HPath =
+    tablePath(name).resolve("_ann_delta_tmp")
+
   private val annSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("cell",
       org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -3919,8 +4006,21 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     import org.apache.spark.ml.functions.array_to_vector
     val c = table(name)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // QUANTIZER FIT ON A BOUNDED SAMPLE (VERDICT r19 Next #3): k-means
+    // at maxIter 10 over the full corpus costs ~10 corpus passes before
+    // the one unavoidable assignment/rewrite pass; standard IVF
+    // practice trains the coarse quantizer on ~40·nlist points. The
+    // sample is DETERMINISTIC — top-N by seeded xxhash64 of the id, one
+    // TakeOrdered pass, no count() round trip — so a rebuild with the
+    // same seed fits the same set. Centroid VALUES may differ from a
+    // full-corpus fit; nothing downstream depends on them (they are
+    // STORED, and every assignment/serve derives from the stored
+    // floats — the d45 integrity contract).
+    val fitSample = math.max(nlist * 40, 10000)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(c.withColumn("features", array_to_vector(col("vec")))
+      .fit(c.select(array_to_vector(col("vec")).as("features"),
+          xxhash64(col("id"), lit(seed)).as("__h"))
+        .orderBy(col("__h")).limit(fitSample)
         .select(col("features")))
     val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
       (i, v.toArray.map(_.toFloat).toSeq)
@@ -3931,6 +4031,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     deleteRecursively(sidecarTmp(annPath(name)))
     deleteRecursively(sidecarOld(annPath(name)))
     deleteRecursively(annCellsPath(name))
+    deleteRecursively(annDeltaStagingPath(name))
     // assignment by the SHARED cosine-argmax expression over the
     // FLOAT-TRUNCATED stored centroids — NOT model.transform: the
     // model's double centers never persist, so transform-made
@@ -4014,66 +4115,218 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .select(col("id"), col("cell"))
   }
 
-  /** True iff the stored index may SERVE: `_ann` present and every
-    * history commit after its build version is content-preserving
-    * (compact/zorder rewrite layout, not rows — the inverted lists'
-    * vectors are copies of build-time rows, so any row mutation
-    * diverges them). The walk also demands the version range be DENSE
-    * in the retained log: an expired gap could hide a mutation, so it
-    * reads as stale (rebuild, don't guess). */
-  def annIndexFresh(name: String): Boolean = {
+  /** True iff the stored index alone serves the live table: `_ann`
+    * present and every post-build commit content-preserving — the
+    * [[annServeState]] == Fresh projection, kept for the gates and the
+    * `_colstats`-family symmetry. Note that serving no longer REQUIRES
+    * this: insert-only staleness serves live through the delta union
+    * ([[annTopK]]). */
+  def annIndexFresh(name: String): Boolean =
+    annServeState(name) == AnnServeState.Fresh
+
+  /** Classify how the stored index may serve the CURRENT table state —
+    * the freshness walk, upgraded from a boolean to the full verdict
+    * (VERDICT r19 #1). Bounded: commit RECORDS of exactly the ≤64
+    * versions since the build (each O(its delta) bytes), never the
+    * retained log; an expired commit in the range reads as Unservable
+    * (the walk is a proof, not a guess). The walk REPLAYS the delta:
+    *  - `insert` commits accumulate their added files — those rows are
+    *    absent from the stored lists and servable by an exact scan of
+    *    exactly those files;
+    *  - `compact`/`zorder` commits are content-preserving UNLESS they
+    *    removed an accumulated delta file (the rewrite folded
+    *    post-build rows into files that also hold indexed rows — the
+    *    delta is no longer separable) — then Unservable;
+    *  - anything else (DML, cleanup, restore, `-move` companions)
+    *    mutated rows the lists may still carry — Unservable. */
+  private[graft] def annServeState(name: String): AnnServeState = {
     requireTable(name)
     recoverSidecar(annPath(name))
-    if (!cfs.exists(annPath(name))) return false
+    if (!cfs.exists(annPath(name))) return AnnServeState.Unbuilt
     val builtVersion = spark.read.schema(annSchema)
       .parquet(annPath(name).toString)
       .select(col("built_version")).head().getLong(0)
     val p = tablePath(name)
-    // bounded walk, commit HEADERS only: read the verbs of exactly the
-    // versions since the build (≤64 — more layout-only commits than
-    // that between builds is implausible, and "stale" is always the
-    // safe answer), never the full retained log. An absent commit in
-    // the range (expired) reads as None → stale: the walk is a proof.
-    ChronoHistory.headVersion(cfs, p).exists { head =>
-      head >= builtVersion && head - builtVersion <= 64 &&
-        (builtVersion + 1 to head).forall(v =>
-          ChronoHistory.commitVerb(cfs, p, v)
-            .exists(vb => vb == "compact" || vb == "zorder"))
+    val head = ChronoHistory.headVersion(cfs, p).getOrElse(
+      return AnnServeState.Unservable(
+        "table history is gone (it is the freshness authority)"))
+    if (head < builtVersion)
+      return AnnServeState.Unservable(
+        s"head version $head precedes the build's $builtVersion " +
+          "(history rewritten under the index)")
+    if (head - builtVersion > 64)
+      return AnnServeState.Unservable(
+        s"${head - builtVersion} commits since the build — past the " +
+          "bounded walk (rebuild, don't guess)")
+    val delta = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), ManifestEntry]
+    var v = builtVersion + 1
+    while (v <= head) {
+      val c =
+        try ChronoHistory.readCommit(cfs, p, v)
+        catch {
+          case _: IllegalStateException => return AnnServeState.Unservable(
+            s"commit $v expired from the retained log — the walk " +
+              "cannot prove freshness")
+        }
+      c.verb match {
+        case "insert" if c.removes.isEmpty =>
+          c.adds.foreach(e => delta.update((e.bucket, e.file), e))
+        case "compact" | "zorder" =>
+          if (c.removes.exists(e => delta.contains((e.bucket, e.file))))
+            return AnnServeState.Unservable(
+              s"commit $v (${c.verb}) folded post-build inserts into " +
+                "rewritten files — the delta is no longer separable")
+        // rewritten adds re-copy INDEXED rows only (the delta-file
+        // check above just proved it) — they never join the delta
+        case other => return AnnServeState.Unservable(
+          s"commit $v ($other) is not content-preserving")
+      }
+      v += 1
     }
+    if (delta.isEmpty) AnnServeState.Fresh
+    else AnnServeState.InsertDelta(delta.values.toSeq)
   }
 
-  /** Rebuild the index with its STORED parameters iff it has gone
-    * stale ([[annIndexFresh]] false). True = a rebuild ran. No-op
-    * (false) when fresh or when no index was ever built (building one
-    * is a deliberate, parameterized act — [[buildAnnIndex]]). */
+  /** Repair the index iff it cannot serve index-only. True = a repair
+    * ran: INSERT-only staleness takes the DELTA path ([[appendAnnDelta]]
+    * — assign only the new rows under the stored centroids, one
+    * delta-sized pass); anything else rebuilds from the STORED
+    * parameters. No-op (false) when fresh or never built (building is
+    * a deliberate, parameterized act — [[buildAnnIndex]]). */
   def buildAnnIndexIfStale(name: String): Boolean = locked {
     requireTable(name)
     recoverSidecar(annPath(name))
-    if (!cfs.exists(annPath(name)) || annIndexFresh(name)) false
-    else {
-      val m = spark.read.schema(annSchema)
-        .parquet(annPath(name).toString).head()
-      buildAnnIndex(name, m.getString(3), m.getString(4), m.getInt(5),
-        m.getLong(6))
-      true
+    if (!cfs.exists(annPath(name))) false
+    else annServeState(name) match {
+      case AnnServeState.Fresh => false
+      case AnnServeState.InsertDelta(delta) =>
+        appendAnnDelta(name, delta)
+        true
+      case _ =>
+        val m = spark.read.schema(annSchema)
+          .parquet(annPath(name).toString).head()
+        buildAnnIndex(name, m.getString(3), m.getString(4), m.getInt(5),
+          m.getLong(6))
+        true
     }
   }
+
+  /** Fold an INSERT-ONLY staleness delta into the stored index: assign
+    * exactly the post-build rows under the STORED centroids (the shared
+    * [[annAssign]] expression — the d45 integrity contract stays exact:
+    * every stored cell remains re-derivable from `_ann` alone) and
+    * append them to `_ann_cells`; `_ann` swaps last with the covered
+    * head version and updated per-cell counts. Cost: one pass over the
+    * DELTA files plus a delta-sized count read — never the corpus, and
+    * never a fit.
+    *
+    * Crash protocol (a multi-file append cannot be atomic, so adoption
+    * is VERSION-TAGGED): appended part files are named `delta-v<H>-*`
+    * and `_ann`'s built_version advances to H only AFTER every file
+    * landed. A crash mid-append leaves tag-H files beside
+    * built_version < H — readers are still in InsertDelta state
+    * (history unchanged), and the serve union DEDUPES by neighbor id,
+    * so a half-appended row answering from both sides is harmless; the
+    * next append/rebuild sweeps every tag > built_version first
+    * ([[sweepUnadoptedAnnDelta]] — they are provably unadopted), so a
+    * double-append cannot occur. */
+  private def appendAnnDelta(name: String,
+      delta: Seq[ManifestEntry]): Unit = {
+    val meta = spark.read.schema(annSchema)
+      .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
+    val (idCol, vecCol) = (meta.head.getString(3), meta.head.getString(4))
+    val builtVersion = meta.head.getLong(7)
+    val head = ChronoHistory.headVersion(cfs, tablePath(name)).getOrElse(
+      throw new IllegalStateException(
+        s"history vanished mid-append on '$name'"))
+    sweepUnadoptedAnnDelta(name, builtVersion)
+    val centers = meta.map(r =>
+      (r.getInt(0), r.getSeq[Float](1))).toIndexedSeq
+    val deltaRows = ManifestFileIndex.relation(spark, tablePath(name),
+        ManifestFileIndex.withGranularity(tableSchema(name),
+          granularityFor(name)), delta)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val staging = annDeltaStagingPath(name)
+    deleteRecursively(staging)
+    annAssign(deltaRows, annCentsFrame(centers)).write
+      .partitionBy("cell")
+      .option("compression", config.compression)
+      .parquet(staging.toString)
+    // delta-sized count read for the `_ann` n update
+    val appended = spark.read.parquet(staging.toString)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // adopt: move each staged part file under its cell dir (dirs that
+    // had no build-time rows are created here), version-tagged
+    verifyFencing(s"ann delta append on '$name'")
+    cfs.list(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { cdir =>
+        val target = annCellsPath(name).resolve(cdir.getPath.getName)
+        cfs.mkdirs(target)
+        cfs.list(cdir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(st => cfs.move(st.getPath,
+            target.resolve(s"delta-v$head-${st.getPath.getName}")))
+      }
+    val rows = meta.map { r =>
+      val cell = r.getInt(0)
+      org.apache.spark.sql.Row(cell, r.getSeq[Float](1),
+        r.getLong(2) + appended.getOrElse(cell, 0L),
+        idCol, vecCol, r.getInt(5), r.getLong(6), head)
+    }.toIndexedSeq
+    rewriteSidecar(annPath(name), spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      annSchema))
+    deleteRecursively(staging)
+  }
+
+  /** Delete `_ann_cells` part files whose `delta-v<V>-` tag exceeds the
+    * adopted built_version — a crashed append's orphans (their rows are
+    * still served correctly via the delta union; this sweep exists so
+    * the NEXT append cannot land them twice). */
+  private def sweepUnadoptedAnnDelta(name: String,
+      builtVersion: Long): Unit =
+    cfs.list(annCellsPath(name))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { cdir =>
+        cfs.list(cdir.getPath).map(_.getPath)
+          .filter { f =>
+            val n = f.getName
+            n.startsWith("delta-v") && {
+              val tag = n.stripPrefix("delta-v").takeWhile(_.isDigit)
+              tag.nonEmpty && tag.toLong > builtVersion
+            }
+          }
+          .foreach(cfs.deleteIfExists)
+      }
 
   /** Top-k cosine neighbors from the STORED index — no fit, no corpus
     * scan: probe selection is an in-row argsort over the KB centroid
     * read, and the only data I/O is the probed cells' inverted-list
-    * directories (partition-pruned `cell IN`). Query columns must
-    * carry the index's id/vec columns. Refuses loudly when the index
-    * is missing or stale — approximate results must never silently
-    * omit post-build rows. */
+    * directories (partition-pruned `cell IN`) plus — on a table that
+    * has INSERTED since the build — an exact scan of exactly the
+    * post-build files (the delta union below). Query columns must
+    * carry the index's id/vec columns; the query side is a bounded
+    * serving batch by contract (its probes collect driver-side).
+    * Refuses loudly only when rows were REWRITTEN since the build
+    * (delete/update/fold — the lists may carry vanished vectors);
+    * plain ingest no longer stales the serve path (VERDICT r19 #1). */
   def annTopK(name: String, queries: DataFrame, k: Int,
       nprobe: Int = 4): DataFrame = {
     requireTable(name)
-    if (!annIndexFresh(name))
-      throw new IllegalStateException(
-        s"no fresh ANN index for '$name' — run buildAnnIndex / " +
-          "buildAnnIndexIfStale (the index refuses to serve across " +
-          "row mutations; compact/zorder preserve it)")
+    val delta = annServeState(name) match {
+      case AnnServeState.Fresh => Seq.empty[ManifestEntry]
+      case AnnServeState.InsertDelta(d) => d
+      case AnnServeState.Unbuilt => throw new IllegalStateException(
+        s"no ANN index on '$name' — run buildAnnIndex first")
+      case AnnServeState.Unservable(reason) =>
+        throw new IllegalStateException(
+          s"the ANN index on '$name' cannot serve: $reason — run " +
+            "buildAnnIndexIfStale (inserts are served live through " +
+            "the delta union; row rewrites require the repair)")
+    }
     import org.apache.spark.sql.expressions.Window
     val meta = spark.read.schema(annSchema)
       .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
@@ -4087,15 +4340,28 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("cdist").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(centersDf))
+    // ONE evaluation of the probe-selection subplan (ADVICE r19): the
+    // probes are ≤ queries × nprobe rows, collected once; the pruned
+    // cell list, the broadcast probe frame, and the delta scan's query
+    // frame all derive from this single collect instead of re-running
+    // the crossJoin+window lineage per consumer.
+    val probeRows = q.crossJoin(broadcast(centersDf))
       .withColumn("cdist", cos(col("qv"), col("center")))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
-    // the probed-cell union is tiny (≤ queries × nprobe): collect it
-    // so the list read PARTITION-PRUNES to exactly those directories
-    val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .collect().toIndexedSeq
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        queries.schema(idCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("qv",
+        queries.schema(vecCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val probes = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](probeRows.asJava),
+      probeSchema)
+    val cells = probeRows.map(_.getInt(2)).distinct
     val lists = spark.read
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
@@ -4107,12 +4373,39 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .option("basePath", annCellsPath(name).toString)
       .parquet(annCellsPath(name).toString)
       .filter(col("cell").isin(cells: _*))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    lists.join(broadcast(probes), Seq("cell"))
+    val indexCand = lists.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("cos", cos(col("qv"), col("vec")))
-      .withColumnRenamed("id", "neighbor_id")
+      .select(col("qid"), col("id").as("neighbor_id"), col("cos"))
+    val cand = if (delta.isEmpty) indexCand else {
+      // LIVE DELTA UNION (VERDICT r19 #1): post-build inserts answer
+      // from an EXACT cosine scan of exactly the delta files — the
+      // index side stays approximate (probed cells), the un-indexed
+      // rows are never silently omitted, and the extra cost is priced
+      // at the delta, not the corpus. Dedup by (query, neighbor):
+      // index rows and delta rows are disjoint by construction, EXCEPT
+      // a crashed half-append's rows, which exist identically on both
+      // sides — max() over an identical cos is exact.
+      val qFrame = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          probeRows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1)))
+            .distinctBy(_.get(0)).asJava),
+        org.apache.spark.sql.types.StructType(probeSchema.fields.take(2)))
+      val deltaCand = ManifestFileIndex.relation(spark, tablePath(name),
+          ManifestFileIndex.withGranularity(tableSchema(name),
+            granularityFor(name)), delta)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .crossJoin(broadcast(qFrame))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("cos", cos(col("qv"), col("vec")))
+        .select(col("qid"), col("id").as("neighbor_id"), col("cos"))
+      indexCand.unionByName(deltaCand)
+        .groupBy(col("qid"), col("neighbor_id"))
+        .agg(max(col("cos")).as("cos"))
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),
@@ -4125,18 +4418,28 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * fit (a full corpus scan × iterations) and the assignment scan —
     * its only work is the within-cell greedy pairing
     * ([[graft.operators.Dedup.semanticDedupAssigned]], lower-id wins
-    * at cosine ≥ `threshold`). Same freshness contract as [[annTopK]]:
-    * refuses across row mutations. Returns keepers as (idCol, cell). */
+    * at cosine ≥ `threshold`). Same serve contract as [[annTopK]]:
+    * INSERT-only staleness serves live — the delta rows are assigned
+    * on the fly under the STORED centroids (the same shared expression
+    * the build used, so their cells equal what [[appendAnnDelta]]
+    * would store) and unioned into the lists before the pairing; row
+    * rewrites refuse loudly. Returns keepers as (idCol, cell). */
   def semanticDedupStored(name: String, threshold: Double): DataFrame = {
     requireTable(name)
-    if (!annIndexFresh(name))
-      throw new IllegalStateException(
-        s"no fresh ANN index for '$name' — run buildAnnIndex / " +
-          "buildAnnIndexIfStale (the index refuses to serve across " +
-          "row mutations; compact/zorder preserve it)")
+    val delta = annServeState(name) match {
+      case AnnServeState.Fresh => Seq.empty[ManifestEntry]
+      case AnnServeState.InsertDelta(d) => d
+      case AnnServeState.Unbuilt => throw new IllegalStateException(
+        s"no ANN index on '$name' — run buildAnnIndex first")
+      case AnnServeState.Unservable(reason) =>
+        throw new IllegalStateException(
+          s"the ANN index on '$name' cannot serve: $reason — run " +
+            "buildAnnIndexIfStale (inserts are served live through " +
+            "the delta union; row rewrites require the repair)")
+    }
     val meta = spark.read.schema(annSchema)
-      .parquet(annPath(name).toString).head()
-    val (idCol, vecCol) = (meta.getString(3), meta.getString(4))
+      .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
+    val (idCol, vecCol) = (meta.head.getString(3), meta.head.getString(4))
     val schema = tableSchema(name)
     val lists = spark.read
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -4148,9 +4451,27 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
           org.apache.spark.sql.types.IntegerType, nullable = true))))
       .option("basePath", annCellsPath(name).toString)
       .parquet(annCellsPath(name).toString)
+      .select(col("id").as("__id"), col("vec").as("__vec"), col("cell"))
+    val assigned = if (delta.isEmpty) lists else {
+      val centers = meta.map(r =>
+        (r.getInt(0), r.getSeq[Float](1))).toIndexedSeq
+      val deltaAssigned = annAssign(
+        ManifestFileIndex.relation(spark, tablePath(name),
+            ManifestFileIndex.withGranularity(tableSchema(name),
+              granularityFor(name)), delta)
+          .select(col(idCol).as("id"), col(vecCol).as("vec")),
+          annCentsFrame(centers))
+        .select(col("id").as("__id"), col("vec").as("__vec"), col("cell"))
+      // dropDuplicates heals the crashed half-append overlap (identical
+      // rows on both sides); disjoint by construction otherwise
+      lists.unionByName(deltaAssigned).dropDuplicates("__id")
+    }
+    // per-cell sizes ride along free from `_ann` (build/append keep
+    // them current) — the degenerate-cell pairing cap's input
     graft.operators.Dedup.semanticDedupAssigned(
-      lists.select(col("id").as("__id"), col("vec").as("__vec"),
-        col("cell")), idCol, threshold)
+      assigned, idCol, threshold,
+      knownCellSizes = Some(meta.map(r =>
+        r.getInt(0) -> r.getLong(2)).toMap))
   }
 
   private def sidecarTmp(dir: HPath): HPath = dir.suffix(".tmp")

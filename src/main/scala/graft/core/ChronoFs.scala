@@ -79,6 +79,19 @@ final class ChronoFs(val fs: FileSystem) {
 
   def deleteRecursively(p: HPath): Unit = fs.delete(p, true)
 
+  /** True when this scheme's rename is a metadata-atomic move (the
+    * local/HDFS family). Object stores emulate rename as copy+delete —
+    * per-file data movement AND a visible half-renamed window — so
+    * rename-heavy protocols ([[graft.core.ChronoDB]]'s non-grace
+    * rewrite adoption) dispatch on this to warn or take the append-
+    * based branch instead (ADVICE r19). The allowlist is deliberately
+    * conservative: an unknown scheme is treated as non-atomic, which
+    * costs a warning, never correctness. */
+  def renameIsAtomic: Boolean = fs.getScheme match {
+    case "file" | "hdfs" | "viewfs" | "webhdfs" | "ofs" | "o3fs" => true
+    case _ => false
+  }
+
   /** Atomic rename, fail-loud: the sidecar swap protocol depends on the
     * rename either happening or the crash leaving `.tmp`/`.old` intact —
     * a silent false would corrupt the recovery invariant. */

@@ -600,10 +600,28 @@ object Dedup {
     * persistent ANN index serves (`_ann_cells` stores exactly the
     * (`__id`, `__vec`, `cell`) frame this needs), so a stored-index
     * SemDeDup pass skips BOTH the fit and the assignment scan: its
-    * only work is the within-cell pairing itself. */
+    * only work is the within-cell pairing itself.
+    *
+    * `maxCell` is the degenerate-cell guard (VERDICT r19 Next #4): a
+    * collapsed quantizer can put ~all of a pathological all-similar
+    * corpus in ONE cell, and the within-cell self-join is quadratic in
+    * cell size. Cells past `maxCell` switch to the LSH chain+anchor
+    * pairing ([[bucketPairs]] — each member pairs with its nearest
+    * `chainWidth` id-predecessors plus the cell's first member), which
+    * keeps pair mass LINEAR in cell size. For SemDeDup's greedy rule
+    * the anchor pair alone already settles the degenerate case (every
+    * member similar to the cell's lowest id loses to it); what the cap
+    * trades away is pair RECALL inside oversized MIXED cells — exactly
+    * [[minHashLsh]]'s documented cap trade. Cells at or under `maxCell`
+    * pair completely, bit-identically to the uncapped plan. Pass
+    * `knownCellSizes` when a sidecar already knows them (`_ann`'s n
+    * column) — sizing is then free; otherwise an extra cell-count pass
+    * runs only when some cell actually exceeds the cap decision. */
   def semanticDedupAssigned(assigned: DataFrame, idCol: String,
-      threshold: Double): DataFrame =
-    greedyDropWithinCluster(assigned, idCol, threshold)
+      threshold: Double, maxCell: Int = 65536,
+      knownCellSizes: Option[Map[Int, Long]] = None): DataFrame =
+    greedyDropWithinCluster(assigned, idCol, threshold, maxCell,
+      knownCellSizes)
 
   /** Shared tail of the semantic-dedup family: given the clustered
     * corpus (`__id`, `__vec`, `cell`), apply SemDeDup's greedy per-pair
@@ -612,15 +630,44 @@ object Dedup {
     * needs no distinct pass. Alias self-join keeps both sides the
     * IDENTICAL plan subtree, so at scale the cell exchange is planned
     * once and the probe side is a ReusedExchange — one corpus pass for
-    * the pairing instead of two. */
+    * the pairing instead of two. Cells past `maxCell` leave the
+    * self-join for the linear chain+anchor pairing (see
+    * [[semanticDedupAssigned]]); Int.MaxValue = uncapped, no sizing
+    * pass, the exact historical plan. */
   private def greedyDropWithinCluster(
-      assigned: DataFrame, idCol: String, threshold: Double): DataFrame = {
+      assigned: DataFrame, idCol: String, threshold: Double,
+      maxCell: Int = Int.MaxValue,
+      knownCellSizes: Option[Map[Int, Long]] = None): DataFrame = {
     val cos = NativeExpressions.cosineNative _
-    val losers = assigned.as("a")
-      .join(assigned.as("b"), col("a.cell") === col("b.cell"))
+    val bigCells: Seq[Int] =
+      if (maxCell == Int.MaxValue) Seq.empty
+      else knownCellSizes match {
+        case Some(sizes) => sizes.filter(_._2 > maxCell).keys.toSeq.sorted
+        case None => assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxCell)
+          .collect().map(_.getInt(0)).toSeq.sorted
+      }
+    def selfJoinLosers(part: DataFrame): DataFrame = part.as("a")
+      .join(part.as("b"), col("a.cell") === col("b.cell"))
       .filter(col("a.__id") < col("b.__id") &&
         cos(col("a.__vec"), col("b.__vec")) >= threshold)
       .select(col("b.__id").as(idCol))
+    val losers =
+      if (bigCells.isEmpty) selfJoinLosers(assigned)
+      else {
+        // bucketPairs guarantees id_a < id_b (members pair with their
+        // id-order predecessors), so the loser is always id_b — the
+        // same lower-id-wins rule as the self-join branch
+        val capped = bucketPairs(
+          assigned.filter(col("cell").isin(bigCells: _*))
+            .select(lit(0).as("band"), col("cell").as("bucket"),
+              col("__id").as("id"), col("__vec").as("pl")),
+          maxBucket = maxCell)
+          .filter(cos(col("pl_a"), col("pl_b")) >= threshold)
+          .select(col("id_b").as(idCol))
+        selfJoinLosers(assigned.filter(!col("cell").isin(bigCells: _*)))
+          .unionByName(capped)
+      }
     assigned.select(col("__id").as(idCol), col("cell"))
       .join(losers, Seq(idCol), "left_anti")
   }

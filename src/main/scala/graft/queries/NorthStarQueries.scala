@@ -132,12 +132,15 @@ object NorthStarQueries {
     * corpus scan. Gate flow, all verdicts computed EAGERLY in driver
     * order: build → compact (content-preserving: the index must keep
     * serving, "folded by compact") → recall vs in-query brute force
-    * (d3e threshold margin) → a ROW MUTATION (insert) must flip the
-    * index stale and make annTopK REFUSE (approximate results never
-    * silently omit post-build rows) → buildAnnIndexIfStale rebuilds
-    * from stored parameters → serves again. One self-validating row:
-    * the SQL-exact query count anchors the hash, the booleans pin the
-    * lifecycle. */
+    * (d3e threshold margin) → an INSERT keeps serving LIVE through the
+    * delta union (VERDICT r19 #1: plain ingest is the engine's core
+    * loop and must not stale the index) and the planted post-build
+    * duplicate must actually SURFACE as a neighbor → a row REWRITE
+    * (delete) must flip the index unservable and make annTopK REFUSE
+    * (the stored lists may carry vanished vectors) →
+    * buildAnnIndexIfStale rebuilds from stored parameters → serves
+    * again. One self-validating row: the SQL-exact query count anchors
+    * the hash, the booleans pin the lifecycle. */
   def annIndexServeQ(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.{ChronoConfig, ChronoDB}
     import org.apache.spark.sql.types._
@@ -173,24 +176,87 @@ object NorthStarQueries {
         "left_semi").count()
       val nQ = queries.count()
       val recallOk = nHit >= nQ * 2 // the d3e margin (measured 3.4+/5)
-      // a ROW mutation diverges the stored lists: serving must refuse
+      // an INSERT serves LIVE (r19 #1): plant query 0's exact vector
+      // under a fresh id — the delta union must surface it at cos 1
+      // with NO rebuild (the index is verifiably delta-stale)
       db.insertFrame("e", withTs.filter(col("vec_id") === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("ts"),
           col("embedding")))
+      val qLive = db.table("e").filter(col("vec_id") < 32)
+      val servesThroughInsert = !db.annIndexFresh("e") &&
+        db.annTopK("e", qLive, k = 5, nprobe = 6)
+          .filter(col("query_id") === 0L &&
+            col("neighbor_id") === 1000000L).count() == 1L
+      // a row REWRITE diverges the stored lists: serving must refuse
+      db.deleteWhere("e", col("vec_id") === lit(1000000L))
+      val qDel = db.table("e").filter(col("vec_id") < 32)
       val staleDetected =
-        try { db.annTopK("e", queries, k = 5, nprobe = 6); false }
+        try { db.annTopK("e", qDel, k = 5, nprobe = 6); false }
         catch { case _: IllegalStateException => true }
       val rebuilt = db.buildAnnIndexIfStale("e")
       val servesAfterRebuild =
-        db.annTopK("e", queries, k = 5, nprobe = 6).count() >= nQ
+        db.annTopK("e", qDel, k = 5, nprobe = 6).count() >= nQ
       emb.filter(col("vec_id") < 32)
         .agg(count(lit(1)).as("n_queries"))
         .select(col("n_queries"), lit(5).as("k"),
           lit(recallOk).as("recall_ok"),
           lit(survivesCompact).as("survives_compact"),
+          lit(servesThroughInsert).as("serves_through_insert"),
           lit(staleDetected).as("stale_detected"),
           lit(rebuilt).as("rebuilt"),
           lit(servesAfterRebuild).as("serves_after_rebuild"))
+    } finally db.close()
+  }
+
+  /** D44b: the index SERVES THROUGH INSERTS, hash-exact (VERDICT r19
+    * #1's "done" gate) — build on HALF the corpus, insert the other
+    * half, then [[graft.core.ChronoDB.annTopK]] with NO rebuild: the
+    * stored cells answer the indexed rows and an exact cosine scan of
+    * exactly the post-build files answers the rest. Probes are
+    * EXHAUSTIVE (nprobe = nlist), so the union is EXACTLY brute-force
+    * top-k over the FULL live table — hash-checked against the same
+    * DuckDB oracle as d3, independent of the fitted centroid values.
+    * The builder REQUIRES genuine insert-staleness before the serve
+    * and again after (no hidden rebuild); rows collect eagerly
+    * (bounded: queries × k) so the hashed result is the delta-serve's,
+    * not a post-close replan. */
+  def annDeltaServeQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB}
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("d44b_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
+      sketchLgK = 0, sketchCmsDepth = 0, sketchBloomKeys = 0))
+    try {
+      val emb = t(spark, dir, "embeddings")
+      val withTs = emb.select(col("vec_id"),
+        to_timestamp(lit("2024-01-01 10:00:00")).as("ts"),
+        col("embedding"))
+      graft.core.BenchPhases.setup {
+        db.createTable("e", StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("embedding", ArrayType(FloatType)))))
+        db.insertFrame("e", withTs.filter(col("vec_id") % 2 === 0))
+        db.buildAnnIndex("e", "vec_id", "embedding", nlist = 16,
+          seed = 42L)
+        db.insertFrame("e", withTs.filter(col("vec_id") % 2 === 1))
+      }
+      require(!db.annIndexFresh("e"),
+        "d44b expects insert-only staleness before the serve")
+      val served = db.annTopK("e",
+          db.table("e").filter(col("vec_id") < 8), k = 5, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+        .collect().toIndexedSeq
+      require(!db.annIndexFresh("e"),
+        "d44b served through a hidden rebuild — the gate is void")
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(served).asJava),
+        StructType(Seq(
+          StructField("query_id", LongType),
+          StructField("rank", IntegerType),
+          StructField("neighbor_id", LongType),
+          StructField("cos", DoubleType))))
     } finally db.close()
   }
 
@@ -2140,9 +2206,32 @@ object NorthStarQueries {
       // in-query verdicts that must all come out TRUE
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k,
         |       TRUE AS recall_ok, TRUE AS survives_compact,
+        |       TRUE AS serves_through_insert,
         |       TRUE AS stale_detected, TRUE AS rebuilt,
         |       TRUE AS serves_after_rebuild
         |FROM embeddings WHERE vec_id < 32""".stripMargin)),
+    QueryDef("d44b_ann_delta_serve", annDeltaServeQ, Some(
+      // NOT self-validating: with exhaustive probes the delta-serve
+      // union (stored cells ∪ exact post-build-file scan) equals
+      // brute-force top-k over the full table EXACTLY, so the oracle
+      // is the same brute-force SQL as d3 — every row hash-checked,
+      // independent of the fitted centroid values
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.qe, e.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(q.qe,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
     QueryDef("d45_semantic_dedup_stored", semanticDedupStoredQ, Some(
       // self-validating: the corpus count anchors; the integrity
       // verdict (stored lists exactly re-derivable from `_ann`), the

@@ -110,6 +110,41 @@ class DedupSpec extends SparkSuite {
     assert(kept.toSeq === Seq(1L))
   }
 
+  test("semanticDedupAssigned degenerate-cell cap: linear pair mass, anchor settles the all-similar cell, small cells exact") {
+    // a collapsed-quantizer shape: 120 near-identical vectors all in
+    // cell 0 (pairwise cos ~1 — quadratic without the cap) + a
+    // 10-member mixed cell 1 that must stay bit-identical to uncapped
+    val big = (1L to 120L).map(i =>
+      (i, Seq(1.0f, 0.0f, (i % 3) * 1e-4f), 0))
+    val small = (200L to 209L).map(i =>
+      (i, Seq(0.0f, 1.0f, (i % 5) * 0.3f), 1))
+    val assigned = (big ++ small).toDF("__id", "__vec", "cell")
+    val uncapped = Dedup.semanticDedupAssigned(assigned, "id", 0.99)
+      .select("id").as[Long].collect().sorted.toSeq
+    val capped = Dedup.semanticDedupAssigned(assigned, "id", 0.99,
+        maxCell = 16)
+      .select("id").as[Long].collect().sorted.toSeq
+    // greedy rule on the all-similar cell: everyone loses to the
+    // anchor (the cell's lowest id) — which the chain+anchor pairing
+    // reaches by construction, so the capped verdict is EXACT here
+    assert(capped.count(_ <= 120L) === 1)
+    assert(capped.head === 1L)
+    assert(capped === uncapped)
+    // sidecar-known sizes take the same branch without a sizing pass
+    val known = Dedup.semanticDedupAssigned(assigned, "id", 0.99,
+        maxCell = 16, knownCellSizes = Some(Map(0 -> 120L, 1 -> 10L)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(known === capped)
+    // pair mass is LINEAR in the degenerate cell's size: C(16,2) full
+    // head + (120-16) members × (4 chain + 1 anchor), never C(120,2)
+    val pairs = Dedup.bucketPairs(
+      assigned.filter($"cell" === 0)
+        .select(lit(0).as("band"), $"cell".as("bucket"),
+          $"__id".as("id"), $"__vec".as("pl")),
+      maxBucket = 16)
+    assert(pairs.count() === (120 + (120 - 16) * 5).toLong)
+  }
+
   test("connected components collapse transitive near-dup chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)
