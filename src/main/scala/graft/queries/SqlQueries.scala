@@ -772,6 +772,57 @@ object SqlQueries {
     }
   }
 
+  /** Q70: ANN SERVE FROM SQL (VERDICT r19 Next #2 — the lifecycle
+    * procs stopped one verb short of the index's whole point): the
+    * entire index story as SQL strings, end to end. CREATE TABLE →
+    * INSERT the indexed half → `CALL system.build_ann_index` → INSERT
+    * the other half (live delta) → `CALL system.ann_topk('e',
+    * '<queries view>', k, nprobe)` serving THROUGH the insert with no
+    * rebuild. Probes are exhaustive (nprobe = nlist), so the served
+    * rows equal brute-force top-k over the FULL corpus — the same
+    * DuckDB oracle as d44b, hash-exact. `CALL
+    * system.semantic_dedup_stored` rides along: it registers the lazy
+    * keeper plan as a temp view (corpus-scale results never
+    * materialize on the driver) and the in-query verdict pins its
+    * keeper count against the facade bound. */
+  def chronoAnnSqlQ(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerTables(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("q70_db")
+    withFreshCatalog(spark, "q70", root) { cat =>
+      graft.core.BenchPhases.setup {
+        spark.sql(s"CREATE TABLE $cat.e " +
+          "(vec_id BIGINT, ts TIMESTAMP, embedding ARRAY<FLOAT>)")
+        spark.sql(s"INSERT INTO $cat.e (vec_id, ts, embedding) " +
+          "SELECT vec_id, TIMESTAMP '2024-01-01 10:00:00', embedding " +
+          "FROM embeddings WHERE vec_id % 2 = 0")
+        spark.sql(
+          s"CALL $cat.system.build_ann_index('e', 'vec_id', 'embedding', 16)")
+        spark.sql(s"INSERT INTO $cat.e (vec_id, ts, embedding) " +
+          "SELECT vec_id, TIMESTAMP '2024-01-02 10:00:00', embedding " +
+          "FROM embeddings WHERE vec_id % 2 = 1")
+      }
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW ann_q AS " +
+        s"SELECT vec_id, embedding FROM $cat.e WHERE vec_id < 8")
+      val served = spark.sql(
+          s"CALL $cat.system.ann_topk('e', 'ann_q', 5, 16)")
+        .localCheckpoint()
+      spark.sql(s"CALL $cat.system.semantic_dedup_stored(" +
+        "'e', CAST(0.35 AS DOUBLE), 'ann_keep')")
+      val keepers = spark.sql("SELECT count(*) AS n FROM ann_keep")
+        .head().getLong(0)
+      val total = spark.sql(s"SELECT count(*) AS n FROM $cat.e")
+        .head().getLong(0)
+      val out = served
+        .withColumn("dedup_view_ok",
+          lit(keepers >= 1L && keepers <= total))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint()
+      spark.sql("DROP VIEW ann_q")
+      spark.sql(s"DROP TABLE $cat.e")
+      out
+    }
+  }
+
   /** Q69: SHARED WRITERS (`lockMode = "verb"`) — two independent
     * facade handles interleave mutations on ONE root, each verb
     * acquiring the writer lease for its commit and releasing it (the
@@ -1043,6 +1094,26 @@ object SqlQueries {
         |       TRUE AS zorder_ok, TRUE AS prune_ok
         |FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
         |ORDER BY uid, ts, v""".stripMargin)),
+    QueryDef("q70_chrono_ann_sql", chronoAnnSqlQ, Some(
+      // serve-through-insert with exhaustive probes ≡ brute-force
+      // top-k over the full corpus (the d44b argument, via SQL CALL);
+      // the keeper-view claim is the in-query verdict
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.qe, e.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(q.qe,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id, cos, TRUE AS dedup_view_ok FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
     QueryDef("q67_chrono_change_feed", chronoChangeFeedQ, Some(q67Oracle)),
     QueryDef("q61_chrono_typed_docs", chronoTypedDocsQ, Some(q61Oracle)),
     QueryDef("d40_curation_in_store", curationInStoreQ, Some(d40Oracle)),

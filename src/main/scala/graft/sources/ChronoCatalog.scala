@@ -425,7 +425,8 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(ns: Array[String]): Array[Identifier] =
     (maintenanceProcs.keys.toSeq ++
       Seq("cleanup_as_of", "history", "restore_version",
-        "expire_history", "zorder", "build_ann_index")).sorted
+        "expire_history", "zorder", "build_ann_index",
+        "ann_topk", "semantic_dedup_stored")).sorted
       .map(Identifier.of(Array("system"), _)).toArray
 
   /** `CALL <cat>.system.expire_history('t', <keepVersions>)` — bound
@@ -684,6 +685,123 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
         }
     }
 
+  /** `CALL <cat>.system.ann_topk('t', '<queries view/table>', <k>,
+    * <nprobe>)` — SERVE the stored ANN index from SQL (VERDICT r19
+    * Next #2: the lifecycle procs stopped one verb short of the
+    * index's whole point). The second argument names any table or temp
+    * view visible to the active session carrying the index's id/vec
+    * columns. Result rows (query_id, rank, neighbor_id, cos)
+    * materialize through the procedure's LocalScan — bounded by
+    * queries × k, the same serving-batch contract as the facade.
+    * Identical serve semantics to [[ChronoDB.annTopK]]: inserts since
+    * the build serve LIVE through the delta union; row rewrites
+    * refuse until `ann_rebuild_if_stale`. */
+  private def annTopKProcedure(): procedures.UnboundProcedure =
+    new procedures.UnboundProcedure {
+      override def name(): String = "ann_topk"
+      override def description(): String =
+        "top-k cosine neighbors from a chrono table's stored ANN index"
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = "ann_topk"
+          override def description(): String =
+            "top-k cosine neighbors from a chrono table's stored ANN index"
+          override def parameters(): Array[procedures.ProcedureParameter] =
+            Array(
+              procedures.ProcedureParameter
+                .in("table", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("queries", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("k", org.apache.spark.sql.types.IntegerType).build(),
+              procedures.ProcedureParameter
+                .in("nprobe", org.apache.spark.sql.types.IntegerType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val (tblNs, table) = splitTableArg(input.getUTF8String(0).toString)
+            val queriesRef = input.getUTF8String(1).toString
+            val k = input.getInt(2)
+            val nprobe = input.getInt(3)
+            val session = org.apache.spark.sql.SparkSession.active
+            // collect INSIDE the facade scope: the serve plan reads
+            // sidecars under the verb's lease — never hand a lazy
+            // frame past the handle's close
+            val (schema, data) = withDbIn(tblNs) { db =>
+              val served = db.annTopK(table, session.table(queriesRef),
+                  k, nprobe)
+                .orderBy(org.apache.spark.sql.functions.col("query_id"),
+                  org.apache.spark.sql.functions.col("rank"))
+              val conv = org.apache.spark.sql.catalyst
+                .CatalystTypeConverters
+                .createToCatalystConverter(served.schema)
+              (served.schema, served.collect().map(r => conv(r)
+                .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]))
+            }
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  data
+                override def readSchema(): StructType = schema
+              }
+            util.Collections.singletonList(out).iterator()
+          }
+        }
+    }
+
+  /** `CALL <cat>.system.semantic_dedup_stored('t', <threshold>,
+    * '<out view>')` — the stored-index SemDeDup pass as SQL. Unlike
+    * `ann_topk`, keepers are CORPUS-scale, so the procedure never
+    * materializes them driver-side: it registers the (lazy) keeper
+    * plan as a session temp view and returns one row naming it — the
+    * caller composes `SELECT ... FROM <out view>` / CTAS and the work
+    * runs distributed there. The view captures the serve-time file
+    * set (stored lists + any live insert delta); re-CALL after
+    * mutations for a fresh plan. */
+  private def semanticDedupStoredProcedure(): procedures.UnboundProcedure =
+    new procedures.UnboundProcedure {
+      override def name(): String = "semantic_dedup_stored"
+      override def description(): String =
+        "SemDeDup keepers from a chrono table's stored ANN index, as a temp view"
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = "semantic_dedup_stored"
+          override def description(): String =
+            "SemDeDup keepers from a chrono table's stored ANN index, as a temp view"
+          override def parameters(): Array[procedures.ProcedureParameter] =
+            Array(
+              procedures.ProcedureParameter
+                .in("table", org.apache.spark.sql.types.StringType).build(),
+              procedures.ProcedureParameter
+                .in("threshold", org.apache.spark.sql.types.DoubleType)
+                .build(),
+              procedures.ProcedureParameter
+                .in("out_view", org.apache.spark.sql.types.StringType)
+                .build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val (tblNs, table) = splitTableArg(input.getUTF8String(0).toString)
+            val threshold = input.getDouble(1)
+            val outView = input.getUTF8String(2).toString
+            withDbIn(tblNs)(_.semanticDedupStored(table, threshold)
+              .createOrReplaceTempView(outView))
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  Array(org.apache.spark.sql.catalyst.InternalRow(
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(outView)))
+                override def readSchema(): StructType = StructType(Seq(
+                  org.apache.spark.sql.types.StructField("keeper_view",
+                    org.apache.spark.sql.types.StringType,
+                    nullable = false)))
+              }
+            util.Collections.singletonList(out).iterator()
+          }
+        }
+    }
+
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
     if (!ident.namespace().sameElements(Array("system")))
       throw new NoSuchNamespaceException(ident.namespace())
@@ -693,12 +811,16 @@ final class ChronoCatalog extends TableCatalog with SupportsNamespaces
     if (ident.name() == "expire_history") return expireHistoryProcedure()
     if (ident.name() == "zorder") return zorderProcedure()
     if (ident.name() == "build_ann_index") return buildAnnIndexProcedure()
+    if (ident.name() == "ann_topk") return annTopKProcedure()
+    if (ident.name() == "semantic_dedup_stored")
+      return semanticDedupStoredProcedure()
     val (resultCol, run) = maintenanceProcs.getOrElse(ident.name(),
       throw new UnsupportedOperationException(
         s"no such procedure: ${ident.name()} — available: " +
           (maintenanceProcs.keys.toSeq ++
             Seq("cleanup_as_of", "history", "restore_version",
-              "expire_history", "zorder", "build_ann_index"))
+              "expire_history", "zorder", "build_ann_index",
+              "ann_topk", "semantic_dedup_stored"))
             .sorted.mkString(", ")))
     val procName = ident.name()
     new procedures.UnboundProcedure {
