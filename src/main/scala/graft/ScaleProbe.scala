@@ -101,6 +101,9 @@ object ScaleProbe {
     if (args.headOption.contains("annserve"))
       return annServeProbe(args(1),
         if (args.length > 2) args(2).toInt else 1)
+    if (args.headOption.contains("anndelta"))
+      return annDeltaProbe(args(1),
+        if (args.length > 2) args(2).toInt else 1)
     if (args.headOption.contains("sharedwriters"))
       return sharedWritersProbe(args(1).toInt, args(2).toInt)
     if (args.headOption.contains("tailsource")) return tailSourceProbe(args(1))
@@ -688,6 +691,75 @@ object ScaleProbe {
       val serveSec = Seq.fill(probeRuns)(timed(serve())._2).min
       val refitSec = Seq.fill(probeRuns)(timed(refit())._2).min
       println(f"""{"probe":"annserve","mult":$mult,"rows":$rows,"nlist":$nlist,"build_sec":$buildSec%.2f,"serve_sec":$serveSec%.3f,"refit_per_query_path_sec":$refitSec%.3f,"speedup":${refitSec / serveSec}%.1f,"timed_runs":$probeRuns}""")
+    } finally { db.close(); spark.stop() }
+  }
+
+  /** VERDICT r19 #1 "Done" axis: delta-serve and delta-append priced
+    * at the DELTA, never the corpus. Index base×mult rows, then insert
+    * ONE fixture copy as a live delta (separate bucket) and measure:
+    * serve before the insert (index-only), serve after (stored cells ∪
+    * exact delta scan — must sit near the index-only cost, NOT near a
+    * corpus scan), the delta APPEND (assigns only the new rows), a
+    * serve after the append (index-only again), and a full rebuild as
+    * the price delta-append avoids. */
+  private def annDeltaProbe(sfDir: String, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.ChronoDmlExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("anndelta").toString
+    val db = new graft.core.ChronoDB(spark,
+      graft.core.ChronoConfig(root, bucket = "day", sketchLgK = 0,
+        sketchCmsDepth = 0, sketchBloomKeys = 0))
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val base = emb.count()
+      val wide = (0 until mult).map(i => emb
+          .select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      import org.apache.spark.sql.types._
+      db.createTable("e", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("embedding", ArrayType(FloatType)))))
+      db.insertFrame("e", wide.select(col("vec_id"),
+        to_timestamp(lit("2024-01-01 10:00:00")).as("ts"),
+        col("embedding")))
+      val rows = base * mult
+      val nlist = math.max(16, (rows / 2000L).toInt)
+      db.buildAnnIndex("e", "vec_id", "embedding", nlist = nlist)
+      val queries = db.table("e").filter(col("vec_id") < 16)
+      def serve(): Long =
+        db.annTopK("e", queries, k = 5, nprobe = 6).count()
+      serve() // warm
+      val freshSec = Seq.fill(probeRuns)(timed(serve())._2).min
+      // the live delta: one fixture copy, its own bucket
+      db.insertFrame("e", emb
+        .select((col("vec_id") + lit(mult.toLong * 10000000L)).as("vec_id"),
+          to_timestamp(lit("2024-01-02 10:00:00")).as("ts"),
+          col("embedding")))
+      serve() // warm the union path
+      val deltaSec = Seq.fill(probeRuns)(timed(serve())._2).min
+      val (_, appendSec) = timed {
+        require(db.buildAnnIndexIfStale("e"), "append must run")
+      }
+      require(db.annIndexFresh("e"), "append must restore Fresh")
+      serve() // warm
+      val afterSec = Seq.fill(probeRuns)(timed(serve())._2).min
+      val (_, rebuildSec) = timed(
+        db.buildAnnIndex("e", "vec_id", "embedding", nlist = nlist))
+      println(f"""{"probe":"anndelta","mult":$mult,"rows":$rows,"delta_rows":$base,"nlist":$nlist,"serve_fresh_sec":$freshSec%.3f,"serve_delta_sec":$deltaSec%.3f,"serve_after_append_sec":$afterSec%.3f,"append_sec":$appendSec%.2f,"rebuild_sec":$rebuildSec%.2f,"append_speedup":${rebuildSec / appendSec}%.1f,"timed_runs":$probeRuns}""")
     } finally { db.close(); spark.stop() }
   }
 
