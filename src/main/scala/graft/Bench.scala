@@ -76,7 +76,10 @@ object Bench {
       // r19 surface: persistent ANN index (build+compact+serve+stale+
       // rebuild lifecycle — the index build/maintenance overhead the
       // VERDICT asked to see in-artifact) + stored-index SemDeDup
-      "d44_ann_index_serve", "d45_semantic_dedup_stored")
+      "d44_ann_index_serve", "d45_semantic_dedup_stored",
+      // r20 surface: delta-serve through inserts (hash-exact) + the
+      // SQL serving procedures
+      "d44b_ann_delta_serve", "q70_chrono_ann_sql")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =
@@ -142,20 +145,30 @@ object Bench {
     // per query so a BENCH_rN delta on q60/q61/d39/s18/s19/q63/s20
     // tracks the OPERATOR, not the seeding (VERDICT r16 "wrong" #3).
     def time3(qs: Seq[graft.core.QueryDef])
-        : Seq[(String, Double, Double, Seq[Double], Double)] =
+        : Seq[(String, Double, Double, Seq[Double], Double,
+            Seq[(String, Double)])] =
       qs.map { q =>
         var ok = true
         val timed = (1 to 3).map { _ =>
           graft.core.BenchPhases.reset()
           val t0 = System.nanoTime()
           ok = run(q) && ok
-          ((System.nanoTime() - t0) / 1e9, graft.core.BenchPhases.setupSec)
+          ((System.nanoTime() - t0) / 1e9, graft.core.BenchPhases.setupSec,
+            graft.core.BenchPhases.phaseSecs)
         }
         val raw = timed.map(_._1)
         val sorted = raw.sorted
         val setupMed = timed.map(_._2).sorted.apply(1)
-        if (ok) (q.name, sorted(1), sorted(0), raw, setupMed)
-        else (q.name, -1.0, -1.0, raw.map(_ => -1.0), -1.0)
+        // per-NAMED-phase median across the runs (VERDICT r19 Next #6:
+        // multi-statement gates decompose their measured time so a
+        // creep is attributable in the artifact itself)
+        val phaseMed = timed.flatMap(_._3).groupBy(_._1).toSeq
+          .map { case (n, vs) =>
+            val s = vs.map(_._2).sorted
+            n -> s(s.length / 2)
+          }.sortBy(_._1)
+        if (ok) (q.name, sorted(1), sorted(0), raw, setupMed, phaseMed)
+        else (q.name, -1.0, -1.0, raw.map(_ => -1.0), -1.0, Seq.empty)
       }
     val results = time3(headline)
     val secResults = time3(secondary)
@@ -189,6 +202,10 @@ object Bench {
     val secSetup = obj(withSetup.map(r => r._1 -> r._5))
     val secMeasured = obj(withSetup.map(r =>
       r._1 -> (if (r._2 < 0) -1.0 else math.max(r._2 - r._5, 0.0))))
+    // per-statement decomposition for gates that mark named phases
+    val secPhases = secResults.filter(_._6.nonEmpty)
+      .map(r => "\"" + r._1 + "\":" + obj(r._6))
+      .mkString("{", ",", "}")
     // a failed headline query (-1 sentinel) must poison the totals
     // loudly, not shave them: totals go negative iff anything failed
     val total =
@@ -244,7 +261,7 @@ object Bench {
       s""""headline_rerun":{"total":$rTotal,"min_total":$rMin,"load_at_rerun":$loadAtRerun,"queries":${obj(rr.map(r => r._1 -> r._2))},"queries_min":${obj(rr.map(r => r._1 -> r._3))}},"""
     }.getOrElse("")
     val contended = loadAtStart > 2.0
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"queries":$qs,"queries_min":$qsMin,"queries_raw":$qsRaw,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"secondary_raw":$secRaw,"secondary_setup":$secSetup,"secondary_measured":$secMeasured,$ingest$rerunJson"load_avg_1m":$load,"load_at_start":$loadAtStart,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"queries":$qs,"queries_min":$qsMin,"queries_raw":$qsRaw,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"secondary_raw":$secRaw,"secondary_setup":$secSetup,"secondary_measured":$secMeasured,"secondary_phases":$secPhases,$ingest$rerunJson"load_avg_1m":$load,"load_at_start":$loadAtStart,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
     // A failed run must not leave a plausible-looking artifact behind:
     // r13's bench failed 140/140 invocations yet exited 0 and wrote the
     // all-−1 detail file, which then got committed as the round's

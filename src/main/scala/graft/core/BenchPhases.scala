@@ -11,8 +11,10 @@ package graft.core
   * gate — including mid-protocol (s19's staged second insert). */
 object BenchPhases {
   private val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val phases = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
 
-  def reset(): Unit = acc.set(0L)
+  def reset(): Unit = { acc.set(0L); phases.clear() }
 
   /** Accumulated setup seconds since the last [[reset]]. */
   def setupSec: Double = acc.get / 1e9
@@ -21,5 +23,29 @@ object BenchPhases {
   def setup[A](f: => A): A = {
     val t0 = System.nanoTime()
     try f finally acc.addAndGet(System.nanoTime() - t0)
+  }
+
+  /** Run `f`, attributing its wall time to a NAMED measured phase
+    * (VERDICT r19 Next #6): multi-statement gates (q63's delete trio)
+    * mark each statement so a BENCH_rN creep is attributable to the
+    * statement that moved, in the artifact itself. Phases are a
+    * decomposition of the measured time, not a new clock — Bench
+    * reports them per query under `secondary_phases`. */
+  def phase[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f finally phases.computeIfAbsent(name,
+        _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .addAndGet(System.nanoTime() - t0)
+  }
+
+  /** Named-phase seconds since the last [[reset]], insertion-ordered
+    * deterministically by name. */
+  def phaseSecs: Seq[(String, Double)] = {
+    val it = phases.entrySet().iterator()
+    val b = Seq.newBuilder[(String, Double)]
+    while (it.hasNext) {
+      val e = it.next(); b += e.getKey -> e.getValue.get / 1e9
+    }
+    b.result().sortBy(_._1)
   }
 }

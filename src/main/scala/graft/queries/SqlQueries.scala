@@ -427,30 +427,39 @@ object SqlQueries {
       }
       val minUser = spark.sql("SELECT CAST(min(user_id) AS STRING) FROM events")
         .head().getString(0)
-      // key-literal route
-      spark.sql(s"DELETE FROM $cat.ev WHERE key = '$minUser'")
-      // generic predicate route
-      spark.sql(s"DELETE FROM $cat.ev WHERE ts < TIMESTAMP '2024-01-03 00:00:00'")
+      // each statement is a NAMED measured phase (VERDICT r19 Next #6)
+      // so a bench creep on this key is attributable per statement in
+      // BENCH_DETAIL itself
+      graft.core.BenchPhases.phase("delete_by_key") {
+        spark.sql(s"DELETE FROM $cat.ev WHERE key = '$minUser'")
+      }
+      graft.core.BenchPhases.phase("delete_predicate") {
+        spark.sql(s"DELETE FROM $cat.ev WHERE ts < TIMESTAMP '2024-01-03 00:00:00'")
+      }
       // refusal: an untranslatable predicate throws and deletes nothing
       val before = spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
-      val refused =
+      val refused = graft.core.BenchPhases.phase("delete_refused") {
         try {
           spark.sql(
             s"DELETE FROM $cat.ev WHERE length(decode(data, 'UTF-8')) > 0")
           false
         } catch { case _: Exception => true }
+      }
       val after = spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
       // both rewrites left manifest + stats sidecars consistent
       val db = new graft.core.ChronoDB(spark,
         graft.core.ChronoConfig(root.toString, bucket = "day"))
-      val sidecarsOk =
+      val sidecarsOk = graft.core.BenchPhases.phase("sidecar_verdict") {
         try db.sidecarsConsistent("ev") && db.stats("ev").numRows == before
         finally db.close()
+      }
       val ok = refused && after == before && sidecarsOk
-      val snap = spark.sql(
-        s"""SELECT key, ts, decode(data, 'UTF-8') AS event_type
-           |FROM $cat.ev ORDER BY key, ts, event_type""".stripMargin)
-        .withColumn("dml_ok", lit(ok)).localCheckpoint()
+      val snap = graft.core.BenchPhases.phase("serve_remaining") {
+        spark.sql(
+          s"""SELECT key, ts, decode(data, 'UTF-8') AS event_type
+             |FROM $cat.ev ORDER BY key, ts, event_type""".stripMargin)
+          .withColumn("dml_ok", lit(ok)).localCheckpoint()
+      }
       spark.sql(s"DROP TABLE $cat.ev")
       snap
     }
