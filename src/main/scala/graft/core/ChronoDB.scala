@@ -357,7 +357,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     *    token, i.e. a [[ChronoFs.createExclusive]] backed by
     *    conditional PUT (If-None-Match) — the documented extension
     *    point: implement it for your store and acquisition/takeover
-    *    are atomic there too, no other code changes. */
+    *    are atomic there too, no other code changes;
+    *  - object stores WITH conditional-put (S3 If-None-Match since
+    *    2024-12, GCS generation-match): EXERCISED as of r20 —
+    *    LeaseLockSpec drives two concurrent takeovers through a test
+    *    filesystem whose rename is deliberately copy+delete (both
+    *    racers observe rename "success") but whose create-if-absent
+    *    is a true CAS, and pins that exactly one acquires, the loser
+    *    refuses at open, and the winner commits unpoisoned — absolute
+    *    closure with no fencing involvement. */
   private val lockPath = root.resolve("LOCK")
   private val holderId = java.util.UUID.randomUUID().toString
 

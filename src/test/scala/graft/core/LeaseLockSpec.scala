@@ -82,6 +82,56 @@ class LeaseLockSpec extends SparkSuite {
     cfs.deleteIfExists(lock)
   }
 
+  test("conditional-put store: concurrent stale takeover has ABSOLUTE closure — the CAS admits one winner, no fencing needed (VERDICT r19 Next #5)") {
+    // the documented extension point, exercised: a store whose rename
+    // is copy+delete (two racing takeovers can BOTH see their rename
+    // "succeed") but whose create-if-absent is a true conditional put.
+    // Acquisition must close absolutely at the CAS — the loser refused
+    // at open, the winner a healthy UNPOISONED sole holder.
+    val local = Files.createTempDirectory("lease6")
+    spark.sparkContext.hadoopConfiguration.set("fs.casobj.impl",
+      classOf[CasObjectFs].getName)
+    val dir = s"casobj:$local"
+    // a dead holder's lock, aged past the lease: both racers take over
+    Files.writeString(local.resolve("LOCK"), "dead-beef-uuid\n1")
+    Files.setLastModifiedTime(local.resolve("LOCK"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val (cfs, root) = ChronoFs.resolve(dir, spark.sessionState.newHadoopConf())
+    assert(!cfs.renameIsAtomic, "casobj must read as a non-atomic-rename store")
+    CasObjectFs.arm(2) // force the two takeover renames to interleave
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (1 to 2).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Either[Throwable, ChronoDB]] {
+          def call(): Either[Throwable, ChronoDB] =
+            try Right(new ChronoDB(spark, cfg(dir, leaseMs = 1000)))
+            catch { case e: Throwable => Left(e) }
+        }))
+      val results = tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      CasObjectFs.disarm()
+      val winners = results.collect { case Right(db) => db }
+      val losers = results.collect { case Left(e) => e }
+      assert(winners.size === 1,
+        s"the CAS must admit exactly one racer, got ${winners.size}")
+      assert(losers.size === 1 &&
+        losers.head.isInstanceOf[DatabaseLockedException],
+        s"the other racer must be refused at open, got ${losers.head}")
+      // the winner's lease is REAL: epoch advanced past the dead
+      // holder's, and verbs commit with no fencing poison
+      val db = winners.head
+      try {
+        db.createTable("t")
+        db.insertSeq("t", Seq(ChronoRow("a",
+          Timestamp.valueOf("2024-01-01 10:00:00"), Array[Byte](1))))
+        assert(db.table("t").count() === 1L)
+        val payload = cfs.readLines(new org.apache.hadoop.fs.Path(root, "LOCK"))
+        assert(payload.size >= 2 && payload(1).trim.toLong === 2L,
+          s"takeover must advance the epoch past the dead holder's: $payload")
+      } finally db.close()
+    } finally { CasObjectFs.disarm(); pool.shutdownNow() }
+  }
+
   test("commit-time fencing: two believers after a non-atomic takeover — at most ONE commits (VERDICT r18)") {
     // the exact state a lost takeover race leaves on an object store
     // whose rename is copy+delete: handle A still believes it holds
