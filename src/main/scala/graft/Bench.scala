@@ -77,9 +77,9 @@ object Bench {
       // rebuild lifecycle — the index build/maintenance overhead the
       // VERDICT asked to see in-artifact) + stored-index SemDeDup
       "d44_ann_index_serve", "d45_semantic_dedup_stored",
-      // r20 surface: delta-serve through inserts (hash-exact) + the
-      // SQL serving procedures
-      "d44b_ann_delta_serve", "q70_chrono_ann_sql")
+      // r20 surface: delta-serve through inserts (hash-exact), the
+      // SQL serving procedures, and the declared as-of key lookup
+      "d44b_ann_delta_serve", "q70_chrono_ann_sql", "d46_key_asof")
     // a renamed query must fail loudly here, not silently shrink the
     // section (same guard the args path has)
     val secondaryMissing =

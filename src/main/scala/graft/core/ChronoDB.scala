@@ -4220,6 +4220,25 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     }
   }
 
+  /** Delta-append ONLY — folds insert-only staleness
+    * ([[appendAnnDelta]]) and refuses to escalate: Fresh / Unbuilt /
+    * Unservable are no-ops (false). The maintenance ticker's hook
+    * (r20): an O(delta) fold is safe on a schedule; a FULL rebuild is
+    * not (it would thrash a continuously-ingesting table) and stays a
+    * deliberate act — [[buildAnnIndexIfStale]] /
+    * `CALL system.ann_rebuild_if_stale`. */
+  def foldAnnDeltaIfStale(name: String): Boolean = locked {
+    requireTable(name)
+    recoverSidecar(annPath(name))
+    if (!cfs.exists(annPath(name))) false
+    else annServeState(name) match {
+      case AnnServeState.InsertDelta(delta) =>
+        appendAnnDelta(name, delta)
+        true
+      case _ => false
+    }
+  }
+
   /** Fold an INSERT-ONLY staleness delta into the stored index: assign
     * exactly the post-build rows under the STORED centroids (the shared
     * [[annAssign]] expression — the d45 integrity contract stays exact:

@@ -23,7 +23,16 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
       * ms ago — N tickers on one root do the work once per window
       * instead of N times. 0 (default) keeps the exclusive-writer
       * behavior: every tick works every table. */
-    minTickIntervalMs: Long = 0L) {
+    minTickIntervalMs: Long = 0L,
+    /** ANN delta fold (r20 — possible only since delta append exists):
+      * when set, a tick folds an index whose ONLY staleness is plain
+      * ingest ([[ChronoDB.foldAnnDeltaIfStale]], O(delta)) — and runs
+      * it BEFORE compact, which would otherwise merge the delta files
+      * into rewrites and leave only the full-rebuild repair.
+      * Unservable indexes are deliberately NOT repaired here: a full
+      * rebuild per tick would thrash; that repair stays a deliberate
+      * act (`buildAnnIndexIfStale` / `CALL system.ann_rebuild_if_stale`). */
+    autoAnnDeltaFold: Boolean = false) {
 
   require(fullCheckEvery >= 1, "fullCheckEvery must be >= 1")
 
@@ -54,6 +63,7 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
     var vacuumed = 0
     val refreshed = Seq.newBuilder[(String, BucketedRefresh)]
     val skipped = Seq.newBuilder[String]
+    val annFolded = Seq.newBuilder[String]
     tables().foreach { t =>
       if (minTickIntervalMs > 0 &&
           !db.claimMaintenance(t, minTickIntervalMs, now.getTime)) {
@@ -66,6 +76,10 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
       // exceed the longest insert this deployment runs.
       if (vacuumOrphansAfterMs > 0)
         vacuumed += db.vacuumOrphans(t, vacuumOrphansAfterMs)
+      // ANN delta fold BEFORE compact: compact would merge the delta
+      // files into rewrites (Unservable — full rebuild only); folded
+      // first, the index is Fresh and compact preserves it
+      if (autoAnnDeltaFold && db.foldAnnDeltaIfStale(t)) annFolded += t
       compacted += db.compact(t)
       dropped += db.cleanup(t, now).size
       // Bucketed-twin refresh AFTER compact/cleanup so it sees the
@@ -110,8 +124,15 @@ final class Maintenance(db: ChronoDB, tables: () => Seq[String],
     lastVacuumedCount = vacuumed
     lastBucketedRefreshes = refreshed.result()
     lastSkipped = skipped.result()
+    lastAnnFolded = annFolded.result()
     (compacted, dropped)
   }
+
+  @volatile private var lastAnnFolded: Seq[String] = Seq.empty
+
+  /** Tables whose ANN index had its insert delta folded by the MOST
+    * RECENT tick (empty unless autoAnnDeltaFold is set). */
+  def annFoldedTables: Seq[String] = lastAnnFolded
 
   @volatile private var lastSkipped: Seq[String] = Seq.empty
 

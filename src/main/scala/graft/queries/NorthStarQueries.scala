@@ -1240,6 +1240,45 @@ object NorthStarQueries {
     } finally db.close()
   }
 
+  /** D46: snapshot-consistent KEY LOOKUP
+    * ([[graft.core.ChronoDB.queryKeyAsOf]] — the late-r19 as-of
+    * sidecar-serving verb, now a DECLARED hash gate): insert the
+    * fixture keyed by user, snapshot v1, DELETE the probe key's early
+    * window (diverging part of its bucket family), then read the key
+    * AS OF v1 — the result must be the key's PRE-DELETE row set
+    * exactly (the oracle is a plain key filter over the fixture),
+    * while the live read sees fewer rows (in-query verdict). The
+    * `_stats` Bloom/min-max pruning stays active for buckets whose
+    * snapshot file set equals their live set; diverged buckets scan
+    * their trash-retained snapshot files (TimeTravelSpec pins the
+    * 2-of-3-files I/O shape). */
+  def keyAsOfQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ChronoConfig, ChronoDB, ChronoRow}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("d46_db").toString
+    val db = new ChronoDB(spark, ChronoConfig(root, bucket = "day",
+      trashGraceMs = 3600000L))
+    try {
+      db.createTable("ev")
+      val ev = t(spark, dir, "events")
+      graft.core.BenchPhases.setup {
+        db.insert("ev", ev.select(col("user_id").cast("string").as("key"),
+          col("ts"), encode(col("event_type"), "UTF-8").as("data"))
+          .as[ChronoRow])
+      }
+      val probeKey = ev.agg(min(col("user_id"))).head().getLong(0).toString
+      val v1 = db.history("ev").head.version
+      db.deleteWhere("ev", col("key") === lit(probeKey) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+      val asOf = db.queryKeyAsOf("ev", probeKey, v1).localCheckpoint()
+      val differs = db.queryKey("ev", probeKey).count() != asOf.count()
+      asOf.select(col("key"), col("ts"),
+          decode(col("data"), "UTF-8").as("event_type"))
+        .withColumn("snapshot_differs_from_live", lit(differs))
+        .orderBy(col("ts"), col("event_type"))
+    } finally db.close()
+  }
+
   /** D28: hybrid retrieval — BM25 lexical top-50 and dense cosine
     * top-50 (query = vec_id 0's embedding, corpus ids aligned with
     * doc ids) fused by reciprocal rank fusion into one top-20 (see
@@ -3113,6 +3152,14 @@ object NorthStarQueries {
         |WHERE slot_us >= (1704412800000000 // 3600000000) * 3600000000
         |  AND slot_us <= 1705753800000000
         |ORDER BY slot_start""".stripMargin)),
+    QueryDef("d46_key_asof", keyAsOfQ, Some(
+      // the AS-OF key lookup must reproduce the key's PRE-DELETE rows
+      // exactly; the live-divergence claim is the in-query verdict
+      """SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+        |       TRUE AS snapshot_differs_from_live
+        |FROM events
+        |WHERE user_id = (SELECT min(user_id) FROM events)
+        |ORDER BY ts, event_type""".stripMargin)),
     QueryDef("d31_weighted_sample", weightedSampleQ, Some(
       // identical draw (first 8 md5 hex chars) and identical per-row
       // threshold arithmetic: floor((r/10)·2^32) as 8 lowercase hex

@@ -143,6 +143,54 @@ class MaintenanceSpec extends SparkSuite {
     db.close()
   }
 
+  test("autoAnnDeltaFold tick folds insert staleness BEFORE compact; never escalates to a rebuild") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val db = new ChronoDB(spark,
+      ChronoConfig(Files.createTempDirectory("maintann").toString,
+        bucket = "day", sketchLgK = 0, sketchCmsDepth = 0,
+        sketchBloomKeys = 0, compactFileThreshold = 1))
+    try {
+      db.createTable("e", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("embedding", ArrayType(FloatType)))))
+      def rows(lo: Long, hi: Long, day: String) = spark.range(lo, hi)
+        .selectExpr("id as vec_id", s"timestamp'$day 10:00:00' as ts",
+          """transform(sequence(0, 7), j -> cast(
+             |  (case when j = cast(id % 2 as int) then 1.0 else 0.0 end)
+             |  + sin(id * 7 + j) * 0.1 as float)) as embedding""".stripMargin)
+      db.insertFrame("e", rows(0, 100, "2024-01-01"))
+      db.buildAnnIndex("e", "vec_id", "embedding", nlist = 4, seed = 1L)
+      // fragment ONE bucket post-build so compact has a victim that
+      // would fold the delta if the tick ran compact first
+      db.insertFrame("e", rows(100, 130, "2024-01-02"))
+      db.insertFrame("e", rows(130, 150, "2024-01-02"))
+      assert(db.annServeState("e").isInstanceOf[AnnServeState.InsertDelta])
+      val m = new Maintenance(db, () => Seq("e"), autoAnnDeltaFold = true)
+      val (compacted, _) = m.tick()
+      assert(compacted >= 1, "the fragmented delta bucket must compact")
+      assert(m.annFoldedTables === Seq("e"))
+      // fold ran BEFORE compact, so the post-compact index is FRESH
+      // (compact of an already-folded index is content-preserving)
+      assert(db.annIndexFresh("e"))
+      assert(db.annStoredAssignments("e").count() === 150L)
+      // a row REWRITE is never repaired by the ticker — deliberate act
+      db.deleteWhere("e", col("vec_id") === 0L)
+      m.tick()
+      assert(m.annFoldedTables.isEmpty)
+      assert(db.annServeState("e").isInstanceOf[AnnServeState.Unservable],
+        "the ticker must not escalate to a full rebuild")
+      // default stays off
+      db.insertFrame("e", rows(150, 151, "2024-01-03"))
+      db.buildAnnIndexIfStale("e") // repair deliberately
+      db.insertFrame("e", rows(151, 152, "2024-01-03"))
+      val mOff = new Maintenance(db, () => Seq("e"))
+      mOff.tick()
+      assert(mOff.annFoldedTables.isEmpty)
+    } finally db.close()
+  }
+
   test("tick surfaces sidecar inconsistency; autoRepairSidecars heals it in-pass") {
     val root = Files.createTempDirectory("maintcons")
     val db = new ChronoDB(spark, ChronoConfig(root.toString))
