@@ -827,6 +827,9 @@ object SqlQueries {
         .orderBy(col("query_id"), col("rank"))
         .localCheckpoint()
       spark.sql("DROP VIEW ann_q")
+      // the keeper view's lazy plan reads files the DROP below deletes
+      // — never leave it registered past the gate
+      spark.sql("DROP VIEW ann_keep")
       spark.sql(s"DROP TABLE $cat.e")
       out
     }
