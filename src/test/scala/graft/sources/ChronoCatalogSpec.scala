@@ -39,13 +39,68 @@ class ChronoCatalogSpec extends SparkSuite {
     // fresh → the repair verb is a no-op
     assert(spark.sql(s"CALL $cat.system.ann_rebuild_if_stale('vecs')")
       .head().getLong(0) === 0L)
-    // a row mutation stales it → the repair verb rebuilds
+    // an INSERT leaves the index servable (delta union) but not fresh
+    // → the repair verb runs, as the cheap DELTA APPEND (r20)
     spark.sql(s"INSERT INTO $cat.vecs (vec_id, ts, embedding) " +
       "SELECT 9000L, " +
       "TIMESTAMP '2024-01-01 11:00:00', " +
       "transform(sequence(0, 7), j -> cast(0.5 as float))")
     assert(spark.sql(s"CALL $cat.system.ann_rebuild_if_stale('vecs')")
       .head().getLong(0) === 1L)
+    spark.sql(s"DROP TABLE $cat.vecs")
+  }
+
+  test("CALL system.ann_topk / semantic_dedup_stored: SQL serving — live through inserts, refusing after DML (r20)") {
+    val cat = freshCat("bucket" -> "day")
+    spark.sql(s"CREATE TABLE $cat.vecs " +
+      "(vec_id BIGINT, ts TIMESTAMP, embedding ARRAY<FLOAT>)")
+    spark.sql(s"INSERT INTO $cat.vecs (vec_id, ts, embedding) " +
+      "SELECT id AS vec_id, " +
+      "TIMESTAMP '2024-01-01 10:00:00' AS ts, " +
+      "transform(sequence(0, 7), j -> cast(" +
+      "  (case when j = cast(id % 2 as int) then 1.0 else 0.0 end)" +
+      "  + sin(id * 7 + j) * 0.1 as float)) AS embedding " +
+      "FROM range(100)")
+    spark.sql(
+      s"CALL $cat.system.build_ann_index('vecs', 'vec_id', 'embedding', 8)")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cat_ann_q AS " +
+      s"SELECT vec_id, embedding FROM $cat.vecs WHERE vec_id < 4")
+    val served = spark.sql(
+      s"CALL $cat.system.ann_topk('vecs', 'cat_ann_q', 3, 8)").collect()
+    assert(served.length === 4 * 3)
+    assert(served.map(_.getInt(1)).toSet === Set(1, 2, 3))
+    // INSERT vec 9000 as an exact copy of query 0's vector: the SQL
+    // serve must surface it LIVE (delta union — no rebuild verb ran)
+    spark.sql(s"INSERT INTO $cat.vecs (vec_id, ts, embedding) " +
+      "SELECT 9000L, TIMESTAMP '2024-01-02 10:00:00', " +
+      "transform(sequence(0, 7), j -> cast(" +
+      "  (case when j = 0 then 1.0 else 0.0 end)" +
+      "  + sin(j) * 0.1 as float))")
+    val live = spark.sql(
+      s"CALL $cat.system.ann_topk('vecs', 'cat_ann_q', 3, 8)").collect()
+    assert(live.exists(r => r.getLong(0) === 0L && r.getLong(2) === 9000L),
+      "the post-build insert must surface as query 0's neighbor, live")
+    // the keeper view registers LAZILY (corpus-scale results never
+    // materialize on the driver) and composes from plain SQL
+    assert(spark.sql(s"CALL $cat.system.semantic_dedup_stored(" +
+      "'vecs', CAST(0.8 AS DOUBLE), 'cat_ann_keep')")
+      .head().getString(0) === "cat_ann_keep")
+    val keepers = spark.sql("SELECT count(*) AS n FROM cat_ann_keep")
+      .head().getLong(0)
+    assert(keepers >= 1L && keepers <= 101L)
+    // a row REWRITE refuses through SQL too, until the repair verb
+    spark.sql(s"DELETE FROM $cat.vecs WHERE vec_id = 9000")
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.ann_topk('vecs', 'cat_ann_q', 3, 8)").collect())
+    assert(e.getMessage.contains("cannot serve") ||
+      Option(e.getCause).exists(_.getMessage.contains("cannot serve")))
+    assert(spark.sql(s"CALL $cat.system.ann_rebuild_if_stale('vecs')")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(
+        s"CALL $cat.system.ann_topk('vecs', 'cat_ann_q', 3, 8)")
+      .collect().length === 12)
+    spark.sql("DROP VIEW cat_ann_q")
+    spark.sql("DROP VIEW cat_ann_keep")
     spark.sql(s"DROP TABLE $cat.vecs")
   }
 
