@@ -103,7 +103,8 @@ object ScaleProbe {
         if (args.length > 2) args(2).toInt else 1)
     if (args.headOption.contains("anndelta"))
       return annDeltaProbe(args(1),
-        if (args.length > 2) args(2).toInt else 1)
+        if (args.length > 2) args(2).toInt else 1,
+        if (args.length > 3) args(3).toInt else 1)
     if (args.headOption.contains("sharedwriters"))
       return sharedWritersProbe(args(1).toInt, args(2).toInt)
     if (args.headOption.contains("tailsource")) return tailSourceProbe(args(1))
@@ -701,8 +702,12 @@ object ScaleProbe {
     * exact delta scan — must sit near the index-only cost, NOT near a
     * corpus scan), the delta APPEND (assigns only the new rows), a
     * serve after the append (index-only again), and a full rebuild as
-    * the price delta-append avoids. */
-  private def annDeltaProbe(sfDir: String, mult: Int): Unit = {
+    * the price delta-append avoids. `deltaMult` scales the delta
+    * (fixture copies) independently of the corpus — the delta-SLOPE
+    * axis: serve/append cost must track the delta size, not the
+    * corpus. */
+  private def annDeltaProbe(sfDir: String, mult: Int,
+      deltaMult: Int = 1): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -744,11 +749,15 @@ object ScaleProbe {
         db.annTopK("e", queries, k = 5, nprobe = 6).count()
       serve() // warm
       val freshSec = Seq.fill(probeRuns)(timed(serve())._2).min
-      // the live delta: one fixture copy, its own bucket
-      db.insertFrame("e", emb
-        .select((col("vec_id") + lit(mult.toLong * 10000000L)).as("vec_id"),
-          to_timestamp(lit("2024-01-02 10:00:00")).as("ts"),
-          col("embedding")))
+      // the live delta: deltaMult fixture copies, their own bucket
+      val deltaWide = (0 until deltaMult).map(i => emb
+          .select((col("vec_id") +
+            lit((mult + i).toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      db.insertFrame("e", deltaWide.select(col("vec_id"),
+        to_timestamp(lit("2024-01-02 10:00:00")).as("ts"),
+        col("embedding")))
       serve() // warm the union path
       val deltaSec = Seq.fill(probeRuns)(timed(serve())._2).min
       val (_, appendSec) = timed {
@@ -759,7 +768,7 @@ object ScaleProbe {
       val afterSec = Seq.fill(probeRuns)(timed(serve())._2).min
       val (_, rebuildSec) = timed(
         db.buildAnnIndex("e", "vec_id", "embedding", nlist = nlist))
-      println(f"""{"probe":"anndelta","mult":$mult,"rows":$rows,"delta_rows":$base,"nlist":$nlist,"serve_fresh_sec":$freshSec%.3f,"serve_delta_sec":$deltaSec%.3f,"serve_after_append_sec":$afterSec%.3f,"append_sec":$appendSec%.2f,"rebuild_sec":$rebuildSec%.2f,"append_speedup":${rebuildSec / appendSec}%.1f,"timed_runs":$probeRuns}""")
+      println(f"""{"probe":"anndelta","mult":$mult,"rows":$rows,"delta_rows":${base * deltaMult},"nlist":$nlist,"serve_fresh_sec":$freshSec%.3f,"serve_delta_sec":$deltaSec%.3f,"serve_after_append_sec":$afterSec%.3f,"append_sec":$appendSec%.2f,"rebuild_sec":$rebuildSec%.2f,"append_speedup":${rebuildSec / appendSec}%.1f,"timed_runs":$probeRuns}""")
     } finally { db.close(); spark.stop() }
   }
 
