@@ -4341,7 +4341,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * (delete/update/fold — the lists may carry vanished vectors);
     * plain ingest no longer stales the serve path (VERDICT r19 #1). */
   def annTopK(name: String, queries: DataFrame, k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, maxProbes: Int = 1000000): DataFrame = {
     requireTable(name)
     val delta = annServeState(name) match {
       case AnnServeState.Fresh => Seq.empty[ManifestEntry]
@@ -4371,13 +4371,23 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // probes are ≤ queries × nprobe rows, collected once; the pruned
     // cell list, the broadcast probe frame, and the delta scan's query
     // frame all derive from this single collect instead of re-running
-    // the crossJoin+window lineage per consumer.
+    // the crossJoin+window lineage per consumer. The collect is
+    // GUARDED (take(cap+1), same single evaluation): a caller who
+    // points a corpus-scale frame at the QUERY side gets a loud
+    // refusal naming the batching fix, never a silent driver OOM —
+    // the serving contract is a bounded batch per call.
     val probeRows = q.crossJoin(broadcast(centersDf))
       .withColumn("cdist", cos(col("qv"), col("center")))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
-      .collect().toIndexedSeq
+      .take(maxProbes + 1).toIndexedSeq
+    if (probeRows.length > maxProbes)
+      throw new IllegalArgumentException(
+        s"annTopK('$name'): more than $maxProbes probe rows " +
+          s"(queries × nprobe) — the query side of a serve call is a " +
+          "bounded batch by contract; split the query frame into " +
+          "batches (or raise maxProbes deliberately)")
     val probeSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("qid",
         queries.schema(idCol).dataType, nullable = true),
@@ -4451,7 +4461,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * the build used, so their cells equal what [[appendAnnDelta]]
     * would store) and unioned into the lists before the pairing; row
     * rewrites refuse loudly. Returns keepers as (idCol, cell). */
-  def semanticDedupStored(name: String, threshold: Double): DataFrame = {
+  def semanticDedupStored(name: String, threshold: Double,
+      maxCell: Int = 65536): DataFrame = {
     requireTable(name)
     val delta = annServeState(name) match {
       case AnnServeState.Fresh => Seq.empty[ManifestEntry]
@@ -4496,7 +4507,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // per-cell sizes ride along free from `_ann` (build/append keep
     // them current) — the degenerate-cell pairing cap's input
     graft.operators.Dedup.semanticDedupAssigned(
-      assigned, idCol, threshold,
+      assigned, idCol, threshold, maxCell = maxCell,
       knownCellSizes = Some(meta.map(r =>
         r.getInt(0) -> r.getLong(2)).toMap))
   }

@@ -283,6 +283,14 @@ class AnnIndexSpec extends SparkSuite {
       assert(db.annTopK("e", db.table("e").filter(col("vec_id") === 6L),
         k = 200, nprobe = 4)
         .filter(col("neighbor_id") === 7L).count() === 0)
+      // the probe guard: a corpus-scale query frame refuses loudly
+      // instead of silently collecting onto the driver (the serving
+      // contract is a bounded batch per call)
+      val g = intercept[IllegalArgumentException](
+        db.annTopK("e", db.table("e"), k = 3, nprobe = 4, maxProbes = 8))
+      assert(g.getMessage.contains("bounded batch"))
+      assert(db.annTopK("e", db.table("e").filter(col("vec_id") < 2),
+        k = 3, nprobe = 4, maxProbes = 8).count() === 6)
     } finally db.close()
   }
 }
