@@ -206,6 +206,12 @@ object Bench {
     val secPhases = secResults.filter(_._6.nonEmpty)
       .map(r => "\"" + r._1 + "\":" + obj(r._6))
       .mkString("{", ",", "}")
+    // same decomposition for headline/args-mode queries (additive key;
+    // empty for the ordinary headline set, which marks no phases —
+    // added r20 so args-mode optimization A/Bs see the split too)
+    val qPhases = results.filter(_._6.nonEmpty)
+      .map(r => "\"" + r._1 + "\":" + obj(r._6))
+      .mkString("{", ",", "}")
     // a failed headline query (-1 sentinel) must poison the totals
     // loudly, not shave them: totals go negative iff anything failed
     val total =
@@ -261,7 +267,7 @@ object Bench {
       s""""headline_rerun":{"total":$rTotal,"min_total":$rMin,"load_at_rerun":$loadAtRerun,"queries":${obj(rr.map(r => r._1 -> r._2))},"queries_min":${obj(rr.map(r => r._1 -> r._3))}},"""
     }.getOrElse("")
     val contended = loadAtStart > 2.0
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"queries":$qs,"queries_min":$qsMin,"queries_raw":$qsRaw,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"secondary_raw":$secRaw,"secondary_setup":$secSetup,"secondary_measured":$secMeasured,"secondary_phases":$secPhases,$ingest$rerunJson"load_avg_1m":$load,"load_at_start":$loadAtStart,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"queries":$qs,"queries_min":$qsMin,"queries_raw":$qsRaw,"min_total":$minTotal,"secondary":$sec,"secondary_min":$secMin,"secondary_raw":$secRaw,"secondary_setup":$secSetup,"secondary_measured":$secMeasured,"secondary_phases":$secPhases,"queries_phases":$qPhases,$ingest$rerunJson"load_avg_1m":$load,"load_at_start":$loadAtStart,"cpus":$cpus,"errors":$errors,"sf":"$sfDir"}"""
     // A failed run must not leave a plausible-looking artifact behind:
     // r13's bench failed 140/140 invocations yet exited 0 and wrote the
     // all-−1 detail file, which then got committed as the round's

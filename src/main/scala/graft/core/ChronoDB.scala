@@ -4010,8 +4010,6 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .getOrElse(throw new IllegalStateException(
         s"ANN index on '$name' requires table history (the freshness " +
           "authority) — enable manifest/history before buildAnnIndex"))
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = table(name)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     // QUANTIZER FIT ON A BOUNDED SAMPLE (VERDICT r19 Next #3): k-means
@@ -4024,15 +4022,23 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // full-corpus fit; nothing downstream depends on them (they are
     // STORED, and every assignment/serve derives from the stored
     // floats — the d45 integrity contract).
+    //
+    // The fit itself runs DRIVER-LOCAL ([[LocalKMeans]], r20): the
+    // sample is ≤ max(nlist·40, 10k) vectors (~2.5 MB at dim 64) — a
+    // bounded collect — while the Spark ML KMeans pipeline it replaces
+    // spent ~15 scheduled jobs (kmeans|| init + 10 iteration passes +
+    // persist/unpersist) on that same KB-scale input. One TakeOrdered
+    // job replaces them all; the cluster's work stays the single
+    // unavoidable assignment/rewrite pass below.
     val fitSample = math.max(nlist * 40, 10000)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(c.select(array_to_vector(col("vec")).as("features"),
-          xxhash64(col("id"), lit(seed)).as("__h"))
-        .orderBy(col("__h")).limit(fitSample)
-        .select(col("features")))
-    val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.map(_.toFloat).toSeq)
-    }.toIndexedSeq
+    val sample = c
+      .select(col("vec").cast("array<float>").as("vec"),
+        xxhash64(col("id"), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(fitSample)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centers = LocalKMeans.fit(sample, nlist, seed, maxIter = 10)
+      .zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toIndexedSeq
     // invalidate before touching the lists: no reader may serve a
     // half-built index
     deleteRecursively(annPath(name))
@@ -4048,14 +4054,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     // and demands exact equality). Cosine is also the index's serving
     // metric (annTopK probes by cosine) — one metric throughout.
     val assigned = annAssign(c, annCentsFrame(centers))
-    assigned.write
-      .partitionBy("cell")
-      .option("compression", config.compression)
-      .mode(SaveMode.Overwrite)
-      .parquet(annCellsPath(name).toString)
-    val counts = spark.read.parquet(annCellsPath(name).toString)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // per-cell counts fold INSIDE the write job (Dataset.observe — the
+    // insertFrame sidecar pattern): no read-back pass over the lists
+    val counts = writeCellsCounted(assigned, centers.length, df =>
+      df.write
+        .partitionBy("cell")
+        .option("compression", config.compression)
+        .mode(SaveMode.Overwrite)
+        .parquet(annCellsPath(name).toString),
+      () => spark.read.parquet(annCellsPath(name).toString))
     val rows = centers.map { case (i, cv) =>
       org.apache.spark.sql.Row(i, cv,
         counts.getOrElse(i, 0L), idCol, vecCol, nlist, seed, builtVersion)
@@ -4065,6 +4072,31 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       annSchema))
     nlist
   }
+
+  /** Write the cell-partitioned frame while folding per-cell row
+    * counts INSIDE the write job (one conditional count per cell via
+    * Dataset.observe — the insertFrame sidecar pattern), so neither
+    * the build nor the delta append pays a read-back pass over what it
+    * just wrote. Codebooks past the observe-width cap (256 aggregate
+    * columns keeps whole-stage codegen well under its method-size
+    * limits) fall back to the grouped read. Returns cell → rows for
+    * cells with at least one row. */
+  private def writeCellsCounted(df: DataFrame, nCells: Int,
+      writer: DataFrame => Unit,
+      readBack: () => DataFrame): Map[Int, Long] =
+    if (nCells <= 256) {
+      val obs = org.apache.spark.sql.Observation()
+      val cnt = (0 until nCells).map(i =>
+        count(when(col("cell") === i, 1)).as(s"c$i"))
+      writer(df.observe(obs, cnt.head, cnt.tail: _*))
+      val m = obs.get
+      (0 until nCells).map(i => i -> m(s"c$i").asInstanceOf[Long])
+        .filter(_._2 > 0L).toMap
+    } else {
+      writer(df)
+      readBack().groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
 
   /** One-row broadcast centroid frame: `cents` = sorted array of
     * (cell, cv) structs — the [[graft.operators.Dedup.semanticDedup]]
@@ -4095,9 +4127,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * floats), so a corrupt or divergent list is detectable without
     * trusting the lists themselves. Returns (id, cell). */
   private[graft] def annAssignFromStored(name: String): DataFrame = {
-    recoverSidecar(annPath(name))
-    val meta = spark.read.schema(annSchema)
-      .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
+    val meta = readAnnMeta(name).getOrElse(throw new IllegalStateException(
+      s"no ANN index on '$name'"))
     val (idCol, vecCol) = (meta.head.getString(3), meta.head.getString(4))
     val centers = meta.map(r =>
       (r.getInt(0), r.getSeq[Float](1))).toIndexedSeq
@@ -4109,8 +4140,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   /** The stored inverted lists' (id, cell) pairs — the other half of
     * the d45 integrity comparison. */
   private[graft] def annStoredAssignments(name: String): DataFrame = {
-    val meta = spark.read.schema(annSchema)
-      .parquet(annPath(name).toString).head()
+    val meta = readAnnMeta(name).getOrElse(throw new IllegalStateException(
+      s"no ANN index on '$name'")).head
     val idCol = meta.getString(3)
     spark.read
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -4149,11 +4180,52 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     *    mutated rows the lists may still carry — Unservable. */
   private[graft] def annServeState(name: String): AnnServeState = {
     requireTable(name)
+    annServeStateWith(name, readAnnMeta(name))
+  }
+
+  /** One read of the `_ann` sidecar (sorted by cell), shared by the
+    * serve paths: the freshness walk and every consumer of the
+    * centroids/meta derive from this single collect instead of each
+    * re-reading the KB sidecar as its own Spark job (OPTIMIZATION_r20 —
+    * annTopK previously read `_ann` twice per call: once for
+    * built_version in the walk, once for the centroid collect). */
+  /** (listing signature → parsed rows) per table: the KB sidecar is
+    * re-parsed only when its file listing (name/length/mtime) changes,
+    * so repeated serves cost one driver `ls` instead of one Spark read
+    * job each. Signature-keyed, NOT handle-keyed: a sibling handle's
+    * rebuild writes a fresh dir (new file names/mtimes) and invalidates
+    * this cache on the next read — never a stale-centroid serve. */
+  private val annMetaCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, IndexedSeq[org.apache.spark.sql.Row])]
+
+  private def readAnnMeta(
+      name: String): Option[IndexedSeq[org.apache.spark.sql.Row]] = {
     recoverSidecar(annPath(name))
-    if (!cfs.exists(annPath(name))) return AnnServeState.Unbuilt
-    val builtVersion = spark.read.schema(annSchema)
-      .parquet(annPath(name).toString)
-      .select(col("built_version")).head().getLong(0)
+    if (!cfs.exists(annPath(name))) { annMetaCache.remove(name); None }
+    else {
+      val sig = cfs.list(annPath(name))
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|")
+      annMetaCache.get(name) match {
+        case Some((s, rows)) if s == sig => Some(rows)
+        case _ =>
+          val rows = spark.read.schema(annSchema)
+            .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
+            .toIndexedSeq
+          annMetaCache.put(name, (sig, rows))
+          Some(rows)
+      }
+    }
+  }
+
+  /** [[annServeState]] over a pre-read `_ann` meta (None = unbuilt). */
+  private def annServeStateWith(name: String,
+      meta: Option[IndexedSeq[org.apache.spark.sql.Row]]): AnnServeState = {
+    val m = meta match {
+      case None => return AnnServeState.Unbuilt
+      case Some(rows) => rows
+    }
+    val builtVersion = m.head.getLong(7)
     val p = tablePath(name)
     val head = ChronoHistory.headVersion(cfs, p).getOrElse(
       return AnnServeState.Unservable(
@@ -4204,19 +4276,19 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * a deliberate, parameterized act — [[buildAnnIndex]]). */
   def buildAnnIndexIfStale(name: String): Boolean = locked {
     requireTable(name)
-    recoverSidecar(annPath(name))
-    if (!cfs.exists(annPath(name))) false
-    else annServeState(name) match {
-      case AnnServeState.Fresh => false
-      case AnnServeState.InsertDelta(delta) =>
-        appendAnnDelta(name, delta)
-        true
-      case _ =>
-        val m = spark.read.schema(annSchema)
-          .parquet(annPath(name).toString).head()
-        buildAnnIndex(name, m.getString(3), m.getString(4), m.getInt(5),
-          m.getLong(6))
-        true
+    readAnnMeta(name) match {
+      case None => false
+      case some @ Some(meta) => annServeStateWith(name, some) match {
+        case AnnServeState.Fresh => false
+        case AnnServeState.InsertDelta(delta) =>
+          appendAnnDelta(name, meta, delta)
+          true
+        case _ =>
+          val m = meta.head
+          buildAnnIndex(name, m.getString(3), m.getString(4), m.getInt(5),
+            m.getLong(6))
+          true
+      }
     }
   }
 
@@ -4229,13 +4301,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * `CALL system.ann_rebuild_if_stale`. */
   def foldAnnDeltaIfStale(name: String): Boolean = locked {
     requireTable(name)
-    recoverSidecar(annPath(name))
-    if (!cfs.exists(annPath(name))) false
-    else annServeState(name) match {
-      case AnnServeState.InsertDelta(delta) =>
-        appendAnnDelta(name, delta)
-        true
-      case _ => false
+    readAnnMeta(name) match {
+      case None => false
+      case some @ Some(meta) => annServeStateWith(name, some) match {
+        case AnnServeState.InsertDelta(delta) =>
+          appendAnnDelta(name, meta, delta)
+          true
+        case _ => false
+      }
     }
   }
 
@@ -4259,9 +4332,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * ([[sweepUnadoptedAnnDelta]] — they are provably unadopted), so a
     * double-append cannot occur. */
   private def appendAnnDelta(name: String,
+      meta: IndexedSeq[org.apache.spark.sql.Row],
       delta: Seq[ManifestEntry]): Unit = {
-    val meta = spark.read.schema(annSchema)
-      .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
     val (idCol, vecCol) = (meta.head.getString(3), meta.head.getString(4))
     val builtVersion = meta.head.getLong(7)
     val head = ChronoHistory.headVersion(cfs, tablePath(name)).getOrElse(
@@ -4276,14 +4348,15 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val staging = annDeltaStagingPath(name)
     deleteRecursively(staging)
-    annAssign(deltaRows, annCentsFrame(centers)).write
-      .partitionBy("cell")
-      .option("compression", config.compression)
-      .parquet(staging.toString)
-    // delta-sized count read for the `_ann` n update
-    val appended = spark.read.parquet(staging.toString)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // per-cell counts for the `_ann` n update fold INSIDE the staging
+    // write (observe) — no delta-sized read-back pass
+    val appended = writeCellsCounted(
+      annAssign(deltaRows, annCentsFrame(centers)), centers.length, df =>
+        df.write
+          .partitionBy("cell")
+          .option("compression", config.compression)
+          .parquet(staging.toString),
+      () => spark.read.parquet(staging.toString))
     // adopt: move each staged part file under its cell dir (dirs that
     // had no build-time rows are created here), version-tagged
     verifyFencing(s"ann delta append on '$name'")
@@ -4343,7 +4416,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def annTopK(name: String, queries: DataFrame, k: Int,
       nprobe: Int = 4, maxProbes: Int = 1000000): DataFrame = {
     requireTable(name)
-    val delta = annServeState(name) match {
+    val metaOpt = readAnnMeta(name)
+    val delta = annServeStateWith(name, metaOpt) match {
       case AnnServeState.Fresh => Seq.empty[ManifestEntry]
       case AnnServeState.InsertDelta(d) => d
       case AnnServeState.Unbuilt => throw new IllegalStateException(
@@ -4355,8 +4429,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
             "the delta union; row rewrites require the repair)")
     }
     import org.apache.spark.sql.expressions.Window
-    val meta = spark.read.schema(annSchema)
-      .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
+    val meta = metaOpt.get // Unbuilt threw above
     val (idCol, vecCol) = (meta.head.getString(3), meta.head.getString(4))
     val cos = graft.functions.NativeExpressions.cosineNative _
     val centersDf = spark.createDataFrame(
@@ -4464,7 +4537,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   def semanticDedupStored(name: String, threshold: Double,
       maxCell: Int = 65536): DataFrame = {
     requireTable(name)
-    val delta = annServeState(name) match {
+    val metaOpt = readAnnMeta(name)
+    val delta = annServeStateWith(name, metaOpt) match {
       case AnnServeState.Fresh => Seq.empty[ManifestEntry]
       case AnnServeState.InsertDelta(d) => d
       case AnnServeState.Unbuilt => throw new IllegalStateException(
@@ -4475,8 +4549,7 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
             "buildAnnIndexIfStale (inserts are served live through " +
             "the delta union; row rewrites require the repair)")
     }
-    val meta = spark.read.schema(annSchema)
-      .parquet(annPath(name).toString).collect().sortBy(_.getInt(0))
+    val meta = metaOpt.get // Unbuilt threw above
     val (idCol, vecCol) = (meta.head.getString(3), meta.head.getString(4))
     val schema = tableSchema(name)
     val lists = spark.read

@@ -162,40 +162,54 @@ object NorthStarQueries {
         db.insertFrame("e", withTs.filter(col("vec_id") % 2 === 0))
         db.insertFrame("e", withTs.filter(col("vec_id") % 2 === 1))
       }
-      db.buildAnnIndex("e", "vec_id", "embedding", nlist = 16, seed = 42L)
-      db.compact("e")
-      val survivesCompact = db.annIndexFresh("e")
+      graft.core.BenchPhases.phase("1_build") {
+        db.buildAnnIndex("e", "vec_id", "embedding", nlist = 16, seed = 42L)
+      }
+      val survivesCompact = graft.core.BenchPhases.phase("2_compact") {
+        db.compact("e")
+        db.annIndexFresh("e")
+      }
       val tbl = db.table("e")
       val queries = tbl.filter(col("vec_id") < 32)
-      val exact = Similarity.bruteForceTopK(tbl, queries,
-          "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = db.annTopK("e", queries, k = 5, nprobe = 6)
-        .select(col("query_id"), col("neighbor_id"))
-      val nHit = exact.join(approx, Seq("query_id", "neighbor_id"),
-        "left_semi").count()
-      val nQ = queries.count()
+      val (nHit, nQ) = graft.core.BenchPhases.phase("3_recall_serve") {
+        val exact = Similarity.bruteForceTopK(tbl, queries,
+            "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = db.annTopK("e", queries, k = 5, nprobe = 6)
+          .select(col("query_id"), col("neighbor_id"))
+        (exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi").count(), queries.count())
+      }
       val recallOk = nHit >= nQ * 2 // the d3e margin (measured 3.4+/5)
       // an INSERT serves LIVE (r19 #1): plant query 0's exact vector
       // under a fresh id — the delta union must surface it at cos 1
       // with NO rebuild (the index is verifiably delta-stale)
-      db.insertFrame("e", withTs.filter(col("vec_id") === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("ts"),
-          col("embedding")))
-      val qLive = db.table("e").filter(col("vec_id") < 32)
-      val servesThroughInsert = !db.annIndexFresh("e") &&
-        db.annTopK("e", qLive, k = 5, nprobe = 6)
-          .filter(col("query_id") === 0L &&
-            col("neighbor_id") === 1000000L).count() == 1L
+      val servesThroughInsert =
+        graft.core.BenchPhases.phase("4_insert_delta_serve") {
+          db.insertFrame("e", withTs.filter(col("vec_id") === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("ts"),
+              col("embedding")))
+          val qLive = db.table("e").filter(col("vec_id") < 32)
+          !db.annIndexFresh("e") &&
+            db.annTopK("e", qLive, k = 5, nprobe = 6)
+              .filter(col("query_id") === 0L &&
+                col("neighbor_id") === 1000000L).count() == 1L
+        }
       // a row REWRITE diverges the stored lists: serving must refuse
-      db.deleteWhere("e", col("vec_id") === lit(1000000L))
-      val qDel = db.table("e").filter(col("vec_id") < 32)
-      val staleDetected =
-        try { db.annTopK("e", qDel, k = 5, nprobe = 6); false }
+      // (qDel planned AFTER the delete — db.table plans from the
+      // manifest at call time)
+      val staleDetected = graft.core.BenchPhases.phase("5_delete_stale") {
+        db.deleteWhere("e", col("vec_id") === lit(1000000L))
+        val q = db.table("e").filter(col("vec_id") < 32)
+        try { db.annTopK("e", q, k = 5, nprobe = 6); false }
         catch { case _: IllegalStateException => true }
-      val rebuilt = db.buildAnnIndexIfStale("e")
-      val servesAfterRebuild =
-        db.annTopK("e", qDel, k = 5, nprobe = 6).count() >= nQ
+      }
+      val qDel = db.table("e").filter(col("vec_id") < 32)
+      val (rebuilt, servesAfterRebuild) =
+        graft.core.BenchPhases.phase("6_rebuild_serve") {
+          (db.buildAnnIndexIfStale("e"),
+            db.annTopK("e", qDel, k = 5, nprobe = 6).count() >= nQ)
+        }
       emb.filter(col("vec_id") < 32)
         .agg(count(lit(1)).as("n_queries"))
         .select(col("n_queries"), lit(5).as("k"),
@@ -295,22 +309,26 @@ object NorthStarQueries {
       }
       val kept = db.semanticDedupStored("e", threshold = 0.35)
         .select(col("vec_id"), col("cell"))
-      val nKeepers = kept.count()
-      val nVecs = db.table("e").count()
+      val (nKeepers, nVecs) = graft.core.BenchPhases.phase("1_dedup_stored") {
+        (kept.count(), db.table("e").count())
+      }
       // integrity: stored (id, cell) ≡ re-derived from `_ann` alone
-      val stored = db.annStoredAssignments("e")
-      val derived = db.annAssignFromStored("e")
-      val matches =
+      val matches = graft.core.BenchPhases.phase("2_integrity") {
+        val stored = db.annStoredAssignments("e")
+        val derived = db.annAssignFromStored("e")
         stored.join(derived, Seq("id", "cell"), "left_anti").count() == 0 &&
-        derived.join(stored, Seq("id", "cell"), "left_anti").count() == 0
+          derived.join(stored, Seq("id", "cell"), "left_anti").count() == 0
+      }
       // dup-free survivors (the d33e invariant over the stored cells)
-      val kv = kept.join(db.table("e")
-        .select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      val nViol = kv.as("a")
-        .join(kv.as("b"), col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .filter(cos(col("a.embedding"), col("b.embedding")) >= 0.35)
-        .count()
+      val nViol = graft.core.BenchPhases.phase("3_dupfree") {
+        val kv = kept.join(db.table("e")
+          .select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        kv.as("a")
+          .join(kv.as("b"), col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .filter(cos(col("a.embedding"), col("b.embedding")) >= 0.35)
+          .count()
+      }
       emb.agg(count(lit(1)).as("n_vecs"))
         .select(col("n_vecs"), lit(16).as("nlist"),
           lit(nKeepers >= 1 && nKeepers <= nVecs).as("keepers_ok"),
