@@ -2928,18 +2928,51 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     * KB-scale sidecar read, so a pruned lookup materializes only the
     * surviving buckets' entries on the driver — O(candidates), never
     * O(table age). */
+  /** (listing signature → folded entries) per table (r20): every
+    * manifest-planned `table()` call previously re-ran the KB sidecar
+    * fold as its own Spark job; the folded entries are now cached
+    * behind the `_manifest` dir's file-listing signature (name/len/
+    * mtime — one driver `ls` when unchanged). Signature-keyed, not
+    * handle-keyed: any writer's append/rewrite lands new part files
+    * and invalidates on the next read, across handles and processes.
+    * Only the FULL fold populates the cache — a pruned lookup on a
+    * cold cache keeps its O(candidates) driver materialization
+    * contract and does not collect the whole manifest. */
+  private val manifestCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Seq[ManifestEntry])]
+
+  private def manifestSig(name: String): String =
+    cfs.list(manifestPath(name))
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+
   private def manifestEntries(
       name: String, buckets: Option[Seq[String]]): Seq[ManifestEntry] = {
     recoverSidecar(manifestPath(name))
-    val base = manifestFold(name)
-    val filtered = buckets match {
-      case Some(bs) => base.filter(col("bucket").isin(bs: _*))
-      case None => base
+    val sig = manifestSig(name)
+    manifestCache.get(name) match {
+      case Some((s, all)) if s == sig =>
+        buckets match {
+          case Some(bs) =>
+            val keep = bs.toSet
+            all.filter(e => keep(e.bucket))
+          case None => all
+        }
+      case _ =>
+        def entriesOf(df: DataFrame): Seq[ManifestEntry] = df.collect()
+          .map(r => ManifestEntry(r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3)))
+          .toSeq
+        buckets match {
+          case Some(bs) =>
+            // cold pruned lookup: stays O(candidates) on the driver
+            entriesOf(manifestFold(name).filter(col("bucket").isin(bs: _*)))
+          case None =>
+            val all = entriesOf(manifestFold(name))
+            manifestCache.put(name, (sig, all))
+            all
+        }
     }
-    filtered.collect()
-      .map(r => ManifestEntry(r.getString(0), r.getString(1),
-        r.getLong(2), r.getLong(3)))
-      .toSeq
   }
 
   /** The manifest-planned scan, optionally restricted to candidate

