@@ -2145,9 +2145,14 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     affected.filterNot(present).foreach { b =>
       deleteRecursively(tablePath(name).resolve(s"bucket=$b"))
     }
+    var observed: (Option[Seq[org.apache.spark.sql.Row]],
+      Option[Seq[org.apache.spark.sql.Row]]) = (None, None)
     if (present.nonEmpty) {
-      val df = inside.repartition(col("bucket"))
-        .sortWithinPartitions(rewriteSortCols(name): _*)
+      // sidecar re-agg rides the overwrite job (observe) — no second
+      // pass over the rewritten buckets in the repair below
+      val (df, fetch) = observeSidecarRepair(name,
+        inside.repartition(col("bucket"))
+          .sortWithinPartitions(rewriteSortCols(name): _*))
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try df.write.mode(SaveMode.Overwrite)
@@ -2158,8 +2163,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+      observed = fetch()
     }
-    repairAfterRewrite(name, affected, present.toSeq.sorted, verb)
+    repairAfterRewrite(name, affected, present.toSeq.sorted, verb,
+      obsStats = observed._1, obsRollup = observed._2)
     if (!outside.isEmpty)
       insertFrame(name, outside, historyVerb = s"$verb-move")
   }
@@ -2253,6 +2260,8 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     emptied.foreach { case (b, _, _) =>
       deleteRecursively(tablePath(name).resolve(s"bucket=$b"))
     }
+    var observed: (Option[Seq[org.apache.spark.sql.Row]],
+      Option[Seq[org.apache.spark.sql.Row]]) = (None, None)
     if (rewrite.nonEmpty) {
       val bs = rewrite.map(_._1).toSeq
       // localCheckpoint MATERIALIZES the survivors before the overwrite
@@ -2262,10 +2271,13 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       // otherwise recompute from partially-replaced buckets and lose
       // bystander rows. Cheap by construction: only buckets that
       // actually hold a doomed key are checkpointed, not the table.
-      val df = survivors(bs)
+      // The sidecar re-aggregation observes the WRITE job (the
+      // checkpointed input streams through it anyway), so the repair
+      // below needs no second pass over the rewritten buckets.
+      val (df, fetch) = observeSidecarRepair(name, survivors(bs)
         .repartition(col("bucket"))
         .sortWithinPartitions(rewriteSortCols(name): _*)
-        .localCheckpoint()
+        .localCheckpoint())
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try df.write.mode(SaveMode.Overwrite)
@@ -2276,9 +2288,10 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+      observed = fetch()
     }
     repairAfterRewrite(name, hits.map(_._1).toSeq, rewrite.map(_._1).toSeq,
-      verb)
+      verb, obsStats = observed._1, obsRollup = observed._2)
     deleted
   }
 
@@ -2300,19 +2313,27 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
     val oldSet = old.map(e => (e.bucket, e.file)).toSet
     val preTrash = trashedFiles(name)
     val since = System.currentTimeMillis() / 1000L * 1000L
-    frame.foreach(_
-      .repartition(col("bucket"))
-      .sortWithinPartitions(rewriteSortCols(name): _*)
-      .write.mode(SaveMode.Append)
-      .option("compression", config.compression)
-      .partitionBy("bucket")
-      .parquet(tablePath(name).toString))
+    var observed: (Option[Seq[org.apache.spark.sql.Row]],
+      Option[Seq[org.apache.spark.sql.Row]]) = (None, None)
+    frame.foreach { f =>
+      // sidecar re-agg rides the append job (observe) — the repair
+      // below needs no second pass over the rewritten buckets
+      val (df, fetch) = observeSidecarRepair(name, f
+        .repartition(col("bucket"))
+        .sortWithinPartitions(rewriteSortCols(name): _*))
+      df.write.mode(SaveMode.Append)
+        .option("compression", config.compression)
+        .partitionBy("bucket")
+        .parquet(tablePath(name).toString)
+      observed = fetch()
+    }
     val fresh = rewritten.flatMap(listBucketFiles(name, _)).filter { r =>
       val id = (r.getString(0), r.getString(1))
       r.getLong(3) >= since && !oldSet(id) && !preTrash(id)
     }
     repairAfterRewrite(name, touched, rewritten, verb, Some(fresh),
-      preEntries = Some(old))
+      preEntries = Some(old), obsStats = observed._1,
+      obsRollup = observed._2)
     appendTrash(name, old.map(e => (e.bucket, e.file)),
       System.currentTimeMillis())
   }
@@ -2323,6 +2344,52 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def rewriteSortCols(name: String): Seq[org.apache.spark.sql.Column] =
     col("ts") +: (if (hasKeyCol(name)) Seq(col("key")) else Nil)
 
+  /** Attach the insertFrame-style per-bucket sidecar observations to a
+    * rewrite frame (r20 — guide §2.3's "zero extra passes" applied to
+    * the mutation verbs): the `_stats`/`_rollup` re-aggregation of the
+    * rewritten buckets previously ran as its OWN pass over the just-
+    * written data inside [[repairAfterRewrite]]; folding it into the
+    * rewrite's write job via Dataset.observe makes the repair a
+    * KB-scale sidecar rewrite with no second data read. The observe
+    * aggregates are family-exact with the grouped rebuild (the
+    * [[sidecarAggs]]/BucketStatsAgg interchangeability contract the
+    * insert path already relies on). Returns the instrumented frame
+    * plus a fetcher that must be called only AFTER an action evaluated
+    * the frame (Observation.get blocks otherwise). */
+  private def observeSidecarRepair(name: String, df: DataFrame)
+      : (DataFrame,
+         () => (Option[Seq[org.apache.spark.sql.Row]],
+                Option[Seq[org.apache.spark.sql.Row]])) = {
+    recoverSidecar(statsPath(name))
+    recoverSidecar(rollupPath(name))
+    val wantStats = sketchingFor(name) && cfs.exists(statsPath(name))
+    val wantRollup = rollupEnabled && cfs.exists(rollupPath(name))
+    val aggs =
+      (if (wantStats)
+        Seq(graft.functions.SketchAggs.bucketStats(col("bucket"), col("key"),
+          config.sketchLgK, config.sketchCmsDepth, config.sketchCmsWidth,
+          config.sketchBloomKeys, config.sketchBloomFpp).as("stats"))
+      else Seq.empty) ++
+      (if (wantRollup)
+        Seq(graft.functions.RollupAggs.timeRollup(col("bucket"), col("ts"),
+          rollupValueCol, config.rollupSlotUs).as("rollup"))
+      else Seq.empty)
+    if (aggs.isEmpty) (df, () => (None, None))
+    else {
+      val o = org.apache.spark.sql.Observation()
+      def rowsOf(key: String): Seq[org.apache.spark.sql.Row] =
+        if (!o.get.contains(key)) Seq.empty
+        else o.get(key) match {
+          case s: scala.collection.Seq[_] =>
+            s.collect { case r: org.apache.spark.sql.Row => r }.toSeq
+          case null => Seq.empty
+        }
+      (df.observe(o, aggs.head, aggs.tail: _*), () =>
+        (if (wantStats) Some(rowsOf("stats")) else None,
+         if (wantRollup) Some(rowsOf("rollup")) else None))
+    }
+  }
+
   /** Shared repair tail of every bucket-rewrite verb (delete/update/
     * merge): manifest refresh FIRST — the sidecar repairs read
     * table(name), which plans from the manifest; stale entries for the
@@ -2332,7 +2399,9 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
   private def repairAfterRewrite(name: String, touched: Seq[String],
       rewritten: Seq[String], verb: String,
       explicitRows: Option[Seq[org.apache.spark.sql.Row]] = None,
-      preEntries: Option[Seq[ManifestEntry]] = None): Unit = {
+      preEntries: Option[Seq[ManifestEntry]] = None,
+      obsStats: Option[Seq[org.apache.spark.sql.Row]] = None,
+      obsRollup: Option[Seq[org.apache.spark.sql.Row]] = None): Unit = {
     // grace-mode rewrites leave superseded files ON DISK — a relist
     // cannot be the source of truth there; the caller passes exactly
     // this write's files (the compact-grace contract) and the pre-verb
@@ -2342,15 +2411,29 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
         refreshManifestTo(name, touched, rows, verb, preEntries)
       case None => refreshManifest(name, touched, verb)
     }
+    // observed rows (when the caller's write job folded them — r20)
+    // replace the rewritten-bucket re-scan below; restricted to the
+    // rewritten set because an update's frame may also carry rows bound
+    // for OTHER buckets (the `-move` path, which writes its own rows)
+    def observedDf(rows: Seq[org.apache.spark.sql.Row],
+        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val keep = rewritten.toSet
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          rows.filter(r => keep(r.getString(0))).asJava),
+        schema)
+    }
     recoverSidecar(statsPath(name))
     if (sketchingFor(name) && cfs.exists(statsPath(name))) {
       val kept = filterBuckets(sidecarFold(name), touched, keep = false)
       val folded =
         if (rewritten.isEmpty) kept
-        else kept.unionByName(
-          filterBuckets(table(name), rewritten, keep = true)
+        else kept.unionByName(obsStats match {
+          case Some(rows) => observedDf(rows, sidecarSchema)
+          case None => filterBuckets(table(name), rewritten, keep = true)
             .groupBy(col("bucket"))
-            .agg(sidecarAggs.head, sidecarAggs.tail: _*))
+            .agg(sidecarAggs.head, sidecarAggs.tail: _*)
+        })
       rewriteSidecar(statsPath(name), folded)
     }
     recoverSidecar(rollupPath(name))
@@ -2358,8 +2441,11 @@ final class ChronoDB(spark: SparkSession, config: ChronoConfig) {
       val kept = filterBuckets(rollupFold(name), touched, keep = false)
       val folded =
         if (rewritten.isEmpty) kept
-        else kept.unionByName(rollupGrouped(
-          filterBuckets(table(name), rewritten, keep = true)))
+        else kept.unionByName(obsRollup match {
+          case Some(rows) => observedDf(rows, rollupSchema)
+          case None => rollupGrouped(
+            filterBuckets(table(name), rewritten, keep = true))
+        })
       rewriteSidecar(rollupPath(name), folded)
     }
     invalidateColStats(name)

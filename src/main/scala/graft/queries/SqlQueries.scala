@@ -580,7 +580,9 @@ object SqlQueries {
       }
       val minUser = spark.sql("SELECT CAST(min(user_id) AS STRING) FROM events")
         .head().getString(0)
-      spark.sql(s"DELETE FROM $cat.ev WHERE key = '$minUser'")  // v3
+      graft.core.BenchPhases.phase("1_delete") {
+        spark.sql(s"DELETE FROM $cat.ev WHERE key = '$minUser'")  // v3
+      }
       // the commit log, newest first
       val h = spark.sql(s"CALL $cat.system.history('ev')").collect()
       val historyOk = h.map(r => (r.getLong(0), r.getString(2))).toSeq ==
@@ -596,11 +598,13 @@ object SqlQueries {
           spark.sessionState.conf.sessionLocalTimeZone))
         .format(java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
-      val tsOk = e2 > e1 && spark.sql(
-        s"SELECT count(*) FROM $cat.ev TIMESTAMP AS OF '$mid'")
-        .head().getLong(0) ==
-        spark.sql(s"SELECT count(*) FROM $cat.ev VERSION AS OF 1")
-          .head().getLong(0)
+      val tsOk = graft.core.BenchPhases.phase("2_travel_checks") {
+        e2 > e1 && spark.sql(
+          s"SELECT count(*) FROM $cat.ev TIMESTAMP AS OF '$mid'")
+          .head().getLong(0) ==
+          spark.sql(s"SELECT count(*) FROM $cat.ev VERSION AS OF 1")
+            .head().getLong(0)
+      }
       // snapshots are read-only: the INSERT throws and changes nothing
       val before = spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
       val refused =
@@ -616,13 +620,15 @@ object SqlQueries {
         s"""SELECT $v AS version, count(*) AS n,
            |  count(DISTINCT key) AS keys, min(ts) AS ts_min, max(ts) AS ts_max
            |FROM $cat.ev $clause""".stripMargin)
-      val snap = stateAt("VERSION AS OF 1", 1)
-        .unionAll(stateAt("VERSION AS OF 2", 2))
-        .unionAll(stateAt("VERSION AS OF 3", 3))
-        .unionAll(stateAt("", 99))
-        .orderBy(col("version"))
-        .withColumn("travel_ok", lit(ok))
-        .localCheckpoint()
+      val snap = graft.core.BenchPhases.phase("3_snapshot_scans") {
+        stateAt("VERSION AS OF 1", 1)
+          .unionAll(stateAt("VERSION AS OF 2", 2))
+          .unionAll(stateAt("VERSION AS OF 3", 3))
+          .unionAll(stateAt("", 99))
+          .orderBy(col("version"))
+          .withColumn("travel_ok", lit(ok))
+          .localCheckpoint()
+      }
       spark.sql(s"DROP TABLE $cat.ev")
       snap
     }
@@ -650,23 +656,27 @@ object SqlQueries {
           "CAST(user_id AS STRING) AS key", "ts",
           "encode(event_type, 'UTF-8') AS data"))               // v1
       }
-      db.deleteWhere("ev",
-        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
-                                                                 // v2
-      db.updateWhere("ev", Seq("data" ->
-        org.apache.spark.sql.functions.encode(lit("ZZZ_UPDATED"), "UTF-8")),
-        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")) &&
-          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
-                                                                 // v3
+      graft.core.BenchPhases.phase("1_delete") {
+        db.deleteWhere("ev",
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+      }                                                          // v2
+      graft.core.BenchPhases.phase("2_update") {
+        db.updateWhere("ev", Seq("data" ->
+          org.apache.spark.sql.functions.encode(lit("ZZZ_UPDATED"), "UTF-8")),
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")) &&
+            col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
+      }                                                          // v3
       def feed(f: Long, t: Long, phase: Int): DataFrame =
         db.changesBetween("ev", f, t).select(
           lit(phase).as("phase"), col("key"), col("ts"),
           expr("decode(data, 'UTF-8')").as("event_type"),
           col("_change_type").as("change_type"))
-      feed(0, 1, 1).unionAll(feed(1, 2, 2)).unionAll(feed(2, 3, 3))
-        .orderBy(col("phase"), col("key"), col("ts"),
-          col("event_type"), col("change_type"))
-        .localCheckpoint()
+      graft.core.BenchPhases.phase("3_feeds") {
+        feed(0, 1, 1).unionAll(feed(1, 2, 2)).unionAll(feed(2, 3, 3))
+          .orderBy(col("phase"), col("key"), col("ts"),
+            col("event_type"), col("change_type"))
+          .localCheckpoint()
+      }
     } finally db.close()
   }
 

@@ -327,6 +327,32 @@ class ManifestSpec extends SparkSuite {
     db.close()
   }
 
+  test("cached manifest fold invalidates across handles: a sibling's insert and rewrite are visible immediately") {
+    // the r20 manifestEntries cache is keyed on the _manifest dir's
+    // file-listing signature, NOT the handle — this pins the contract
+    // that no handle can serve a stale fold after ANY writer commits
+    val dir = Files.createTempDirectory("manifest_cache").toString
+    val cfg = ChronoConfig(dir, bucket = "hour", writersPerBucket = 1,
+      manifest = true, lockMode = "verb")
+    val h1 = new ChronoDB(spark, cfg)
+    val h2 = new ChronoDB(spark, cfg)
+    try {
+      h1.createTable("t")
+      h1.insertSeq("t", Seq(row("a", "2024-01-01 10:10:00")))
+      assert(h1.table("t").count() === 1) // h1's cache now warm
+      // sibling writes: h1's next read must see the new file set
+      h2.insertSeq("t", Seq(row("b", "2024-01-01 11:20:00")))
+      assert(h1.table("t").count() === 2,
+        "h1 served a stale cached manifest after h2's insert")
+      // sibling rewrite (delete rewrites a bucket + manifest refresh)
+      h2.deleteKey("t", "a")
+      assert(h1.table("t").count() === 1,
+        "h1 served a stale cached manifest after h2's delete rewrite")
+      assert(h1.table("t").select("key").collect().map(_.getString(0))
+        .toSeq === Seq("b"))
+    } finally { h1.close(); h2.close() }
+  }
+
   private def lit(s: String) =
     org.apache.spark.sql.functions.lit(s).cast("timestamp")
 }
