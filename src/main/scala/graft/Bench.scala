@@ -144,11 +144,29 @@ object Bench {
     // the total, and the detail artifact reports {setup, measured}
     // per query so a BENCH_rN delta on q60/q61/d39/s18/s19/q63/s20
     // tracks the OPERATOR, not the seeding (VERDICT r16 "wrong" #3).
-    def time3(qs: Seq[graft.core.QueryDef])
+    def time3(qs: Seq[graft.core.QueryDef], gcBetween: Boolean = false)
         : Seq[(String, Double, Double, Seq[Double], Double,
             Seq[(String, Double)])] =
       qs.map { q =>
         var ok = true
+        // GC nudge BETWEEN secondary queries, outside every timed
+        // region (r20 measurement-hygiene fix, documented in
+        // OPTIMIZATION_r20.md): the lifecycle gates localCheckpoint
+        // bounded frames whose blocks are reclaimed by the
+        // ContextCleaner only after the owning Datasets are GC'd —
+        // without a nudge, dead checkpoint blocks from ~40 gates ×
+        // 4 runs accumulate until the block manager nears capacity,
+        // and WHICHEVER gates happen to run near the peak pay
+        // eviction+GC stalls (observed as a ±2-4 s wandering slowdown
+        // that moved between q6x/d44 across otherwise-identical idle
+        // full runs). Secondary-only: a full GC also clears
+        // soft-referenced session caches, which measurably inflates
+        // the SHORT headline queries (+0.2-0.4 s each, an A/B'd
+        // observation) — the headline set runs first, before any
+        // checkpoint pressure exists, so it keeps the unnudged
+        // protocol and its baseline comparability. Timed regions are
+        // untouched either way.
+        if (gcBetween) System.gc()
         val timed = (1 to 3).map { _ =>
           graft.core.BenchPhases.reset()
           val t0 = System.nanoTime()
@@ -171,7 +189,7 @@ object Bench {
         else (q.name, -1.0, -1.0, raw.map(_ => -1.0), -1.0, Seq.empty)
       }
     val results = time3(headline)
-    val secResults = time3(secondary)
+    val secResults = time3(secondary, gcBetween = true)
     // headline contended-capture guard (the ingest guard of r12,
     // extended per the r12 judge's "wrong #1": the committed artifact
     // should not need a judge-owned idle re-run to adjudicate): if the
