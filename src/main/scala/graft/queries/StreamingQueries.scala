@@ -349,17 +349,13 @@ object StreamingQueries {
         .writeStream.format("parquet")
         .option("path", outCat).option("checkpointLocation", cpCat)
         .start()
-      val c1 =
-        try {
-          qc.processAllAvailable()
-          val n = spark.read.parquet(outCat).count()
-          graft.core.BenchPhases.setup(insertHalf(">="))                // v2
-          spark.sql(s"DELETE FROM $cat.ev " +
-            "WHERE ts < TIMESTAMP '2024-01-03 00:00:00'")               // v3
-          qc.processAllAvailable()
-          n
-        } finally qc.stop() // a failed gate must not leak a live stream
-      // the PATH form over the same table dir, same pacing
+      // the PATH form over the same table dir, same pacing — started
+      // ALONGSIDE the catalog form and drained at the same stage
+      // points (r21, guide §2.6: independent streams' micro-batches
+      // overlap instead of replaying the whole feed serially after the
+      // catalog stream finished). Pacing evidence is unchanged: qp
+      // starts with only v1 committed, so its offset ends are still
+      // exactly [1, 2, 3] — one batch per commit on both surfaces.
       val qp = spark.readStream.format("chrono")
         .option("changeFeed", "true")
         .option("maxCommitsPerTrigger", "1")
@@ -367,7 +363,27 @@ object StreamingQueries {
         .writeStream.format("parquet")
         .option("path", outPath).option("checkpointLocation", cpPath)
         .start()
-      try qp.processAllAvailable() finally qp.stop()
+      val c1 =
+        try {
+          val n = graft.core.BenchPhases.phase("1_drain_v1") {
+            qc.processAllAvailable()
+            qp.processAllAvailable()
+            spark.read.parquet(outCat).count()
+          }
+          graft.core.BenchPhases.setup(insertHalf(">="))                // v2
+          graft.core.BenchPhases.phase("2_delete") {
+            spark.sql(s"DELETE FROM $cat.ev " +
+              "WHERE ts < TIMESTAMP '2024-01-03 00:00:00'")             // v3
+          }
+          graft.core.BenchPhases.phase("3_drain_v2_v3") {
+            qc.processAllAvailable()
+            qp.processAllAvailable()
+          }
+          n
+        } finally { // a failed gate must not leak a live stream
+          qc.stop()
+          qp.stop()
+        }
       def offsetEnds(cp: String): Seq[Long] = {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.list(java.nio.file.Paths.get(cp, "offsets"))
@@ -382,9 +398,12 @@ object StreamingQueries {
       def rows(out: String) = spark.read.parquet(out)
         .select(col("key"), col("ts"), col("event_type"),
           col("_change_type"), col("_commit_version"))
-      val parityOk = rows(outCat).exceptAll(rows(outPath)).isEmpty &&
-        rows(outPath).exceptAll(rows(outCat)).isEmpty
-      val twoBatchesOk = c1 > 0 && c1 < rows(outCat).count()
+      val (parityOk, twoBatchesOk) =
+        graft.core.BenchPhases.phase("4_parity") {
+          (rows(outCat).exceptAll(rows(outPath)).isEmpty &&
+            rows(outPath).exceptAll(rows(outCat)).isEmpty,
+            c1 > 0 && c1 < rows(outCat).count())
+        }
       rows(outCat)
         .select(col("key"), col("ts"), col("event_type"),
           col("_change_type").as("change_type"),
